@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key; the driver compares
+row-count + schema + order-insensitive value-hash at sf0.01.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark code and the oracle SQL. Float aggregates are rounded in both engines
+so summation-order differences can't flip the value hash; exact medians
+return actual data elements and are hash-stable without rounding.
 """
 
 from __future__ import annotations
@@ -13,26 +17,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rocana_impala_udfs_spark import register_all
+from rocana_impala_udfs_spark.plans import relational
+from rocana_impala_udfs_spark.plans.medians import MEDIAN_ORACLE, MEDIAN_QUERIES
+from rocana_impala_udfs_spark.sources.io import register_temp_views
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bounded-median of lineitem extended price per return flag,
+    via the scalable two-phase reservoir operator (the reference's one
+    function, distributed the reference's way)."""
+    register_all(spark)
+    register_temp_views(spark, SF_SMOKE)
+    return MEDIAN_QUERIES["appx_median_price_by_returnflag"](spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(MEDIAN_QUERIES)
+    out.update(relational.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(MEDIAN_ORACLE)
+    out.update(relational.ORACLE)
+    return out

@@ -1,0 +1,290 @@
+"""``appx_median_bounded`` — bounded-memory approximate median.
+
+Re-implements the reference library's one aggregate function
+(reference ``median.h:27-29``, ``median.cc:45-47``): an approximate median
+computed by weighted reservoir sampling with a caller-supplied cap
+(``max_samples``) on aggregation-state memory.
+
+Three implementations behind one name, chosen by context:
+
+1. **Production / 100 TB path** — :func:`appx_median_bounded`: a thin wrapper
+   over Spark's built-in ``percentile_approx`` (JVM-side, whole-stage
+   codegen-eligible, true partial+final aggregation with bounded
+   QuantileSummaries state). ``accuracy`` plays the role of ``max_samples``
+   as the memory/precision knob.
+
+2. **Reference-faithful SQL UDAF** — :func:`make_appx_median_bounded_udf`:
+   a pandas grouped-agg UDF with the reference's exact semantics:
+   NULL values are skipped (``median.cc:130``), empty input yields SQL NULL
+   (``median.cc:295-298``), even-count groups return the *upper* median
+   ``sorted(vals)[n // 2]`` with no interpolation (``median.cc:301``), and
+   ``max_samples`` ratchets up, never down (``median.cc:157-162``).
+
+3. **Scalable faithful operator** — :class:`ReservoirState` powers the
+   two-phase ``mapInPandas``/``applyInPandas`` operator in
+   :mod:`rocana_impala_udfs_spark.operators.reservoir`, which reproduces the
+   full distributed five-phase protocol (init/update/serialize/merge/finalize,
+   ``median.cc:117-304``) with map-side partial aggregation, so only
+   ``max_samples`` values per group per partition cross the shuffle.
+
+Randomness: the reference uses boost ``ranlux64_3`` + ``rand()``
+(``median.cc:105,190``); bit-parity is impossible and not a goal (reference
+``median-test.cc:30-31`` uses fuzzy comparison for the same reason). We use
+numpy's PCG64 with a fixed default seed so test runs are reproducible, and the
+result is *exact* (hence deterministic) whenever ``n <= max_samples``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_SEED = 42
+
+# ---------------------------------------------------------------------------
+# Production path: percentile_approx wrapper
+# ---------------------------------------------------------------------------
+
+
+def appx_median_bounded(col: Column | str, max_samples: int) -> Column:
+    """Bounded-memory approximate median, production path.
+
+    Maps the reference's ``max_samples`` memory cap onto
+    ``percentile_approx``'s ``accuracy`` knob (both bound aggregation-state
+    size; larger = more precise). Fully codegen-eligible and plans as
+    partial+final ``HashAggregate`` — the implementation to use at scale.
+    """
+    accuracy = max(int(max_samples), 100)
+    return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+
+
+def appx_median_bounded_str(col: Column | str, max_samples: int) -> Column:
+    """Reference-compatible variant returning STRING.
+
+    The reference returns the median serialized as decimal text
+    (``median.cc:303``) because Impala <2.0 lacked separate intermediate
+    types; users apply ``CAST(... AS DOUBLE)`` (reference ``README.md:61``).
+    """
+    return appx_median_bounded(col, max_samples).cast("string")
+
+
+# ---------------------------------------------------------------------------
+# Faithful reservoir state — the five-phase protocol as a Python object
+# ---------------------------------------------------------------------------
+
+
+class ReservoirState:
+    """Weighted reservoir-sampling aggregation state.
+
+    Port of ``ReservoirSampleState<DoubleVal>`` (reference ``median.cc:88-111``):
+    bounded sample buffer, ``source_size`` row counter, and weight keys in
+    ``[0, 1]`` (``-1`` = not yet assigned, ``median.cc:58-59``). Spark/Arrow
+    handle serialization, so the reference's manual buffer management
+    (``median.cc:113-115, 138-141``) has no equivalent here — only the
+    semantic content survives.
+    """
+
+    __slots__ = ("vals", "keys", "max_samples", "source_size", "rng")
+
+    def __init__(self, max_samples: int, seed: int = DEFAULT_SEED):
+        if max_samples <= 0:
+            raise ValueError("max_samples must be positive")
+        self.vals: np.ndarray = np.empty(0, dtype=np.float64)
+        self.keys: np.ndarray = np.empty(0, dtype=np.float64)  # -1 => unkeyed
+        self.max_samples = int(max_samples)
+        self.source_size = 0
+        self.rng = np.random.default_rng(seed)
+
+    # -- update: Algorithm-R accumulate (median.cc:128-163) -----------------
+
+    def update(self, values: np.ndarray, max_samples: int | None = None) -> None:
+        """Absorb a batch of non-null values (vectorized Algorithm R).
+
+        The first ``max_samples`` values fill the reservoir
+        (``median.cc:149-150``); after saturation, the *i*-th observed value
+        replaces a uniformly random slot with probability ``max_samples / i``
+        (``median.cc:151-153``). ``max_samples`` ratchets up, never down
+        (``median.cc:157-162``).
+        """
+        if max_samples is not None and int(max_samples) > self.max_samples:
+            self.max_samples = int(max_samples)
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]  # NULL skip, median.cc:130
+        if values.size == 0:
+            return
+        k = self.max_samples
+        pos = 0
+        if self.vals.size < k:
+            take = min(k - self.vals.size, values.size)
+            self.vals = np.concatenate([self.vals, values[:take]])
+            self.keys = np.concatenate([self.keys, np.full(take, -1.0)])
+            self.source_size += take
+            pos = take
+        rest = values[pos:]
+        if rest.size:
+            # Row indices (1-based stream position) for the remaining values.
+            idx = self.source_size + 1 + np.arange(rest.size, dtype=np.int64)
+            accept = self.rng.integers(0, idx) < k  # P(accept) = k / i
+            hit = np.nonzero(accept)[0]
+            if hit.size:
+                slots = self.rng.integers(0, k, size=hit.size)
+                # Sequential semantics: later rows overwrite earlier ones.
+                self.vals[slots] = rest[hit]
+                self.keys[slots] = -1.0
+            self.source_size += int(rest.size)
+
+    # -- serialize: assign weight keys (median.cc:165-194) ------------------
+
+    def assign_keys(self) -> None:
+        """Give unkeyed samples keys approximating the top-``num_samples``
+        keys of a ``source_size``-row weighted reservoir:
+        ``key = (source_size - r) / source_size`` with ``r`` uniform in
+        ``[0, num_samples)`` (``median.cc:176-192``) — so larger partitions
+        win merges proportionally.
+        """
+        n = self.vals.size
+        if n == 0 or self.source_size == 0:
+            return
+        unkeyed = self.keys < 0
+        m = int(unkeyed.sum())
+        if m:
+            r = self.rng.integers(0, n, size=m).astype(np.float64)
+            self.keys[unkeyed] = (self.source_size - r) / self.source_size
+
+    # -- merge: key-weighted combine (median.cc:228-282) --------------------
+
+    def merge(self, other: "ReservoirState") -> None:
+        """Combine two keyed partials: keep the ``max_samples`` samples with
+        the largest keys (the reference maintains a min-heap on key and
+        evicts the minimum, ``median.cc:263-280``); ``max_samples`` is the
+        max of the two (``median.cc:242-254``), ``source_size`` sums
+        (``median.cc:281``).
+        """
+        self.max_samples = max(self.max_samples, other.max_samples)
+        vals = np.concatenate([self.vals, other.vals])
+        keys = np.concatenate([self.keys, other.keys])
+        k = self.max_samples
+        if vals.size > k:
+            top = np.argpartition(keys, vals.size - k)[-k:]
+            vals, keys = vals[top], keys[top]
+        self.vals, self.keys = vals, keys
+        self.source_size += other.source_size
+
+    # -- finalize: upper median (median.cc:284-304) -------------------------
+
+    def finalize(self) -> float | None:
+        """Empty input => SQL NULL (``median.cc:295-298``); else sort by value
+        and return the element at index ``n // 2`` — the *upper* median for
+        even counts, no interpolation (``median.cc:299-301``).
+        """
+        if self.vals.size == 0:
+            return None
+        return float(np.sort(self.vals)[self.vals.size // 2])
+
+    def sample_values(self) -> np.ndarray:
+        return self.vals.copy()
+
+
+# ---------------------------------------------------------------------------
+# Faithful SQL UDAF (pandas grouped-agg)
+# ---------------------------------------------------------------------------
+
+
+def _median_of_group(x, k) -> float | None:
+    ks = np.asarray(k, dtype=np.float64)
+    ks = ks[~np.isnan(ks)]
+    max_samples = int(ks.max()) if ks.size else 100
+    state = ReservoirState(max_samples)
+    state.update(np.asarray(x, dtype=np.float64))
+    return state.finalize()
+
+
+def make_appx_median_bounded_udf():
+    """Grouped-agg pandas UDF with the reference signature
+    ``(DOUBLE, INT) -> DOUBLE``.
+
+    Mirrors the reference's tolerance of a per-row ``max_samples`` argument
+    ("checking for constant values isn't working", ``median.cc:135-137``) by
+    taking the max seen in the group — the ratchet rule of
+    ``median.cc:157-162``. Exact (and deterministic) whenever the group has
+    at most ``max_samples`` non-null rows, matching ``median-test.cc:66-82``.
+
+    Note: Spark feeds a grouped-agg pandas UDF the whole group (no partial
+    aggregation). Fine for moderate groups; for 100 TB use
+    :func:`appx_median_bounded` or the two-phase operator in
+    ``operators/reservoir.py``.
+    """
+
+    @pandas_udf("double")
+    def appx_median_bounded_udf(x: pd.Series, k: pd.Series) -> float:
+        return _median_of_group(x, k)
+
+    return appx_median_bounded_udf
+
+
+def make_appx_median_bounded_str_udf():
+    """STRING-returning variant for exact reference DDL compatibility
+    (``(DOUBLE, INT) RETURNS STRING``, reference ``README.md:40``)."""
+
+    @pandas_udf("string")
+    def appx_median_bounded_str_udf(x: pd.Series, k: pd.Series) -> str:
+        m = _median_of_group(x, k)
+        return None if m is None else repr(m)
+
+    return appx_median_bounded_str_udf
+
+
+def make_reservoir_sample_udf():
+    """The underlying primitive exposed directly:
+    ``reservoir_sample(x, k) -> ARRAY<DOUBLE>`` — a bounded uniform sample of
+    the group's non-null values (sorted for determinism of the unsaturated
+    case). Reusable building block the reference keeps internal."""
+
+    @pandas_udf("array<double>")
+    def reservoir_sample_udf(x: pd.Series, k: pd.Series) -> list:
+        ks = np.asarray(k, dtype=np.float64)
+        ks = ks[~np.isnan(ks)]
+        max_samples = int(ks.max()) if ks.size else 100
+        state = ReservoirState(max_samples)
+        state.update(np.asarray(x, dtype=np.float64))
+        return sorted(state.sample_values().tolist())
+
+    return reservoir_sample_udf
+
+
+# ---------------------------------------------------------------------------
+# Exact upper median as a relational composition (typed generalization)
+# ---------------------------------------------------------------------------
+
+
+def exact_upper_median(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out: str = "median",
+) -> DataFrame:
+    """Exact median with the reference's upper-median rule, for ANY orderable
+    type (the generalization the reference signposts via its
+    ``SampleValLess`` comparators for DECIMAL/TIMESTAMP/STRING,
+    ``median.cc:196-221``, but never wires up).
+
+    Pure relational composition — ``row_number``/``count`` windows, picks the
+    element at sorted position ``n // 2`` (0-based; ``median.cc:301``).
+    Distributed as a per-group sort; exact medians fundamentally need the
+    sort, the approx paths above avoid it.
+    """
+    group_cols = group_cols or []
+    part = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy(F.lit(1))
+    w_rank = part.orderBy(F.col(value_col))
+    filtered = df.filter(F.col(value_col).isNotNull())
+    ranked = filtered.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(part).alias("_n"),
+    )
+    picked = ranked.filter(F.col("_rn") == (F.col("_n") / 2).cast("int") + 1)
+    return picked.select(*group_cols, F.col(value_col).alias(out))

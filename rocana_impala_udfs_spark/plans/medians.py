@@ -1,0 +1,156 @@
+"""The median query suite — the reference's own function surface, exercised
+over the driver star schema exactly as FIXTURES.md F7 prescribes.
+
+Every query here has a DuckDB oracle. The oracle-gated entries run with
+``max_samples`` larger than any group, where the reservoir is unsaturated and
+the result is the *exact* upper median — deterministic, matching the
+reference's own exactness test (median-test.cc:66-82). Saturated behavior is
+covered statistically in tests/test_median.py (randomized results can't
+hash-match an oracle; SURVEY §5 port-testing note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.operators.reservoir import appx_median_bounded_agg
+from rocana_impala_udfs_spark.register import register_all
+from rocana_impala_udfs_spark.sources.io import load_table
+
+BIG_K = 1_000_000  # > any sf0.1 group size => exact (unsaturated reservoir)
+
+
+def _upper_median_oracle(
+    table: str,
+    val_expr: str,
+    out: str,
+    group: str | None = None,
+    group_out: str | None = None,
+    order_cast: str | None = None,
+) -> str:
+    """ANSI-SQL exact upper median (element at 0-based index n//2 of the
+    sorted non-null values — median.cc:301) via row_number/count windows."""
+    g_sel = f"g AS {group_out or group}, " if group else ""
+    g_inner = f"{group} AS g, " if group else ""
+    part = "PARTITION BY g" if group else ""
+    val_out = f"CAST(x AS {order_cast})" if order_cast else "x"
+    return f"""
+        SELECT {g_sel}{val_out} AS {out} FROM (
+            SELECT {g_inner}{val_expr} AS x,
+                   row_number() OVER ({part} ORDER BY {val_expr}) AS rn,
+                   count(*) OVER ({part}) AS n
+            FROM {table}
+            WHERE {val_expr} IS NOT NULL
+        ) ranked
+        WHERE rn = CAST(n // 2 AS BIGINT) + 1
+    """
+
+
+# -- Spark-side queries ------------------------------------------------------
+
+
+def q_median_price_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return appx_median_bounded_agg(li, "l_extendedprice", BIG_K, out="median_price")
+
+
+def q_median_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return appx_median_bounded_agg(
+        li, "l_extendedprice", BIG_K, ["l_returnflag"], out="median_price"
+    )
+
+
+def q_median_totalprice_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return appx_median_bounded_agg(o, "o_totalprice", BIG_K, ["o_orderstatus"], out="median_totalprice")
+
+
+def q_median_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return appx_median_bounded_agg(ev, "value", BIG_K, ["event_type"], out="median_value")
+
+
+def q_median_value_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window median: per-day event value (FIXTURES F7 'by time window')."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "value"
+    )
+    return appx_median_bounded_agg(ev, "value", BIG_K, ["day"], out="median_value")
+
+
+def q_median_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered SQL UDAF route — the reference's documented usage:
+    ``CAST(appx_median_bounded(x, k) AS DOUBLE)`` (README.md:61)."""
+    register_all(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_udaf")
+    return spark.sql(
+        f"""SELECT l_linestatus,
+                   CAST(appx_median_bounded(l_quantity, {BIG_K}) AS DOUBLE) AS median_qty
+            FROM _li_udaf GROUP BY l_linestatus"""
+    )
+
+
+def q_median_shipdate_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed generalization: TIMESTAMP median (ordering comparator the
+    reference defines at median.cc:216-221 but never wires). Exact relational
+    composition; result formatted to string for engine-neutral comparison."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = exact_upper_median(li, "l_shipdate", ["l_returnflag"], out="_m")
+    return med.select(
+        "l_returnflag", F.date_format("_m", "yyyy-MM-dd HH:mm:ss").alias("median_shipdate")
+    )
+
+
+def q_median_name_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed generalization: STRING median under bytewise ordering
+    (median.cc:201-208)."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    c = load_table(spark, sf_dir, "customer")
+    return exact_upper_median(c, "c_name", ["c_mktsegment"], out="median_name")
+
+
+MEDIAN_QUERIES = {
+    "appx_median_price_global": q_median_price_global,
+    "appx_median_price_by_returnflag": q_median_price_by_returnflag,
+    "appx_median_totalprice_by_status": q_median_totalprice_by_status,
+    "appx_median_value_by_event_type": q_median_value_by_event_type,
+    "appx_median_value_by_day": q_median_value_by_day,
+    "appx_median_sql_udaf": q_median_sql_udaf,
+    "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
+    "exact_median_name_by_segment": q_median_name_by_segment,
+}
+
+MEDIAN_ORACLE = {
+    "appx_median_price_global": _upper_median_oracle("lineitem", "l_extendedprice", "median_price"),
+    "appx_median_price_by_returnflag": _upper_median_oracle(
+        "lineitem", "l_extendedprice", "median_price", group="l_returnflag"
+    ),
+    "appx_median_totalprice_by_status": _upper_median_oracle(
+        "orders", "o_totalprice", "median_totalprice", group="o_orderstatus"
+    ),
+    "appx_median_value_by_event_type": _upper_median_oracle(
+        "events", "value", "median_value", group="event_type"
+    ),
+    "appx_median_value_by_day": _upper_median_oracle(
+        "events", "value", "median_value", group="strftime(date_trunc('day', ts), '%Y-%m-%d')", group_out="day"
+    ),
+    "appx_median_sql_udaf": _upper_median_oracle(
+        "lineitem", "l_quantity", "median_qty", group="l_linestatus"
+    ),
+    "exact_median_shipdate_by_returnflag": f"""
+        SELECT l_returnflag, strftime(x, '%Y-%m-%d %H:%M:%S') AS median_shipdate FROM (
+            SELECT l_returnflag, l_shipdate AS x,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_shipdate) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem WHERE l_shipdate IS NOT NULL
+        ) ranked WHERE rn = CAST(n // 2 AS BIGINT) + 1
+    """,
+    "exact_median_name_by_segment": _upper_median_oracle(
+        "customer", "c_name", "median_name", group="c_mktsegment", group_out="c_mktsegment"
+    ),
+}

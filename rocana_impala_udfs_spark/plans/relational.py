@@ -1,0 +1,528 @@
+"""Relational query suite — the operator categories the reference delegates
+to its host engine (SURVEY §2.2), expressed as Catalyst-optimized DataFrame
+plans over the driver star schema.
+
+Scale design notes (verified via .explain in tests/test_plans.py):
+
+- Dimension joins (region/nation/part/supplier) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table on those keys at any scale.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  coalesces/skew-splits at runtime.
+- Aggregates are declarative groupBy/agg → Catalyst plans partial+final
+  HashAggregate with map-side combine; filters sit directly on the parquet
+  scan (PushedFilters), and only referenced columns are read (ReadSchema).
+- Float aggregates are rounded identically in Spark and the oracle so
+  summation order can't flip the value hash; integer sums are cast to BIGINT
+  in both engines (DuckDB would otherwise widen to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.sources.io import load_table
+
+
+# --- scans / filters / projections / aggregation (TPC-H Q1 flavor) ---------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- multi-way join with broadcast dims (TPC-H Q5 flavor) ------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY revenue DESC
+"""
+
+
+# --- broadcast fact-dim join ------------------------------------------------
+
+
+def q_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND_PRICES = """
+SELECT p_brand,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- outer / semi / anti joins ---------------------------------------------
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+ORACLE_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- top-k ------------------------------------------------------------------
+
+
+def q_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP10_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- distinct / set operations ---------------------------------------------
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+ORACLE_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_name").alias("name"), F.lit("customer").alias("kind"))
+        .unionAll(s.select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind")))
+    )
+
+
+ORACLE_UNION_NAMES = """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+"""
+
+
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+ORACLE_INTERSECT_NATIONS = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return n.select(F.col("n_nationkey").alias("nationkey")).exceptAll(
+        s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    )
+
+
+ORACLE_EXCEPT_NATIONS = """
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT ALL
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- rollup / cube / grouping sets -----------------------------------------
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+ORACLE_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- window functions -------------------------------------------------------
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+ORACLE_TOP3_CUSTOMERS = """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal, rk FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+) t WHERE rk <= 3
+"""
+
+
+def q_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+ORACLE_RUNNING_SPEND = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+"""
+
+
+def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+ORACLE_LAG_LEAD_EVENTS = """
+SELECT user_id, event_id,
+       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+# --- scalar functions (string / date / math / conditional) -----------------
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.round(F.sqrt(F.col("p_retailprice")), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 4).alias("price_ln"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod7"),
+        F.when(F.col("p_retailprice") > 950, "high").otherwise("low").alias("price_band"),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       CAST(length(p_name) AS INT) AS name_len,
+       concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+       round(sqrt(p_retailprice), 4) AS price_sqrt,
+       round(ln(p_retailprice), 4) AS price_ln,
+       CAST(p_size % 7 AS INT) AS size_mod7,
+       CASE WHEN p_retailprice > 950 THEN 'high' ELSE 'low' END AS price_band
+FROM part
+"""
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
+ORACLE_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+FROM orders
+"""
+
+
+# --- conditional aggregation / having / subqueries -------------------------
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_discounted"),
+        F.round(F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4).alias("avg_f_price"),
+    )
+
+
+ORACLE_CONDITIONAL_AGG = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       round(avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 4) AS avg_f_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_having_big_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+    )
+
+
+ORACLE_HAVING_BIG_PARTS = """
+SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+"""
+
+
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal")).collect()[0][0]
+    return c.filter(F.col("c_acctbal") > F.lit(avg_bal)).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+ORACLE_ABOVE_AVG_CUSTOMERS = """
+SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+def q_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate flavor: order size distribution (TPC-H Q13-ish)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return per_order.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders")).orderBy("n_lines")
+
+
+ORACLE_ORDER_SIZES = """
+SELECT n_lines, count(*) AS n_orders FROM (
+    SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+) t GROUP BY n_lines ORDER BY n_lines
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "join_revenue_by_nation": q_revenue_by_nation,
+    "join_broadcast_brand_prices": q_brand_prices,
+    "join_left_customer_order_counts": q_customer_order_counts,
+    "join_semi_customers_with_orders": q_customers_with_orders,
+    "join_anti_customers_without_orders": q_customers_without_orders,
+    "topk_orders": q_top10_orders,
+    "distinct_segments": q_distinct_segments,
+    "setop_union_names": q_union_names,
+    "setop_intersect_nations": q_intersect_nations,
+    "setop_except_nations": q_except_nations,
+    "rollup_orders": q_rollup_orders,
+    "cube_lineitem": q_cube_lineitem,
+    "window_top3_customers_per_nation": q_top3_customers_per_nation,
+    "window_running_spend": q_running_spend,
+    "window_lag_lead_events": q_lag_lead_events,
+    "scalar_string_math": q_scalar_functions,
+    "scalar_date_functions": q_date_functions,
+    "conditional_agg": q_conditional_agg,
+    "having_big_parts": q_having_big_parts,
+    "subquery_above_avg_customers": q_above_avg_customers,
+    "agg_order_sizes": q_order_sizes,
+}
+
+ORACLE = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "join_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
+    "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
+    "join_semi_customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
+    "join_anti_customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "topk_orders": ORACLE_TOP10_ORDERS,
+    "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
+    "setop_union_names": ORACLE_UNION_NAMES,
+    "setop_intersect_nations": ORACLE_INTERSECT_NATIONS,
+    "setop_except_nations": ORACLE_EXCEPT_NATIONS,
+    "rollup_orders": ORACLE_ROLLUP_ORDERS,
+    "cube_lineitem": ORACLE_CUBE_LINEITEM,
+    "window_top3_customers_per_nation": ORACLE_TOP3_CUSTOMERS,
+    "window_running_spend": ORACLE_RUNNING_SPEND,
+    "window_lag_lead_events": ORACLE_LAG_LEAD_EVENTS,
+    "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
+    "scalar_date_functions": ORACLE_DATE_FUNCTIONS,
+    "conditional_agg": ORACLE_CONDITIONAL_AGG,
+    "having_big_parts": ORACLE_HAVING_BIG_PARTS,
+    "subquery_above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
+    "agg_order_sizes": ORACLE_ORDER_SIZES,
+}

@@ -1,0 +1,35 @@
+"""Function registration — the reference's ``CREATE AGGREGATE FUNCTION``
+surface (reference ``README.md:37-47``) mapped to ``spark.udf.register``.
+
+The reference distributes a ``.so`` via HDFS and binds five C symbols with
+DDL; Spark ships Python UDF code to executors automatically over the
+Arrow/py4j worker protocol, so registration is one call per function:
+
+    register_all(spark)
+    spark.sql("SELECT CAST(appx_median_bounded(x, 5) AS DOUBLE) FROM numbers")
+
+``appx_median_bounded`` is registered with the reference's STRING return type
+so the documented ``CAST(... AS DOUBLE)`` idiom (reference ``README.md:61``)
+works verbatim; ``appx_median_bounded_double`` is the idiomatic typed variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from rocana_impala_udfs_spark.functions.median import (
+    make_appx_median_bounded_str_udf,
+    make_appx_median_bounded_udf,
+    make_reservoir_sample_udf,
+)
+
+
+def register_all(spark: SparkSession) -> SparkSession:
+    """Register every engine function into the session catalog."""
+    from rocana_impala_udfs_spark.functions import text as text_fns
+
+    spark.udf.register("appx_median_bounded", make_appx_median_bounded_str_udf())
+    spark.udf.register("appx_median_bounded_double", make_appx_median_bounded_udf())
+    spark.udf.register("reservoir_sample", make_reservoir_sample_udf())
+    text_fns.register(spark)
+    return spark

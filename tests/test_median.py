@@ -1,0 +1,214 @@
+"""Tests for appx_median_bounded — ports the reference's two test cases
+(median-test.cc:58-82) and fills its documented gaps (SURVEY §5): NULL
+interleaving, multi-group, saturated reservoirs, even-count upper median,
+max_samples ratchet, weighted merge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rocana_impala_udfs_spark.functions.median import ReservoirState, exact_upper_median
+from rocana_impala_udfs_spark.operators.reservoir import appx_median_bounded_agg
+
+ABS = 1e-5  # FuzzyCompare tolerance, median-test.cc:32-36
+
+
+# -- reference case 1: empty input => NULL (median-test.cc:58-64) -----------
+
+
+def test_empty_input_is_null_sql(spark):
+    # Known Spark divergence: a *global* pandas-UDAF over an empty relation
+    # yields zero rows (AggregateInPandas emits nothing), where the reference
+    # host engine yields one NULL row (median.cc:295-298). The operator path
+    # (next test) restores reference semantics. Grouped queries are
+    # unaffected (no groups => no rows in both engines).
+    df = spark.createDataFrame([], "x double")
+    df.createOrReplaceTempView("empty_doubles")
+    out = spark.sql(
+        "SELECT CAST(appx_median_bounded(x, 10) AS DOUBLE) AS m FROM empty_doubles"
+    ).collect()
+    assert out == [] or out[0].m is None
+
+
+def test_empty_input_is_null_operator(spark):
+    df = spark.createDataFrame([], "x double")
+    rows = appx_median_bounded_agg(df, "x", 10).collect()
+    assert len(rows) == 1 and rows[0][0] is None
+
+
+# -- reference case 2: exact when unsaturated (median-test.cc:66-82) --------
+
+
+def test_exact_when_unsaturated_sql(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1001)], "x double")
+    df.createOrReplaceTempView("sequence_1001")
+    row = spark.sql(
+        "SELECT CAST(appx_median_bounded(x, 1001) AS DOUBLE) AS m FROM sequence_1001"
+    ).collect()[0]
+    assert row.m == pytest.approx(500.0, abs=ABS)
+
+
+def test_exact_when_unsaturated_operator(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1001)], "x double").repartition(4)
+    rows = appx_median_bounded_agg(df, "x", 1001).collect()
+    assert rows[0][0] == pytest.approx(500.0, abs=ABS)
+
+
+# -- the README demo (README.md:50-61) --------------------------------------
+
+
+def test_readme_demo(spark):
+    df = spark.createDataFrame([(1.1,), (2.2,), (3.3,), (4.4,), (5.5,)], "x double")
+    df.createOrReplaceTempView("numbers")
+    row = spark.sql(
+        "SELECT CAST(appx_median_bounded(x, 5) AS DOUBLE) AS m FROM numbers"
+    ).collect()[0]
+    assert row.m == pytest.approx(3.3, abs=ABS)
+
+
+# -- gap: NULL skip (median.cc:130) -----------------------------------------
+
+
+def test_null_skip(spark):
+    rows = [(1.0,), (None,), (2.0,), (None,), (3.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = appx_median_bounded_agg(df, "x", 100).collect()
+    assert out[0][0] == pytest.approx(2.0, abs=ABS)
+    df.createOrReplaceTempView("nullable_doubles")
+    row = spark.sql(
+        "SELECT appx_median_bounded_double(x, 100) AS m FROM nullable_doubles"
+    ).collect()[0]
+    assert row.m == pytest.approx(2.0, abs=ABS)
+
+
+def test_all_null_is_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    assert appx_median_bounded_agg(df, "x", 10).collect()[0][0] is None
+
+
+# -- gap: even-count upper median, no interpolation (median.cc:301) ---------
+
+
+def test_even_count_upper_median(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "x double")
+    out = appx_median_bounded_agg(df, "x", 100).collect()
+    assert out[0][0] == pytest.approx(3.0, abs=ABS)  # sorted[4//2], NOT 2.5
+
+
+# -- gap: multi-group with skewed sizes + shuffle (median.cc:176-192) -------
+
+
+def test_grouped_skewed(spark):
+    rows = []
+    rows += [("big", float(i)) for i in range(1000)]  # median 500
+    rows += [("small", float(i)) for i in range(10)]  # median 5
+    rows += [("even", float(i)) for i in range(4)]  # upper median 2
+    df = spark.createDataFrame(rows, "grp string, x double").repartition(4)
+    out = {r["grp"]: r["median"] for r in appx_median_bounded_agg(df, "x", 2000, ["grp"]).collect()}
+    assert out["big"] == pytest.approx(500.0, abs=ABS)
+    assert out["small"] == pytest.approx(5.0, abs=ABS)
+    assert out["even"] == pytest.approx(2.0, abs=ABS)
+
+
+# -- gap: saturated reservoir is statistically near the true median ---------
+
+
+def test_saturated_statistical(spark):
+    n = 20000
+    df = spark.createDataFrame([(float(i),) for i in range(n)], "x double").repartition(4)
+    est = appx_median_bounded_agg(df, "x", 501).collect()[0][0]
+    # rank-error band: with k=501 samples the sample median's rank error is
+    # ~N/(2*sqrt(k)) ≈ 450 rows at 1 sd; allow 4 sd.
+    assert abs(est - (n / 2)) < 4 * n / (2 * np.sqrt(501))
+
+
+def test_saturated_state_is_bounded():
+    st = ReservoirState(64)
+    st.update(np.arange(100000, dtype=np.float64))
+    assert st.vals.size == 64 and st.source_size == 100000
+
+
+# -- gap: max_samples ratchets up, never down (median.cc:157-162) -----------
+
+
+def test_max_samples_ratchet():
+    st = ReservoirState(10)
+    st.update(np.arange(50, dtype=np.float64), max_samples=30)
+    assert st.max_samples == 30 and st.vals.size == 30
+    st.update(np.arange(50, dtype=np.float64), max_samples=5)
+    assert st.max_samples == 30  # never down
+
+
+# -- merge: source_size weighting (median.cc:228-282) -----------------------
+
+
+def test_merge_weights_by_source_size():
+    rng_seen = []
+    for trial in range(20):
+        a = ReservoirState(50, seed=100 + trial)
+        a.update(np.full(10000, 1.0))
+        a.assign_keys()
+        b = ReservoirState(50, seed=200 + trial)
+        b.update(np.full(100, 2.0))
+        b.assign_keys()
+        a.merge(b)
+        frac_big = float((a.vals == 1.0).mean())
+        rng_seen.append(frac_big)
+    # The 10000-row partial should dominate the merged reservoir.
+    assert np.mean(rng_seen) > 0.8
+    assert a.source_size == 10100
+
+
+def test_merge_exact_when_both_unsaturated():
+    a = ReservoirState(100)
+    a.update(np.arange(10, dtype=np.float64))
+    a.assign_keys()
+    b = ReservoirState(100)
+    b.update(np.arange(10, 21, dtype=np.float64))
+    b.assign_keys()
+    a.merge(b)
+    assert a.finalize() == pytest.approx(10.0, abs=ABS)  # 21 values 0..20
+
+
+# -- reservoir_sample SQL primitive ----------------------------------------
+
+
+def test_reservoir_sample_sql(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(5)], "x double")
+    df.createOrReplaceTempView("five")
+    row = spark.sql("SELECT reservoir_sample(x, 10) AS s FROM five").collect()[0]
+    assert row.s == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+# -- exact_upper_median relational composition (typed generalization) -------
+
+
+def test_exact_upper_median_double(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 7.0)],
+        "grp string, x double",
+    )
+    out = {r["grp"]: r["median"] for r in exact_upper_median(df, "x", ["grp"]).collect()}
+    assert out == {"a": 3.0, "b": 7.0}
+
+
+def test_exact_upper_median_string(spark):
+    df = spark.createDataFrame([("x", "apple"), ("x", "pear"), ("x", "banana")], "grp string, s string")
+    out = exact_upper_median(df, "s", ["grp"]).collect()
+    assert out[0]["median"] == "banana"
+
+
+def test_exact_upper_median_global(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    assert exact_upper_median(df, "x").collect()[0]["median"] == 50.0
+
+
+# -- string-compat return type (README.md:40, median.cc:303) ----------------
+
+
+def test_string_return_type(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    df.createOrReplaceTempView("three")
+    row = spark.sql("SELECT appx_median_bounded(x, 10) AS m FROM three").collect()[0]
+    assert isinstance(row.m, str) and float(row.m) == pytest.approx(2.0, abs=ABS)
