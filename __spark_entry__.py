@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from rocana_impala_udfs_spark import register_all
 from rocana_impala_udfs_spark.plans import relational
 from rocana_impala_udfs_spark.plans.medians import MEDIAN_ORACLE, MEDIAN_QUERIES
+from rocana_impala_udfs_spark.plans.pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES
 from rocana_impala_udfs_spark.sources.io import register_temp_views
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(MEDIAN_QUERIES)
     out.update(relational.QUERIES)
+    out.update(PIPELINE_QUERIES)
     return out
 
 
@@ -45,4 +47,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(MEDIAN_ORACLE)
     out.update(relational.ORACLE)
+    out.update(PIPELINE_ORACLE)
     return out

@@ -134,10 +134,14 @@ def _detect_lang(text: str) -> str:
     return best
 
 
-@pandas_udf("string")
-def lang_id(texts: pd.Series) -> pd.Series:
+def make_lang_id_udf():
     """N-gram/stopword-heuristic language ID (und = undetermined)."""
-    return texts.fillna("").map(_detect_lang)
+
+    @pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(_detect_lang)
+
+    return lang_id
 
 
 def _simhash64(tokens: list[str]) -> int:
@@ -165,35 +169,43 @@ def zlib_crc64(s: str) -> int:
     return (hi << 32) | lo
 
 
-@pandas_udf("long")
-def simhash64(texts: pd.Series) -> pd.Series:
+def make_simhash64_udf():
     """64-bit SimHash over whitespace tokens of normalized text — near-dup
     fingerprint; hamming distance ≤ 3 ⇒ near-duplicate candidates."""
-    def one(t):
-        t = (t or "").lower()
-        return _simhash64(t.split())
 
-    return texts.map(one)
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        def one(t):
+            t = (t or "").lower()
+            return _simhash64(t.split())
+
+        return texts.map(one)
+
+    return simhash64
 
 
-@pandas_udf("long")
-def rolling_hash_fingerprint(texts: pd.Series) -> pd.Series:
+def make_rolling_hash_udf():
     """Polynomial rolling hash of normalized text (base 257, mod 2^61-1) —
     a cheap order-sensitive document fingerprint."""
-    MOD = (1 << 61) - 1
-    BASE = 257
 
-    def one(t):
-        h = 0
-        for ch in " ".join((t or "").lower().split()):
-            h = (h * BASE + ord(ch)) % MOD
-        return h
+    @pandas_udf("long")
+    def rolling_hash_fingerprint(texts: pd.Series) -> pd.Series:
+        MOD = (1 << 61) - 1
+        BASE = 257
 
-    return texts.map(one)
+        def one(t):
+            h = 0
+            for ch in " ".join((t or "").lower().split()):
+                h = (h * BASE + ord(ch)) % MOD
+            return h
+
+        return texts.map(one)
+
+    return rolling_hash_fingerprint
 
 
 def register(spark: SparkSession) -> None:
     """Register the SQL-callable text functions."""
-    spark.udf.register("lang_id", lang_id)
-    spark.udf.register("simhash64", simhash64)
-    spark.udf.register("rolling_hash_fingerprint", rolling_hash_fingerprint)
+    spark.udf.register("lang_id", make_lang_id_udf())
+    spark.udf.register("simhash64", make_simhash64_udf())
+    spark.udf.register("rolling_hash_fingerprint", make_rolling_hash_udf())

@@ -1,0 +1,254 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, each designed for 100 TB first and verified at test scale:
+
+- **Exact** — md5 fingerprint of normalized text, hash groupBy keep-min.
+  One shuffle on a 32-byte key; fully JVM-side.
+- **MinHash + LSH** — word-shingles → 64 minhash values (one groupBy with 64
+  ``min(xxhash64(seed_i, shingle))`` partial aggs, all JVM) → band hashes →
+  bucket self-join for candidates → exact-Jaccard verification on candidates
+  only. Shuffle cost scales with candidate count, not O(n²).
+- **SimHash** — 64-bit fingerprints; hamming ≤ d pairs found by the
+  pigeonhole band trick (d+1 chunks, one must match exactly), verified with
+  ``bit_count(fp_a ^ fp_b)`` JVM-side.
+- **N-gram Jaccard (exact)** — full shingle self-join; the correctness
+  baseline for LSH and the oracle-checkable path. Documented as the
+  small/medium-scale route; at 100 TB use MinHash-LSH.
+- **Embedding near-dup** — see operators/similarity.py (cosine ≥ threshold).
+
+All thresholds chosen for the driver corpus, whose near-dups sit at
+Jaccard ≈ 0.99 vs background < 0.5 — LSH recall at that separation is ~1,
+which is what makes the LSH output oracle-checkable against exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.functions.text import doc_fingerprint, normalize_text, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per exact (normalized) content fingerprint.
+
+    Returns ``(id_col, fingerprint)`` of survivors. Hash-groupBy: one shuffle
+    keyed on the md5, partial agg map-side.
+    """
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation used by both
+    exact Jaccard and MinHash."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (i < j, jaccard ≥ threshold).
+
+    Shingle self-join — O(pairs sharing a shingle). Correct at any scale but
+    the join explodes on common shingles; the 100 TB path is
+    :func:`minhash_lsh_pairs`, which this function oracles.
+    """
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    si = sizes.alias("si")
+    sj = sizes.alias("sj")
+    return (
+        inter.join(F.broadcast(si), F.col("i") == F.col("si.id"))
+        .join(F.broadcast(sj), F.col("j") == F.col("sj.id"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{num_hashes-1}) minhash signature columns.
+
+    Entirely JVM: ``min(xxhash64(seed_i, shingle))`` per document — one
+    groupBy with map-side partial min aggregation; no Python in the loop.
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Pipeline: signatures → per-band hash → bucket self-join (candidates) →
+    verify candidates with exact Jaccard → filter ≥ threshold. At
+    threshold 0.8 with 16×4 banding, P(candidate) for a true 0.8-pair is
+    1-(1-0.8⁴)¹⁶ ≈ 0.9997; for the corpus's ≈0.99 pairs it is ≈ 1.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, k)
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    # (id, band_idx, band_hash) long format, bucket join per band.
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band_idx", "bh.band_hash")
+    x, y = stacked.alias("x"), stacked.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
+        .distinct()
+    )
+    # Exact verification on candidates only.
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b2 = sh.alias("a"), sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("i") == F.col("a.id"))
+        .join(b2, (F.col("j") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    si, sj = sizes.alias("si"), sizes.alias("sj")
+    return (
+        inter.join(F.broadcast(si), F.col("i") == F.col("si.id"))
+        .join(F.broadcast(sj), F.col("j") == F.col("sj.id"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``max_hamming+1``
+    chunks; any pair within the distance budget must agree exactly on at
+    least one chunk, so candidates come from equality joins on chunks —
+    no O(n²). Verification is ``bit_count(a ^ b)`` in the JVM.
+    """
+    from rocana_impala_udfs_spark.functions.text import make_simhash64_udf
+
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    simhash64 = make_simhash64_udf()
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("fp"), c * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias(f"c{c}")
+        for c in range(chunks)
+    ]
+    chunked = fp.select("id", "fp", *chunk_cols)
+    stacked = chunked.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk_idx"), F.col(f"c{c}").alias("chunk_val"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "fp", "cv.chunk_idx", "cv.chunk_val")
+    x, y = stacked.alias("x"), stacked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("i"),
+            F.col("y.id").alias("j"),
+            F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``embeddings.embedding``,
+``ARRAY<FLOAT>``).
+
+Two paths, per the scale doctrine:
+
+- **Brute force** — exact cosine top-k per query vector. Correctness
+  baseline and the oracle-checkable path. Cross-join cost O(|Q|·n): fine for
+  small query sets even at large n (broadcast the queries), wrong for
+  all-pairs at 100 TB.
+- **LSH-bucketed** — random-hyperplane sign buckets (Charikar SimHash for
+  vectors): candidates = bucket collisions across ``num_tables`` independent
+  tables, then exact cosine re-rank on candidates only. Recall < 1 by
+  construction; tested against brute force, not the oracle.
+
+Cosine is computed JVM-side in double precision via zip_with/aggregate —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<numeric> columns, double precision."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (small side); candidates ranked by exact cosine
+    with deterministic id tiebreak. Returns (query_id, neighbor_id, cos, rk).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, num_tables: int, bits_per_table: int, seed: int = 42) -> np.ndarray:
+    """(num_tables, bits_per_table, dim) Gaussian hyperplane normals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, bits_per_table, dim))
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_tables: int = 16,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets → candidate join →
+    exact cosine re-rank.
+
+    The bucket id per table is a ``bits_per_table``-bit sign pattern computed
+    JVM-side from broadcast hyperplane constants (literal arrays folded by
+    Catalyst). Shuffle is the bucket equality join — no cross join anywhere.
+    """
+    planes = random_hyperplanes(dim, num_tables, bits_per_table, seed)
+
+    def bucket_cols(vec: Column) -> list[Column]:
+        dvec = F.transform(vec, lambda x: x.cast("double"))
+        cols = []
+        for t in range(num_tables):
+            bit_exprs = []
+            for b in range(bits_per_table):
+                plane = F.array(*[F.lit(float(w)) for w in planes[t, b]])
+                dot = F.aggregate(
+                    F.zip_with(dvec, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+                )
+                bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            bucket = bit_exprs[0]
+            for e in bit_exprs[1:]:
+                bucket = bucket + e
+            cols.append(bucket.alias(f"t{t}"))
+        return cols
+
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    vb = v.select("neighbor_id", "n_vec", *bucket_cols(F.col("n_vec")))
+    qb = q.select("query_id", "q_vec", *bucket_cols(F.col("q_vec")))
+    v_stack = vb.select(
+        "neighbor_id",
+        "n_vec",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"t{t}").alias("bkt")) for t in range(num_tables)])
+        ).alias("tb"),
+    ).select("neighbor_id", "n_vec", "tb.tbl", "tb.bkt")
+    q_stack = qb.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"t{t}").alias("bkt")) for t in range(num_tables)])
+        ).alias("tb"),
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bkt")
+    candidates = (
+        v_stack.join(F.broadcast(q_stack), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "n_vec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        candidates.select(
+            "query_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos")
+        )
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 16,
+    bits_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
+    hyperplane-bucket candidate generation, verified with exact cosine."""
+    planes = random_hyperplanes(dim, num_tables, bits_per_table, seed)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dvec = F.transform(F.col("vec"), lambda x: x.cast("double"))
+    stack_structs = []
+    for t in range(num_tables):
+        bit_exprs = []
+        for b in range(bits_per_table):
+            plane = F.array(*[F.lit(float(w)) for w in planes[t, b]])
+            dot = F.aggregate(F.zip_with(dvec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bit_exprs[0]
+        for e in bit_exprs[1:]:
+            bucket = bucket + e
+        stack_structs.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+    stacked = v.select("id", "vec", F.explode(F.array(*stack_structs)).alias("tb")).select(
+        "id", "vec", "tb.tbl", "tb.bkt"
+    )
+    x, y = stacked.alias("x"), stacked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"), F.col("x.vec").alias("vi"), F.col("y.vec").alias("vj"))
+        .distinct()
+        .select("i", "j", F.round(cosine_sim(F.col("vi"), F.col("vj")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,224 @@
+"""LLM training-data pipeline queries over ``documents`` and ``embeddings``
+(the north-star extension surface, BASELINE.json) with DuckDB oracles.
+
+Oracle discipline: the DuckDB SQL reconstructs the same normalization
+(lower + whitespace-collapse + trim), the same word-3-shingles, and the same
+double-precision cosine, so exact-output equality is meaningful. Queries
+whose algorithm is irreproducible in SQL (SimHash fingerprints, LSH with
+recall < 1, Python lang-id) ship without an oracle — the driver records the
+weaker rows-only check and pytest covers them against in-engine baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.functions import text as T
+from rocana_impala_udfs_spark.operators import dedup, similarity
+from rocana_impala_udfs_spark.sources.io import load_table
+
+# DuckDB expression for the engine's text normalization.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS doc_id, fingerprint FROM (
+    SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+) t GROUP BY fingerprint
+"""
+
+
+_ORACLE_JACCARD = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+    SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3
+),
+shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS both_cnt
+    FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i, j, round(both_cnt * 1.0 / (si.n + sj.n - both_cnt), 6) AS jaccard
+FROM inter
+JOIN sizes si ON si.doc_id = i
+JOIN sizes sj ON sj.doc_id = j
+WHERE both_cnt * 1.0 / (si.n + sj.n - both_cnt) >= 0.8
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No SQL oracle: the crc-based 64-bit token hash has no DuckDB
+    # equivalent. Covered in tests against brute-force hamming distance.
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+ORACLE_ANN_TOP5 = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS c
+    FROM v, q WHERE query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+def q_ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No oracle: LSH recall < 1 by construction; pytest measures recall
+    # against brute force instead.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_bucket_topk(emb, queries, k=5)
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+ORACLE_EMB_NEARDUP = """
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("int").alias("n_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_SW = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by']"
+
+ORACLE_TEXT_QUALITY = f"""
+WITH base AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END, 6) AS punct_ratio,
+       round(sr, 6) AS stop_ratio,
+       round((least(n_chars / 500.0, 1.0)
+              + least(sr * 4.0, 1.0)
+              + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0)
+             ) / 3.0, 6) AS quality
+FROM feats
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("int").alias("ws_tokens"),
+        T.bpe_ish_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+ORACLE_TEXT_TOKENS = f"""
+SELECT doc_id,
+       CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                 ELSE len(string_split({_NORM}, ' ')) END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+
+
+ORACLE_TEXT_FINGERPRINTS = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No oracle: the n-gram/stopword heuristic lives in Python. Rows-only
+    # check here; pytest asserts agreement with the corpus 'lang' labels
+    # where the heuristic is expected to work.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.make_lang_id_udf()(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact_docs": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash,
+    "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
+    "dedup_simhash_pairs": q_dedup_simhash,
+    "ann_cosine_top5": q_ann_cosine_top5,
+    "ann_lsh_top5": q_ann_lsh_top5,
+    "emb_neardup_pairs": q_emb_neardup,
+    "text_quality_scores": q_text_quality,
+    "text_token_counts": q_text_tokens,
+    "text_fingerprints": q_text_fingerprints,
+    "lang_id_counts": q_lang_id_counts,
+}
+
+PIPELINE_ORACLE = {
+    "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_pairs": _ORACLE_JACCARD,
+    "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "ann_cosine_top5": ORACLE_ANN_TOP5,
+    "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
+    "text_quality_scores": ORACLE_TEXT_QUALITY,
+    "text_token_counts": ORACLE_TEXT_TOKENS,
+    "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
+}

@@ -1,0 +1,141 @@
+"""Tests for dedup / similarity / text / multimodal operators — the queries
+without DuckDB oracles get their correctness baselines here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.functions.text import _detect_lang, _simhash64
+from rocana_impala_udfs_spark.operators import dedup, multimodal, similarity
+from rocana_impala_udfs_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_no_dups_is_identity(spark):
+    docs = load_table(spark, SF, "documents")
+    out = dedup.exact_dedup(docs)
+    assert out.count() == docs.count()  # sf0.001 corpus has no exact dups
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 3]  # min-id survivor; normalization collapses 1 and 2
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    docs = load_table(spark, SF, "documents")
+    lsh = {(r.i, r.j) for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    exact = {(r.i, r.j) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    docs = load_table(spark, SF, "documents").limit(200)
+    got = {(r.i, r.j) for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
+    # brute force in driver
+    rows = docs.select("doc_id", "text").collect()
+    fps = {r.doc_id: _simhash64((r.text or "").lower().split()) for r in rows}
+    ids = sorted(fps)
+    expect = {
+        (i, j)
+        for idx, i in enumerate(ids)
+        for j in ids[idx + 1 :]
+        if bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    assert got == expect
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_bruteforce_topk_self_consistency(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == [1, 2, 3, 4, 5]
+        cos_sorted = [r.cos for r in sorted(rows, key=lambda r: r.rk)]
+        assert cos_sorted == sorted(cos_sorted, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_topk_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in similarity.lsh_bucket_topk(emb, queries, k=5).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_cosine_sim_known_values(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    out = df.select(F.round(similarity.cosine_sim(F.col("a"), F.col("b")), 6).alias("c")).collect()
+    assert out[0].c == pytest.approx(0.0) and out[1].c == pytest.approx(1.0)
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_lang_id_heuristic():
+    assert _detect_lang("the cat sat on the mat and it is warm") == "en"
+    assert _detect_lang("der Hund ist nicht mit der Katze und das ist gut") == "de"
+    assert _detect_lang("el perro y la casa que es grande en un lugar") == "es"
+    assert _detect_lang("这是一个中文句子，用来测试语言检测功能的准确性。") == "zh"
+    assert _detect_lang("") == "und"
+
+
+def test_quality_score_bounds(spark):
+    docs = load_table(spark, SF, "documents")
+    from rocana_impala_udfs_spark.functions.text import quality_score
+
+    stats = docs.select(quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = load_table(spark, SF, "documents").limit(60)
+    media = multimodal.synthetic_media(spark, docs)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows[:5]:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-5  # L1-normalized histogram
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = multimodal.synthetic_media(spark, docs)
+    frames = multimodal.sample_frames(media, num_frames=4)
+    rows = frames.collect()
+    n_videos = media.filter(F.col("modality") == "video").count()
+    assert len(rows) == 4 * n_videos
+    one = [r for r in rows if r.media_id == rows[0].media_id]
+    assert sorted(r.frame_idx for r in one) == [0, 1, 2, 3]
+    assert all(r.frame_offset_ms >= 0 for r in rows)
+
+
+def test_multimodal_real_path_raises(spark):
+    docs = load_table(spark, SF, "documents").limit(3)
+    media = multimodal.synthetic_media(spark, docs)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.extract_features(media, fake=False).collect()
