@@ -52,11 +52,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as one scan partition, serializing the
+    explode; at 100 TB the scan is already wide and this is a no-op."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by both
     exact Jaccard and MinHash."""
+    src = _ensure_parallelism(df)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        src.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
     )
 
@@ -116,6 +126,10 @@ def minhash_signatures(
     groupBy with map-side partial min aggregation; no Python in the loop.
     """
     sh = shingle_sets(df, text_col, id_col, k)
+    return signatures_from_shingles(sh, num_hashes)
+
+
+def signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -139,7 +153,8 @@ def minhash_lsh_pairs(
     1-(1-0.8⁴)¹⁶ ≈ 0.9997; for the corpus's ≈0.99 pairs it is ≈ 1.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, k)
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    sig = signatures_from_shingles(sh, num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band{b}"
@@ -170,12 +185,20 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
     )
-    # Exact verification on candidates only.
-    sh = shingle_sets(df, text_col, id_col, k).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b2 = sh.alias("a"), sh.alias("b")
+    # Exact verification on candidates only: restrict the shingle table to
+    # candidate ids first (broadcast semi-join), so the intersection join
+    # touches O(candidates × shingles-per-doc) rows, not the whole corpus.
+    cand_ids = (
+        candidates.select(F.col("i").alias("id"))
+        .union(candidates.select(F.col("j").alias("id")))
+        .distinct()
+    )
+    cand_sh = sh.join(F.broadcast(cand_ids), "id").cache()
+    sizes = cand_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b2 = cand_sh.alias("a"), cand_sh.alias("b")
     inter = (
-        candidates.join(a, F.col("i") == F.col("a.id"))
+        F.broadcast(candidates)
+        .join(a, F.col("i") == F.col("a.id"))
         .join(b2, (F.col("j") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("both_cnt"))
