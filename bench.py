@@ -32,6 +32,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality_scores",
     "ann_cosine_top5",
+    # Temporal operators over events.
+    "asof_click_attribution",
+    "tumbling_hourly_event_stats",
 ]
 
 

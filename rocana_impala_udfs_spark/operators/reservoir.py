@@ -87,6 +87,55 @@ def reservoir_partials(
     return src.mapInPandas(partial, schema=schema)
 
 
+def reservoir_sample_agg(
+    df: DataFrame,
+    value_col: str,
+    max_samples: int,
+    group_cols: list[str] | None = None,
+    out: str = "samples",
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """The reusable primitive under the median: ``reservoir_sample(col, k)``
+    per group, returned as a sorted ARRAY<DOUBLE> (sorted so results are
+    deterministic whenever the reservoir is unsaturated — every non-null
+    value retained exactly once, matching ``max_samples >= n`` semantics of
+    median-test.cc:66-82).
+
+    Same two-phase distributed shape as :func:`appx_median_bounded_agg`:
+    bounded partials per partition, key-weighted heap merge after one
+    shuffle of ≤ partitions × groups × max_samples samples.
+    """
+    group_cols = list(group_cols or [])
+    partials = reservoir_partials(df, value_col, max_samples, group_cols, seed)
+    schema = (
+        ", ".join(f"`{c}` string" for c in group_cols)
+        + (", " if group_cols else "")
+        + f"`{out}` array<double>"
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: ReservoirState | None = None
+        for row in pdf.itertuples(index=False):
+            st = ReservoirState(max_samples, seed=seed)
+            st.vals = np.asarray(row.samples, dtype=np.float64)
+            st.keys = np.asarray(row.keys, dtype=np.float64)
+            st.source_size = int(row.source_size)
+            acc = st if acc is None else (acc.merge(st) or acc)
+        vals = np.sort(acc.sample_values()).tolist() if acc is not None else []
+        head = [pdf.iloc[0][c] for c in group_cols]
+        return pd.DataFrame([head + [vals]], columns=group_cols + [out])
+
+    if group_cols:
+        result = partials.groupBy(*group_cols).applyInPandas(merge_group, schema=schema)
+        orig_types = {f.name: f.dataType.simpleString() for f in df.select(*group_cols).schema.fields}
+        return result.select(
+            *[F.col(c).cast(orig_types[c]).alias(c) for c in group_cols], F.col(out)
+        )
+    return partials.groupBy(F.lit(1).alias("_one")).applyInPandas(
+        lambda pdf: merge_group(pdf).assign(_one=1), schema=f"`{out}` array<double>, `_one` int"
+    ).select(out)
+
+
 def appx_median_bounded_agg(
     df: DataFrame,
     value_col: str,

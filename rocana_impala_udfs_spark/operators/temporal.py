@@ -1,0 +1,140 @@
+"""Temporal operators over event streams: as-of join, gap sessionization,
+tumbling-window aggregation.
+
+The reference itself is batch-only (SURVEY §2.2 "Streaming: No"), but its
+product context is log analytics; these are the standard time-series
+operators such an engine needs, built shuffle-minimal:
+
+- **As-of join** — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as the *union + window* plan:
+  tag both sides, union, single shuffle on (key), sort by (ts, side), then
+  ``last_value(..., ignoreNulls)`` carries the most recent right attributes
+  forward onto left rows. One shuffle total, no range cross-join — the plan
+  survives 100× scale-up because cost is O(n log n) per key-partition,
+  never O(left × right).
+- **Sessionize** — gap-based session ids: a session boundary wherever the
+  in-key gap exceeds ``max_gap``; session id = running sum of boundaries.
+  Two stacked window functions over one shuffle.
+- **Tumbling aggregation** — built-in ``F.window`` bucketing; identical
+  semantics to Structured Streaming's windowed aggregation, so the same
+  code serves batch backfill and the streaming path
+  (streaming/median_stream.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: each left row picks up ``right_value_cols`` from the
+    latest right row with the same keys and ``right.ts <= left.ts``.
+
+    Ties on ``ts`` resolve to the right row (<= semantics, like DuckDB's
+    ``ASOF JOIN`` / pandas ``merge_asof``); among right rows with identical
+    ts, the last in (ts, *value cols) order wins deterministically.
+
+    ``tolerance`` (e.g. ``"INTERVAL 30 MINUTES"``) optionally nulls matches
+    older than ``left.ts - tolerance``.
+    """
+    lcols = left.columns
+
+    def left_passthrough(c: str) -> Column:
+        # Right rows contribute their key/ts into the shared columns; every
+        # other left column is NULL on the right side of the union.
+        if c in key_cols:
+            return F.col(c)
+        if c == ts_col:
+            return F.col(ts_col).alias(c)
+        return F.lit(None).cast(left.schema[c].dataType).alias(c)
+
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    tagged_r = right.select(
+        *[left_passthrough(c) for c in lcols],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    # Right rows sort before left rows at equal ts (side 0 < 1), so a right
+    # row at exactly left.ts is visible to that left row. Trailing _r_ cols
+    # make duplicate-(key, ts) right rows resolve deterministically.
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"_r_{c}").asc() for c in right_value_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in right_value_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+    ).filter(F.col("_side") == 1)
+    within = F.lit(True) if tolerance is None else (
+        F.col("_c_ts") >= F.col(ts_col) - F.expr(tolerance)
+    )
+    return carried.select(
+        *lcols,
+        *[
+            F.when(within, F.col(f"_c_{c}")).alias(f"asof_{c}")
+            for c in right_value_cols
+        ],
+        F.when(within, F.col("_c_ts")).alias("asof_ts"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    max_gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    gap since the previous event exceeds ``max_gap_seconds``.
+
+    Output adds ``session_seq`` (1-based per key). One shuffle on key_cols;
+    both window passes reuse the same sort order, so Catalyst plans a single
+    exchange + sort.
+    """
+    order = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double"), 1).over(order)
+    boundary = F.when(gap.isNull() | (gap > max_gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_seq", F.sum(boundary).over(running).cast("int"))
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling-window aggregation: bucket by ``F.window(ts, duration)`` plus
+    ``group_cols``, apply ``aggs``. Returns window_start as a column so the
+    result is a plain relation (and DuckDB ``time_bucket`` can oracle it)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("_w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("_w.start"))
+        .drop("_w")
+    )

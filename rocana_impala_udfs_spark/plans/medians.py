@@ -114,6 +114,23 @@ def q_median_name_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_upper_median(c, "c_name", ["c_mktsegment"], out="median_name")
 
 
+def q_reservoir_sample_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exposed sampling primitive (SURVEY §7 M2): bounded reservoir per
+    group as ARRAY<DOUBLE>, exploded to rows. Unsaturated here, so the
+    sample is exactly the multiset of non-null values — oracle-checkable."""
+    from rocana_impala_udfs_spark.operators.reservoir import reservoir_sample_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = reservoir_sample_agg(li, "l_quantity", BIG_K, ["l_returnflag"], out="samples")
+    return sampled.select("l_returnflag", F.explode("samples").alias("sample_value"))
+
+
+ORACLE_RESERVOIR_SAMPLE = """
+SELECT l_returnflag, l_quantity AS sample_value
+FROM lineitem WHERE l_quantity IS NOT NULL
+"""
+
+
 MEDIAN_QUERIES = {
     "appx_median_price_global": q_median_price_global,
     "appx_median_price_by_returnflag": q_median_price_by_returnflag,
@@ -123,6 +140,7 @@ MEDIAN_QUERIES = {
     "appx_median_sql_udaf": q_median_sql_udaf,
     "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
     "exact_median_name_by_segment": q_median_name_by_segment,
+    "reservoir_sample_quantity": q_reservoir_sample_quantity,
 }
 
 MEDIAN_ORACLE = {
@@ -153,4 +171,5 @@ MEDIAN_ORACLE = {
     "exact_median_name_by_segment": _upper_median_oracle(
         "customer", "c_name", "median_name", group="c_mktsegment", group_out="c_mktsegment"
     ),
+    "reservoir_sample_quantity": ORACLE_RESERVOIR_SAMPLE,
 }

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rocana_impala_udfs_spark.functions import text as T
-from rocana_impala_udfs_spark.operators import dedup, similarity
+from rocana_impala_udfs_spark.operators import dedup, multimodal, similarity
 from rocana_impala_udfs_spark.sources.io import load_table
 
 # DuckDB expression for the engine's text normalization.
@@ -103,6 +103,14 @@ def q_ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.lsh_bucket_topk(emb, queries, k=5)
+
+
+def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No oracle: IVF recall < 1 by construction; pytest measures recall
+    # against brute force.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries, k=5)
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +206,80 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal columns -----------------------------------------------------
+
+
+def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata view of the media table (payload summarized as md5 —
+    binary columns don't cross the comparison boundary)."""
+    media = multimodal.synthetic_media(spark, load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "modality",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("int").alias("payload_bytes"),
+        "meta_width",
+        "meta_height",
+        "meta_duration_ms",
+        "meta_codec",
+    )
+
+
+ORACLE_MEDIA_CATALOG = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+       CAST(length(text) % 1024 AS INT) AS meta_width,
+       CAST(length(text) % 768 AS INT) AS meta_height,
+       CAST(length(text) * 40 AS INT) AS meta_duration_ms,
+       'fake/v1' AS meta_codec
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No SQL oracle: the 32-bin byte-histogram kernel lives in the Pandas
+    # UDF; pytest checks it against a local numpy reference. Output is
+    # summarized (dim + L1 mass) so floats stay comparable.
+    media = multimodal.synthetic_media(spark, load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate(F.transform("features", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x),
+            4,
+        ).alias("l1_mass"),
+    )
+
+
+def q_media_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, num_frames=4, fake=True)
+
+
+ORACLE_FRAME_FINGERPRINTS = """
+WITH vids AS (
+    SELECT doc_id AS media_id, text,
+           length(text) AS L,
+           greatest(length(text) * 40, 1) AS dur
+    FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+    SELECT media_id, unnest(range(4)) AS frame_idx, text, L, dur FROM vids
+)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(dur * frame_idx // 4 AS INT) AS frame_offset_ms,
+       md5(substring(text, CAST(L * frame_idx // 4 AS INT) + 1,
+                     CAST(L * (frame_idx + 1) // 4 AS INT) - CAST(L * frame_idx // 4 AS INT)))
+           AS frame_fingerprint
+FROM frames
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -205,11 +287,15 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash,
     "ann_cosine_top5": q_ann_cosine_top5,
     "ann_lsh_top5": q_ann_lsh_top5,
+    "ann_ivf_top5": q_ann_ivf_top5,
     "emb_neardup_pairs": q_emb_neardup,
     "text_quality_scores": q_text_quality,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "lang_id_counts": q_lang_id_counts,
+    "multimodal_media_catalog": q_media_catalog,
+    "multimodal_feature_extract": q_media_features,
+    "multimodal_frame_fingerprints": q_media_frame_fingerprints,
 }
 
 PIPELINE_ORACLE = {
@@ -221,4 +307,6 @@ PIPELINE_ORACLE = {
     "text_quality_scores": ORACLE_TEXT_QUALITY,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
+    "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
+    "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
 }

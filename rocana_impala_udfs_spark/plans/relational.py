@@ -477,6 +477,96 @@ SELECT n_lines, count(*) AS n_orders FROM (
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_EXACT_DISTINCT = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(DISTINCT o_orderpriority) AS n_prios,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counts (SURVEY §2.2 'Approximate / sketch aggregates').
+    No oracle — DuckDB's approx_count_distinct uses a different sketch;
+    pytest bounds the relative error against exact counts instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in bounded-memory quantile sketch — the engine-native scale path
+    the reference's appx_median approximates (SURVEY §2 row 1). Returns
+    actual data elements; pytest asserts rank error vs exact quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles")
+    ).select(
+        "l_linestatus",
+        F.round(F.element_at("price_quartiles", 1), 2).alias("p25"),
+        F.round(F.element_at("price_quartiles", 2), 2).alias("p50"),
+        F.round(F.element_at("price_quartiles", 3), 2).alias("p75"),
+    )
+
+
+def q_array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) JVM-side
+    over the embedding ARRAY<FLOAT> column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+            4,
+        ).alias("l2_norm"),
+        F.size(F.filter(dvec, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x), 4).alias("comp_sum"),
+        F.round(F.array_max(dvec), 4).alias("comp_max"),
+    )
+
+
+ORACLE_ARRAY_VECTOR_STATS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+       round(list_sum(embedding::DOUBLE[]), 4) AS comp_sum,
+       round(list_max(embedding::DOUBLE[]), 4) AS comp_max
+FROM embeddings
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
@@ -500,6 +590,11 @@ QUERIES = {
     "having_big_parts": q_having_big_parts,
     "subquery_above_avg_customers": q_above_avg_customers,
     "agg_order_sizes": q_order_sizes,
+    "grouping_sets_orders": q_grouping_sets,
+    "agg_exact_distinct": q_exact_distinct,
+    "agg_approx_distinct": q_approx_distinct,
+    "appx_percentiles_price": q_approx_percentiles,
+    "array_vector_stats": q_array_vector_stats,
 }
 
 ORACLE = {
@@ -525,4 +620,7 @@ ORACLE = {
     "having_big_parts": ORACLE_HAVING_BIG_PARTS,
     "subquery_above_avg_customers": ORACLE_ABOVE_AVG_CUSTOMERS,
     "agg_order_sizes": ORACLE_ORDER_SIZES,
+    "grouping_sets_orders": ORACLE_GROUPING_SETS,
+    "agg_exact_distinct": ORACLE_EXACT_DISTINCT,
+    "array_vector_stats": ORACLE_ARRAY_VECTOR_STATS,
 }

@@ -1,0 +1,157 @@
+"""Event-stream temporal queries (as-of join, sessionization, tumbling
+windows, JSON props) over the ``events`` table, each with a DuckDB oracle.
+
+Timestamps cross the engine boundary as ``unix_micros`` / ``epoch_us``
+BIGINTs — exact, format-free comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.operators.temporal import as_of_join, sessionize, tumbling_agg
+from rocana_impala_udfs_spark.sources.io import load_table
+
+
+# --- as-of join: purchase → latest prior click (attribution) ----------------
+
+
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    joined = as_of_join(
+        purchases, clicks, key_cols=["user_id"], ts_col="ts", right_value_cols=["event_id", "value"]
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("asof_event_id").alias("click_id"),
+        F.unix_micros("asof_ts").alias("click_ts_us"),
+        F.round("asof_value", 4).alias("click_value"),
+    )
+
+
+ORACLE_ASOF_CLICK = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+ranked AS (
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+           round(c.value, 4) AS click_value,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC, c.value DESC
+           ) AS rk
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, purchase_ts_us, click_id, click_ts_us, click_value
+FROM ranked WHERE rk = 1
+"""
+
+
+# --- sessionization ---------------------------------------------------------
+
+_GAP_S = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return sessionize(ev, ["user_id"], "ts", max_gap_seconds=_GAP_S).select(
+        "user_id", "event_id", "session_seq"
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH gapped AS (
+    SELECT user_id, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS boundary,
+           ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_id,
+       CAST(sum(boundary) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+FROM gapped
+"""
+
+
+# --- tumbling-window aggregation --------------------------------------------
+
+
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        ],
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"), "event_type", "n", "avg_value", "max_value"
+    )
+
+
+ORACLE_HOURLY_STATS = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type, count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- JSON props -------------------------------------------------------------
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+TEMPORAL_QUERIES = {
+    "asof_click_attribution": q_asof_click_attribution,
+    "sessionize_events": q_sessionize_events,
+    "tumbling_hourly_event_stats": q_hourly_event_stats,
+    "json_event_props_stats": q_event_props_json,
+}
+
+TEMPORAL_ORACLE = {
+    "asof_click_attribution": ORACLE_ASOF_CLICK,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
+    "json_event_props_stats": ORACLE_PROPS_JSON,
+}

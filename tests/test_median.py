@@ -181,6 +181,27 @@ def test_reservoir_sample_sql(spark):
     assert row.s == [0.0, 1.0, 2.0, 3.0, 4.0]
 
 
+def test_reservoir_sample_agg_unsaturated_exact(spark):
+    from rocana_impala_udfs_spark.operators.reservoir import reservoir_sample_agg
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)] + [("b", 7.0)], "grp string, x double"
+    )
+    out = {r.grp: r.samples for r in reservoir_sample_agg(df, "x", 100, ["grp"]).collect()}
+    assert out["a"] == [float(i) for i in range(20)]  # sorted, complete
+    assert out["b"] == [7.0]
+
+
+def test_reservoir_sample_agg_saturated_bounded(spark):
+    from rocana_impala_udfs_spark.operators.reservoir import reservoir_sample_agg
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double").repartition(4)
+    out = reservoir_sample_agg(df, "x", 50, None).collect()[0].samples
+    assert len(out) == 50  # state bounded at max_samples across partials
+    assert all(0.0 <= v <= 999.0 for v in out)
+    assert len(set(out)) == 50  # samples drawn without replacement
+
+
 # -- exact_upper_median relational composition (typed generalization) -------
 
 

@@ -80,6 +80,21 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_topk_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, f"IVF recall {recall} too low"
+
+
 def test_cosine_sim_known_values(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<double>, b array<double>")
     out = df.select(F.round(similarity.cosine_sim(F.col("a"), F.col("b")), 6).alias("c")).collect()

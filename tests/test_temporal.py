@@ -1,0 +1,131 @@
+"""Temporal operators (as-of join, sessionize, tumbling agg) plus sketch
+aggregates — semantic edge cases the sf0.01 oracle harness can't isolate."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.operators.temporal import as_of_join, sessionize, tumbling_agg
+from rocana_impala_udfs_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T10:05:00"), 101.0),
+            (1, _ts("2024-01-01T11:00:00"), 102.0),
+            (2, _ts("2024-01-01T10:30:00"), 200.0),
+        ],
+        "key long, ts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:59:00")),  # before any quote -> null
+            (1, _ts("2024-01-01T10:05:00")),  # exactly at quote -> 101 (<= semantics)
+            (1, _ts("2024-01-01T10:59:59")),  # between -> 101
+            (1, _ts("2024-01-01T12:00:00")),  # after last -> 102
+            (2, _ts("2024-01-01T10:31:00")),  # other key -> 200
+            (3, _ts("2024-01-01T10:31:00")),  # key with no quotes -> null
+        ],
+        "key long, ts timestamp",
+    )
+
+
+def test_asof_join_semantics(quotes, trades):
+    out = {
+        (r.key, r.ts.isoformat()): r.asof_px
+        for r in as_of_join(trades, quotes, ["key"], "ts", ["px"]).collect()
+    }
+    assert out[(1, "2024-01-01T09:59:00")] is None
+    assert out[(1, "2024-01-01T10:05:00")] == 101.0
+    assert out[(1, "2024-01-01T10:59:59")] == 101.0
+    assert out[(1, "2024-01-01T12:00:00")] == 102.0
+    assert out[(2, "2024-01-01T10:31:00")] == 200.0
+    assert out[(3, "2024-01-01T10:31:00")] is None
+
+
+def test_asof_join_tolerance(quotes, trades):
+    out = {
+        (r.key, r.ts.isoformat()): r.asof_px
+        for r in as_of_join(
+            trades, quotes, ["key"], "ts", ["px"], tolerance="INTERVAL 10 MINUTES"
+        ).collect()
+    }
+    # 12:00 trade is 60 min after the 11:00 quote -> outside tolerance.
+    assert out[(1, "2024-01-01T12:00:00")] is None
+    assert out[(1, "2024-01-01T10:05:00")] == 101.0
+
+
+def test_asof_preserves_left_rowcount(spark):
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = as_of_join(purchases, clicks, ["user_id"], "ts", ["value"])
+    assert joined.count() == purchases.count()
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00")),
+            (1, _ts("2024-01-01T10:10:00")),  # gap 10m -> same session
+            (1, _ts("2024-01-01T11:00:00")),  # gap 50m -> new session
+            (2, _ts("2024-01-01T10:00:00")),
+        ],
+        "user long, ts timestamp",
+    )
+    out = sessionize(df, ["user"], "ts", max_gap_seconds=1800).collect()
+    sess = {(r.user, r.ts.isoformat()): r.session_seq for r in out}
+    assert sess[(1, "2024-01-01T10:00:00")] == 1
+    assert sess[(1, "2024-01-01T10:10:00")] == 1
+    assert sess[(1, "2024-01-01T11:00:00")] == 2
+    assert sess[(2, "2024-01-01T10:00:00")] == 1
+
+
+def test_tumbling_agg_counts_sum_to_total(spark):
+    ev = load_table(spark, SF, "events")
+    out = tumbling_agg(ev, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")])
+    assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
+    # window starts are hour-aligned
+    misaligned = out.filter(
+        (F.minute("window_start") != 0) | (F.second("window_start") != 0)
+    ).count()
+    assert misaligned == 0
+
+
+def test_approx_count_distinct_error_bound(spark):
+    li = load_table(spark, SF, "lineitem")
+    approx = {
+        r.l_returnflag: r.a
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.e
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("e")).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.1
+
+
+def test_percentile_approx_rank_error(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = li.agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")).collect()[0].m
+    exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m")).collect()[0].m
+    assert abs(got - exact) / exact < 0.01
