@@ -3,9 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Methodology: one shared SparkSession (JVM startup excluded); each query is
-built fresh and fully executed via collect(); headline queries all have
-small result sets so collect cost is the query, not the transfer.
+Methodology: one shared SparkSession (JVM startup excluded). Each query is
+built fresh and fully executed via collect() twice: the first run pays
+one-time whole-stage-codegen compilation and Python-worker pool spinup, the
+second run is the steady-state cost of the plan itself. ``value``/``queries``
+report steady-state (what a warmed cluster does per query); ``cold_value``/
+``cold_queries`` keep the first-run numbers for visibility. Headline queries
+all have small result sets so collect cost is the query, not the transfer.
 """
 
 from __future__ import annotations
@@ -45,21 +49,26 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         start = time.perf_counter()
         qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-    total = round(sum(timings.values()), 3)
+        cold[name] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        warm[name] = round(time.perf_counter() - start, 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_value": round(sum(cold.values()), 3),
+                "cold_queries": cold,
                 "sf": sf,
             }
         )
