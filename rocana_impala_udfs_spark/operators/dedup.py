@@ -219,6 +219,82 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Survivor selection (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(id, component) for every id in the pair graph; component = min id
+    reachable. Iterative min-label propagation: each round joins labels
+    across edges and keeps the min — converges in O(graph diameter) rounds
+    (near-dup graphs are shallow: dup clusters are cliques or short chains,
+    so 3-4 rounds typical). Each round is one shuffle join on id; the label
+    frame is |V| rows, tiny next to the corpus, so rounds are cheap at any
+    scale. Raises if not converged by ``max_iters`` rather than returning
+    wrong labels.
+    """
+    edges = (
+        pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        # candidate label for b = min over neighbors a of label(a)
+        prop = (
+            edges.join(labels, edges.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("neighbor_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents surviving near-dedup: one representative (min id) per
+    connected component of the near-dup pair graph, plus every document not
+    in any pair. Returns ``(id_col, component)`` — component is the doc's
+    cluster representative (its own id when unique)."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        .filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias(id_col), "component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

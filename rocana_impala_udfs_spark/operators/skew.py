@@ -1,0 +1,52 @@
+"""Skew-resistant aggregation via salting.
+
+When one grouping key holds a disproportionate share of rows (hot keys —
+exactly the shape of `events.event_type` with 5 values over the whole
+table), a naive groupBy sends every hot-key row to one reducer. Salting
+splits each key into ``n_salts`` sub-keys for a first partial aggregation,
+then combines the partials with a second tiny aggregation:
+
+    groupBy(key, salt)  →  n_salts × |keys| partial rows  →  groupBy(key)
+
+Both shuffles are bounded: the first spreads hot keys over ``n_salts``
+reducers, the second moves only ``n_salts × |keys|`` partial rows. The salt
+is a deterministic hash of the whole row (no rand()), so results are stable
+and re-runnable. (Spark's AQE skew-join handles *join* skew at runtime; this
+operator is the equivalent for aggregation, where pre-shuffle partials must
+be algebraic.)
+
+The same decomposition rule the reference encodes in its UDA protocol
+applies: only algebraic aggregates (sum/count/min/max → avg) can re-combine
+from partials; the bounded median handles skew differently, via its own
+bounded per-partition partials (operators/reservoir.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """sum/count/avg/min/max of ``value_col`` per key, skew-spread over
+    ``n_salts`` partial reducers."""
+    all_cols = [F.col(c) for c in df.columns]
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*all_cols), F.lit(n_salts)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_sum"),
+        F.count(value_col).alias("_cnt"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_sum").alias("value_sum"),
+        F.sum("_cnt").alias("value_count"),
+        (F.sum("_sum") / F.sum("_cnt")).alias("value_avg"),
+        F.min("_min").alias("value_min"),
+        F.max("_max").alias("value_max"),
+    )

@@ -122,6 +122,42 @@ def sessionize(
     return df.withColumn("session_seq", F.sum(boundary).over(running).cast("int"))
 
 
+def multi_resolution_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Minute/hour/day rollup in one pass — the hypertable pattern.
+
+    The raw table is aggregated ONCE at minute granularity; hour re-aggregates
+    the minute partials and day re-aggregates the hour partials (sum/count are
+    algebraic, so re-aggregation is exact). At 100 TB this is the difference
+    between one full-table shuffle and three: the coarser levels see only
+    ≤ |minutes| × |groups| partial rows.
+
+    Returns (granularity, window_start, *group_cols, n, value_sum).
+    """
+    minute = (
+        df.groupBy(F.window(F.col(ts_col), "1 minute").alias("_w"), *group_cols)
+        .agg(F.count(value_col).alias("n"), F.sum(value_col).alias("value_sum"))
+        .select(F.col("_w.start").alias("window_start"), *group_cols, "n", "value_sum")
+        .cache()
+    )
+
+    def re_agg(src: DataFrame, duration: str) -> DataFrame:
+        return (
+            src.groupBy(F.window(F.col("window_start"), duration).alias("_w"), *group_cols)
+            .agg(F.sum("n").alias("n"), F.sum("value_sum").alias("value_sum"))
+            .select(F.col("_w.start").alias("window_start"), *group_cols, "n", "value_sum")
+        )
+
+    hour = re_agg(minute, "1 hour").cache()
+    day = re_agg(hour, "1 day")
+    tag = lambda d, g: d.select(F.lit(g).alias("granularity"), "window_start", *group_cols, "n", "value_sum")  # noqa: E731
+    return tag(minute, "minute").unionByName(tag(hour, "hour")).unionByName(tag(day, "day"))
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

@@ -105,6 +105,28 @@ def q_median_shipdate_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_median_price_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed generalization: DECIMAL median (the 128-bit comparator the
+    reference defines at median.cc:210-214 but never wires). Exact upper
+    median over DECIMAL(18,2) with decimal ordering."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec")
+    )
+    return exact_upper_median(o, "price_dec", ["o_orderstatus"], out="median_price_dec")
+
+
+ORACLE_MEDIAN_DECIMAL = """
+SELECT o_orderstatus, x AS median_price_dec FROM (
+    SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+           row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS rn,
+           count(*) OVER (PARTITION BY o_orderstatus) AS n
+    FROM orders WHERE o_totalprice IS NOT NULL
+) ranked WHERE rn = CAST(n // 2 AS BIGINT) + 1
+"""
+
+
 def q_median_name_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed generalization: STRING median under bytewise ordering
     (median.cc:201-208)."""
@@ -112,6 +134,40 @@ def q_median_name_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     return exact_upper_median(c, "c_name", ["c_mktsegment"], out="median_name")
+
+
+def q_window_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF used as a window function (SURVEY §2.2 'a windowed
+    appx_median_bounded falls out of registration'): per-row median of the
+    row's return-flag partition, via the grouped-agg pandas UDF over an
+    unbounded window."""
+    from pyspark.sql import Window
+
+    from rocana_impala_udfs_spark.functions.median import make_appx_median_bounded_udf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    udf = make_appx_median_bounded_udf()
+    w = Window.partitionBy("l_returnflag")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        udf(F.col("l_quantity"), F.lit(BIG_K)).over(w).alias("flag_median_qty"),
+    )
+
+
+ORACLE_WINDOW_MEDIAN = """
+WITH med AS (
+    SELECT l_returnflag, x AS m FROM (
+        SELECT l_returnflag, l_quantity AS x,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ) ranked WHERE rn = CAST(n // 2 AS BIGINT) + 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, med.m AS flag_median_qty
+FROM lineitem l JOIN med USING (l_returnflag)
+"""
 
 
 def q_reservoir_sample_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +196,9 @@ MEDIAN_QUERIES = {
     "appx_median_sql_udaf": q_median_sql_udaf,
     "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
     "exact_median_name_by_segment": q_median_name_by_segment,
+    "exact_median_price_decimal": q_median_price_decimal,
     "reservoir_sample_quantity": q_reservoir_sample_quantity,
+    "window_median_quantity": q_window_median_quantity,
 }
 
 MEDIAN_ORACLE = {
@@ -171,5 +229,7 @@ MEDIAN_ORACLE = {
     "exact_median_name_by_segment": _upper_median_oracle(
         "customer", "c_name", "median_name", group="c_mktsegment", group_out="c_mktsegment"
     ),
+    "exact_median_price_decimal": ORACLE_MEDIAN_DECIMAL,
     "reservoir_sample_quantity": ORACLE_RESERVOIR_SAMPLE,
+    "window_median_quantity": ORACLE_WINDOW_MEDIAN,
 }

@@ -36,8 +36,8 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM (
 """
 
 
-_ORACLE_JACCARD = f"""
-WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+_JACCARD_CTES = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
 sh AS (
     SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3
@@ -48,13 +48,17 @@ inter AS (
     SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS both_cnt
     FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+),
+jac_pairs AS (
+    SELECT i, j, round(both_cnt * 1.0 / (si.n + sj.n - both_cnt), 6) AS jaccard
+    FROM inter
+    JOIN sizes si ON si.doc_id = i
+    JOIN sizes sj ON sj.doc_id = j
+    WHERE both_cnt * 1.0 / (si.n + sj.n - both_cnt) >= 0.8
 )
-SELECT i, j, round(both_cnt * 1.0 / (si.n + sj.n - both_cnt), 6) AS jaccard
-FROM inter
-JOIN sizes si ON si.doc_id = i
-JOIN sizes sj ON sj.doc_id = j
-WHERE both_cnt * 1.0 / (si.n + sj.n - both_cnt) >= 0.8
 """
+
+_ORACLE_JACCARD = f"WITH {_JACCARD_CTES} SELECT i, j, jaccard FROM jac_pairs"
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +67,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → connected components →
+    one surviving representative per duplicate cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup.near_dedup_survivors(docs, pairs)
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+    SELECT i AS a, j AS b FROM jac_pairs
+    UNION
+    SELECT j AS a, i AS b FROM jac_pairs
+),
+reach AS (
+    SELECT a AS id, b AS r FROM edges
+    UNION
+    SELECT e.a AS id, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+WHERE d.doc_id = coalesce(c.component, d.doc_id)
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +224,31 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_FINGERPRINTS = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-25 word bigrams. Explode + one
+    partial/final count agg + TakeOrderedAndProject — no full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(T.word_shingles("text", 2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+ORACLE_TOP_BIGRAMS = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+pos AS (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM words WHERE len(w) >= 2),
+bigrams AS (SELECT array_to_string(w[i+1:i+2], ' ') AS bigram FROM pos)
+SELECT bigram, count(*) AS n FROM bigrams GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No oracle: the n-gram/stopword heuristic lives in Python. Rows-only
     # check here; pytest asserts agreement with the corpus 'lang' labels
@@ -285,6 +341,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
     "dedup_simhash_pairs": q_dedup_simhash,
+    "dedup_survivors": q_dedup_survivors,
     "ann_cosine_top5": q_ann_cosine_top5,
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
@@ -292,6 +349,7 @@ PIPELINE_QUERIES = {
     "text_quality_scores": q_text_quality,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
+    "text_top_bigrams": q_top_bigrams,
     "lang_id_counts": q_lang_id_counts,
     "multimodal_media_catalog": q_media_catalog,
     "multimodal_feature_extract": q_media_features,
@@ -302,11 +360,13 @@ PIPELINE_ORACLE = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "ann_cosine_top5": ORACLE_ANN_TOP5,
     "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
     "text_quality_scores": ORACLE_TEXT_QUALITY,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
+    "text_top_bigrams": ORACLE_TOP_BIGRAMS,
     "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
 }

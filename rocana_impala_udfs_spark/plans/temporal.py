@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rocana_impala_udfs_spark.operators.temporal import as_of_join, sessionize, tumbling_agg
+from rocana_impala_udfs_spark.operators.skew import salted_agg
+from rocana_impala_udfs_spark.operators.temporal import (
+    as_of_join,
+    multi_resolution_rollup,
+    sessionize,
+    tumbling_agg,
+)
 from rocana_impala_udfs_spark.sources.io import load_table
 
 
@@ -142,11 +148,101 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- multi-resolution rollup (hypertable pattern) ---------------------------
+
+
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = multi_resolution_rollup(ev, "ts", ["event_type"], "value")
+    return out.select(
+        "granularity",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+ORACLE_MULTI_ROLLUP = """
+SELECT 'minute' AS granularity, epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS window_start_us,
+       event_type, count(value) AS n, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', epoch_us(time_bucket(INTERVAL '1 hour', ts)), event_type, count(value), round(sum(value), 2)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', epoch_us(time_bucket(INTERVAL '1 day', ts)), event_type, count(value), round(sum(value), 2)
+FROM events GROUP BY 2, 3
+"""
+
+
+# --- skew-resistant salted aggregation --------------------------------------
+
+
+def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.event_type is maximally skewed (5 keys over the whole table) —
+    the salted two-stage plan spreads each hot key over 8 partial reducers."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], "value", n_salts=8)
+    return out.select(
+        "event_type",
+        F.round("value_sum", 2).alias("value_sum"),
+        "value_count",
+        F.round("value_avg", 4).alias("value_avg"),
+        F.round("value_min", 4).alias("value_min"),
+        F.round("value_max", 4).alias("value_max"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type,
+       round(sum(value), 2) AS value_sum,
+       count(value) AS value_count,
+       round(sum(value) / count(value), 4) AS value_avg,
+       round(min(value), 4) AS value_min,
+       round(max(value), 4) AS value_max
+FROM events GROUP BY event_type
+"""
+
+
+# --- pivot ------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type. The pivot
+    values are pinned (no discovery pass) so the plan is a single partial+
+    final aggregation at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+ORACLE_DAILY_PIVOT = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY 1
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
     "tumbling_hourly_event_stats": q_hourly_event_stats,
     "json_event_props_stats": q_event_props_json,
+    "multi_resolution_rollup": q_multi_resolution_rollup,
+    "salted_skew_agg": q_salted_event_agg,
+    "pivot_daily_event_counts": q_daily_event_pivot,
 }
 
 TEMPORAL_ORACLE = {
@@ -154,4 +250,7 @@ TEMPORAL_ORACLE = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
     "json_event_props_stats": ORACLE_PROPS_JSON,
+    "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,
+    "salted_skew_agg": ORACLE_SALTED_AGG,
+    "pivot_daily_event_counts": ORACLE_DAILY_PIVOT,
 }

@@ -1,0 +1,112 @@
+"""Sources/sinks: format round-trips and partition pruning — the scan/sink
+surface the reference delegates to its host engine (SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rocana_impala_udfs_spark.sources.io import (
+    load_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_partitioned_write_and_prune(spark, tmpdir):
+    o = load_table(spark, SF, "orders")
+    write_parquet(o, f"{tmpdir}/orders", partition_by=["o_orderstatus"])
+    back = spark.read.parquet(f"{tmpdir}/orders")
+    assert back.count() == o.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    # Partition pruning: the filter must land in PartitionFilters, not a
+    # post-scan Filter over all partitions.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[0]
+    assert pruned.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_name", "c_acctbal")
+    write_csv(c, f"{tmpdir}/customer")
+    back = spark.read.option("header", "true").option("inferSchema", "true").csv(f"{tmpdir}/customer")
+    assert back.count() == c.count()
+    assert set(back.columns) == set(c.columns)
+    a = {r.c_custkey: r.c_acctbal for r in c.collect()}
+    b = {r.c_custkey: r.c_acctbal for r in back.collect()}
+    assert a == pytest.approx(b)
+
+
+def test_json_roundtrip(spark, tmpdir):
+    n = load_table(spark, SF, "nation")
+    write_json(n, f"{tmpdir}/nation")
+    back = spark.read.json(f"{tmpdir}/nation")
+    assert back.count() == n.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in n.collect()}
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Bucketing co-locates the orders⋈lineitem fact-fact join: with both
+    sides bucketed 8-ways on the join key, the sort-merge join reads buckets
+    directly — no Exchange on either side. This is the 100 TB strategy for
+    repeated fact-fact joins (one-time bucketed write, shuffle-free reads)."""
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # A stale warehouse dir (e.g. from an interrupted run with a different
+    # metastore) blocks managed-table creation even after DROP.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("b_lineitem"))
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # hint("merge"): at test scale Catalyst would broadcast instead and
+        # never exercise the bucketed path; at fact-fact scale SMJ is what
+        # it picks anyway.
+        joined = (
+            bo.hint("merge")
+            .join(bl, bo.o_orderkey == bl.l_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # No shuffle on either join key — bucket layout satisfies the join's
+        # distribution requirement. (The groupBy still exchanges on
+        # o_orderstatus; that one is expected.)
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        expect = o.join(li, o.o_orderkey == li.l_orderkey).groupBy("o_orderstatus").count()
+        assert {(r.o_orderstatus, r["count"]) for r in joined.collect()} == {
+            (r.o_orderstatus, r["count"]) for r in expect.collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unreferenced column not read

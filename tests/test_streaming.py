@@ -54,6 +54,57 @@ def test_windowed_median_stream(spark, event_stream_dir):
         assert r.n > 0 and r.median_value is not None
 
 
+def test_streaming_exact_dedup(spark):
+    import tempfile
+
+    from rocana_impala_udfs_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    d = tempfile.mkdtemp(prefix="docstream_")
+    docs = load_table(spark, SF, "documents").withColumn(
+        "ts", F.timestamp_micros(F.lit(1700000000000000) + F.col("doc_id"))
+    )
+    dup = docs.limit(50)  # re-append 50 duplicates
+    docs.unionByName(dup).coalesce(2).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = out.writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT fingerprint, count(*) AS c FROM dedup_stream GROUP BY 1").collect()
+    from rocana_impala_udfs_spark.functions.text import doc_fingerprint
+
+    assert len(got) == docs.select(doc_fingerprint("text")).distinct().count()
+    assert all(r.c == 1 for r in got)  # each fingerprint emitted exactly once
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sessionize(spark, event_stream_dir):
+    from rocana_impala_udfs_spark.streaming.dedup_stream import streaming_sessionize
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_sessionize(stream, gap="30 minutes", watermark="2 hours")
+    q = out.writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_stream").collect()
+    # Closed sessions only (append + final watermark): compare against the
+    # batch sessionizer's session count as an upper bound, and check shape.
+    from rocana_impala_udfs_spark.operators.temporal import sessionize
+
+    batch = load_table(spark, SF, "events")
+    batch_sessions = (
+        sessionize(batch, ["user_id"], "ts", max_gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    assert 0 < len(got) <= batch_sessions
+    for r in got:
+        assert r.n_events > 0 and r.session_end > r.session_start
+
+
 def test_running_median_stream_bounded_state(spark, event_stream_dir):
     schema = load_table(spark, SF, "events").schema
     stream = spark.readStream.schema(schema).parquet(event_stream_dir)

@@ -108,6 +108,46 @@ def test_tumbling_agg_counts_sum_to_total(spark):
     assert misaligned == 0
 
 
+def test_salted_agg_two_stage_plan(spark):
+    """The salted plan must aggregate (key, salt) before the final key agg —
+    i.e. two HashAggregate pairs — and match the naive result."""
+    from rocana_impala_udfs_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, SF, "events")
+    out = salted_agg(ev, ["event_type"], "value", n_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final × two stages
+    naive = {
+        r.event_type: (r.s, r.c)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
+        .collect()
+    }
+    got = {r.event_type: (r.value_sum, r.value_count) for r in out.collect()}
+    assert set(got) == set(naive)
+    for k in naive:
+        assert got[k][0] == pytest.approx(naive[k][0], rel=1e-12)
+        assert got[k][1] == naive[k][1]
+
+
+def test_multi_resolution_rollup_consistency(spark):
+    """Each coarser level must re-aggregate exactly to the finer level's
+    totals (the invariant that makes hierarchical rollup legal)."""
+    from rocana_impala_udfs_spark.operators.temporal import multi_resolution_rollup
+
+    ev = load_table(spark, SF, "events")
+    out = multi_resolution_rollup(ev, "ts", ["event_type"], "value")
+    totals = {
+        r.granularity: (r.n, round(r.s, 6))
+        for r in out.groupBy("granularity")
+        .agg(F.sum("n").alias("n"), F.sum("value_sum").alias("s"))
+        .collect()
+    }
+    assert totals["minute"][0] == totals["hour"][0] == totals["day"][0]
+    assert totals["minute"][1] == pytest.approx(totals["hour"][1], rel=1e-9)
+    assert totals["hour"][1] == pytest.approx(totals["day"][1], rel=1e-9)
+
+
 def test_approx_count_distinct_error_bound(spark):
     li = load_table(spark, SF, "lineitem")
     approx = {
