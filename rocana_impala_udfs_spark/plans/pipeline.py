@@ -249,6 +249,28 @@ ORDER BY n DESC, bigram LIMIT 25
 """
 
 
+def q_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF registration surface used from SQL via LATERAL — positioned
+    word-3-shingles of the first 50 documents."""
+    from rocana_impala_udfs_spark.register import register_all
+
+    register_all(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM _docs_udtf d, LATERAL word_shingles(d.text, 3) s
+        WHERE d.doc_id < 50
+    """)
+
+
+ORACLE_UDTF_SHINGLES = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents WHERE doc_id < 50),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+pos AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3)
+SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(w[i+1:i+3], ' ') AS shingle FROM pos
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No oracle: the n-gram/stopword heuristic lives in Python. Rows-only
     # check here; pytest asserts agreement with the corpus 'lang' labels
@@ -350,6 +372,7 @@ PIPELINE_QUERIES = {
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "text_top_bigrams": q_top_bigrams,
+    "udtf_lateral_shingles": q_udtf_shingles,
     "lang_id_counts": q_lang_id_counts,
     "multimodal_media_catalog": q_media_catalog,
     "multimodal_feature_extract": q_media_features,
@@ -367,6 +390,7 @@ PIPELINE_ORACLE = {
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,
+    "udtf_lateral_shingles": ORACLE_UDTF_SHINGLES,
     "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
 }

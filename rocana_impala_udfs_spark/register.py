@@ -32,4 +32,8 @@ def register_all(spark: SparkSession) -> SparkSession:
     spark.udf.register("appx_median_bounded_double", make_appx_median_bounded_udf())
     spark.udf.register("reservoir_sample", make_reservoir_sample_udf())
     text_fns.register(spark)
+
+    from rocana_impala_udfs_spark.functions import udtfs
+
+    udtfs.register(spark)
     return spark

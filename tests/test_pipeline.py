@@ -125,6 +125,19 @@ def test_quality_score_bounds(spark):
 # --- multimodal ------------------------------------------------------------
 
 
+def test_udtf_top_tokens(spark):
+    from rocana_impala_udfs_spark.register import register_all
+
+    register_all(spark)
+    spark.createDataFrame(
+        [(1, "b a a c b a")], "doc_id long, text string"
+    ).createOrReplaceTempView("_one_doc")
+    got = spark.sql(
+        "SELECT t.token, t.n FROM _one_doc, LATERAL top_tokens(text, 2) t ORDER BY t.n DESC"
+    ).collect()
+    assert [(r.token, r.n) for r in got] == [("a", 3), ("b", 2)]
+
+
 def test_multimodal_feature_plumbing(spark):
     docs = load_table(spark, SF, "documents").limit(60)
     media = multimodal.synthetic_media(spark, docs)
