@@ -122,6 +122,49 @@ def sessionize(
     return df.withColumn("session_seq", F.sum(boundary).over(running).cast("int"))
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_size: float = 50.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi)) without a cross join.
+
+    Each interval is exploded into the fixed-width buckets it overlaps; each
+    point hashes to exactly one bucket; the join is then a plain equi-join on
+    bucket id plus an exact range filter. Shuffle cost is
+    O(points + intervals × ⌈width/bucket_size⌉) — never O(points × intervals)
+    — which is what makes big-big range joins feasible at scale. Catalyst has
+    no native interval-bucketing strategy, so this composition *is* the
+    Spark-idiomatic range join (same trick Databricks' range-join hint
+    applies internally).
+
+    ``bucket_size`` trades interval duplication against filter selectivity;
+    set it near the median interval width.
+    """
+    p = points.withColumn("_bucket", F.floor(F.col(point_col) / bucket_size).cast("long"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_size).cast("long"),
+                # hi is exclusive: the last covered bucket is the one holding
+                # the largest value strictly below hi.
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / bucket_size
+                ).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "_bucket", how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("_bucket")
+
+
 def multi_resolution_rollup(
     df: DataFrame,
     ts_col: str,

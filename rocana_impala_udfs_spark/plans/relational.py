@@ -567,6 +567,69 @@ FROM embeddings
 """
 
 
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(): per return flag, the three measure
+    sums as (metric, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS qty,
+           round(sum(l_extendedprice), 2) AS price,
+           round(sum(l_discount), 2) AS disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+UNION ALL SELECT l_returnflag, 'price', price FROM wide
+UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+"""
+
+
+def q_merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (no Delta in this image): upsert order-derived
+    spend deltas into the customer balance table — matched rows update,
+    unmatched source rows insert, unmatched target rows persist. Full-outer
+    join + coalesce; one shuffle on the key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("bal")
+    )
+    deltas = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("delta"))
+    )
+    merged = c.join(deltas, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce("c_name", F.lit("<new>")).alias("c_name"),
+        F.round(F.coalesce("bal", F.lit(0.0)) + F.coalesce("delta", F.lit(0.0)), 2).alias(
+            "new_bal"
+        ),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH deltas AS (
+    SELECT o_custkey AS c_custkey, sum(o_totalprice) AS delta FROM orders GROUP BY 1
+)
+SELECT coalesce(c.c_custkey, d.c_custkey) AS c_custkey,
+       coalesce(c.c_name, '<new>') AS c_name,
+       round(coalesce(c.c_acctbal, 0) + coalesce(d.delta, 0), 2) AS new_bal
+FROM customer c FULL OUTER JOIN deltas d ON c.c_custkey = d.c_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
@@ -595,6 +658,8 @@ QUERIES = {
     "agg_approx_distinct": q_approx_distinct,
     "appx_percentiles_price": q_approx_percentiles,
     "array_vector_stats": q_array_vector_stats,
+    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+    "merge_upsert_balances": q_merge_upsert_balances,
 }
 
 ORACLE = {
@@ -623,4 +688,6 @@ ORACLE = {
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
     "agg_exact_distinct": ORACLE_EXACT_DISTINCT,
     "array_vector_stats": ORACLE_ARRAY_VECTOR_STATS,
+    "unpivot_lineitem_measures": ORACLE_UNPIVOT,
+    "merge_upsert_balances": ORACLE_MERGE_UPSERT,
 }

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from rocana_impala_udfs_spark.operators.skew import salted_agg
 from rocana_impala_udfs_spark.operators.temporal import (
     as_of_join,
+    bucketed_range_join,
     multi_resolution_rollup,
     sessionize,
     tumbling_agg,
@@ -205,6 +206,44 @@ FROM events GROUP BY event_type
 """
 
 
+# --- range join -------------------------------------------------------------
+
+# Non-uniform value bands: interval widths 10..250, deliberately misaligned
+# with the operator's bucket grid so interval-to-bucket explosion is real.
+_BANDS = [
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 25.0),
+    ("medium", 25.0, 50.0),
+    ("large", 50.0, 100.0),
+    ("xlarge", 100.0, 250.0),
+    ("huge", 250.0, 500.0),
+]
+
+
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    intervals = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = bucketed_range_join(ev, intervals, "value", bucket_size=50.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_SQL = " , ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+ORACLE_RANGE_JOIN = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band ORDER BY band
+"""
+
+
 # --- pivot ------------------------------------------------------------------
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -243,6 +282,7 @@ TEMPORAL_QUERIES = {
     "multi_resolution_rollup": q_multi_resolution_rollup,
     "salted_skew_agg": q_salted_event_agg,
     "pivot_daily_event_counts": q_daily_event_pivot,
+    "range_join_value_bands": q_range_join_value_bands,
 }
 
 TEMPORAL_ORACLE = {
@@ -253,4 +293,5 @@ TEMPORAL_ORACLE = {
     "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,
     "salted_skew_agg": ORACLE_SALTED_AGG,
     "pivot_daily_event_counts": ORACLE_DAILY_PIVOT,
+    "range_join_value_bands": ORACLE_RANGE_JOIN,
 }

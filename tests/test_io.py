@@ -50,6 +50,14 @@ def test_csv_roundtrip(spark, tmpdir):
     assert a == pytest.approx(b)
 
 
+def test_orc_roundtrip(spark, tmpdir):
+    p = load_table(spark, SF, "part")
+    p.write.mode("overwrite").orc(f"{tmpdir}/part")
+    back = spark.read.orc(f"{tmpdir}/part")
+    assert back.count() == p.count()
+    assert back.schema == p.schema
+
+
 def test_json_roundtrip(spark, tmpdir):
     n = load_table(spark, SF, "nation")
     write_json(n, f"{tmpdir}/nation")

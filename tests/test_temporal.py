@@ -108,6 +108,25 @@ def test_tumbling_agg_counts_sum_to_total(spark):
     assert misaligned == 0
 
 
+def test_bucketed_range_join_boundaries(spark):
+    from rocana_impala_udfs_spark.operators.temporal import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 149.9), (5, 250.0), (6, 999.0)],
+        "pid long, value double",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 250.0)], "band string, lo double, hi double"
+    )
+    out = {
+        r.pid: r.band
+        for r in bucketed_range_join(points, intervals, "value", bucket_size=50.0).collect()
+    }
+    # lo inclusive, hi exclusive; interval b spans 5 buckets; 250.0 and 999.0
+    # fall outside every band.
+    assert out == {1: "a", 2: "a", 3: "b", 4: "b"}
+
+
 def test_salted_agg_two_stage_plan(spark):
     """The salted plan must aggregate (key, salt) before the final key agg —
     i.e. two HashAggregate pairs — and match the naive result."""
