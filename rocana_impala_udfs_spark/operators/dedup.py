@@ -61,14 +61,19 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation used by both
-    exact Jaccard and MinHash."""
+def raw_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs WITH duplicates — no shuffle, just the explode.
+    Sufficient for MinHash (min over a multiset equals min over its set)."""
     src = _ensure_parallelism(df)
-    return (
-        src.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
-        .distinct()
+    return src.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
     )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation exact Jaccard
+    needs (one corpus-wide distinct shuffle; avoid on the MinHash path)."""
+    return raw_shingles(df, text_col, id_col, k).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -124,8 +129,10 @@ def minhash_signatures(
 
     Entirely JVM: ``min(xxhash64(seed_i, shingle))`` per document — one
     groupBy with map-side partial min aggregation; no Python in the loop.
+    Built on the duplicate-tolerant shingle stream: min() is insensitive to
+    multiplicity, so the corpus-wide distinct shuffle is skipped.
     """
-    sh = shingle_sets(df, text_col, id_col, k)
+    sh = raw_shingles(df, text_col, id_col, k)
     return signatures_from_shingles(sh, num_hashes)
 
 
@@ -153,8 +160,8 @@ def minhash_lsh_pairs(
     1-(1-0.8⁴)¹⁶ ≈ 0.9997; for the corpus's ≈0.99 pairs it is ≈ 1.
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_sets(df, text_col, id_col, k).cache()
-    sig = signatures_from_shingles(sh, num_hashes)
+    raw = raw_shingles(df, text_col, id_col, k)
+    sig = signatures_from_shingles(raw, num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band{b}"
@@ -185,15 +192,16 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
     )
-    # Exact verification on candidates only: restrict the shingle table to
-    # candidate ids first (broadcast semi-join), so the intersection join
-    # touches O(candidates × shingles-per-doc) rows, not the whole corpus.
+    # Exact verification on candidates only: restrict the raw shingle stream
+    # to candidate ids first (broadcast semi-join), THEN distinct — so both
+    # the distinct and the intersection join touch O(candidates ×
+    # shingles-per-doc) rows, never the whole corpus.
     cand_ids = (
         candidates.select(F.col("i").alias("id"))
         .union(candidates.select(F.col("j").alias("id")))
         .distinct()
     )
-    cand_sh = sh.join(F.broadcast(cand_ids), "id").cache()
+    cand_sh = raw.join(F.broadcast(cand_ids), "id").distinct().cache()
     sizes = cand_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b2 = cand_sh.alias("a"), cand_sh.alias("b")
     inter = (
