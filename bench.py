@@ -39,6 +39,8 @@ HEADLINE = [
     # Temporal operators over events.
     "asof_click_attribution",
     "tumbling_hourly_event_stats",
+    # Flagship composition: full corpus-prep pipeline.
+    "llm_corpus_pipeline",
 ]
 
 

@@ -36,6 +36,12 @@ SELECT min(doc_id) AS doc_id, fingerprint FROM (
 """
 
 
+def _jaccard_ctes(source: str = "documents") -> str:
+    """The shared shingle/Jaccard CTE chain over an arbitrary source CTE —
+    ends with jac_pairs(i, j, jaccard >= 0.8)."""
+    return _JACCARD_CTES.replace("FROM documents)", f"FROM {source})", 1)
+
+
 _JACCARD_CTES = f"""
 norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
 words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -284,6 +290,87 @@ def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- flagship composition: the full corpus-prep pipeline --------------------
+
+
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-corpus preparation as ONE composed plan:
+
+    1. language gate (declared label) + quality gate (>= 0.5);
+    2. exact dedup — min-id survivor per content fingerprint;
+    3. near-dedup — MinHash-LSH pairs → connected components → min-id
+       survivor per cluster;
+    4. emit (doc_id, n_tokens, quality) of the cleaned corpus.
+
+    Every stage is the scale-path operator; Catalyst fuses the gates into
+    the scan. This is the query a pipeline user actually runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gated = (
+        docs.filter(F.col("lang") == "en")
+        .withColumn("quality", T.quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    fp = gated.withColumn("fingerprint", T.doc_fingerprint("text"))
+    min_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = fp.join(min_ids, ["fingerprint", "doc_id"]).drop("fingerprint")
+    pairs = dedup.minhash_lsh_pairs(exact_kept, threshold=0.8)
+    survivors = dedup.near_dedup_survivors(exact_kept, pairs).select("doc_id")
+    return exact_kept.join(survivors, "doc_id").select(
+        "doc_id", T.token_count("text").cast("int").alias("n_tokens"), "quality"
+    )
+
+
+_QUALITY_FEATS = f"""
+gated AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents WHERE lang = 'en'
+),
+feats AS (
+    SELECT doc_id, text, t,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr
+    FROM gated
+),
+qual AS (
+    SELECT doc_id, text, t,
+           CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+           round((least(n_chars / 500.0, 1.0)
+                  + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0)
+                 ) / 3.0, 6) AS quality
+    FROM feats
+),
+passed AS (SELECT * FROM qual WHERE quality >= 0.5),
+exact_kept AS (
+    SELECT doc_id, text, t, n_tokens, quality FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id FROM passed
+    ) WHERE doc_id = keep_id
+)
+"""
+
+ORACLE_LLM_PIPELINE = f"""
+WITH RECURSIVE {_QUALITY_FEATS},
+{_jaccard_ctes("exact_kept")},
+edges AS (
+    SELECT i AS a, j AS b FROM jac_pairs
+    UNION
+    SELECT j AS a, i AS b FROM jac_pairs
+),
+reach AS (
+    SELECT a AS id, b AS r FROM edges
+    UNION
+    SELECT e.a AS id, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+SELECT k.doc_id, CAST(k.n_tokens AS INT) AS n_tokens, k.quality
+FROM exact_kept k LEFT JOIN comp c ON c.id = k.doc_id
+WHERE k.doc_id = coalesce(c.component, k.doc_id)
+"""
+
+
 # --- multimodal columns -----------------------------------------------------
 
 
@@ -359,6 +446,7 @@ FROM frames
 
 
 PIPELINE_QUERIES = {
+    "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
@@ -380,6 +468,7 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLE = {
+    "llm_corpus_pipeline": ORACLE_LLM_PIPELINE,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
