@@ -241,17 +241,21 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     scale. Raises if not converged by ``max_iters`` rather than returning
     wrong labels.
     """
+    # localCheckpoint (not cache): iterative joins grow the LOGICAL plan
+    # every round — by round 4 the embedded candidate-generation subtree makes
+    # Catalyst re-analysis dominate wall-clock by 10-50×. Checkpointing
+    # truncates lineage so each round plans against a leaf relation.
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         # candidate label for b = min over neighbors a of label(a)
@@ -268,7 +272,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("neighbor_min"), F.col("component"))
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

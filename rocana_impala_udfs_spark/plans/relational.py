@@ -630,6 +630,61 @@ FROM customer c FULL OUTER JOIN deltas d ON c.c_custkey = d.c_custkey
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor — correlated aggregate decorrelated into a join:
+    revenue of lineitems whose quantity is below 20% of their part's average.
+    The per-part averages are a broadcast-sized aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""
+
+
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outlier detection: events whose value deviates more
+    than 3σ from their type's mean. Stats are a 5-row broadcast aggregate —
+    no window over the full table."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == stats.et)
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", F.round("value", 4).alias("value"), F.round("z", 4).alias("z"))
+    )
+
+
+ORACLE_EVENT_OUTLIERS = """
+WITH stats AS (
+    SELECT event_type AS et, avg(value) AS mu, stddev_pop(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, round(value, 4) AS value,
+       round((value - mu) / sigma, 4) AS z
+FROM events JOIN stats ON event_type = et
+WHERE abs((value - mu) / sigma) > 3.0
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
@@ -660,6 +715,8 @@ QUERIES = {
     "array_vector_stats": q_array_vector_stats,
     "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
     "merge_upsert_balances": q_merge_upsert_balances,
+    "subquery_q17_small_qty_revenue": q_small_qty_revenue,
+    "events_value_outliers": q_event_value_outliers,
 }
 
 ORACLE = {
@@ -690,4 +747,6 @@ ORACLE = {
     "array_vector_stats": ORACLE_ARRAY_VECTOR_STATS,
     "unpivot_lineitem_measures": ORACLE_UNPIVOT,
     "merge_upsert_balances": ORACLE_MERGE_UPSERT,
+    "subquery_q17_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+    "events_value_outliers": ORACLE_EVENT_OUTLIERS,
 }
