@@ -85,6 +85,44 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema="media_id bigint, modality string, features array<float>")
 
 
+def resize_images(media: DataFrame, width: int = 64, height: int = 64, fake: bool = True) -> DataFrame:
+    """image → (media_id, out_width, out_height, resized_md5, scale_x, scale_y).
+
+    Real path would decode + PIL-resize + re-encode (stubbed, no codecs in
+    this container); the deterministic fake re-fingerprints the payload with
+    the target geometry so the full Spark plumbing — filter to modality,
+    Arrow batches, per-row kernel, typed output schema — runs for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.modality != "image":
+                    continue
+                if not fake:
+                    _decode_real(r.payload, "image")
+                payload = r.payload if r.payload is not None else b""
+                fp = hashlib.md5(payload + f"{width}x{height}".encode()).hexdigest()
+                # No rounding: IEEE double division is bit-identical across
+                # engines; Python round() is banker's, SQL round() is not.
+                sx = width / r.meta_width if r.meta_width else None
+                sy = height / r.meta_height if r.meta_height else None
+                rows.append((r.media_id, width, height, fp, sx, sy))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_width", "out_height", "resized_md5", "scale_x", "scale_y"],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, out_width int, out_height int, "
+            "resized_md5 string, scale_x double, scale_y double"
+        ),
+    )
+
+
 def sample_frames(media: DataFrame, num_frames: int = 4, fake: bool = True) -> DataFrame:
     """video → (media_id, frame_idx, frame_offset_ms, frame_fingerprint).
 

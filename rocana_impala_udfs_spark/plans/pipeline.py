@@ -423,6 +423,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, width=64, height=64, fake=True)
+
+
+ORACLE_MEDIA_RESIZE = """
+SELECT doc_id AS media_id,
+       64 AS out_width, 64 AS out_height,
+       md5(text || '64x64') AS resized_md5,
+       CASE WHEN length(text) % 1024 = 0 THEN NULL
+            ELSE 64.0 / (length(text) % 1024) END AS scale_x,
+       CASE WHEN length(text) % 768 = 0 THEN NULL
+            ELSE 64.0 / (length(text) % 768) END AS scale_y
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 def q_media_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthetic_media(spark, load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media, num_frames=4, fake=True)
@@ -468,6 +485,7 @@ PIPELINE_QUERIES = {
     "multimodal_media_catalog": q_media_catalog,
     "multimodal_feature_extract": q_media_features,
     "multimodal_frame_fingerprints": q_media_frame_fingerprints,
+    "multimodal_resize": q_media_resize,
 }
 
 PIPELINE_ORACLE = {
@@ -485,4 +503,5 @@ PIPELINE_ORACLE = {
     "udtf_lateral_shingles": ORACLE_UDTF_SHINGLES,
     "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
+    "multimodal_resize": ORACLE_MEDIA_RESIZE,
 }
