@@ -277,10 +277,59 @@ SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(w[i+1:i+3], ' ') AS shingl
 """
 
 
+_LANG_SW_SQL = {
+    "en": "['the','and','of','to','in','is','it','for','that','with']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
+    "es": "['el','la','los','las','que','de','y','es','en','un','una','por']",
+    "fr": "['le','la','les','et','est','un','une','des','du','pour','que']",
+    "it": "['il','la','che','di','e','un','una','per','con','sono']",
+    "pt": "['o','a','os','as','que','de','e','um','uma','para','não']",
+}
+
+_LANG_HIT_COLS = ",\n           ".join(
+    f"len(list_filter(w, x -> list_contains({sw}, x))) AS {lang}"
+    for lang, sw in _LANG_SW_SQL.items()
+)
+
+# CASE order = the Python dict's insertion order: first language reaching the
+# max hit count wins, mirroring the strict `hits > best_hits` scan.
+_LANG_PICK = "\n            ".join(
+    f"WHEN {lang} = m THEN '{lang}'" for lang in _LANG_SW_SQL
+)
+
+ORACLE_LANG_ID = f"""
+WITH toks AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS w,
+           length(regexp_replace(substring(coalesce(text, ''), 1, 400),
+                                 '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS n_cjk
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, text, n_cjk,
+           {_LANG_HIT_COLS}
+    FROM toks
+),
+scored AS (
+    SELECT *, greatest(en, de, es, fr, it, pt) AS m FROM hits
+),
+pred AS (
+    SELECT CASE
+            WHEN coalesce(text, '') = '' THEN 'und'
+            WHEN n_cjk > greatest(4, 0.05 * least(length(text), 400)) THEN 'zh'
+            WHEN m = 0 THEN 'und'
+            {_LANG_PICK}
+           END AS pred_lang
+    FROM scored
+)
+SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No oracle: the n-gram/stopword heuristic lives in Python. Rows-only
-    # check here; pytest asserts agreement with the corpus 'lang' labels
-    # where the heuristic is expected to work.
+    # The heuristic runs as an Arrow pandas UDF (the engine path); the
+    # oracle re-expresses the same stopword/CJK rules in SQL.
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(T.make_lang_id_udf()(F.col("text")).alias("pred_lang"))
@@ -501,6 +550,7 @@ PIPELINE_ORACLE = {
     "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,
     "udtf_lateral_shingles": ORACLE_UDTF_SHINGLES,
+    "lang_id_counts": ORACLE_LANG_ID,
     "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
     "multimodal_resize": ORACLE_MEDIA_RESIZE,
