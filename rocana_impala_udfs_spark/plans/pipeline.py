@@ -114,7 +114,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.brute_force_topk_np(emb, queries, k=5)
 
 
 ORACLE_ANN_TOP5 = """

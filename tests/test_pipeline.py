@@ -80,6 +80,14 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_bruteforce_np_matches_hof_path(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = {(r.query_id, r.rk): (r.neighbor_id, r.cos) for r in similarity.brute_force_topk(emb, q, 5).collect()}
+    b = {(r.query_id, r.rk): (r.neighbor_id, r.cos) for r in similarity.brute_force_topk_np(emb, q, 5).collect()}
+    assert a == b
+
+
 def test_ivf_topk_recall(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
