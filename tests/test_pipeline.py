@@ -80,6 +80,22 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """The driver corpus has no embedding near-dups (max pairwise cos ≈ 0.51
+    at sf0.01), so the oracle check only proves empty-correctness; here we
+    plant true near-duplicates and require the LSH pipeline to find exactly
+    them."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100+i are near-copies of ids 0..4 (tiny perturbation, cos > 0.999)
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.standard_normal(64) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.i, r.j) for r in similarity.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert got == {(i, 100 + i) for i in range(5)}
+
+
 def test_bruteforce_np_matches_hof_path(spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
