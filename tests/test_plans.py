@@ -1,0 +1,71 @@
+"""Plan-shape regression guards: the scale properties claimed in SURVEY §2.3
+(pushdown, broadcast dims, single-shuffle as-of, partial aggregation) are
+asserted against the optimizer's actual output so refactors can't silently
+regress them."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    qs = entry.queries()
+    return qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial + final aggregation pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    read_schema = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_revenue_joins_are_broadcast(spark):
+    plan = _plan(spark, "join_revenue_by_nation")
+    # customer/nation/region joins must all be broadcast — no shuffle of the
+    # fact table on dimension keys.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert "Exchange hashpartitioning(n_nationkey" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "asof_click_attribution")
+    # union + window plan: exactly one exchange (on user_id), one Window.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan and "Union" in plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    plan = _plan(spark, "dedup_exact_docs")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert plan.count("Exchange") == 1
+
+
+def test_minhash_has_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_and_lsh_have_no_cartesian(spark):
+    for name in ("ann_lsh_top5", "ann_ivf_top5"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
