@@ -1,0 +1,66 @@
+"""Skyline (Pareto-optimal set) operator.
+
+Spark has no native skyline; the standard distributed formulation (cf.
+"Integration of Skyline Queries into Spark SQL", EDBT 2023 — PAPERS.md)
+exploits that skyline is *distributive*:
+
+    skyline(P) = skyline( skyline(P₁) ∪ … ∪ skyline(Pₙ) )
+
+Phase 1 computes a local skyline per partition (``mapInPandas``, vectorized
+dominance check per Arrow batch group); phase 2 coalesces the surviving
+points — typically orders of magnitude fewer than the input — and runs the
+same kernel once more. Shuffle volume is O(|local skylines|), never O(n).
+
+A point is dominated iff another point is ≤ in every criterion and < in at
+least one (after normalizing 'max' criteria by negation). Duplicates on all
+criteria don't dominate each other — both survive, matching the SQL
+``NOT EXISTS`` formulation used as the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _skyline_mask(M: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for the minimize-all skyline of row matrix M.
+
+    Vectorized O(n²) dominance test — fine for per-partition batches; the
+    global phase only ever sees already-thinned points.
+    """
+    n = len(M)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        le = (M <= M[i]).all(axis=1)
+        lt = (M < M[i]).any(axis=1)
+        dominators = le & lt
+        if dominators.any():
+            keep[i] = False
+    return keep
+
+
+def skyline(df: DataFrame, criteria: list[tuple[str, str]]) -> DataFrame:
+    """Pareto-optimal rows of ``df`` under ``criteria`` =
+    [(column, 'min'|'max'), ...]. Returns the full input rows that survive.
+    """
+    cols = [c for c, _ in criteria]
+    signs = np.array([1.0 if d == "min" else -1.0 for _, d in criteria])
+    out_schema = df.schema
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        M = pdf[cols].to_numpy(dtype=np.float64) * signs
+        yield pdf[_skyline_mask(M)]
+
+    thinned = df.mapInPandas(local, schema=out_schema)
+    # Global phase: local skylines are small; one partition finishes the job.
+    return thinned.coalesce(1).mapInPandas(local, schema=out_schema)

@@ -685,6 +685,27 @@ WHERE abs((value - mu) / sigma) > 3.0
 """
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline: parts Pareto-optimal on (min retail price, max size)."""
+    from rocana_impala_udfs_spark.operators.skyline import skyline
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    )
+    return skyline(p, [("price", "min"), ("p_size", "max")])
+
+
+ORACLE_SKYLINE_PARTS = """
+WITH pts AS (SELECT p_partkey, round(p_retailprice, 2) AS price, p_size FROM part)
+SELECT p_partkey, price, p_size FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price <= p.price AND q.p_size >= p.p_size
+      AND (q.price < p.price OR q.p_size > p.p_size)
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
@@ -717,6 +738,7 @@ QUERIES = {
     "merge_upsert_balances": q_merge_upsert_balances,
     "subquery_q17_small_qty_revenue": q_small_qty_revenue,
     "events_value_outliers": q_event_value_outliers,
+    "skyline_parts": q_skyline_parts,
 }
 
 ORACLE = {
@@ -749,4 +771,5 @@ ORACLE = {
     "merge_upsert_balances": ORACLE_MERGE_UPSERT,
     "subquery_q17_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "events_value_outliers": ORACLE_EVENT_OUTLIERS,
+    "skyline_parts": ORACLE_SKYLINE_PARTS,
 }

@@ -108,6 +108,33 @@ def test_tumbling_agg_counts_sum_to_total(spark):
     assert misaligned == 0
 
 
+def test_skyline_known_points(spark):
+    from rocana_impala_udfs_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 1.0, 2.0), (4, 3.0, 0.5), (5, 1.0, 2.0)],
+        "id long, cost double, gain double",
+    )
+    # minimize cost, maximize gain: (1.0, 2.0) dominates 1 and 2; row 4 has
+    # worst cost but is not dominated on gain... (3,1.0,2.0) dominates
+    # (4,3.0,0.5)? cost 1<3 and gain 2>0.5 -> yes dominated. Duplicates 3,5
+    # both survive.
+    got = sorted(r.id for r in skyline(df, [("cost", "min"), ("gain", "max")]).collect())
+    assert got == [3, 5]
+
+
+def test_skyline_distributive_invariance(spark):
+    """Result must not depend on partitioning (the distributivity the
+    two-phase plan relies on)."""
+    from rocana_impala_udfs_spark.operators.skyline import skyline
+
+    p = load_table(spark, SF, "part").select("p_partkey", "p_retailprice", "p_size")
+    crit = [("p_retailprice", "min"), ("p_size", "max")]
+    one = {r.p_partkey for r in skyline(p.coalesce(1), crit).collect()}
+    many = {r.p_partkey for r in skyline(p.repartition(13), crit).collect()}
+    assert one == many and len(one) > 0
+
+
 def test_bucketed_range_join_boundaries(spark):
     from rocana_impala_udfs_spark.operators.temporal import bucketed_range_join
 
