@@ -122,6 +122,37 @@ def sessionize(
     return df.withColumn("session_seq", F.sum(boundary).over(running).cast("int"))
 
 
+def gap_fill(
+    agg: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_cols: dict[str, object],
+    step_seconds: int,
+) -> DataFrame:
+    """Fill missing time buckets per group with default values.
+
+    ``agg`` is an already-bucketed aggregate (one row per (group, bucket)).
+    The dense spine is generated per group from its own min/max bucket via
+    ``sequence()`` + ``explode`` — no driver-side loop, no cross join with a
+    global calendar; spine size is O(groups × buckets). A left join then
+    patches real rows onto the spine, defaulting absent buckets.
+    """
+    bounds = agg.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step_seconds} SECONDS"))
+        ).alias(ts_col),
+    )
+    filled = spine.join(agg, [*group_cols, ts_col], "left")
+    defaults = [
+        F.coalesce(F.col(c), F.lit(v)).alias(c) for c, v in value_cols.items()
+    ]
+    return filled.select(*group_cols, ts_col, *defaults)
+
+
 def bucketed_range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -14,6 +14,7 @@ from rocana_impala_udfs_spark.operators.skew import salted_agg
 from rocana_impala_udfs_spark.operators.temporal import (
     as_of_join,
     bucketed_range_join,
+    gap_fill,
     multi_resolution_rollup,
     sessionize,
     tumbling_agg,
@@ -244,6 +245,59 @@ GROUP BY band ORDER BY band
 """
 
 
+# --- gap filling -------------------------------------------------------------
+
+
+def q_gap_filled_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type minute series: 1-minute counts with missing minutes
+    filled with 0 between each type's first and last active minute."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumbling_agg(
+        ev, "ts", "1 minute", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    ).select("event_type", "window_start", "n")
+    dense = gap_fill(agg, "window_start", ["event_type"], {"n": 0}, step_seconds=60)
+    return dense.select(
+        "event_type", F.unix_micros("window_start").alias("minute_us"), F.col("n").cast("bigint").alias("n")
+    )
+
+
+ORACLE_GAP_FILLED = """
+WITH agg AS (
+    SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS m, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(m) AS lo, max(m) AS hi FROM agg GROUP BY 1),
+spine AS (
+    SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 minute')) AS m
+    FROM bounds
+)
+SELECT s.event_type, epoch_us(s.m) AS minute_us, coalesce(a.n, 0) AS n
+FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.m = s.m
+"""
+
+
+# --- histogram ----------------------------------------------------------------
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of lineitem extended price (25 bins of 4000)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / 4000).cast("int")
+    return (
+        li.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", (F.col("bin") * 4000).cast("double"))
+        .orderBy("bin")
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+SELECT bin, count(*) AS n, CAST(bin * 4000 AS DOUBLE) AS lo
+FROM (SELECT CAST(floor(l_extendedprice / 4000) AS INT) AS bin FROM lineitem)
+GROUP BY bin ORDER BY bin
+"""
+
+
 # --- pivot ------------------------------------------------------------------
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -283,6 +337,8 @@ TEMPORAL_QUERIES = {
     "salted_skew_agg": q_salted_event_agg,
     "pivot_daily_event_counts": q_daily_event_pivot,
     "range_join_value_bands": q_range_join_value_bands,
+    "gap_filled_minute_counts": q_gap_filled_minutes,
+    "histogram_price_bins": q_price_histogram,
 }
 
 TEMPORAL_ORACLE = {
@@ -294,4 +350,6 @@ TEMPORAL_ORACLE = {
     "salted_skew_agg": ORACLE_SALTED_AGG,
     "pivot_daily_event_counts": ORACLE_DAILY_PIVOT,
     "range_join_value_bands": ORACLE_RANGE_JOIN,
+    "gap_filled_minute_counts": ORACLE_GAP_FILLED,
+    "histogram_price_bins": ORACLE_PRICE_HISTOGRAM,
 }
