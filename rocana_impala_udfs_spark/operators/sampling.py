@@ -1,0 +1,52 @@
+"""Dataset splitting and sampling for training pipelines.
+
+- :func:`hash_split` — deterministic, content-stable train/val/test
+  assignment: bucket = first 4 hex chars of md5(key) mod 100. The split is a
+  pure projection (no shuffle, no state, no seed file); any engine — Spark,
+  DuckDB, a future backfill job — assigns every row identically, which is
+  the property that keeps splits stable across reprocessing runs at any
+  scale. (Spark's xxhash64/rand would be faster per-row but are not
+  reproducible outside Spark.)
+- :func:`stratified_sample` — per-stratum Bernoulli sampling via
+  ``DataFrame.sampleBy``: seeded, single pass, no shuffle; fractions chosen
+  per key (e.g. downsample the majority class). Sampling is probabilistic —
+  exact-count guarantees need a rank-and-filter window instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_bucket(key: Column) -> Column:
+    """Stable bucket 0..99 from any key column (content-addressed)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("bigint") % 100
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Adds a ``split`` column: 'train' | 'val' | 'test' by stable hash
+    bucket of ``key_col`` (train_pct / val_pct / remainder)."""
+    b = split_bucket(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample; strata absent from ``fractions`` are
+    dropped (fraction 0), matching ``sampleBy`` semantics."""
+    return df.sampleBy(stratum_col, fractions, seed)

@@ -423,6 +423,49 @@ WHERE k.doc_id = coalesce(c.component, k.doc_id)
 """
 
 
+# --- dataset splitting / sampling -------------------------------------------
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rocana_impala_udfs_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", train_pct=80, val_pct=10)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("split")
+    )
+
+
+ORACLE_SPLIT = """
+WITH b AS (
+    SELECT n_chars,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM b GROUP BY 1 ORDER BY split
+"""
+
+
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No oracle: Bernoulli sampling has engine-specific RNG streams; pytest
+    # bounds per-stratum fractions instead.
+    from rocana_impala_udfs_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    return (
+        stratified_sample(ev, "event_type", fractions)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 # --- multimodal columns -----------------------------------------------------
 
 
@@ -535,6 +578,8 @@ PIPELINE_QUERIES = {
     "multimodal_feature_extract": q_media_features,
     "multimodal_frame_fingerprints": q_media_frame_fingerprints,
     "multimodal_resize": q_media_resize,
+    "split_train_val_test": q_train_val_test_split,
+    "stratified_sample_counts": q_stratified_sample_counts,
 }
 
 PIPELINE_ORACLE = {
@@ -554,4 +599,5 @@ PIPELINE_ORACLE = {
     "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
     "multimodal_resize": ORACLE_MEDIA_RESIZE,
+    "split_train_val_test": ORACLE_SPLIT,
 }

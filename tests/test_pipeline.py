@@ -80,6 +80,37 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_hash_split_stable_and_partitioned(spark):
+    from rocana_impala_udfs_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(7), "doc_id").select("doc_id", "split").collect()}
+    assert a == b  # content-addressed: partitioning/run order irrelevant
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_fractions(spark):
+    from rocana_impala_udfs_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, SF, "events")
+    fractions = {"click": 0.2, "purchase": 1.0}
+    got = {
+        r.event_type: r.n
+        for r in stratified_sample(ev, "event_type", fractions)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == {"click", "purchase"}  # unlisted strata dropped
+    assert got["purchase"] == totals["purchase"]  # fraction 1.0 keeps all
+    assert 0.05 < got["click"] / totals["click"] < 0.4  # Bernoulli ~0.2
+
+
 def test_embedding_neardup_finds_planted_pairs(spark):
     """The driver corpus has no embedding near-dups (max pairwise cos ≈ 0.51
     at sf0.01), so the oracle check only proves empty-correctness; here we
