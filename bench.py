@@ -39,6 +39,10 @@ HEADLINE = [
     # Temporal operators over events.
     "asof_click_attribution",
     "tumbling_hourly_event_stats",
+    "range_join_value_bands",
+    # Engine-exclusive operators.
+    "skyline_parts",
+    "split_train_val_test",
     # Flagship composition: full corpus-prep pipeline.
     "llm_corpus_pipeline",
 ]
