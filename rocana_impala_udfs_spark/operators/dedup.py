@@ -363,3 +363,44 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(
+    df: DataFrame,
+    eval_pred,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-vs-benchmark contamination: for every training document,
+    the number of distinct k-word shingles it shares with the benchmark
+    (eval) partition of the corpus. Docs with any hit should be dropped
+    before training so the benchmark stays held out.
+
+    Scale shape: the benchmark side is orders of magnitude smaller than the
+    training corpus, so its distinct shingle set is broadcast and the
+    training side streams through a broadcast semi-join — the 100 TB side is
+    never shuffled; the only wide op is the final per-doc count, keyed on
+    doc id. If the benchmark outgrows the broadcast threshold Catalyst
+    falls back to a shuffled hash join on the same plan.
+
+    ``eval_pred`` is a boolean Column selecting the benchmark documents.
+    Returns (doc_id, n_hits) for contaminated training docs only.
+    """
+    eval_shingles = (
+        shingle_sets(df.filter(eval_pred), text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    train_shingles = shingle_sets(df.filter(~eval_pred), text_col, id_col, k)
+    return (
+        train_shingles.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias(id_col), F.col("n_hits").cast("int").alias("n_hits"))
+    )

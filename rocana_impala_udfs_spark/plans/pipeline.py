@@ -423,6 +423,90 @@ WHERE k.doc_id = coalesce(c.component, k.doc_id)
 """
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: `source = 'src0'` plays the held-out
+    benchmark; every other document is flagged with its count of distinct
+    8-word shingles shared with the benchmark. Broadcast semi-join — the
+    training corpus is never shuffled (see operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contamination_hits(docs, F.col("source") == "src0", k=8)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH norm AS (SELECT doc_id, source, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM norm),
+sh AS (SELECT doc_id, source, unnest(range(len(w) - 7)) AS i, w FROM words WHERE len(w) >= 8),
+shingles AS (SELECT DISTINCT doc_id, source, array_to_string(w[i+1:i+8], ' ') AS s FROM sh),
+eval_sh AS (SELECT DISTINCT s FROM shingles WHERE source = 'src0')
+SELECT sh.doc_id, CAST(count(*) AS INT) AS n_hits
+FROM shingles sh JOIN eval_sh e ON sh.s = e.s
+WHERE sh.source <> 'src0'
+GROUP BY sh.doc_id
+"""
+
+
+# --- TF-IDF term weighting ---------------------------------------------------
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (docs 0-99; corpus-wide statistics).
+
+    Plan shape: term frequencies come from the pruned/pushed-down doc_id
+    filter; document frequency and corpus size are corpus-wide aggregates
+    that end up vocabulary-sized and broadcast — the big side is touched by
+    exactly one explode + one partial/final count agg.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_words = docs.select(
+        "doc_id", F.explode(F.split(T.normalize_text("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    df_counts = all_words.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        all_words.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (
+    SELECT doc_id, w AS term
+    FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+    WHERE w <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words WHERE doc_id < 100 GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, round(t.tf * ln(n.n * 1.0 / d.df), 6) AS tfidf
+    FROM tf t JOIN df d USING (term), n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
+"""
+
+
 # --- dataset splitting / sampling -------------------------------------------
 
 
@@ -580,6 +664,8 @@ PIPELINE_QUERIES = {
     "multimodal_resize": q_media_resize,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
+    "decontaminate_docs": q_decontaminate,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 PIPELINE_ORACLE = {
@@ -600,4 +686,6 @@ PIPELINE_ORACLE = {
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
     "multimodal_resize": ORACLE_MEDIA_RESIZE,
     "split_train_val_test": ORACLE_SPLIT,
+    "decontaminate_docs": ORACLE_DECONTAMINATE,
+    "tfidf_top_terms": ORACLE_TFIDF,
 }

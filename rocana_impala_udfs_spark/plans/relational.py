@@ -706,8 +706,56 @@ WHERE NOT EXISTS (
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor: top-10 unshipped-revenue orders for one market
+    segment. Filters push to all three scans; customer is broadcast after
+    its segment filter; orders⋈lineitem is the single fact-fact shuffle.
+    Ranked by rounded revenue with orderkey tiebreak so the LIMIT edge is
+    deterministic across engines."""
+    cutoff = "1998-01-01"
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ in the parquet; session tz is UTC
+            # so the cast is offset-free and unix_micros matches epoch_us.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "join_q3_shipping_priority": q_shipping_priority,
     "join_revenue_by_nation": q_revenue_by_nation,
     "join_broadcast_brand_prices": q_brand_prices,
     "join_left_customer_order_counts": q_customer_order_counts,
@@ -743,6 +791,7 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": ORACLE_Q1,
+    "join_q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "join_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,

@@ -328,6 +328,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_sliding_window_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour windows every 15 minutes, count +
+    mean value per (window, event_type). ``F.window`` expands each row into
+    window/slide = 4 buckets JVM-side, then one partial/final agg — the same
+    operator Structured Streaming uses, so this plan is streaming-portable.
+    Window starts cross the compare boundary as unix micros."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOWS = """
+WITH ev AS (
+    SELECT ts, event_type, value, time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events
+),
+expanded AS (
+    SELECT event_type, value, b - INTERVAL (15 * i) MINUTE AS win_start
+    FROM ev, (SELECT unnest(range(4)) AS i) hops
+)
+SELECT epoch_us(win_start) AS win_start_us, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
@@ -339,9 +372,11 @@ TEMPORAL_QUERIES = {
     "range_join_value_bands": q_range_join_value_bands,
     "gap_filled_minute_counts": q_gap_filled_minutes,
     "histogram_price_bins": q_price_histogram,
+    "sliding_window_event_rates": q_sliding_window_event_rates,
 }
 
 TEMPORAL_ORACLE = {
+    "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,

@@ -222,3 +222,45 @@ def test_multimodal_real_path_raises(spark):
     media = multimodal.synthetic_media(spark, docs)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.extract_features(media, fake=False).collect()
+
+
+def test_contamination_matches_bruteforce(spark):
+    """Flagged doc set == brute-force recomputation of shared 8-shingles."""
+    from rocana_impala_udfs_spark.operators.dedup import contamination_hits
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits(docs, F.col("source") == "src0", k=8).collect()
+    }
+
+    def shingles(text: str) -> set[str]:
+        w = " ".join(text.lower().split()).split(" ")
+        return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)} if len(w) >= 8 else set()
+
+    rows = docs.select("doc_id", "source", "text").collect()
+    eval_sh = set().union(*(shingles(r.text) for r in rows if r.source == "src0"))
+    want = set()
+    for r in rows:
+        if r.source == "src0":
+            continue
+        hits = len(shingles(r.text) & eval_sh)
+        if hits:
+            want.add((r.doc_id, hits))
+    assert got == want
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark):
+    from rocana_impala_udfs_spark.plans.pipeline import q_tfidf_top_terms
+
+    rows = q_tfidf_top_terms(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc  # docs 0..99 exist at smoke scale
+    for doc_id, rs in by_doc.items():
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # scores non-increasing in rank order
+        ordered = sorted(rs, key=lambda r: r.rk)
+        assert all(a.tfidf >= b.tfidf for a, b in zip(ordered, ordered[1:]))

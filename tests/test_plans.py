@@ -69,3 +69,29 @@ def test_ivf_and_lsh_have_no_cartesian(spark):
     for name in ("ann_lsh_top5", "ann_ivf_top5"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q3_pushdown_and_topk(spark):
+    plan = _plan(spark, "join_q3_shipping_priority")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT never globally sorts
+    assert "BroadcastHashJoin" in plan  # segment-filtered customer is broadcast
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    plan = _plan(spark, "decontaminate_docs")
+    # the training-corpus side must meet the benchmark shingle set via a
+    # broadcast join — the big side is never shuffled for the join itself.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sliding_window_is_one_agg_pass(spark):
+    plan = _plan(spark, "sliding_window_event_rates")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange hashpartitioning") == 1  # single shuffle
+
+
+def test_tfidf_vocab_sides_broadcast(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    # df(term) and N are vocabulary/scalar sized: both reach tf via broadcast.
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2

@@ -215,3 +215,13 @@ def test_percentile_approx_rank_error(spark):
     got = li.agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")).collect()[0].m
     exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m")).collect()[0].m
     assert abs(got - exact) / exact < 0.01
+
+
+def test_sliding_windows_cover_each_event_four_times(spark):
+    # 1 h window / 15 min slide => every event falls in exactly 4 windows.
+    from rocana_impala_udfs_spark.plans.temporal import q_sliding_window_event_rates
+
+    ev_count = load_table(spark, SF, "events").count()
+    out = q_sliding_window_event_rates(spark, SF)
+    total = out.agg(F.sum("n").alias("s")).collect()[0].s
+    assert total == 4 * ev_count
