@@ -191,17 +191,24 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
+        # Tiny (candidate pairs only) but expensive to derive — it sits on
+        # top of the whole signature pipeline, and the verification phase
+        # broadcasts it twice (once as the id filter, once as the pair
+        # filter). Cache so the signature pipeline runs exactly once.
+        .cache()
     )
-    # Exact verification on candidates only: restrict the raw shingle stream
-    # to candidate ids first (broadcast semi-join), THEN distinct — so both
-    # the distinct and the intersection join touch O(candidates ×
-    # shingles-per-doc) rows, never the whole corpus.
+    # Exact verification on candidates only: push the candidate-id filter all
+    # the way to the DOCUMENT scan (broadcast semi-join on the id column) and
+    # re-shingle just those docs — the corpus-wide explode is never repeated,
+    # and the distinct + intersection join touch O(candidates ×
+    # shingles-per-doc) rows.
     cand_ids = (
-        candidates.select(F.col("i").alias("id"))
-        .union(candidates.select(F.col("j").alias("id")))
+        candidates.select(F.col("i").alias(id_col))
+        .union(candidates.select(F.col("j").alias(id_col)))
         .distinct()
     )
-    cand_sh = raw.join(F.broadcast(cand_ids), "id").distinct().cache()
+    cand_docs = df.join(F.broadcast(cand_ids), id_col)
+    cand_sh = shingle_sets(cand_docs, text_col, id_col, k).cache()
     sizes = cand_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b2 = cand_sh.alias("a"), cand_sh.alias("b")
     inter = (
@@ -231,6 +238,42 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+_DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find over a driver-sized edge list. Union-by-min-root keeps the
+    invariant root == min id of its component, so labels match the
+    distributed min-label propagation exactly."""
+    from pyspark.sql import types as ST
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        a, b = r.a, r.b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    id_type = edges.schema["a"].dataType
+    schema = ST.StructType(
+        [ST.StructField("id", id_type), ST.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+
+
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """(id, component) for every id in the pair graph; component = min id
     reachable. Iterative min-label propagation: each round joins labels
@@ -251,6 +294,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # Scale-adaptive: the pair graph is the OUTPUT of near-dup detection —
+    # orders of magnitude smaller than the corpus. When the (already
+    # materialized) edge list is driver-sized, union-find locally in
+    # O(E·α(V)) instead of paying 3+ Spark jobs per propagation round; the
+    # distributed path below remains for genuinely huge graphs.
+    if edges.count() <= _DRIVER_CC_MAX_EDGES:
+        return _driver_union_find(edges)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()

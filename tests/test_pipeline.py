@@ -264,3 +264,21 @@ def test_tfidf_ranks_are_dense_per_doc(spark):
         # scores non-increasing in rank order
         ordered = sorted(rs, key=lambda r: r.rk)
         assert all(a.tfidf >= b.tfidf for a, b in zip(ordered, ordered[1:]))
+
+
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """Driver union-find and distributed label propagation must label
+    identically: chain, clique, isolated pair, and cross-cluster ids."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "i long, j long",
+    )
+    fast = {(r.id, r.component) for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", -1)  # force distributed path
+    slow = {(r.id, r.component) for r in dedup.connected_components(pairs).collect()}
+    assert fast == slow
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
