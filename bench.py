@@ -34,6 +34,8 @@ HEADLINE = [
     # LLM-pipeline operators (added as implemented).
     "dedup_exact_docs",
     "dedup_minhash_pairs",
+    "chunk_dedup_stats",
+    "heavy_hitter_tokens",
     "text_quality_scores",
     "ann_cosine_top5",
     # Temporal operators over events.

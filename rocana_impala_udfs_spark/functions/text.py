@@ -101,6 +101,64 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def _run_lengths(s: Column) -> Column:
+    """Run lengths of a SORTED token array, via primitive-int HOFs only
+    (filter/zip_with over index sequences — no per-element struct
+    allocation, which makes the interpreted lambda path ~10x faster than an
+    ``aggregate`` fold with a struct accumulator). ``size(result)`` is the
+    distinct count; ``array_max`` the top frequency; runs equal to 1 are
+    the singleton tokens."""
+    n = F.size(s)
+    seq = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1)
+    )
+    # 0-based positions where a new run starts (element differs from its
+    # predecessor); element_at is 1-based.
+    starts = F.filter(seq, lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)))
+    shifted = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n)
+    )
+    return F.zip_with(starts, shifted, lambda a, b: b - a)
+
+
+def repetition_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals (Gopher-rules style quality gates):
+    ``top_word_frac`` (most frequent word / total words), ``dup_word_frac``
+    (fraction of word occurrences beyond the first of each distinct word),
+    ``dup_bigram_frac`` (fraction of bigram occurrences in bigrams seen
+    more than once in the doc).
+
+    Shuffle-free by construction: every signal is a per-row expression over
+    the sorted word / bigram arrays (``_run_lengths``), so the operator is
+    embarrassingly parallel map-side work at any scale — vs the obvious
+    explode + groupBy(doc, token) alternative, which shuffles every token
+    occurrence. (The one repartition below only widens small test inputs;
+    a 100 TB scan already has wide parallelism and skips it.)
+    Returns ``(id_col, top_word_frac, dup_word_frac, dup_bigram_frac)``.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        df = df.repartition(target)
+    words = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.array_sort(words).alias("ws"),
+        F.array_sort(word_shingles(text_col, 2)).alias("bs"),
+    )
+    wruns = _run_lengths(F.col("ws"))
+    bruns = _run_lengths(F.col("bs"))
+    nw = F.size("ws").cast("double")
+    nb = F.greatest(F.size("bs"), F.lit(1)).cast("double")
+    return base.select(
+        id_col,
+        F.round(F.coalesce(F.array_max(wruns), F.lit(0)) / nw, 6).alias("top_word_frac"),
+        F.round(F.lit(1.0) - F.size(wruns) / nw, 6).alias("dup_word_frac"),
+        F.round(
+            (F.size("bs") - F.size(F.filter(bruns, lambda r: r == F.lit(1)))) / nb, 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pandas UDFs (Python path — only where expressions can't express it)
 # ---------------------------------------------------------------------------

@@ -47,6 +47,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup, C4/RefinedWeb line-dedup
+    style: split each normalized document into fixed ``chunk_words``-word
+    chunks, keep only the FIRST corpus-wide occurrence of each distinct
+    chunk (first = lowest (id, chunk_idx)), and report per-document survival
+    counts ``(id_col, total_chunks, kept_chunks)``.
+
+    Plan shape: chunking is pure JVM column work (split → sequence →
+    slice/array_join) with no shuffle; the keep-first decision is ONE
+    shuffle keyed on the chunk text (window row_number), and the per-doc
+    rollup aggregates both totals and survivors in the same pass via a
+    conditional count — no second scan, no self-join. At 100 TB the shuffle
+    key can be md5(chunk) to bound key width; kept full-text here so the
+    oracle can reproduce it byte-for-byte.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.when(F.size(words) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+        )
+    )
+    exploded = _ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    win = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    return (
+        exploded.withColumn("rn", F.row_number().over(win))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("kept_chunks"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingles + exact Jaccard
 # ---------------------------------------------------------------------------

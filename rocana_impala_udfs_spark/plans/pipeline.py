@@ -507,6 +507,87 @@ SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
 """
 
 
+# --- chunk dedup / repetition / heavy hitters -------------------------------
+
+
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.chunk_dedup_stats(load_table(spark, sf_dir, "documents"), chunk_words=20)
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+idx AS (
+    SELECT doc_id, w, unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT))) AS i
+    FROM words WHERE len(w) > 0
+),
+chunks AS (
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ') AS chunk
+    FROM idx
+),
+kept AS (
+    SELECT doc_id, chunk_idx FROM chunks
+    QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1
+),
+totals AS (SELECT doc_id, count(*) AS total_chunks FROM chunks GROUP BY doc_id),
+keptc AS (SELECT doc_id, count(*) AS kept_chunks FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.total_chunks, coalesce(k.kept_chunks, 0) AS kept_chunks
+FROM totals t LEFT JOIN keptc k USING (doc_id)
+"""
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+uni AS (SELECT doc_id, unnest(w) AS tok FROM words),
+ucnt AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+ustat AS (
+    SELECT doc_id, sum(c) AS n_words, max(c) AS top_word,
+           count(*) AS distinct_words
+    FROM ucnt GROUP BY doc_id
+),
+bi0 AS (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM words WHERE len(w) >= 2),
+bi AS (SELECT doc_id, array_to_string(list_slice(w, i + 1, i + 2), ' ') AS tok FROM bi0),
+bcnt AS (SELECT doc_id, tok, count(*) AS c FROM bi GROUP BY 1, 2),
+bstat AS (
+    SELECT doc_id, sum(c) AS n_bigrams,
+           sum(CASE WHEN c > 1 THEN c END) AS dup_bigrams
+    FROM bcnt GROUP BY doc_id
+)
+SELECT u.doc_id,
+       round(top_word * 1.0 / n_words, 6) AS top_word_frac,
+       round(1.0 - distinct_words * 1.0 / n_words, 6) AS dup_word_frac,
+       round(coalesce(dup_bigrams, 0) * 1.0 / greatest(coalesce(n_bigrams, 0), 1), 6)
+           AS dup_bigram_frac
+FROM ustat u LEFT JOIN bstat b USING (doc_id)
+"""
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rocana_impala_udfs_spark.operators.frequency import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(T.normalize_text("text"), " ")).alias("tok")
+    )
+    return heavy_hitters(tokens, "tok", min_frac=0.01)
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH norm AS (SELECT {_NORM} AS t FROM documents),
+tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM norm),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT tok, count(*) AS cnt FROM tok
+GROUP BY tok
+HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+"""
+
+
 # --- dataset splitting / sampling -------------------------------------------
 
 
@@ -666,6 +747,9 @@ PIPELINE_QUERIES = {
     "stratified_sample_counts": q_stratified_sample_counts,
     "decontaminate_docs": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "repetition_scores": q_repetition_scores,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
 }
 
 PIPELINE_ORACLE = {
@@ -688,4 +772,7 @@ PIPELINE_ORACLE = {
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,
+    "chunk_dedup_stats": ORACLE_CHUNK_DEDUP,
+    "repetition_scores": ORACLE_REPETITION,
+    "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
 }

@@ -753,9 +753,80 @@ LIMIT 10
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 flavor: pure filter + global agg over the fact table — the
+    canonical predicate-pushdown showcase. All three predicates reach the
+    parquet scan as PushedFilters (row-group pruning on l_shipdate min/max
+    statistics); no shuffle at all, just a partial+final global sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 flavor: revenue by nation where supplier and customer share
+    the nation, one region, one order-year. Plan: orders filter pushes to
+    its scan; lineitem⋈orders is the one fact-fact shuffle; supplier+nation
+    +region collapse into one broadcast dim (filtered to the region BEFORE
+    broadcast); customer joins on (custkey, nationkey) after the supplier
+    nation is attached — Catalyst/AQE picks broadcast for it at small SF
+    while the shuffle plan stays correct when customer is fact-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (dim.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_q3_shipping_priority": q_shipping_priority,
+    "q6_forecast_revenue": q_forecast_revenue,
+    "join_q5_local_supplier_volume": q_local_supplier_volume,
     "join_revenue_by_nation": q_revenue_by_nation,
     "join_broadcast_brand_prices": q_brand_prices,
     "join_left_customer_order_counts": q_customer_order_counts,
@@ -792,6 +863,8 @@ QUERIES = {
 ORACLE = {
     "q1_pricing_summary": ORACLE_Q1,
     "join_q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "q6_forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "join_q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "join_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,

@@ -282,3 +282,47 @@ def test_connected_components_paths_agree(spark, monkeypatch):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+# --- heavy hitters / chunk dedup -------------------------------------------
+
+
+def test_heavy_hitters_matches_exact_groupby(spark):
+    """Zipf-ish skew over many partitions: the MG+recount result must equal
+    the exact GROUP BY / HAVING result, values and counts both."""
+    import math
+    import random
+
+    from rocana_impala_udfs_spark.operators.frequency import heavy_hitters
+
+    rng = random.Random(7)
+    vals = [f"v{int(rng.paretovariate(1.2)) % 50}" for _ in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(16)
+    min_frac = 0.02
+    got = {(r.tok, r.cnt) for r in heavy_hitters(df, "tok", min_frac).collect()}
+    thresh = math.ceil(min_frac * len(vals))
+    exact = {
+        (r.tok, r.cnt)
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= thresh).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_misra_gries_candidate_bound(spark):
+    """Phase 1 must emit at most m candidates per partition (bounded shuffle)."""
+    from rocana_impala_udfs_spark.operators.frequency import misra_gries_candidates
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5_000)], "tok string").repartition(8)
+    m = 10
+    assert misra_gries_candidates(df, "tok", m).count() <= m * 8
+
+
+def test_chunk_dedup_stats_duplicate_and_short_docs(spark):
+    """Doc 2 repeats doc 1 exactly → keeps 0 chunks; a short doc is one
+    chunk; a 25-word doc is two chunks (partial tail chunk counted)."""
+    w25 = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, w25), (2, w25), (3, "tiny doc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.total_chunks, r.kept_chunks) for r in dedup.chunk_dedup_stats(df, chunk_words=20).collect()}
+    assert out == {1: (2, 2), 2: (2, 0), 3: (1, 1)}

@@ -95,3 +95,30 @@ def test_tfidf_vocab_sides_broadcast(spark):
     plan = _plan(spark, "tfidf_top_terms")
     # df(term) and N are vocabulary/scalar sized: both reach tf via broadcast.
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_q6_all_predicates_pushed_no_shuffle_but_final_agg(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # The plan string truncates long filter lists; check the head of the
+    # pushed list plus the data-filter mirror of the range predicate.
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "(l_shipdate" in plan and "l_quantity" in plan
+    # global agg: exactly one exchange (partial -> final), no join
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_q5_dim_broadcast_single_fact_shuffle(spark):
+    plan = _plan(spark, "join_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_repetition_profile_is_map_side_only(spark):
+    plan = _plan(spark, "repetition_scores")
+    # one round-robin widening exchange allowed; no aggregate, no join
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_join(spark):
+    plan = _plan(spark, "heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan
