@@ -329,3 +329,35 @@ def embedding_neardup_pairs(
         .select("i", "j", F.round(cosine_sim(F.col("vi"), F.col("vj")), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means-cluster the
+    embeddings (bounded driver-side training, ``train_centroids``), then
+    exact-cosine compare only WITHIN each cluster. Pair-generation cost
+    drops from O(n²) to O(Σ cluster²); near-identical vectors land in the
+    same cluster except exactly on a centroid boundary, so recall < 1 by
+    construction — tested against the oracle-exact brute-force pairs (no
+    SQL oracle). The cluster-equality self-join is the only shuffle."""
+    C = train_centroids(vectors, nlist, dim, seed=seed, vec_col=vec_col)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "cluster", F.element_at(_assign_clusters_udf(C, 1)(F.col("vec")), 1)
+    )
+    x, y = v.alias("x"), v.alias("y")
+    return (
+        x.join(y, (F.col("x.cluster") == F.col("y.cluster")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("i"),
+            F.col("y.id").alias("j"),
+            F.round(cosine_sim(F.col("x.vec"), F.col("y.vec")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

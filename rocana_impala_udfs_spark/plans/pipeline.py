@@ -150,6 +150,14 @@ def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No SQL oracle: k-means cluster boundaries aren't SQL-reproducible and
+    # recall < 1 by construction; pytest pins planted-pair behavior against
+    # the oracle-exact brute-force path.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(emb, threshold=0.95)
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.95)
 
@@ -733,6 +741,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
     "emb_neardup_pairs": q_emb_neardup,
+    "semantic_dedup_pairs": q_semantic_dedup,
     "text_quality_scores": q_text_quality,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,

@@ -326,3 +326,16 @@ def test_chunk_dedup_stats_duplicate_and_short_docs(spark):
     )
     out = {r.doc_id: (r.total_chunks, r.kept_chunks) for r in dedup.chunk_dedup_stats(df, chunk_words=20).collect()}
     assert out == {1: (2, 2), 2: (2, 0), 3: (1, 1)}
+
+
+def test_semantic_dedup_finds_planted_pairs(spark):
+    """SemDeDup path: near-identical planted vectors must share a k-means
+    cluster and be emitted; nothing else in the corpus clears cos >= 0.95."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.standard_normal(64) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.i, r.j) for r in similarity.semantic_dedup_pairs(df, threshold=0.95, nlist=8).collect()}
+    assert got == {(i, 100 + i) for i in range(5)}

@@ -125,3 +125,40 @@ def test_running_median_stream_bounded_state(spark, event_stream_dir):
         assert r.source_size == batch.filter(
             (F.col("event_type") == g) & F.col("value").isNotNull()
         ).count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
+    """Inner stream-stream joins emit ALL matches (watermark only bounds
+    state), so the streaming result must equal the batch interval join."""
+    from rocana_impala_udfs_spark.streaming.join_stream import streaming_click_attribution
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_click_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = out.writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    expect = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0
