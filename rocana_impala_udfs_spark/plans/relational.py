@@ -335,6 +335,54 @@ FROM orders
 """
 
 
+def q_ntile_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage: ntile / percent_rank / cume_dist over one
+    window definition — a single sort-based window pass, no extra shuffle
+    beyond the partition exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_NTILE_DECILES = """
+SELECT o_orderstatus, o_orderkey,
+       CAST(ntile(10) OVER w AS INT) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate coverage: Pearson correlation, sample
+    covariance / stddev / variance — all distributive or algebraic
+    (partial+final), so one map-side-combined shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+ORACLE_STATS_PRICE_QUANTITY = """
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -842,6 +890,8 @@ QUERIES = {
     "window_top3_customers_per_nation": q_top3_customers_per_nation,
     "window_running_spend": q_running_spend,
     "window_lag_lead_events": q_lag_lead_events,
+    "window_ntile_order_deciles": q_ntile_order_deciles,
+    "stats_price_quantity": q_stats_price_quantity,
     "scalar_string_math": q_scalar_functions,
     "scalar_date_functions": q_date_functions,
     "conditional_agg": q_conditional_agg,
@@ -880,6 +930,8 @@ ORACLE = {
     "window_top3_customers_per_nation": ORACLE_TOP3_CUSTOMERS,
     "window_running_spend": ORACLE_RUNNING_SPEND,
     "window_lag_lead_events": ORACLE_LAG_LEAD_EVENTS,
+    "window_ntile_order_deciles": ORACLE_NTILE_DECILES,
+    "stats_price_quantity": ORACLE_STATS_PRICE_QUANTITY,
     "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
     "scalar_date_functions": ORACLE_DATE_FUNCTIONS,
     "conditional_agg": ORACLE_CONDITIONAL_AGG,

@@ -91,6 +91,81 @@ FROM gapped
 """
 
 
+def q_ops_session_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship-grade composition for the reference's log-analytics context:
+    sessionize the event stream → per-session stats → per-size-class
+    rollup with the reference's exact-upper-median rule on session duration.
+    One shuffle for sessionization (reused by the per-session agg via the
+    same user_id keying), one for the size-class rollup; duration crosses
+    the oracle boundary as integer microseconds."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = sessionize(ev, ["user_id"], "ts", max_gap_seconds=_GAP_S)
+    sess = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.sum("value").alias("session_value"),
+    )
+    classed = sess.withColumn(
+        "size_class",
+        F.when(F.col("n_events") == 1, "single")
+        .when(F.col("n_events") <= 4, "short")
+        .otherwise("long"),
+    )
+    med = exact_upper_median(classed, "duration_us", ["size_class"], out="median_duration_us")
+    stats = classed.groupBy("size_class").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("session_value"), 4).alias("avg_session_value"),
+    )
+    return stats.join(F.broadcast(med), "size_class")
+
+
+ORACLE_OPS_SESSION_HEALTH = f"""
+WITH gapped AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS boundary
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+    SELECT user_id, ts, value,
+           sum(boundary) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM gapped
+),
+sess AS (
+    SELECT user_id, session_seq, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           sum(value) AS session_value
+    FROM sessioned GROUP BY 1, 2
+),
+classed AS (
+    SELECT *, CASE WHEN n_events = 1 THEN 'single'
+                   WHEN n_events <= 4 THEN 'short'
+                   ELSE 'long' END AS size_class
+    FROM sess
+),
+med AS (
+    SELECT size_class, x AS median_duration_us FROM (
+        SELECT size_class, duration_us AS x,
+               row_number() OVER (PARTITION BY size_class ORDER BY duration_us) AS rn,
+               count(*) OVER (PARTITION BY size_class) AS n
+        FROM classed
+    ) ranked WHERE rn = CAST(n // 2 AS BIGINT) + 1
+)
+SELECT s.size_class, s.n_sessions, s.avg_session_value, m.median_duration_us
+FROM (
+    SELECT size_class, count(*) AS n_sessions,
+           round(avg(session_value), 4) AS avg_session_value
+    FROM classed GROUP BY 1
+) s JOIN med m USING (size_class)
+"""
+
+
 # --- tumbling-window aggregation --------------------------------------------
 
 
@@ -364,6 +439,7 @@ FROM expanded GROUP BY 1, 2
 TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
+    "ops_session_health": q_ops_session_health,
     "tumbling_hourly_event_stats": q_hourly_event_stats,
     "json_event_props_stats": q_event_props_json,
     "multi_resolution_rollup": q_multi_resolution_rollup,
@@ -379,6 +455,7 @@ TEMPORAL_ORACLE = {
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
     "json_event_props_stats": ORACLE_PROPS_JSON,
     "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,
