@@ -1,0 +1,60 @@
+"""Funnel analysis over event streams — ordered-step conversion counting.
+
+The reference's host product (log/event analytics) delegates this to SQL;
+here it is a first-class operator: for an ordered list of step event types,
+count users whose FIRST qualifying occurrence of each step happens after
+their first qualifying occurrence of the previous step (classic
+first-touch funnel).
+
+Scale shape: one groupBy per step over a progressively SHRINKING keyed
+frame (step i+1 only scans events of its own type joined against step i's
+survivors — a broadcast or shuffle join on the user key that AQE sizes at
+runtime). No window over the whole event stream, no per-user event
+collection; state per step is one timestamp per surviving user.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users) for the ordered ``steps`` funnel.
+
+    A user converts at step i when an event of ``steps[i]`` exists strictly
+    after their step-(i-1) conversion time; the conversion time is the MIN
+    such timestamp (first touch).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    spark = events.sparkSession
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("step_ts"))
+    )
+    counts = [stage.agg(F.count(F.lit(1)).alias("n_users"))]
+    for s in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(stage.select(key_col, F.col("step_ts").alias("prev_ts")), key_col)
+            .filter(F.col(ts_col) > F.col("prev_ts"))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias("step_ts"))
+        )
+        counts.append(nxt.agg(F.count(F.lit(1)).alias("n_users")))
+        stage = nxt
+    labeled = [
+        c.select(F.lit(i).alias("step_idx"), F.lit(name).alias("step"), "n_users")
+        for i, (name, c) in enumerate(zip(steps, counts))
+    ]
+    return reduce(DataFrame.unionAll, labeled)

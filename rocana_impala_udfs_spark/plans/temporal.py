@@ -166,6 +166,35 @@ FROM (
 """
 
 
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rocana_impala_udfs_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT e.user_id, min(e.ts) AS t1
+    FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+    WHERE e.event_type = 'click' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(0 AS INT) AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT CAST(1 AS INT), 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
+"""
+
+
 # --- tumbling-window aggregation --------------------------------------------
 
 
@@ -440,6 +469,7 @@ TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
+    "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "tumbling_hourly_event_stats": q_hourly_event_stats,
     "json_event_props_stats": q_event_props_json,
     "multi_resolution_rollup": q_multi_resolution_rollup,
@@ -456,6 +486,7 @@ TEMPORAL_ORACLE = {
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
+    "funnel_view_click_purchase": ORACLE_FUNNEL,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
     "json_event_props_stats": ORACLE_PROPS_JSON,
     "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,

@@ -118,3 +118,34 @@ def test_column_pruning_reaches_scan(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema  # unreferenced column not read
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    """Custom Spark-4 Python DataSource: registered format is planned like a
+    built-in, rows land in the declared partitions, and the stream is
+    seed-deterministic across reads."""
+    from rocana_impala_udfs_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    a = df.orderBy("event_id").limit(5).collect()
+    b = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    )
+    assert a == b
+    # pushdown-compatible: the scan composes with filters/aggregates
+    n_types = df.select("event_type").distinct().count()
+    assert n_types == 5

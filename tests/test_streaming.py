@@ -162,3 +162,31 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
         ).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_foreachbatch_snapshot_sink(spark, event_stream_dir):
+    """foreachBatch bridge to a batch parquet writer: the final snapshot
+    must equal the batch aggregate of the same input."""
+    import tempfile
+
+    from rocana_impala_udfs_spark.streaming.sink_stream import snapshot_parquet_sink
+
+    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = snapshot_parquet_sink(agg, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_type: r.n for r in spark.read.parquet(out_dir).collect()}
+    expect = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)

@@ -225,3 +225,26 @@ def test_sliding_windows_cover_each_event_four_times(spark):
     out = q_sliding_window_event_rates(spark, SF)
     total = out.agg(F.sum("n").alias("s")).collect()[0].s
     assert total == 4 * ev_count
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """A user whose click precedes every view must not convert; conversion
+    times chain off the FIRST qualifying event per step."""
+    from datetime import datetime
+
+    from rocana_impala_udfs_spark.operators.funnel import funnel_steps
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 converts fully: view@0 -> click@5 -> purchase@9
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # u2: click BEFORE first view -> no click conversion
+        (2, t(3), "click"), (2, t(4), "view"),
+        # u3: view only
+        (3, t(1), "view"),
+        # u4: purchase before click -> stops at click
+        (4, t(0), "view"), (4, t(2), "purchase"), (4, t(6), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: r.n_users for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
