@@ -58,3 +58,31 @@ def funnel_steps(
         for i, (name, c) in enumerate(zip(steps, counts))
     ]
     return reduce(DataFrame.unionAll, labeled)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped into cohorts by their
+    first-activity week; for each (cohort, week offset), the count of
+    cohort members active that week.
+
+    Returns ``(cohort_week_us, offset_weeks, n_users)``. Two map-side-
+    combined aggregations (first-week per user; distinct active weeks) and
+    one join on the user key — at scale both sides are co-keyed on
+    ``key_col`` so the join reuses the aggregation's partitioning.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(key_col).agg(F.min(wk).alias("cohort_week"))
+    active = events.select(key_col, wk.alias("wk")).distinct()
+    return (
+        active.join(first, key_col)
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int").alias("offset_weeks"),
+        )
+        .groupBy("cohort_week_us", "offset_weeks")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

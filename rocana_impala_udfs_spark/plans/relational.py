@@ -870,11 +870,27 @@ GROUP BY n_name
 """
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rocana_impala_udfs_spark.operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name", max_dist=1)
+
+
+ORACLE_FUZZY_PART_NAMES = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS a, b.name AS b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_q3_shipping_priority": q_shipping_priority,
     "q6_forecast_revenue": q_forecast_revenue,
     "join_q5_local_supplier_volume": q_local_supplier_volume,
+    "fuzzy_join_part_names": q_fuzzy_part_names,
     "join_revenue_by_nation": q_revenue_by_nation,
     "join_broadcast_brand_prices": q_brand_prices,
     "join_left_customer_order_counts": q_customer_order_counts,
@@ -915,6 +931,7 @@ ORACLE = {
     "join_q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "q6_forecast_revenue": ORACLE_FORECAST_REVENUE,
     "join_q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "fuzzy_join_part_names": ORACLE_FUZZY_PART_NAMES,
     "join_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,

@@ -173,6 +173,28 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_steps(ev, ["view", "click", "purchase"])
 
 
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rocana_impala_udfs_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_RETENTION = """
+WITH first AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    FROM events GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+       CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INT) AS offset_weeks,
+       count(*) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 ORACLE_FUNNEL = """
 WITH s0 AS (
     SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
@@ -470,6 +492,7 @@ TEMPORAL_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "retention_weekly_cohorts": q_retention_weekly,
     "tumbling_hourly_event_stats": q_hourly_event_stats,
     "json_event_props_stats": q_event_props_json,
     "multi_resolution_rollup": q_multi_resolution_rollup,
@@ -487,6 +510,7 @@ TEMPORAL_ORACLE = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,
+    "retention_weekly_cohorts": ORACLE_RETENTION,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
     "json_event_props_stats": ORACLE_PROPS_JSON,
     "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,

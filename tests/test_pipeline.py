@@ -339,3 +339,24 @@ def test_semantic_dedup_finds_planted_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.i, r.j) for r in similarity.semantic_dedup_pairs(df, threshold=0.95, nlist=8).collect()}
     assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_fuzzy_pairs_edit_distance_semantics(spark):
+    """Substitution, insertion, deletion at distance 1 all match over the
+    DISTINCT value domain; duplicates collapse; distance-2 strings don't
+    match."""
+    from rocana_impala_udfs_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "abcd"), (5, "xyz"), (6, "abc"), (7, "azd")],
+        "p_partkey long, p_name string",
+    )
+    got = {(r.a, r.b): r.dist for r in fuzzy_pairs(df, "p_name").collect()}
+    assert got == {
+        ("ab", "abc"): 1,    # deletion
+        ("ab", "abd"): 1,
+        ("abc", "abd"): 1,   # substitution
+        ("abc", "abcd"): 1,  # insertion
+        ("abcd", "abd"): 1,
+        ("abd", "azd"): 1,
+    }
