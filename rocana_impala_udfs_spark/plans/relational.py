@@ -870,6 +870,33 @@ GROUP BY n_name
 """
 
 
+def q_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) aggregates — which order holds the
+    group's price extreme. Tie-broken by orderkey via an integer composite
+    key so both engines pick the identical row (doubles can collide)."""
+    o = load_table(spark, sf_dir, "orders")
+    tie_key = (F.round(F.col("o_totalprice") * 100).cast("bigint") * 100000000
+               + F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", tie_key).alias("peak_orderkey"),
+        F.min_by("o_orderkey", tie_key).alias("trough_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("peak_price"),
+        F.round(F.min("o_totalprice"), 2).alias("trough_price"),
+    )
+
+
+ORACLE_ARGMAX_ORDERS = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+           AS peak_orderkey,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+           AS trough_orderkey,
+       round(max(o_totalprice), 2) AS peak_price,
+       round(min(o_totalprice), 2) AS trough_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocana_impala_udfs_spark.operators.fuzzy import fuzzy_pairs
 
@@ -891,6 +918,7 @@ QUERIES = {
     "q6_forecast_revenue": q_forecast_revenue,
     "join_q5_local_supplier_volume": q_local_supplier_volume,
     "fuzzy_join_part_names": q_fuzzy_part_names,
+    "agg_argmax_orders": q_argmax_orders,
     "join_revenue_by_nation": q_revenue_by_nation,
     "join_broadcast_brand_prices": q_brand_prices,
     "join_left_customer_order_counts": q_customer_order_counts,
@@ -932,6 +960,7 @@ ORACLE = {
     "q6_forecast_revenue": ORACLE_FORECAST_REVENUE,
     "join_q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "fuzzy_join_part_names": ORACLE_FUZZY_PART_NAMES,
+    "agg_argmax_orders": ORACLE_ARGMAX_ORDERS,
     "join_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,

@@ -166,6 +166,36 @@ FROM (
 """
 
 
+def q_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): per-user trailing
+    7-day value sum — the frame is defined by the ORDER-BY value interval,
+    so ties are all peers and the result is order-deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.sum("value").over(w), 4).alias("trailing_7d_value"),
+    )
+
+
+ORACLE_TRAILING_7D = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 4)
+           AS trailing_7d_value
+FROM events
+"""
+
+
 def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocana_impala_udfs_spark.operators.funnel import funnel_steps
 
@@ -493,6 +523,7 @@ TEMPORAL_QUERIES = {
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly_cohorts": q_retention_weekly,
+    "window_trailing_7d_user_value": q_trailing_7d_user_value,
     "tumbling_hourly_event_stats": q_hourly_event_stats,
     "json_event_props_stats": q_event_props_json,
     "multi_resolution_rollup": q_multi_resolution_rollup,
@@ -511,6 +542,7 @@ TEMPORAL_ORACLE = {
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,
     "retention_weekly_cohorts": ORACLE_RETENTION,
+    "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
     "json_event_props_stats": ORACLE_PROPS_JSON,
     "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,
