@@ -368,12 +368,22 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quality", T.quality_score("text"))
         .filter(F.col("quality") >= 0.5)
     )
+    from pyspark.sql import Window
+
     fp = gated.withColumn("fingerprint", T.doc_fingerprint("text"))
-    min_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    # Min-id survivor per fingerprint as ONE window shuffle (row_number over
+    # the fingerprint partition) — the groupBy-then-join-back alternative
+    # costs a second corpus-wide shuffle for the join at scale.
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
     # Materialize the gated+deduped corpus once: every branch of the LSH +
     # connected-components DAG fans out from here, and without the cache each
-    # branch re-runs the gates/groupBy/join lineage (measured 10× slower).
-    exact_kept = fp.join(min_ids, ["fingerprint", "doc_id"]).drop("fingerprint").cache()
+    # branch re-runs the gate/dedup lineage (measured 10× slower).
+    exact_kept = (
+        fp.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+        .cache()
+    )
     pairs = dedup.minhash_lsh_pairs(exact_kept, threshold=0.8)
     survivors = dedup.near_dedup_survivors(exact_kept, pairs).select("doc_id")
     return exact_kept.join(survivors, "doc_id").select(
