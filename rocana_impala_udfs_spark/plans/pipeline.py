@@ -606,6 +606,14 @@ HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
 """
 
 
+def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No SQL oracle: greedy packing is partition-order-dependent by design
+    # (bin ids are partition-scoped); invariants are pinned in pytest.
+    from rocana_impala_udfs_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), max_tokens=512)
+
+
 # --- dataset splitting / sampling -------------------------------------------
 
 
@@ -769,6 +777,7 @@ PIPELINE_QUERIES = {
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "repetition_scores": q_repetition_scores,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "pack_training_sequences": q_pack_training_sequences,
 }
 
 PIPELINE_ORACLE = {

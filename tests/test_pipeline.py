@@ -360,3 +360,25 @@ def test_fuzzy_pairs_edit_distance_semantics(spark):
         ("abcd", "abd"): 1,
         ("abd", "azd"): 1,
     }
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc assigned exactly once; no bin over budget (unless a single
+    oversized doc owns it); first-fit-decreasing keeps bins reasonably
+    full."""
+    from rocana_impala_udfs_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, SF, "documents")
+    out = pack_sequences(docs, max_tokens=128).collect()
+    assert len(out) == docs.count()  # every doc exactly once
+    assert len({r.doc_id for r in out}) == len(out)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rows in by_bin.values():
+        fill = sum(r.n_tokens for r in rows)
+        assert all(r.bin_fill == fill for r in rows)  # reported fill is real
+        assert fill <= 128 or len(rows) == 1  # over budget only when alone
+    # fill efficiency: average bin ≥ 60% full (FFD on ~60-90-token docs)
+    fills = [sum(r.n_tokens for r in rows) for rows in by_bin.values()]
+    assert sum(fills) / (len(fills) * 128) > 0.6

@@ -122,3 +122,14 @@ def test_repetition_profile_is_map_side_only(spark):
 def test_heavy_hitters_recount_is_broadcast_join(spark):
     plan = _plan(spark, "heavy_hitter_tokens")
     assert "BroadcastHashJoin" in plan
+
+
+def test_entry_contract_consistency():
+    """Every oracle key must have a matching queries() entry (driver pairs
+    them by key), and keys are unique, non-empty strings."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    assert all(isinstance(k, str) and k for k in qs)
+    assert all(callable(v) for v in qs.values())
+    assert all(isinstance(v, str) and "SELECT" in v.upper() for v in oracles.values())

@@ -95,3 +95,35 @@ def test_saturated_sample_is_subset_without_replacement(vals, k):
         i = bisect.bisect_left(remaining, s)
         assert i < len(remaining) and remaining[i] == s
         remaining.pop(i)
+
+
+# --- Misra-Gries candidate guarantee (operators/frequency.py) ---------------
+
+from collections import Counter
+
+from rocana_impala_udfs_spark.operators.frequency import _mg_reduce
+
+
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=600),
+    st.integers(1, 8),
+    st.integers(2, 12),
+)
+@settings(max_examples=300, deadline=None)
+def test_misra_gries_never_misses_a_heavy_hitter(vals, n_parts, m):
+    """Union of per-partition MG summaries must contain every value whose
+    GLOBAL count exceeds N/m — the guarantee heavy_hitters' exactness rests
+    on, for any data, any partitioning, any summary width."""
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    candidates: set[int] = set()
+    for part in parts:
+        counters: dict = {}
+        # same batch-merge + reduce path as the executor code
+        for v, c in Counter(part).items():
+            counters[v] = counters.get(v, 0) + c
+        counters = _mg_reduce(counters, m)
+        candidates |= set(counters)
+    total = Counter(vals)
+    for v, c in total.items():
+        if c > len(vals) / m:
+            assert v in candidates, f"missed heavy hitter {v} ({c}/{len(vals)})"
