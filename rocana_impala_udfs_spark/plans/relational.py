@@ -870,6 +870,43 @@ GROUP BY n_name
 """
 
 
+def q_map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions (map_from_entries / map_entries /
+    transform over entries): per returnflag, a linestatus→count map, then
+    flattened back to a sorted "k:v" string so the result crosses the
+    comparison boundary as a plain column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    entries = counts.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "n")))
+        ).alias("m")
+    )
+    return entries.select(
+        "l_returnflag",
+        F.array_join(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("status_counts"),
+        F.size(F.map_keys("m")).alias("n_statuses"),
+    )
+
+
+ORACLE_MAP_STATUS_COUNTS = """
+WITH counts AS (
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       string_agg(l_linestatus || ':' || n, ',' ORDER BY l_linestatus) AS status_counts,
+       CAST(count(*) AS INT) AS n_statuses
+FROM counts GROUP BY l_returnflag
+"""
+
+
 def q_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by / min_by (argmax/argmin) aggregates — which order holds the
     group's price extreme. Tie-broken by orderkey via an integer composite
@@ -919,6 +956,7 @@ QUERIES = {
     "join_q5_local_supplier_volume": q_local_supplier_volume,
     "fuzzy_join_part_names": q_fuzzy_part_names,
     "agg_argmax_orders": q_argmax_orders,
+    "map_status_counts": q_map_status_counts,
     "join_revenue_by_nation": q_revenue_by_nation,
     "join_broadcast_brand_prices": q_brand_prices,
     "join_left_customer_order_counts": q_customer_order_counts,
@@ -961,6 +999,7 @@ ORACLE = {
     "join_q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "fuzzy_join_part_names": ORACLE_FUZZY_PART_NAMES,
     "agg_argmax_orders": ORACLE_ARGMAX_ORDERS,
+    "map_status_counts": ORACLE_MAP_STATUS_COUNTS,
     "join_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
