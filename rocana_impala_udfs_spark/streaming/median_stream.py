@@ -102,3 +102,59 @@ def running_median_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_median_tws(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    max_samples: int = 100,
+) -> DataFrame:
+    """The same running bounded median on ``transformWithStateInPandas`` —
+    Spark 4's successor stateful API (typed state handles, per-key
+    processors). State is the identical bounded reservoir tuple, so the two
+    implementations must emit identical medians; the test pins that.
+
+    Runtime requirements beyond the applyInPandasWithState path: the
+    RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``google.protobuf`` package for the tws Python driver worker — the test
+    skips where the environment lacks them.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MedianProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("reservoir", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            st = ReservoirState(max_samples)
+            if self._state.exists():
+                samples, keys, source_size = self._state.get()
+                st.vals = np.asarray(samples, dtype=np.float64)
+                st.keys = np.asarray(keys, dtype=np.float64)
+                st.source_size = int(source_size)
+            for pdf in rows:
+                st.update(pdf[value_col].to_numpy(dtype=np.float64))
+            st.assign_keys()
+            self._state.update((st.vals.tolist(), st.keys.tolist(), st.source_size))
+            yield pd.DataFrame(
+                [{"group": key[0], "median": st.finalize(), "source_size": st.source_size}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(F.col(group_col).cast("string").alias(group_col), F.col(value_col))
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            MedianProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -190,3 +190,34 @@ def test_foreachbatch_snapshot_sink(spark, event_stream_dir):
     assert got == expect
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_running_median_transform_with_state(spark, event_stream_dir):
+    """transformWithStateInPandas path must equal the applyInPandasWithState
+    path (same reservoir state, same medians)."""
+    # The tws Python driver worker imports google.protobuf; skip where the
+    # container lacks it (the operator itself is a thin port of the
+    # applyInPandasWithState path, which stays fully tested).
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.median_stream import running_median_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = running_median_tws(stream, max_samples=5000)
+    _run_stream(out, "tws_median")
+    got = {r.group: r for r in spark.sql("SELECT * FROM tws_median").collect()}
+    batch = load_table(spark, SF, "events")
+    from rocana_impala_udfs_spark.operators.reservoir import appx_median_bounded_agg
+
+    expect = {
+        r.event_type: r.median
+        for r in appx_median_bounded_agg(batch, "value", 5000, ["event_type"]).collect()
+    }
+    assert set(got) == set(expect)
+    for g, r in got.items():
+        assert r.median == pytest.approx(expect[g], abs=1e-9)
