@@ -50,3 +50,26 @@ def stratified_sample(
     """Per-stratum Bernoulli sample; strata absent from ``fractions`` are
     dropped (fraction 0), matching ``sampleBy`` semantics."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def weighted_sample(
+    df, weight_col: str, k: int, seed: int = 42
+):
+    """A-Res weighted reservoir sample of ``k`` rows: inclusion probability
+    proportional to ``weight_col``. This is the reference's own merge
+    mechanism promoted to a user-facing operator — its serialize phase
+    assigns each sample the key ``(source_size - r)/source_size`` so larger
+    partials win merges proportionally (median.cc:176-192); A-Res
+    (Efraimidis-Spirakis) is the principled form: key = u^(1/w), keep the
+    top-k keys.
+
+    Fully JVM and one pass: per-row key via ``pow(rand(seed), 1/w)``, then
+    global top-k = ``TakeOrderedAndProject`` (per-partition heaps + driver
+    merge of k candidates per partition — never a full sort). Rows with
+    non-positive weight are excluded, matching w→0 ⇒ key→0.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn("_ares_key", F.pow(F.rand(seed), 1.0 / w))
+    return keyed.orderBy(F.col("_ares_key").desc()).limit(k).drop("_ares_key")

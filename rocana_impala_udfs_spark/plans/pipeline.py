@@ -642,6 +642,17 @@ FROM b GROUP BY 1 ORDER BY split
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No oracle: A-Res keys come from engine-specific RNG streams; weight
+    # adherence and exact-k are pinned in pytest.
+    from rocana_impala_udfs_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", T.quality_score("text")
+    )
+    return weighted_sample(docs, "quality", 50).select("doc_id", "quality")
+
+
 def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No oracle: Bernoulli sampling has engine-specific RNG streams; pytest
     # bounds per-stratum fractions instead.
@@ -772,6 +783,7 @@ PIPELINE_QUERIES = {
     "multimodal_resize": q_media_resize,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "decontaminate_docs": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_dedup_stats": q_chunk_dedup_stats,

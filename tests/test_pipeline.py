@@ -382,3 +382,32 @@ def test_pack_sequences_invariants(spark):
     # fill efficiency: average bin ≥ 60% full (FFD on ~60-90-token docs)
     fills = [sum(r.n_tokens for r in rows) for rows in by_bin.values()]
     assert sum(fills) / (len(fills) * 128) > 0.6
+
+
+def test_weighted_sample_respects_weights(spark):
+    """A-Res: inclusion frequency must track weights. Two weight classes
+    (10:1) over 200 rows, k=20, across 30 seeds — heavy rows must win a
+    large majority of slots, and output size is always exactly k."""
+    from rocana_impala_udfs_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double").cache()
+    df.count()
+    heavy = total = 0
+    for seed in range(30):
+        got = weighted_sample(df, "w", 20, seed=seed).collect()
+        assert len(got) == 20
+        heavy += sum(1 for r in got if r.w == 10.0)
+        total += 20
+    # E[heavy fraction] ≈ 0.87 for 10:1 weights at this k/n; require >> 0.5
+    assert heavy / total > 0.75, heavy / total
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from rocana_impala_udfs_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double"
+    )
+    got = {r.id for r in weighted_sample(df, "w", 10).collect()}
+    assert got == {3}
