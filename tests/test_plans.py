@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import re
 
-import pytest
-
 import __spark_entry__ as entry
 
 SF = "/root/testdata/sf0.001"

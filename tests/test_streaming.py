@@ -3,7 +3,6 @@ stateful reservoir median across micro-batches (bounded state)."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
