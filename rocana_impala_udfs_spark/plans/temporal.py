@@ -247,6 +247,34 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse the JSON props column
+    once into a variant, extract a typed path, aggregate. Unlike
+    get_json_object (string re-parse per extraction), the variant is a
+    parsed binary encoding — repeated path extraction is cheap, the right
+    model for wide telemetry blobs at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select("event_type", F.variant_get("v", "$.k", "int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("k").alias("n_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(json_extract(props, '$.k')) AS n_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- tumbling-window aggregation --------------------------------------------
 
 
@@ -524,6 +552,7 @@ TEMPORAL_QUERIES = {
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
+    "variant_props_stats": q_variant_props_stats,
     "tumbling_hourly_event_stats": q_hourly_event_stats,
     "json_event_props_stats": q_event_props_json,
     "multi_resolution_rollup": q_multi_resolution_rollup,
@@ -543,6 +572,7 @@ TEMPORAL_ORACLE = {
     "funnel_view_click_purchase": ORACLE_FUNNEL,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
+    "variant_props_stats": ORACLE_VARIANT_PROPS,
     "tumbling_hourly_event_stats": ORACLE_HOURLY_STATS,
     "json_event_props_stats": ORACLE_PROPS_JSON,
     "multi_resolution_rollup": ORACLE_MULTI_ROLLUP,
