@@ -37,18 +37,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness run may truncate on a
+    # time budget (round 1 stopped at 50/97), so the reference-core median
+    # family goes first, then the novel pipeline/temporal surfaces, and the
+    # long relational tail last — a truncated run still covers new work.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(MEDIAN_QUERIES)
-    out.update(relational.QUERIES)
     out.update(PIPELINE_QUERIES)
     out.update(TEMPORAL_QUERIES)
+    out.update(relational.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(MEDIAN_ORACLE)
-    out.update(relational.ORACLE)
     out.update(PIPELINE_ORACLE)
     out.update(TEMPORAL_ORACLE)
+    out.update(relational.ORACLE)
     return out

@@ -28,6 +28,11 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark rejects
+    # unless nanosAsLong is on. Set it here (runtime-settable) so the loader
+    # works under ANY session, not just ones built by our get_spark.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Nano-precision parquet timestamps surface as BIGINT nanos under
     # spark.sql.legacy.parquet.nanosAsLong; normalize to TIMESTAMP (micros,
