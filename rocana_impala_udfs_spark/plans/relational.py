@@ -498,10 +498,15 @@ FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
 
 
 def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery stays in-plan: the 1-row aggregate is broadcast and
+    crossJoined (BroadcastNestedLoopJoin over a single row), so the whole
+    query is one job with no driver round-trip."""
     c = load_table(spark, sf_dir, "customer")
-    avg_bal = c.agg(F.avg("c_acctbal")).collect()[0][0]
-    return c.filter(F.col("c_acctbal") > F.lit(avg_bal)).select(
-        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
     )
 
 

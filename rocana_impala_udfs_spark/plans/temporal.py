@@ -175,8 +175,10 @@ def q_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-7 * 86400, 0)
+        # Full-precision micros, not floor-seconds: frame membership and peer
+        # groups must match the oracle's RANGE INTERVAL 7 DAYS on raw ts.
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return ev.select(
         "user_id",

@@ -122,6 +122,23 @@ def test_heavy_hitters_recount_is_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_no_driver_collect_in_query_plans():
+    """No queries() path may embed a driver round-trip: `.collect()` splits
+    the query into multiple jobs and doesn't scale. Bounded operator-internal
+    collects (similarity small-query side, dedup driver union-find) are
+    documented exceptions outside plans/."""
+    import pathlib
+
+    plans_dir = pathlib.Path(__file__).resolve().parents[1] / "rocana_impala_udfs_spark" / "plans"
+    offenders = [
+        f"{p.name}:{i}"
+        for p in plans_dir.glob("*.py")
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if ".collect()" in line
+    ]
+    assert not offenders, offenders
+
+
 def test_entry_contract_consistency():
     """Every oracle key must have a matching queries() entry (driver pairs
     them by key), and keys are unique, non-empty strings."""
