@@ -202,68 +202,111 @@ def make_lang_id_udf():
     return lang_id
 
 
-def _simhash64(tokens: list[str]) -> int:
-    if not tokens:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = np.uint64(zlib_crc64(tok))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(np.int64(out))
+# ---------------------------------------------------------------------------
+# SimHash + positional fingerprints — 100% JVM expressions (no Python UDF)
+# ---------------------------------------------------------------------------
+#
+# Both fingerprints share one 60-bit per-token hash that Spark and DuckDB
+# compute identically: the first 15 hex chars of md5, parsed as an integer
+# (Spark ``conv(.., 16, 10)`` == DuckDB ``CAST('0x..' AS BIGINT)``), so the
+# whole family is oracle-checkable value-for-value. Charikar SimHash
+# (public algorithm) per the reference's near-dup charter; the positional
+# fingerprint replaces the old per-character Python rolling hash with an
+# order-sensitive JVM formulation: bit_xor of hash("<pos>:<token>").
+
+SIMHASH_BITS = 60
+
+_TOKENS_EXPR = r"filter(split(lower(coalesce({col}, '')), '\\s+'), t -> t <> '')"
 
 
-def zlib_crc64(s: str) -> int:
-    """64-bit stable hash from two crc32 passes (no external deps)."""
-    import zlib
-
-    b = s.encode("utf-8")
-    lo = zlib.crc32(b)
-    hi = zlib.crc32(b, 0x9E3779B9)
-    return (hi << 32) | lo
+def token_hash_sql(tok_sql: str) -> str:
+    """SQL fragment: 60-bit md5-derived hash of an expression (JVM, and
+    mirrored 1:1 in the DuckDB oracles)."""
+    return f"cast(conv(substring(md5({tok_sql}), 1, 15), 16, 10) as bigint)"
 
 
-def make_simhash64_udf():
-    """64-bit SimHash over whitespace tokens of normalized text — near-dup
-    fingerprint; hamming distance ≤ 3 ⇒ near-duplicate candidates."""
+def simhash_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positional: bool = False,
+):
+    """Per-document fingerprints, entirely in JVM expressions.
 
-    @pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
-        def one(t):
-            t = (t or "").lower()
-            return _simhash64(t.split())
+    Returns ``(id_col, simhash)`` (+ ``posfp`` when ``positional``): tokens
+    are posexploded once, hashed with :func:`token_hash_sql`, and reduced in
+    one map-side-combining groupBy — 60 ``sum`` aggregates (one per bit,
+    +1/-1 votes) assemble the SimHash; ``bit_xor`` over position-salted
+    hashes yields the order-sensitive fingerprint. Empty documents get
+    fingerprint 0 via the left join (explode drops them). One shuffle total,
+    keyed on the document id — scale-safe at any corpus size.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_TOKENS_EXPR.format(col=text_col))).alias("pos", "tok"),
+    ).withColumn("h", F.expr(token_hash_sql("tok")))
+    aggs = [
+        F.sum(F.expr(f"((h >> {i}) & 1) * 2 - 1")).alias(f"b{i}") for i in range(SIMHASH_BITS)
+    ]
+    if positional:
+        # 1-based positions to match DuckDB's 1-based list_transform index.
+        toks = toks.withColumn(
+            "ph", F.expr(token_hash_sql("concat(cast(pos + 1 as string), ':', tok)"))
+        )
+        aggs.append(F.expr("bit_xor(ph)").alias("_posfp"))
+    agg = toks.groupBy(id_col).agg(*aggs)
+    assemble = sum(
+        [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)],
+        F.lit(0).cast("long"),
+    )
+    cols = [F.col(id_col), assemble.alias("simhash")]
+    if positional:
+        cols.append(F.col("_posfp").alias("posfp"))
+    fps = agg.select(*cols)
+    out = df.select(id_col).join(fps, id_col, "left")
+    fills = [F.coalesce("simhash", F.lit(0)).alias("simhash")]
+    if positional:
+        fills.append(F.coalesce("posfp", F.lit(0)).alias("posfp"))
+    return out.select(id_col, *fills)
 
-        return texts.map(one)
 
-    return simhash64
-
-
-def make_rolling_hash_udf():
-    """Polynomial rolling hash of normalized text (base 257, mod 2^61-1) —
-    a cheap order-sensitive document fingerprint."""
-
-    @pandas_udf("long")
-    def rolling_hash_fingerprint(texts: pd.Series) -> pd.Series:
-        MOD = (1 << 61) - 1
-        BASE = 257
-
-        def one(t):
-            h = 0
-            for ch in " ".join((t or "").lower().split()):
-                h = (h * BASE + ord(ch)) % MOD
-            return h
-
-        return texts.map(one)
-
-    return rolling_hash_fingerprint
+def simhash_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    positional: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`simhash_fingerprints` — same tokenization,
+    same 60-bit md5 token hash, same bit votes; used to build oracles."""
+    toklist = f"list_filter(string_split_regex(lower(coalesce({text_col}, '')), '\\s+'), t -> t <> '')"
+    pos_sel = (
+        f", unnest(list_transform({toklist}, (x, i) -> concat(CAST(i AS VARCHAR), ':', x))) AS ptok"
+        if positional
+        else ""
+    )
+    bit_terms = ", ".join(f"sum(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(SIMHASH_BITS))
+    pos_term = ", bit_xor(CAST(concat('0x', substring(md5(ptok), 1, 15)) AS BIGINT)) AS posfp" if positional else ""
+    assemble = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    pos_out = ", coalesce(s.posfp, 0) AS posfp" if positional else ""
+    return f"""
+WITH _toks AS (
+  SELECT {id_col}, unnest({toklist}) AS tok{pos_sel} FROM {table}
+), _hashed AS (
+  SELECT {id_col}, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+         {', ptok' if positional else ''}
+  FROM _toks
+), _sums AS (
+  SELECT {id_col}, {bit_terms}{pos_term} FROM _hashed GROUP BY {id_col}
+), _fps AS (
+  SELECT {id_col}, {assemble} AS simhash{', posfp' if positional else ''} FROM _sums
+)
+SELECT d.{id_col}, coalesce(s.simhash, 0) AS simhash{pos_out}
+FROM {table} d LEFT JOIN _fps s USING ({id_col})
+"""
 
 
 def register(spark: SparkSession) -> None:
-    """Register the SQL-callable text functions."""
+    """Register the SQL-callable text functions. SimHash / positional
+    fingerprints are table-level transforms (they aggregate over tokens),
+    not scalar UDFs — see :func:`simhash_fingerprints`."""
     spark.udf.register("lang_id", make_lang_id_udf())
-    spark.udf.register("simhash64", make_simhash64_udf())
-    spark.udf.register("rolling_hash_fingerprint", make_rolling_hash_udf())

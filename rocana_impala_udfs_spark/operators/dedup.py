@@ -411,19 +411,26 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split the 64-bit fingerprint into ``max_hamming+1``
-    chunks; any pair within the distance budget must agree exactly on at
+    Pigeonhole banding: split the 60-bit fingerprint into ``max_hamming+1``
+    disjoint chunks covering every bit (the last chunk absorbs the
+    remainder); any pair within the distance budget must agree exactly on at
     least one chunk, so candidates come from equality joins on chunks —
-    no O(n²). Verification is ``bit_count(a ^ b)`` in the JVM.
+    no O(n²). Fingerprinting and verification (``bit_count(a ^ b)``) are
+    pure JVM expressions — no Python UDF anywhere (see
+    ``functions.text.simhash_fingerprints``), so the whole operator is
+    oracle-checkable value-for-value.
     """
-    from rocana_impala_udfs_spark.functions.text import make_simhash64_udf
+    from rocana_impala_udfs_spark.functions.text import SIMHASH_BITS, simhash_fingerprints
 
     chunks = max_hamming + 1
-    bits = 64 // chunks
-    simhash64 = make_simhash64_udf()
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    bits = SIMHASH_BITS // chunks
+    fp = simhash_fingerprints(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("fp")
+    )
     chunk_cols = [
-        F.shiftrightunsigned(F.col("fp"), c * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias(f"c{c}")
+        F.shiftrightunsigned(F.col("fp"), c * bits)
+        .bitwiseAND(F.lit((1 << (bits if c < chunks - 1 else SIMHASH_BITS - c * bits)) - 1))
+        .alias(f"c{c}")
         for c in range(chunks)
     ]
     chunked = fp.select("id", "fp", *chunk_cols)

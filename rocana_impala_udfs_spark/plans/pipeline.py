@@ -103,9 +103,24 @@ WHERE d.doc_id = coalesce(c.component, d.doc_id)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No SQL oracle: the crc-based 64-bit token hash has no DuckDB
-    # equivalent. Covered in tests against brute-force hamming distance.
+    """Charikar SimHash near-dup pairs (hamming ≤ 3). Fingerprints are pure
+    JVM expressions sharing the md5-derived 60-bit token hash with the
+    DuckDB oracle, so this is hash-checked end to end; the oracle verifies
+    the banded candidate join against brute-force all-pairs."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    from rocana_impala_udfs_spark.functions.text import simhash_oracle_sql
+
+    fps = simhash_oracle_sql(table="documents", positional=False)
+    return f"""
+WITH fp AS ({fps})
+SELECT x.doc_id AS i, y.doc_id AS j,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
 
 
 # --- similarity search ------------------------------------------------------
@@ -231,11 +246,26 @@ FROM documents
 
 
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three document fingerprints, fully JVM-side: md5 content hash,
+    60-bit SimHash, and the order-sensitive positional fingerprint
+    (bit_xor of hash("pos:token") — replaces the old per-character Python
+    rolling hash with a formulation DuckDB mirrors exactly)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+    fps = T.simhash_fingerprints(docs, positional=True)
+    return (
+        docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+        .join(fps, "doc_id")
+        .select("doc_id", "fingerprint", "simhash", "posfp")
+    )
 
 
-ORACLE_TEXT_FINGERPRINTS = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+def _text_fingerprints_oracle() -> str:
+    fps = T.simhash_oracle_sql(table="documents", positional=True)
+    return f"""
+WITH fp AS ({fps})
+SELECT d.doc_id, md5({_NORM}) AS fingerprint, fp.simhash, fp.posfp
+FROM documents d JOIN fp USING (doc_id)
+"""
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,12 +827,13 @@ PIPELINE_ORACLE = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "ann_cosine_top5": ORACLE_ANN_TOP5,
     "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
     "text_quality_scores": ORACLE_TEXT_QUALITY,
     "text_token_counts": ORACLE_TEXT_TOKENS,
-    "text_fingerprints": ORACLE_TEXT_FINGERPRINTS,
+    "text_fingerprints": _text_fingerprints_oracle(),
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,
     "udtf_lateral_shingles": ORACLE_UDTF_SHINGLES,
     "lang_id_counts": ORACLE_LANG_ID,

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from rocana_impala_udfs_spark.functions.text import _detect_lang, _simhash64
+from rocana_impala_udfs_spark.functions.text import SIMHASH_BITS, _detect_lang
 from rocana_impala_udfs_spark.operators import dedup, multimodal, similarity
 from rocana_impala_udfs_spark.sources.io import load_table
 
@@ -39,18 +39,36 @@ def test_minhash_equals_exact_jaccard(spark):
     assert lsh == exact and len(exact) > 0
 
 
+def _simhash_py(tokens: list[str]) -> int:
+    """Independent pure-Python reference of the documented formula:
+    60-bit md5 token hash, +1/-1 bit votes, bit set iff vote sum > 0."""
+    import hashlib
+
+    if not tokens:
+        return 0
+    acc = [0] * SIMHASH_BITS
+    for tok in tokens:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for i in range(SIMHASH_BITS):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(SIMHASH_BITS) if acc[i] > 0)
+
+
 def test_simhash_pairs_match_bruteforce(spark):
+    # max_hamming=6 -> 7 chunks over 60 bits, exercising the uneven
+    # remainder chunk (4 chunks of 8 bits + last chunk of 12... i.e.
+    # 60 // 7 = 8 with the final chunk absorbing 12 bits).
     docs = load_table(spark, SF, "documents").limit(200)
     got = {(r.i, r.j) for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
-    # brute force in driver
+    # brute force in driver with an independent Python reimplementation
     rows = docs.select("doc_id", "text").collect()
-    fps = {r.doc_id: _simhash64((r.text or "").lower().split()) for r in rows}
+    fps = {r.doc_id: _simhash_py((r.text or "").lower().split()) for r in rows}
     ids = sorted(fps)
     expect = {
         (i, j)
         for idx, i in enumerate(ids)
         for j in ids[idx + 1 :]
-        if bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1") <= 6
+        if bin(fps[i] ^ fps[j]).count("1") <= 6
     }
     assert got == expect
 
