@@ -227,7 +227,15 @@ def make_appx_median_bounded_udf():
 
 def make_appx_median_bounded_str_udf():
     """STRING-returning variant for exact reference DDL compatibility
-    (``(DOUBLE, INT) RETURNS STRING``, reference ``README.md:40``)."""
+    (``(DOUBLE, INT) RETURNS STRING``, reference ``README.md:40``).
+
+    Deliberate formatting divergence, pinned in tests/test_median.py: the
+    reference's ``ToStringVal`` (``median.cc:29-37``) uses default
+    ``stringstream`` formatting — 6 significant digits — so its string LOSES
+    precision. We return ``repr(float)`` (shortest round-trip form) so the
+    documented ``CAST(appx_median_bounded(x, k) AS DOUBLE)`` idiom recovers
+    the exact double. Byte-level parity with the C++ string is explicitly
+    not a goal; value-level parity through the CAST is."""
 
     @pandas_udf("string")
     def appx_median_bounded_str_udf(x: pd.Series, k: pd.Series) -> str:
@@ -258,6 +266,18 @@ def make_reservoir_sample_udf():
 # ---------------------------------------------------------------------------
 # Exact upper median as a relational composition (typed generalization)
 # ---------------------------------------------------------------------------
+
+
+def truncate_bytes(col: Column | str, n: int = 10) -> Column:
+    """The reference's string-sample truncation (``median.cc:49,67-86``):
+    ``ReservoirSample<StringVal>`` keeps only the first
+    ``MAX_STRING_SAMPLE_LEN = 10`` BYTES of each sampled string, so ordering
+    and the returned median are over truncated values. Byte semantics, not
+    codepoints: we slice the UTF-8 ``binary`` form, so a multi-byte char cut
+    at the boundary yields a replacement char on decode (the closest a
+    STRING column gets to the reference's raw ``uint8_t val[10]``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c.cast("binary"), 1, n).cast("string")
 
 
 def exact_upper_median(

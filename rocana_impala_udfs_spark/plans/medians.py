@@ -136,6 +136,31 @@ def q_median_name_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_upper_median(c, "c_name", ["c_mktsegment"], out="median_name")
 
 
+def q_median_name_truncated10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL string-median semantics: samples keep only the
+    first MAX_STRING_SAMPLE_LEN=10 BYTES (median.cc:49,67-86), so ordering
+    and the returned value are over 10-byte prefixes. Byte-sliced via binary
+    cast (functions.median.truncate_bytes); the oracle's VARCHAR substring
+    agrees because c_name is ASCII — the multi-byte edge is pinned in
+    tests/test_median.py instead."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median, truncate_bytes
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", truncate_bytes("c_name", 10).alias("name10")
+    )
+    return exact_upper_median(c, "name10", ["c_mktsegment"], out="median_name10")
+
+
+ORACLE_MEDIAN_NAME_TRUNCATED = """
+SELECT c_mktsegment, x AS median_name10 FROM (
+    SELECT c_mktsegment, substring(c_name, 1, 10) AS x,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY substring(c_name, 1, 10)) AS rn,
+           count(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM customer WHERE c_name IS NOT NULL
+) ranked WHERE rn = CAST(n // 2 AS BIGINT) + 1
+"""
+
+
 def q_window_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDAF used as a window function (SURVEY §2.2 'a windowed
     appx_median_bounded falls out of registration'): per-row median of the
@@ -196,6 +221,7 @@ MEDIAN_QUERIES = {
     "appx_median_sql_udaf": q_median_sql_udaf,
     "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
     "exact_median_name_by_segment": q_median_name_by_segment,
+    "exact_median_name_truncated10": q_median_name_truncated10,
     "exact_median_price_decimal": q_median_price_decimal,
     "reservoir_sample_quantity": q_reservoir_sample_quantity,
     "window_median_quantity": q_window_median_quantity,
@@ -229,6 +255,7 @@ MEDIAN_ORACLE = {
     "exact_median_name_by_segment": _upper_median_oracle(
         "customer", "c_name", "median_name", group="c_mktsegment", group_out="c_mktsegment"
     ),
+    "exact_median_name_truncated10": ORACLE_MEDIAN_NAME_TRUNCATED,
     "exact_median_price_decimal": ORACLE_MEDIAN_DECIMAL,
     "reservoir_sample_quantity": ORACLE_RESERVOIR_SAMPLE,
     "window_median_quantity": ORACLE_WINDOW_MEDIAN,

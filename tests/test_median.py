@@ -233,3 +233,54 @@ def test_string_return_type(spark):
     df.createOrReplaceTempView("three")
     row = spark.sql("SELECT appx_median_bounded(x, 10) AS m FROM three").collect()[0]
     assert isinstance(row.m, str) and float(row.m) == pytest.approx(2.0, abs=ABS)
+
+
+# -- 10-byte string truncation (median.cc:49,67-86) -------------------------
+
+
+def test_truncate_bytes_ascii(spark):
+    from rocana_impala_udfs_spark.functions.median import truncate_bytes
+
+    df = spark.createDataFrame([("abcdefghijKLMNOP",), ("short",)], "s string")
+    out = [r.t for r in df.select(truncate_bytes("s", 10).alias("t")).collect()]
+    assert out == ["abcdefghij", "short"]
+
+
+def test_truncate_bytes_is_bytes_not_codepoints(spark):
+    from rocana_impala_udfs_spark.functions.median import truncate_bytes
+
+    # 'ééééé' = 10 UTF-8 bytes; adding a 6th é crosses the byte budget and
+    # the reference's uint8_t[10] buffer would cut mid-codepoint.
+    s6 = "é" * 6  # 12 bytes
+    df = spark.createDataFrame([(s6,)], "s string")
+    got = df.select(truncate_bytes("s", 10).alias("t")).collect()[0].t
+    assert got.startswith("é" * 5)
+    assert got != s6  # truncated by BYTES: 6 chars would be 12 bytes
+    assert len(got.encode("utf-8", errors="replace")) >= 10  # kept 10 raw bytes
+
+
+def test_truncated_median_uses_prefix_order(spark):
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median, truncate_bytes
+
+    # Full-string order: aaaaaaaaaaZZ < aaaaaaaaab, same as 10-byte-prefix
+    # order here, but the RETURNED value must be the truncated sample,
+    # exactly like ReservoirSample<StringVal>::GetValue (median.cc:81-86).
+    df = spark.createDataFrame(
+        [("g", "aaaaaaaaaaZZ"), ("g", "aaaaaaaaab"), ("g", "b")], "grp string, s string"
+    )
+    t = df.select("grp", truncate_bytes("s", 10).alias("s10"))
+    out = exact_upper_median(t, "s10", ["grp"], out="m").collect()[0].m
+    assert out == "aaaaaaaaab"
+
+
+# -- STRING return precision pin (ToStringVal divergence, median.cc:29-37) --
+
+
+def test_string_return_full_precision_round_trip(spark):
+    # repr() round-trips the double exactly; the reference's stringstream
+    # would emit only 6 significant digits. Divergence is documented in
+    # make_appx_median_bounded_str_udf; CAST-back must be lossless.
+    df = spark.createDataFrame([(51504.36,), (51504.36,), (51504.36,)], "x double")
+    df.createOrReplaceTempView("_prec3")
+    row = spark.sql("SELECT CAST(appx_median_bounded(x, 10) AS DOUBLE) AS m FROM _prec3").collect()[0]
+    assert row.m == 51504.36
