@@ -38,11 +38,16 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "text_quality_scores",
     "ann_cosine_top5",
-    # Temporal operators over events.
+    # Temporal operators over events (incl. the 4 repaired events queries, r2).
     "asof_click_attribution",
     "tumbling_hourly_event_stats",
     "range_join_value_bands",
     "ops_session_health",
+    "appx_median_value_by_day",
+    "window_lag_lead_events",
+    "events_value_outliers",
+    # JVM SimHash (rewritten r2; regression-watch the 60-bit-vote agg).
+    "dedup_simhash_pairs",
     # Engine-exclusive operators.
     "skyline_parts",
     "split_train_val_test",
@@ -53,7 +58,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = None  # custom dir name; bench still runs and emits its JSON line
     spark = get_spark("rocana-bench")
     import __spark_entry__ as entrymod
 

@@ -280,7 +280,26 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-_DRIVER_CC_MAX_EDGES = 1_000_000
+_BYTES_PER_CC_EDGE = 150  # two dict entries (parent map) + Row overhead, measured order
+
+
+def _driver_cc_max_edges(spark) -> int:
+    """Largest edge list worth collecting for driver-side union-find.
+
+    Explicit override via ``spark.rocana.cc.maxDriverEdges``; otherwise
+    budget ~10% of the configured driver heap at ~150 bytes/edge (so the
+    default 1g driver allows ~700k edges, a 64g driver ~45M). The pair
+    graph is the OUTPUT of near-dup detection — orders of magnitude smaller
+    than the corpus — so this path covers all but genuinely huge dup graphs.
+    """
+    override = spark.conf.get("spark.rocana.cc.maxDriverEdges", None)
+    if override is not None:
+        return int(override)
+    mem = spark.conf.get("spark.driver.memory", "1g").strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = units.get(mem[-1], 1)
+    heap = int(mem[:-1]) * mult if mem[-1] in units else int(mem)
+    return max(10_000, heap // 10 // _BYTES_PER_CC_EDGE)
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -316,7 +335,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, driver_max_edges: int | None = None
+) -> DataFrame:
     """(id, component) for every id in the pair graph; component = min id
     reachable. Iterative min-label propagation: each round joins labels
     across edges and keeps the min — converges in O(graph diameter) rounds
@@ -341,7 +362,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # materialized) edge list is driver-sized, union-find locally in
     # O(E·α(V)) instead of paying 3+ Spark jobs per propagation round; the
     # distributed path below remains for genuinely huge graphs.
-    if edges.count() <= _DRIVER_CC_MAX_EDGES:
+    if driver_max_edges is None:
+        driver_max_edges = _driver_cc_max_edges(pairs.sparkSession)
+    if edges.count() <= driver_max_edges:
         return _driver_union_find(edges)
     labels = (
         edges.select(F.col("a").alias("id"))

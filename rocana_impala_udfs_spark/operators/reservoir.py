@@ -65,6 +65,14 @@ def reservoir_partials(
     out_cols = group_cols + ["samples", "keys", "source_size"]
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Mix the partition id into the seed: with a group-only seed every
+        # partition's partial for a group shares one RNG stream, correlating
+        # saturated-path accept decisions and serialize keys across
+        # partitions and mildly biasing the merged sample.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
         states: dict[tuple, ReservoirState] = {}
         for pdf in batches:
             if group_cols:
@@ -75,7 +83,7 @@ def reservoir_partials(
                 gk = gk if isinstance(gk, tuple) else (gk,)
                 st = states.get(gk)
                 if st is None:
-                    st = ReservoirState(max_samples, seed=_stable_seed(seed, gk))
+                    st = ReservoirState(max_samples, seed=_stable_seed(seed, (pid, *gk)))
                     states[gk] = st
                 st.update(sub["_v"].to_numpy(dtype=np.float64))
         rows = []

@@ -284,7 +284,7 @@ def test_tfidf_ranks_are_dense_per_doc(spark):
         assert all(a.tfidf >= b.tfidf for a, b in zip(ordered, ordered[1:]))
 
 
-def test_connected_components_paths_agree(spark, monkeypatch):
+def test_connected_components_paths_agree(spark):
     """Driver union-find and distributed label propagation must label
     identically: chain, clique, isolated pair, and cross-cluster ids."""
     pairs = spark.createDataFrame(
@@ -292,8 +292,8 @@ def test_connected_components_paths_agree(spark, monkeypatch):
         "i long, j long",
     )
     fast = {(r.id, r.component) for r in dedup.connected_components(pairs).collect()}
-    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", -1)  # force distributed path
-    slow = {(r.id, r.component) for r in dedup.connected_components(pairs).collect()}
+    # force distributed label propagation
+    slow = {(r.id, r.component) for r in dedup.connected_components(pairs, driver_max_edges=-1).collect()}
     assert fast == slow
     assert fast == {
         (1, 1), (2, 1), (3, 1), (4, 1),
@@ -429,3 +429,14 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = {r.id for r in weighted_sample(df, "w", 10).collect()}
     assert got == {3}
+
+
+def test_driver_cc_max_edges_derivation(spark):
+    # default: derived from driver memory, never below the floor
+    assert dedup._driver_cc_max_edges(spark) >= 10_000
+    # explicit override wins
+    spark.conf.set("spark.rocana.cc.maxDriverEdges", "123")
+    try:
+        assert dedup._driver_cc_max_edges(spark) == 123
+    finally:
+        spark.conf.unset("spark.rocana.cc.maxDriverEdges")
