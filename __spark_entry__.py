@@ -22,6 +22,7 @@ from rocana_impala_udfs_spark.plans import relational
 from rocana_impala_udfs_spark.plans.medians import MEDIAN_ORACLE, MEDIAN_QUERIES
 from rocana_impala_udfs_spark.plans.pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES
 from rocana_impala_udfs_spark.plans.temporal import TEMPORAL_ORACLE, TEMPORAL_QUERIES
+from rocana_impala_udfs_spark.plans.tpch import TPCH_ORACLE, TPCH_QUERIES
 from rocana_impala_udfs_spark.sources.io import register_temp_views
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MEDIAN_QUERIES)
     out.update(PIPELINE_QUERIES)
     out.update(TEMPORAL_QUERIES)
+    out.update(TPCH_QUERIES)
     out.update(relational.QUERIES)
     return out
 
@@ -54,5 +56,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(MEDIAN_ORACLE)
     out.update(PIPELINE_ORACLE)
     out.update(TEMPORAL_ORACLE)
+    out.update(TPCH_ORACLE)
     out.update(relational.ORACLE)
     return out

@@ -148,3 +148,45 @@ def test_entry_contract_consistency():
     assert all(isinstance(k, str) and k for k in qs)
     assert all(callable(v) for v in qs.values())
     assert all(isinstance(v, str) and "SELECT" in v.upper() for v in oracles.values())
+
+
+# --- TPC-H-flavor pack (round 2) -------------------------------------------
+
+
+def test_q4_exists_is_semi_join_not_distinct(spark):
+    plan = _plan(spark, "exists_q4_order_priority")
+    assert "LeftSemi" in plan
+    # EXISTS must not materialize a distinct lineitem set
+    assert "Deduplicate" not in plan
+
+
+def test_q7_dims_broadcast_one_fact_shuffle(spark):
+    plan = _plan(spark, "join_q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + 2x nation
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_six_table_tree_no_dim_shuffle(spark):
+    plan = _plan(spark, "join_q9_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "Exchange hashpartitioning(p_partkey" not in plan
+    assert "Exchange hashpartitioning(s_suppkey" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    plan = _plan(spark, "join_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_stays_single_predicate(spark):
+    plan = _plan(spark, "disjunct_q19_discounted_revenue")
+    # The OR-of-conjunctions must not expand into a union of three scans.
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+    assert "Union" not in plan
+
+
+def test_q22_anti_join_no_collect_shape(spark):
+    plan = _plan(spark, "notexists_q22_idle_customers")
+    assert "LeftAnti" in plan
+    # scalar subquery stays in-plan as a broadcast join over the 1-row agg
+    assert "BroadcastNestedLoopJoin" in plan

@@ -50,7 +50,7 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         else:
             bad = ~((av == bv) | (av.isna() & bv.isna()))
         if bad.any():
-            i = int(np.argmax(bad.values))
+            i = int(np.argmax(np.asarray(bad)))
             problems.append(f"col {c}: {int(bad.sum())} mismatches, first at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
     return problems
 
