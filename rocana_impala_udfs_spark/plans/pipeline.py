@@ -293,6 +293,100 @@ ORDER BY n DESC, bigram LIMIT 25
 """
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score — the perplexity-style
+    quality gate of a training-data pipeline. Corpus bigram/context counts
+    with add-one smoothing over the unigram vocabulary; each document's
+    score is the mean log-probability of its bigrams.
+
+    Scale shape: counts are plain partial+final aggregations; the per-bigram
+    probability lookup is a shuffle hash join keyed on (w1, w2) — at 100 TB
+    the count tables are themselves distributed, nothing collects; the
+    1-row vocabulary scalar broadcasts. Everything is JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(coalesce(text,'')), '\\s+'), t -> t <> '')").alias("ts"),
+    )
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bg = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("ts").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    return (
+        bi.join(bg, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> t <> '') AS ts
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+  FROM toks WHERE len(ts) >= 2
+), bg AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+vocab AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks))
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
+FROM bigrams b JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+GROUP BY 1
+"""
+
+
+def q_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus length-distribution report: doc count, total tokens,
+    mean, and exact interpolated p50/p90/p99 of per-doc token counts.
+    ``percentile`` is an aggregate (partial+final), not a global sort; token
+    counts are small integers so the interpolated values are exact halves —
+    deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select(T.token_count("text").alias("tc"))
+    return tc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("tc"), 4).alias("mean_tokens"),
+        F.expr("percentile(tc, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(tc, 0.9)").alias("p90_tokens"),
+        F.expr("percentile(tc, 0.99)").alias("p99_tokens"),
+    )
+
+
+ORACLE_CORPUS_LENGTH = f"""
+WITH tc AS (
+  SELECT CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END AS INT) AS tc
+  FROM documents
+)
+SELECT count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens,
+       round(avg(tc), 4) AS mean_tokens,
+       quantile_cont(tc, 0.5) AS p50_tokens,
+       quantile_cont(tc, 0.9) AS p90_tokens,
+       quantile_cont(tc, 0.99) AS p99_tokens
+FROM tc
+"""
+
+
 def q_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDTF registration surface used from SQL via LATERAL — positioned
     word-3-shingles of the first 50 documents."""
@@ -820,6 +914,8 @@ PIPELINE_QUERIES = {
     "repetition_scores": q_repetition_scores,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "pack_training_sequences": q_pack_training_sequences,
+    "text_bigram_lm_scores": q_bigram_lm_scores,
+    "corpus_length_report": q_corpus_length_report,
 }
 
 PIPELINE_ORACLE = {
@@ -846,4 +942,6 @@ PIPELINE_ORACLE = {
     "chunk_dedup_stats": ORACLE_CHUNK_DEDUP,
     "repetition_scores": ORACLE_REPETITION,
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
+    "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
+    "corpus_length_report": ORACLE_CORPUS_LENGTH,
 }
