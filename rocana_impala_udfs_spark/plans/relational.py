@@ -383,6 +383,80 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return flag: Pearson corr over
+    fractional (tie-averaged) ranks. Ranks come from two per-group window
+    sorts — avg rank for ties = min_rank + (tie_count - 1)/2, the textbook
+    fractional-ranking rule mirrored verbatim in the oracle. Per-group sort
+    is inherent to ranking; the groups partition the data so each sorts in
+    parallel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    tq = Window.partitionBy("l_returnflag", "l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        (F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0).alias("rp"),
+        (F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0).alias("rq"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(F.corr("rp", "rq"), 6).alias("spearman_rho")
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH ranked AS (
+    SELECT l_returnflag,
+           rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+             + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp,
+           rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+             + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq
+    FROM lineitem
+)
+SELECT l_returnflag, round(corr(rp, rq), 6) AS spearman_rho
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report pattern: each nation's share of total revenue — a
+    window total over the already-aggregated 25-row result, so the window
+    costs nothing regardless of fact size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("_rev"))
+    )
+    w_all = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round((F.col("_rev") / F.sum("_rev").over(w_all)).cast("double"), 6).alias("rev_share"),
+    ).orderBy("n_name")
+
+
+ORACLE_REVENUE_SHARE = """
+WITH rev AS (
+    SELECT n_name, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, CAST(round(r, 2) AS DOUBLE) AS revenue,
+       round(CAST(r / sum(r) OVER () AS DOUBLE), 6) AS rev_share
+FROM rev ORDER BY n_name
+"""
+
+
 def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -979,6 +1053,8 @@ QUERIES = {
     "window_lag_lead_events": q_lag_lead_events,
     "window_ntile_order_deciles": q_ntile_order_deciles,
     "stats_price_quantity": q_stats_price_quantity,
+    "stats_spearman_price_quantity": q_spearman_price_quantity,
+    "window_revenue_share_by_nation": q_revenue_share_by_nation,
     "scalar_string_math": q_scalar_functions,
     "scalar_date_functions": q_date_functions,
     "conditional_agg": q_conditional_agg,
@@ -1022,6 +1098,8 @@ ORACLE = {
     "window_lag_lead_events": ORACLE_LAG_LEAD_EVENTS,
     "window_ntile_order_deciles": ORACLE_NTILE_DECILES,
     "stats_price_quantity": ORACLE_STATS_PRICE_QUANTITY,
+    "stats_spearman_price_quantity": ORACLE_SPEARMAN,
+    "window_revenue_share_by_nation": ORACLE_REVENUE_SHARE,
     "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
     "scalar_date_functions": ORACLE_DATE_FUNCTIONS,
     "conditional_agg": ORACLE_CONDITIONAL_AGG,

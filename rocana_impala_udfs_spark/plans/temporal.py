@@ -484,6 +484,53 @@ GROUP BY bin ORDER BY bin
 """
 
 
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def q_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram — the complement of the
+    equal-width bins above. Scale-correct WITHOUT a global sort: exact
+    decile boundaries come from the ``percentile`` AGGREGATE (partial+final,
+    verified bit-identical to DuckDB ``quantile_cont``), broadcast as one
+    row; each row's bucket is 1 + #boundaries strictly below its value
+    (ties land in the lower bucket in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({','.join(map(str, _DECILES))}))"
+        ).alias("bs")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            (1 + F.size(F.filter(F.col("bs"), lambda b: b < F.col("l_extendedprice"))))
+            .cast("int")
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = f"""
+WITH b AS (SELECT quantile_cont(l_extendedprice, {_DECILES}) AS bs FROM lineitem),
+bucketed AS (
+    SELECT CAST(1 + len(list_filter(b.bs, x -> x < l_extendedprice)) AS INT) AS bucket,
+           l_extendedprice
+    FROM lineitem CROSS JOIN b
+)
+SELECT bucket, count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo, round(max(l_extendedprice), 2) AS hi
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --- pivot ------------------------------------------------------------------
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -563,6 +610,7 @@ TEMPORAL_QUERIES = {
     "range_join_value_bands": q_range_join_value_bands,
     "gap_filled_minute_counts": q_gap_filled_minutes,
     "histogram_price_bins": q_price_histogram,
+    "histogram_price_equidepth": q_price_equidepth_histogram,
     "sliding_window_event_rates": q_sliding_window_event_rates,
 }
 
@@ -583,4 +631,5 @@ TEMPORAL_ORACLE = {
     "range_join_value_bands": ORACLE_RANGE_JOIN,
     "gap_filled_minute_counts": ORACLE_GAP_FILLED,
     "histogram_price_bins": ORACLE_PRICE_HISTOGRAM,
+    "histogram_price_equidepth": ORACLE_EQUIDEPTH_HISTOGRAM,
 }
