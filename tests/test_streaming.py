@@ -220,3 +220,57 @@ def test_running_median_transform_with_state(spark, event_stream_dir):
     assert set(got) == set(expect)
     for g, r in got.items():
         assert r.median == pytest.approx(expect[g], abs=1e-9)
+
+
+def test_streaming_heavy_hitters_exact_when_unsaturated(spark, event_stream_dir):
+    """With m larger than the distinct-value count no decrement ever fires,
+    so the final MG counts must EQUAL the batch value counts."""
+    from rocana_impala_udfs_spark.streaming.frequency_stream import streaming_heavy_hitters
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_heavy_hitters(stream, value_col="event_type", m=10)
+    _run_stream(out, "hh_stream")
+    # update mode re-emits per trigger; unsaturated counts are monotone, so
+    # the max emission per value is the final state.
+    got = {
+        r.value: r.mg_count
+        for r in spark.sql(
+            "SELECT value, max(mg_count) AS mg_count FROM hh_stream GROUP BY value"
+        ).collect()
+    }
+    expect = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, event_stream_dir):
+    """With m=2 the summary must stay at <=2 candidates and report only
+    lower-bound counts <= the true counts."""
+    from rocana_impala_udfs_spark.streaming.frequency_stream import streaming_heavy_hitters
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = streaming_heavy_hitters(stream, value_col="event_type", m=2)
+    _run_stream(out, "hh_small")
+    rows = spark.sql("SELECT * FROM hh_small").collect()
+    assert rows
+    # per emission batch, at most 2 candidates
+    true_counts = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_value_last = {}
+    for r in rows:
+        per_value_last[r.value] = r.mg_count
+    assert len(per_value_last) <= len(true_counts)
+    for v, c in per_value_last.items():
+        assert c <= true_counts[v]
