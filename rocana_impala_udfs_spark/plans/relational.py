@@ -457,6 +457,29 @@ FROM rev ORDER BY n_name
 """
 
 
+def q_rolling_p90_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling quantile: exact p90 of each customer's trailing 10 orders —
+    the aggregate ``percentile`` used as a window function over a ROWS
+    frame (verified bit-identical to DuckDB ``quantile_cont``; both
+    linear-interpolate at (n-1)q). Per-key window sort, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-9, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.expr("percentile(o_totalprice, 0.9)").over(w), 4).alias("rolling_p90"),
+    )
+
+
+ORACLE_ROLLING_P90 = """
+SELECT o_custkey, o_orderkey,
+       round(quantile_cont(o_totalprice, 0.9) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS rolling_p90
+FROM orders
+"""
+
+
 def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1055,6 +1078,7 @@ QUERIES = {
     "stats_price_quantity": q_stats_price_quantity,
     "stats_spearman_price_quantity": q_spearman_price_quantity,
     "window_revenue_share_by_nation": q_revenue_share_by_nation,
+    "window_rolling_p90_totalprice": q_rolling_p90_totalprice,
     "scalar_string_math": q_scalar_functions,
     "scalar_date_functions": q_date_functions,
     "conditional_agg": q_conditional_agg,
@@ -1100,6 +1124,7 @@ ORACLE = {
     "stats_price_quantity": ORACLE_STATS_PRICE_QUANTITY,
     "stats_spearman_price_quantity": ORACLE_SPEARMAN,
     "window_revenue_share_by_nation": ORACLE_REVENUE_SHARE,
+    "window_rolling_p90_totalprice": ORACLE_ROLLING_P90,
     "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
     "scalar_date_functions": ORACLE_DATE_FUNCTIONS,
     "conditional_agg": ORACLE_CONDITIONAL_AGG,
