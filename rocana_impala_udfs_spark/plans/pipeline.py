@@ -102,6 +102,83 @@ WHERE d.doc_id = coalesce(c.component, d.doc_id)
 """
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the QA report behind survivor
+    selection: how big are the near-dup clusters MinHash found? Singleton
+    docs (not in the pair graph) count as size-1 clusters via the left
+    join, so sizes sum to the corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    labels = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(F.coalesce("component", F.col("doc_id")).alias("component"))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_DEDUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+    SELECT i AS a, j AS b FROM jac_pairs
+    UNION
+    SELECT j AS a, i AS b FROM jac_pairs
+),
+reach AS (
+    SELECT a AS id, b AS r FROM edges
+    UNION
+    SELECT e.a AS id, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+labels AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+csizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY 1 ORDER BY 1
+"""
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[A-Za-z0-9./_%-]+"
+_PII_LONGNUM = r"[0-9]{7,}"
+
+
+def q_text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern screen — the redaction/filter gate of a training-data
+    pipeline: per-doc counts of email-, URL-, and long-digit-run-shaped
+    spans. Pure JVM ``regexp_count`` (patterns chosen RE2-compatible so the
+    DuckDB oracle matches span-for-span); zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_email = F.regexp_count("text", F.lit(_PII_EMAIL))
+    n_url = F.regexp_count("text", F.lit(_PII_URL))
+    n_num = F.regexp_count("text", F.lit(_PII_LONGNUM))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_url.alias("n_urls"),
+        n_num.alias("n_longnums"),
+        ((n_email + n_url + n_num) > 0).alias("pii_flagged"),
+    )
+
+
+ORACLE_TEXT_PII = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS INT) AS n_longnums,
+       (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(text, '{_PII_URL}'))
+        + len(regexp_extract_all(text, '{_PII_LONGNUM}'))) > 0 AS pii_flagged
+FROM documents
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar SimHash near-dup pairs (hamming ≤ 3). Fingerprints are pure
     JVM expressions sharing the md5-derived 60-bit token hash with the
@@ -916,6 +993,8 @@ PIPELINE_QUERIES = {
     "pack_training_sequences": q_pack_training_sequences,
     "text_bigram_lm_scores": q_bigram_lm_scores,
     "corpus_length_report": q_corpus_length_report,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "text_pii_flags": q_text_pii_flags,
 }
 
 PIPELINE_ORACLE = {
@@ -944,4 +1023,6 @@ PIPELINE_ORACLE = {
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
     "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,
+    "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
+    "text_pii_flags": ORACLE_TEXT_PII,
 }
