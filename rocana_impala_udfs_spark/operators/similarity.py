@@ -361,3 +361,55 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def euclidean_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance of two ARRAY<numeric> columns, double precision,
+    summed in index order (matches DuckDB ``list_distance`` exactly)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(da, db, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def kmeans_assign_onestep(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One deterministic Lloyd assignment step: centroids are the vectors
+    with the ``n_centroids`` smallest ids (a fixed, reproducible seeding —
+    k-means++ randomness would break oracle comparison), every vector goes
+    to its nearest centroid by euclidean distance, ties to the lower
+    centroid id.
+
+    The scale shape of EVERY Lloyd iteration: centroids broadcast (k × dim
+    doubles), assignment is one map-side pass over the corpus, and the
+    update step (not run here) is a partial+final mean-by-cluster agg. The
+    full iterative loop lives in the SemDeDup path (`_kmeans_fit` on a
+    bounded sample); this exposes the distributed assignment primitive."""
+    cents = vectors.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    )
+    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cid",
+        euclidean_dist(F.col(vec_col), F.col("c_vec")).alias("_d"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d"), F.col("cid"))
+    return (
+        scored.select(
+            id_col,
+            F.col("cid").alias("cluster"),
+            F.round("_d", 4).alias("dist"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

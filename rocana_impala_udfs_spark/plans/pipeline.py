@@ -203,6 +203,30 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 # --- similarity search ------------------------------------------------------
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd assignment step over the embedding corpus (see
+    operators/similarity.py:kmeans_assign_onestep)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign_onestep(emb, n_centroids=8)
+
+
+ORACLE_KMEANS_ASSIGN = """
+WITH c AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT v.vec_id, c.cid, list_distance(v.embedding::DOUBLE[], c.cv) AS d
+    FROM embeddings v CROSS JOIN c
+),
+ranked AS (
+    SELECT vec_id, cid AS cluster, round(d, 4) AS dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM scored
+)
+SELECT vec_id, cluster, dist FROM ranked WHERE rn = 1
+"""
+
+
 def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -995,6 +1019,7 @@ PIPELINE_QUERIES = {
     "corpus_length_report": q_corpus_length_report,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "text_pii_flags": q_text_pii_flags,
+    "emb_kmeans_assign": q_kmeans_assign,
 }
 
 PIPELINE_ORACLE = {
@@ -1025,4 +1050,5 @@ PIPELINE_ORACLE = {
     "corpus_length_report": ORACLE_CORPUS_LENGTH,
     "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
     "text_pii_flags": ORACLE_TEXT_PII,
+    "emb_kmeans_assign": ORACLE_KMEANS_ASSIGN,
 }
