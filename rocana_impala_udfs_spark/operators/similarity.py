@@ -413,3 +413,60 @@ def kmeans_assign_onestep(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full distributed Lloyd k-means over the embedding corpus.
+
+    Per iteration: centroids (k × dim doubles — kilobytes, NOT corpus-sized)
+    are broadcast for a map-side nearest-centroid assignment, then the
+    update is one partial+final aggregation (per-dimension avg per
+    cluster). Only the k × dim centroid matrix ever reaches the driver —
+    the same contract as MLlib's KMeans — so the loop is 100 TB-legal: the
+    corpus is scanned ``iters`` times and shuffled never (the update agg
+    combines map-side).
+
+    Deterministic: init = the k lowest-id vectors, ties to the lower
+    centroid id, no RNG anywhere. Returns (assignments DataFrame, centroid
+    list, inertia-per-iteration list).
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    cents_rows = (
+        vectors.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        .collect()
+    )
+    cents = {int(r.cid): [float(x) for x in r.c_vec] for r in cents_rows}
+    spark = vectors.sparkSession
+    inertia_history = []
+    assign = None
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())], "cid int, c_vec array<double>"
+        )
+        scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(cdf)).select(
+            id_col,
+            vec_col,
+            "cid",
+            euclidean_dist(F.col(vec_col), F.col("c_vec")).alias("_d"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_d"), F.col("cid"))
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, F.col("cid").alias("cluster"), F.col("_d").alias("dist"))
+        )
+        stats = assign.groupBy("cluster").agg(
+            F.sum(F.col("dist") * F.col("dist")).alias("sse"),
+            *[F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}") for i in range(dim)],
+        )
+        rows = stats.collect()  # k rows of dim+1 doubles — bounded by k, not N
+        inertia_history.append(float(sum(r.sse for r in rows)))
+        cents = {int(r.cluster): [r[f"m{i}"] for i in range(dim)] for r in rows}
+    return assign.select(id_col, "cluster", F.round("dist", 4).alias("dist")), cents, inertia_history

@@ -227,6 +227,22 @@ SELECT vec_id, cluster, dist FROM ranked WHERE rn = 1
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration distributed Lloyd k-means → cluster size/SSE report.
+    No oracle: iterative algorithm (the driver records the weaker rows-only
+    check); determinism + monotone-inertia are pinned in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _, _ = similarity.kmeans_lloyd(emb, k=8, iters=5)
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("dist") * F.col("dist")), 2).alias("sse"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def q_ann_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -1020,6 +1036,7 @@ PIPELINE_QUERIES = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "text_pii_flags": q_text_pii_flags,
     "emb_kmeans_assign": q_kmeans_assign,
+    "emb_kmeans_clusters": q_kmeans_clusters,
 }
 
 PIPELINE_ORACLE = {

@@ -780,6 +780,61 @@ FROM customer c FULL OUTER JOIN deltas d ON c.c_custkey = d.c_custkey
 """
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection with the reference's own median: per
+    event type, flag values whose absolute deviation from the type median
+    exceeds 3 × 1.4826 × MAD (median absolute deviation — the robust sigma).
+    Both medians use the exact upper-median rule (median.cc:301), composed
+    from `exact_upper_median`; the per-type median/MAD tables are
+    broadcast-sized, so the corpus is scanned twice and never shuffled."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = exact_upper_median(ev, "value", ["event_type"], out="med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_upper_median(dev, "adev", ["event_type"], out="mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(F.col("adev") / (F.lit(1.4826) * F.col("mad")), 4).alias("robust_z"),
+        )
+    )
+
+
+ORACLE_EVENTS_MAD = """
+WITH med AS (
+    SELECT event_type, x AS med FROM (
+        SELECT event_type, value AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ) r WHERE rn = CAST(n // 2 AS BIGINT) + 1
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type) WHERE e.value IS NOT NULL
+),
+mad AS (
+    SELECT event_type, x AS mad FROM (
+        SELECT event_type, adev AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ) r WHERE rn = CAST(n // 2 AS BIGINT) + 1
+)
+SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
+       round(d.adev / (1.4826 * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > 3 * 1.4826 * m.mad
+"""
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 flavor — correlated aggregate decorrelated into a join:
     revenue of lineitems whose quantity is below 20% of their part's average.
@@ -1079,6 +1134,7 @@ QUERIES = {
     "stats_spearman_price_quantity": q_spearman_price_quantity,
     "window_revenue_share_by_nation": q_revenue_share_by_nation,
     "window_rolling_p90_totalprice": q_rolling_p90_totalprice,
+    "events_mad_outliers": q_events_mad_outliers,
     "scalar_string_math": q_scalar_functions,
     "scalar_date_functions": q_date_functions,
     "conditional_agg": q_conditional_agg,
@@ -1125,6 +1181,7 @@ ORACLE = {
     "stats_spearman_price_quantity": ORACLE_SPEARMAN,
     "window_revenue_share_by_nation": ORACLE_REVENUE_SHARE,
     "window_rolling_p90_totalprice": ORACLE_ROLLING_P90,
+    "events_mad_outliers": ORACLE_EVENTS_MAD,
     "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
     "scalar_date_functions": ORACLE_DATE_FUNCTIONS,
     "conditional_agg": ORACLE_CONDITIONAL_AGG,

@@ -440,3 +440,31 @@ def test_driver_cc_max_edges_derivation(spark):
         assert dedup._driver_cc_max_edges(spark) == 123
     finally:
         spark.conf.unset("spark.rocana.cc.maxDriverEdges")
+
+
+def test_kmeans_lloyd_deterministic_and_monotone(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a1, cents1, hist1 = similarity.kmeans_lloyd(emb, k=4, iters=4)
+    a2, _, hist2 = similarity.kmeans_lloyd(emb, k=4, iters=4)
+    assert hist1 == hist2  # fully deterministic
+    # Lloyd inertia is non-increasing
+    assert all(b <= a + 1e-6 for a, b in zip(hist1, hist1[1:]))
+    # every vector assigned exactly once
+    n = emb.count()
+    assert a1.count() == n
+    got1 = {(r.vec_id, r.cluster) for r in a1.collect()}
+    got2 = {(r.vec_id, r.cluster) for r in a2.collect()}
+    assert got1 == got2
+
+
+def test_kmeans_assign_onestep_matches_bruteforce(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    got = {r.vec_id: r.cluster for r in similarity.kmeans_assign_onestep(emb, 4).collect()}
+    rows = emb.collect()
+    cents = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows if r.vec_id < 4}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        best = min(sorted(cents), key=lambda c: (float(np.linalg.norm(v - cents[c])), c))
+        assert got[r.vec_id] == best
