@@ -73,3 +73,23 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     keyed = df.filter(w > 0).withColumn("_ares_key", F.pow(F.rand(seed), 1.0 / w))
     return keyed.orderBy(F.col("_ares_key").desc()).limit(k).drop("_ares_key")
+
+
+def weighted_hash_gate(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted (importance) sampling: keep a row iff its
+    content-addressed uniform draw u = md5-bucket(key)/precision falls
+    below ``weight`` (a [0,1] column, e.g. a quality score). The same
+    content-stable-hash trick as :func:`hash_split` lifted from fixed
+    percentages to per-row weights — reproducible in any engine (it IS the
+    RNG), pure projection, no shuffle, no seed state. The keep rate of a
+    large corpus converges to avg(weight)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast("bigint")
+        % precision
+    ) / F.lit(float(precision))
+    return df.withColumn("_u", u).filter(F.col("_u") < weight).drop("_u")

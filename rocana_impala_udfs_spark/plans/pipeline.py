@@ -344,6 +344,46 @@ FROM feats
 """
 
 
+def q_resample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling: keep each doc with probability
+    equal to its quality score, using the content-addressed md5 draw as the
+    RNG (operators/sampling.py:weighted_hash_gate) — fully reproducible in
+    any engine, zero shuffle, and therefore exactly oracle-checkable where
+    seeded-RNG samplers are only statistically checkable."""
+    from rocana_impala_udfs_spark.operators.sampling import weighted_hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", T.quality_score("text").alias("quality"))
+    return weighted_hash_gate(scored, F.col("quality"), "doc_id")
+
+
+ORACLE_RESAMPLE_QUALITY = f"""
+WITH base AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr
+    FROM base
+),
+scored AS (
+    SELECT doc_id,
+           round((least(n_chars / 500.0, 1.0)
+                  + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0)
+                 ) / 3.0, 6) AS quality
+    FROM feats
+)
+SELECT doc_id, quality FROM scored
+WHERE (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000)
+      / 1000000.0 < quality
+"""
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1037,6 +1077,7 @@ PIPELINE_QUERIES = {
     "text_pii_flags": q_text_pii_flags,
     "emb_kmeans_assign": q_kmeans_assign,
     "emb_kmeans_clusters": q_kmeans_clusters,
+    "resample_by_quality": q_resample_by_quality,
 }
 
 PIPELINE_ORACLE = {
@@ -1068,4 +1109,5 @@ PIPELINE_ORACLE = {
     "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
     "text_pii_flags": ORACLE_TEXT_PII,
     "emb_kmeans_assign": ORACLE_KMEANS_ASSIGN,
+    "resample_by_quality": ORACLE_RESAMPLE_QUALITY,
 }
