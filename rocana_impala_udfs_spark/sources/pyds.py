@@ -17,7 +17,12 @@ partition index), so the source scales out with no coordination.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -59,8 +64,54 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+def _gen_rows(seed: int, start: int, end: int):
+    """Deterministic event rows for ids [start, end) — shared by the batch
+    partitions and the streaming offset ranges so both surfaces agree."""
+    import random
+    from datetime import datetime, timedelta
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    base = datetime(2024, 1, 1)
+    for i in range(start, end):
+        rng = random.Random((seed << 20) ^ i)
+        yield (
+            i,
+            base + timedelta(seconds=rng.randint(0, 86400 * 30)),
+            rng.randint(1, 500),
+            types[rng.randint(0, 4)],
+            round(rng.uniform(0, 100), 4),
+        )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming flavor of the same source: the offset is the
+    next event id, each trigger serves ``rows_per_batch`` ids. Offsets are
+    plain dicts checkpointed by Spark, so restart-resume works exactly like
+    a built-in source; replay of a committed range (``readBetweenOffsets``)
+    regenerates identical rows because the generator is keyed by id."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = lo + self.rows_per_batch
+        # list-iterator, not a generator: the prefetch cache copy.copy()s
+        # the returned iterator, which generators don't support.
+        return iter(list(_gen_rows(self.seed, lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(list(_gen_rows(self.seed, int(start["next"]), int(end["next"]))))
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N).load()``."""
+    """``spark.read.format("synthetic_events").option("rows", N).load()``
+    or ``spark.readStream.format("synthetic_events")`` for the micro-batch
+    flavor."""
 
     @classmethod
     def name(cls) -> str:
@@ -74,6 +125,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

