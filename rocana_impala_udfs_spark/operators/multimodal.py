@@ -155,3 +155,115 @@ def sample_frames(media: DataFrame, num_frames: int = 4, fake: bool = True) -> D
         run,
         schema="media_id bigint, frame_idx int, frame_offset_ms int, frame_fingerprint string",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image path: P6 PPM (pure-numpy codec — no external libraries needed)
+# ---------------------------------------------------------------------------
+#
+# The fake=True kernels above stand in for codec-dependent formats
+# (JPEG/PNG/AV). PPM needs no codec: the payload IS the pixel buffer with a
+# text header, so this path is a genuinely real decode → transform →
+# re-encode pipeline, oracle-checked byte-exactly (the oracle reconstructs
+# the same pixels in SQL).
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8. Raises on any other format — the
+    codec-dependent formats remain explicitly unsupported here."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only P6 PPM is decodable without codec libraries")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    parts = payload.split(b"\n", 3)
+    w, h = (int(t) for t in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    return pix.reshape(h, w, 3)
+
+
+def synthetic_ppm_images(spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Real P6 PPM payloads built from JVM expressions only: pixel bytes are
+    the document's (ASCII) text rpad-repeated to exactly w*h*3 chars, so an
+    oracle can reconstruct the identical payload with SQL string functions.
+    """
+    w = (F.lit(8) + F.col(id_col) % 9).cast("int")
+    h = (F.lit(8) + F.col(id_col) % 7).cast("int")
+    body = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit("x"))
+    pix = F.rpad(body, (w * h * 3).cast("int"), body)
+    payload = F.encode(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"), pix),
+        "UTF-8",
+    )
+    return source_df.select(
+        F.col(id_col).alias("media_id"),
+        w.alias("meta_width"),
+        h.alias("meta_height"),
+        payload.alias("payload"),
+    )
+
+
+def ppm_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode: parse each P6 header + pixel buffer, emit the parsed
+    geometry and exact per-channel means — everything derived from the
+    decoded array, nothing from metadata columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_ppm(bytes(r.payload))
+                means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                # raw doubles out; rounding happens in Spark's F.round
+                # (HALF_UP, matching SQL) — Python round() is banker's and
+                # diverges on exact ties like 100.78125.
+                rows.append(
+                    (r.media_id, img.shape[1], img.shape[0],
+                     float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b"]
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id bigint, img_w int, img_h int, mean_r double, mean_g double, mean_b double",
+    )
+    return out.select(
+        "media_id",
+        "img_w",
+        "img_h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+def ppm_resize_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL resize: decode → nearest-neighbor index map (src = floor(dst *
+    src_dim / dst_dim)) → re-encode as P6 → md5 of the new payload. The
+    oracle rebuilds the identical resized byte string in SQL, so this
+    checks the whole decode/transform/encode path byte-exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_ppm(bytes(r.payload))
+                h, w, _ = img.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[np.ix_(ys, xs)]
+                rows.append((r.media_id, out_w, out_h, hashlib.md5(encode_ppm(resized)).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "out_w", "out_h", "resized_md5"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, out_w int, out_h int, resized_md5 string"
+    )

@@ -1040,6 +1040,80 @@ FROM frames
 """
 
 
+def q_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: P6 PPM payloads (built from JVM
+    expressions, so SQL can rebuild them) are parsed by the pure-numpy
+    decoder and reduced to parsed geometry + exact channel means; the
+    oracle recomputes the same means from the reconstructed pixel string.
+    This closes the multimodal 'decode stubbed' gap for codec-free formats;
+    JPEG/PNG/AV remain stubbed pending libraries."""
+    media = multimodal.synthetic_ppm_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.ppm_decode_stats(media)
+
+
+_PPM_PIX = (
+    "rpad(coalesce(nullif(text, ''), 'x'), "
+    "CAST((8 + doc_id % 9) * (8 + doc_id % 7) * 3 AS INT), "
+    "coalesce(nullif(text, ''), 'x'))"
+)
+
+ORACLE_PPM_DECODE = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS INT) AS img_w,
+           CAST(8 + doc_id % 7 AS INT) AS img_h,
+           {_PPM_PIX} AS pix
+    FROM documents
+),
+px AS (
+    SELECT media_id, img_w, img_h,
+           unnest(range(img_w * img_h * 3)) AS i, pix
+    FROM imgs
+)
+SELECT media_id, img_w, img_h,
+       round(avg(CASE WHEN i % 3 = 0 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_r,
+       round(avg(CASE WHEN i % 3 = 1 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_g,
+       round(avg(CASE WHEN i % 3 = 2 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_b
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+def q_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize, byte-exact oracle: decode → index-map
+    → re-encode → md5; the oracle rebuilds the identical resized P6 byte
+    string with SQL string indexing and hashes it."""
+    media = multimodal.synthetic_ppm_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.ppm_resize_nn(media, out_w=8, out_h=8)
+
+
+ORACLE_PPM_RESIZE = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS INT) AS w,
+           CAST(8 + doc_id % 7 AS INT) AS h,
+           {_PPM_PIX} AS pix
+    FROM documents
+),
+pos AS (
+    SELECT media_id, w, h, pix, unnest(range(8 * 8 * 3)) AS i FROM imgs
+),
+mapped AS (
+    SELECT media_id, i,
+           substring(pix,
+                     CAST(((i // 24) * h // 8) * w * 3
+                          + (((i % 24) // 3) * w // 8) * 3
+                          + (i % 3) AS INT) + 1, 1) AS ch
+    FROM pos
+),
+resized AS (
+    SELECT media_id, string_agg(ch, '' ORDER BY i) AS body FROM mapped GROUP BY media_id
+)
+SELECT media_id, 8 AS out_w, 8 AS out_h,
+       md5('P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10) || body) AS resized_md5
+FROM resized
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
@@ -1062,6 +1136,8 @@ PIPELINE_QUERIES = {
     "multimodal_feature_extract": q_media_features,
     "multimodal_frame_fingerprints": q_media_frame_fingerprints,
     "multimodal_resize": q_media_resize,
+    "multimodal_ppm_decode_stats": q_ppm_decode_stats,
+    "multimodal_ppm_resize": q_ppm_resize,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "weighted_sample_docs": q_weighted_sample_docs,
@@ -1098,6 +1174,8 @@ PIPELINE_ORACLE = {
     "multimodal_media_catalog": ORACLE_MEDIA_CATALOG,
     "multimodal_frame_fingerprints": ORACLE_FRAME_FINGERPRINTS,
     "multimodal_resize": ORACLE_MEDIA_RESIZE,
+    "multimodal_ppm_decode_stats": ORACLE_PPM_DECODE,
+    "multimodal_ppm_resize": ORACLE_PPM_RESIZE,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

@@ -468,3 +468,37 @@ def test_kmeans_assign_onestep_matches_bruteforce(spark):
         v = np.array(r.embedding, dtype=np.float64)
         best = min(sorted(cents), key=lambda c: (float(np.linalg.norm(v - cents[c])), c))
         assert got[r.vec_id] == best
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # non-PPM payloads are explicitly unsupported, not silently faked
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_ppm(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_ppm_resize_matches_reference(spark):
+    """The distributed resize must equal an independent driver-side
+    nearest-neighbor reference, byte for byte."""
+    import hashlib
+
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators import multimodal
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    media = multimodal.synthetic_ppm_images(spark, docs)
+    got = {r.media_id: r.resized_md5 for r in multimodal.ppm_resize_nn(media, 8, 8).collect()}
+    for r in media.collect():
+        img = multimodal.decode_ppm(bytes(r.payload))
+        h, w, _ = img.shape
+        ref = img[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
+        assert got[r.media_id] == hashlib.md5(multimodal.encode_ppm(ref)).hexdigest()
