@@ -511,6 +511,75 @@ GROUP BY 1
 """
 
 
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection: top-25 adjacent-word pairs by pointwise mutual
+    information, min count 5. PMI = ln(N * c(w1,w2) / (c(w1) * c(w2))) with
+    unigram counts over all token positions. Same shuffle shape as the
+    bigram LM (counts are partial+final aggs; the scalar N broadcasts);
+    ranking is TakeOrderedAndProject, no full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(coalesce(text,'')), '\\s+'), t -> t <> '')").alias("ts"),
+    )
+    uni = toks.select(F.explode("ts").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    total = uni.agg(F.sum("cw").cast("double").alias("n_tokens"))
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(F.col("n_tokens") * F.col("c12") / (F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
+ORACLE_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), t -> t <> '') AS ts
+  FROM documents
+),
+uni AS (SELECT t.w, count(*) AS cw FROM (SELECT unnest(ts) AS w FROM toks) t GROUP BY 1),
+total AS (SELECT CAST(sum(cw) AS DOUBLE) AS n_tokens FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+    FROM toks WHERE len(ts) >= 2
+  ) GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT w1, w2, c12,
+       round(ln(total.n_tokens * c12 / (u1.cw * u2.cw)), 6) AS pmi
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.w
+JOIN uni u2 ON bi.w2 = u2.w
+CROSS JOIN total
+ORDER BY pmi DESC, w1, w2 LIMIT 25
+"""
+
+
 def q_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus length-distribution report: doc count, total tokens,
     mean, and exact interpolated p50/p90/p99 of per-doc token counts.
@@ -1148,6 +1217,7 @@ PIPELINE_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "pack_training_sequences": q_pack_training_sequences,
     "text_bigram_lm_scores": q_bigram_lm_scores,
+    "text_collocations_pmi": q_collocations_pmi,
     "corpus_length_report": q_corpus_length_report,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "text_pii_flags": q_text_pii_flags,
@@ -1183,6 +1253,7 @@ PIPELINE_ORACLE = {
     "repetition_scores": ORACLE_REPETITION,
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
     "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
+    "text_collocations_pmi": ORACLE_COLLOCATIONS,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,
     "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
     "text_pii_flags": ORACLE_TEXT_PII,
