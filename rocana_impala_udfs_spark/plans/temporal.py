@@ -484,6 +484,94 @@ GROUP BY bin ORDER BY bin
 """
 
 
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Markov transitions: count and row-normalized
+    probability of each (prev_type → type) step. One per-user window sort
+    (lag) + one partial+final count agg; the normalizing row totals come
+    from a window over the 25-row transition table, which costs nothing."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type", 1).over(w).alias("prev_type"), "event_type"
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_row), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH steps AS (
+    SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, next_type, count(*) AS n FROM steps
+    WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counts ORDER BY prev_type, next_type
+"""
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day. Scale shape: dedupe to (day, user)
+    first (one agg over the corpus — the only corpus-sized step), then the
+    7-day window works on day×user rows via a compact day-spine interval
+    join; distinct-in-window is computed exactly on the deduped frame."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = dau.select("day")
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.expr("d.day - INTERVAL 6 DAYS")),
+        )
+        .select(F.col("d.day").alias("day"), "u.user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAU_WAU = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+wau AS (
+    SELECT d.day, count(DISTINCT u.user_id) AS wau
+    FROM (SELECT DISTINCT day FROM du) d
+    JOIN du u ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+    GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
+"""
+
+
 _DECILES = [i / 10 for i in range(1, 10)]
 
 
@@ -611,6 +699,8 @@ TEMPORAL_QUERIES = {
     "gap_filled_minute_counts": q_gap_filled_minutes,
     "histogram_price_bins": q_price_histogram,
     "histogram_price_equidepth": q_price_equidepth_histogram,
+    "events_transition_matrix": q_events_transition_matrix,
+    "events_dau_wau": q_events_dau_wau,
     "sliding_window_event_rates": q_sliding_window_event_rates,
 }
 
@@ -632,4 +722,6 @@ TEMPORAL_ORACLE = {
     "gap_filled_minute_counts": ORACLE_GAP_FILLED,
     "histogram_price_bins": ORACLE_PRICE_HISTOGRAM,
     "histogram_price_equidepth": ORACLE_EQUIDEPTH_HISTOGRAM,
+    "events_transition_matrix": ORACLE_TRANSITION_MATRIX,
+    "events_dau_wau": ORACLE_DAU_WAU,
 }
