@@ -835,6 +835,159 @@ WHERE d.adev > 3 * 1.4826 * m.mad
 """
 
 
+def q_winsorized_stats_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: clip extended price at the per-group p05/p95
+    (exact aggregate percentiles, broadcast back — same no-global-sort
+    pattern as the equi-depth histogram) and report robust mean/stddev."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice"))).alias("w"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(F.avg("w"), 4).alias("wins_mean"),
+        F.round(F.stddev_samp("w"), 4).alias("wins_stddev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH bounds AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem GROUP BY 1
+),
+clipped AS (
+    SELECT l.l_returnflag, greatest(b.lo, least(b.hi, l.l_extendedprice)) AS w
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag, round(avg(w), 4) AS wins_mean,
+       round(stddev_samp(w), 4) AS wins_stddev, count(*) AS n
+FROM clipped GROUP BY 1
+"""
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with value-based quartiles: per-customer recency
+    (days since last order), frequency, monetary, each scored 1-4 by
+    comparison against exact quartile boundaries from the percentile
+    AGGREGATE (broadcast 1-row frame) — the scale-correct alternative to a
+    single-partition ntile sort; ties land deterministically in the lower
+    bucket in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    qb = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def score(col: str, bs: str) -> F.Column:
+        return (1 + F.size(F.filter(F.col(bs), lambda b: b < F.col(col)))).cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(qb))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "freq",
+            "monetary",
+            score("recency_days", "rq").alias("r_score"),
+            score("freq", "fq").alias("f_score"),
+            score("monetary", "mq").alias("m_score"),
+        )
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+    SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY 1
+),
+rfm AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', last_order, (SELECT max(last_order) FROM per_cust)) AS INT)
+               AS recency_days,
+           freq, monetary
+    FROM per_cust
+),
+qb AS (
+    SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+           quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+           quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+    FROM rfm
+)
+SELECT o_custkey, recency_days, freq, monetary,
+       CAST(1 + len(list_filter(rq, b -> b < recency_days)) AS INT) AS r_score,
+       CAST(1 + len(list_filter(fq, b -> b < freq)) AS INT) AS f_score,
+       CAST(1 + len(list_filter(mq, b -> b < monetary)) AS INT) AS m_score
+FROM rfm CROSS JOIN qb
+"""
+
+
+def q_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's revenue as a share of its
+    region's total — two-level re-aggregation of the same 25-row nation
+    aggregate (the region re-agg and the window are free; only the
+    orders⋈lineitem⋈customer chain touches the corpus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("_rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round((F.col("_rev") / F.sum("_rev").over(w_region)).cast("double"), 6).alias(
+            "share_of_region"
+        ),
+    ).orderBy("r_name", "n_name")
+
+
+ORACLE_REVENUE_SHARE_REGION = """
+WITH rev AS (
+    SELECT r_name, n_name,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rv
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+)
+SELECT r_name, n_name, CAST(round(rv, 2) AS DOUBLE) AS revenue,
+       round(CAST(rv / sum(rv) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region
+FROM rev ORDER BY r_name, n_name
+"""
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 flavor — correlated aggregate decorrelated into a join:
     revenue of lineitems whose quantity is below 20% of their part's average.
@@ -1135,6 +1288,9 @@ QUERIES = {
     "window_revenue_share_by_nation": q_revenue_share_by_nation,
     "window_rolling_p90_totalprice": q_rolling_p90_totalprice,
     "events_mad_outliers": q_events_mad_outliers,
+    "winsorized_stats_price": q_winsorized_stats_price,
+    "customer_rfm_segments": q_customer_rfm_segments,
+    "revenue_share_of_region": q_revenue_share_of_region,
     "scalar_string_math": q_scalar_functions,
     "scalar_date_functions": q_date_functions,
     "conditional_agg": q_conditional_agg,
@@ -1182,6 +1338,9 @@ ORACLE = {
     "window_revenue_share_by_nation": ORACLE_REVENUE_SHARE,
     "window_rolling_p90_totalprice": ORACLE_ROLLING_P90,
     "events_mad_outliers": ORACLE_EVENTS_MAD,
+    "winsorized_stats_price": ORACLE_WINSORIZED,
+    "customer_rfm_segments": ORACLE_RFM,
+    "revenue_share_of_region": ORACLE_REVENUE_SHARE_REGION,
     "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
     "scalar_date_functions": ORACLE_DATE_FUNCTIONS,
     "conditional_agg": ORACLE_CONDITIONAL_AGG,
