@@ -835,6 +835,72 @@ WHERE d.adev > 3 * 1.4826 * m.mad
 """
 
 
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥ 3
+    orders. The self-join is WITHIN the order key, so expansion is bounded
+    by (lines per order)² — never corpus×corpus; one shuffle on l_orderkey
+    feeds both sides."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+ORACLE_BASKET_PAIRS = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+def q_events_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics over sessions: per-user ordered event-type path
+    (deterministic (ts, event_id) ordering) and whether it contains the
+    view→…→click→…→purchase subsequence. One keyed shuffle builds the
+    paths; the subsequence test is a LIKE over the aggregated string."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.select(
+        "user_id",
+        F.length("path").alias("path_len"),
+        F.col("path").like("%view%click%purchase%").alias("converted"),
+    ).orderBy("user_id")
+
+
+ORACLE_PATH_PATTERNS = """
+WITH paths AS (
+    SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(path) AS INT) AS path_len,
+       path LIKE '%view%click%purchase%' AS converted
+FROM paths ORDER BY user_id
+"""
+
+
 def q_winsorized_stats_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized statistics: clip extended price at the per-group p05/p95
     (exact aggregate percentiles, broadcast back — same no-global-sort
@@ -1289,6 +1355,8 @@ QUERIES = {
     "window_rolling_p90_totalprice": q_rolling_p90_totalprice,
     "events_mad_outliers": q_events_mad_outliers,
     "winsorized_stats_price": q_winsorized_stats_price,
+    "basket_part_pairs": q_basket_part_pairs,
+    "events_path_patterns": q_events_path_patterns,
     "customer_rfm_segments": q_customer_rfm_segments,
     "revenue_share_of_region": q_revenue_share_of_region,
     "scalar_string_math": q_scalar_functions,
@@ -1339,6 +1407,8 @@ ORACLE = {
     "window_rolling_p90_totalprice": ORACLE_ROLLING_P90,
     "events_mad_outliers": ORACLE_EVENTS_MAD,
     "winsorized_stats_price": ORACLE_WINSORIZED,
+    "basket_part_pairs": ORACLE_BASKET_PAIRS,
+    "events_path_patterns": ORACLE_PATH_PATTERNS,
     "customer_rfm_segments": ORACLE_RFM,
     "revenue_share_of_region": ORACLE_REVENUE_SHARE_REGION,
     "scalar_string_math": ORACLE_SCALAR_FUNCTIONS,
