@@ -179,6 +179,43 @@ FROM documents
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the daily-batch shape of a production
+    pipeline: docs arriving in the newest 20% of ids are kept only if their
+    content fingerprint is unseen in the existing 80% corpus (left-anti
+    join on the hash key) AND unique within the batch (min-id survivor).
+    Only fingerprints cross the shuffle, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.expr("percentile(doc_id, 0.8)").alias("cut"))
+    with_fp = docs.crossJoin(F.broadcast(n)).withColumn(
+        "fingerprint", T.doc_fingerprint("text")
+    )
+    old = with_fp.filter(F.col("doc_id") <= F.col("cut")).select("fingerprint")
+    new = with_fp.filter(F.col("doc_id") > F.col("cut"))
+    fresh = new.join(old, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH fp AS (
+    SELECT doc_id, md5({_NORM}) AS fingerprint,
+           (SELECT quantile_cont(doc_id, 0.8) FROM documents) AS cut
+    FROM documents
+),
+old AS (SELECT fingerprint FROM fp WHERE doc_id <= cut),
+new_docs AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id > cut),
+fresh AS (
+    SELECT * FROM new_docs n
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fingerprint = n.fingerprint)
+)
+SELECT min(doc_id) AS doc_id, fingerprint FROM fresh GROUP BY fingerprint
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar SimHash near-dup pairs (hamming ≤ 3). Fingerprints are pure
     JVM expressions sharing the md5-derived 60-bit token hash with the
@@ -1220,6 +1257,7 @@ PIPELINE_QUERIES = {
     "text_collocations_pmi": q_collocations_pmi,
     "corpus_length_report": q_corpus_length_report,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_incremental_new_docs": q_dedup_incremental,
     "text_pii_flags": q_text_pii_flags,
     "emb_kmeans_assign": q_kmeans_assign,
     "emb_kmeans_clusters": q_kmeans_clusters,
@@ -1256,6 +1294,7 @@ PIPELINE_ORACLE = {
     "text_collocations_pmi": ORACLE_COLLOCATIONS,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,
     "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
+    "dedup_incremental_new_docs": ORACLE_DEDUP_INCREMENTAL,
     "text_pii_flags": ORACLE_TEXT_PII,
     "emb_kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "resample_by_quality": ORACLE_RESAMPLE_QUALITY,
