@@ -572,6 +572,46 @@ FROM dau JOIN wau USING (day) ORDER BY day
 """
 
 
+def q_ops_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate (ops-analytics flagship flavor): hourly error ratio
+    plus the trailing-6-hour ratio from the same hourly partials — the
+    corpus is aggregated once to hour grain, the burn window slides over
+    the tiny hourly frame (ROWS frame on complete hours; missing hours
+    carry no rows, matching the oracle exactly)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    return hourly.select(
+        F.unix_micros("hour").alias("hour_us"),
+        "n_events",
+        "n_errors",
+        F.round(F.col("n_errors") / F.col("n_events"), 6).alias("error_ratio"),
+        F.round(F.sum("n_errors").over(w6) / F.sum("n_events").over(w6), 6).alias(
+            "burn_6h"
+        ),
+    ).orderBy("hour_us")
+
+
+ORACLE_ERROR_BURN = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+    FROM events GROUP BY 1
+)
+SELECT epoch_us(hour) AS hour_us, n_events, n_errors,
+       round(n_errors * 1.0 / n_events, 6) AS error_ratio,
+       round(sum(n_errors) OVER w * 1.0 / sum(n_events) OVER w, 6) AS burn_6h
+FROM hourly
+WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+ORDER BY hour_us
+"""
+
+
 _DECILES = [i / 10 for i in range(1, 10)]
 
 
@@ -700,6 +740,7 @@ TEMPORAL_QUERIES = {
     "histogram_price_bins": q_price_histogram,
     "histogram_price_equidepth": q_price_equidepth_histogram,
     "events_transition_matrix": q_events_transition_matrix,
+    "ops_error_burn_rate": q_ops_error_burn_rate,
     "events_dau_wau": q_events_dau_wau,
     "sliding_window_event_rates": q_sliding_window_event_rates,
 }
@@ -723,5 +764,6 @@ TEMPORAL_ORACLE = {
     "histogram_price_bins": ORACLE_PRICE_HISTOGRAM,
     "histogram_price_equidepth": ORACLE_EQUIDEPTH_HISTOGRAM,
     "events_transition_matrix": ORACLE_TRANSITION_MATRIX,
+    "ops_error_burn_rate": ORACLE_ERROR_BURN,
     "events_dau_wau": ORACLE_DAU_WAU,
 }
