@@ -11,8 +11,11 @@ available columns (SURVEY §2.2 "Joins / Aggregations / Scalar functions" —
 all delegated by the reference to its host engine).
 
 Scale design (same rules as plans/relational.py):
-- dims (nation/region/part/supplier at driver scale) broadcast — the fact
-  table never shuffles on a dim key;
+- FIXED-cardinality dims (nation=25, region=5) are force-broadcast; tables
+  that scale with SF (part, supplier, customer) use plain equi-joins so
+  Catalyst/AQE picks broadcast only while they actually fit (they do at the
+  driver's SFs; at 100 TB they are billions of rows and a forced broadcast
+  would OOM every executor);
 - orders⋈lineitem is the one fact-fact shuffle, on the join key;
 - semi/anti joins express EXISTS/NOT EXISTS — no distinct-then-join;
 - scalar subqueries stay in-plan via broadcast crossJoin (no driver
@@ -78,8 +81,9 @@ ORDER BY o_orderpriority
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume: revenue by (supplier nation, customer nation,
-    ship year) for 1996-1997. lineitem⋈orders shuffles once; supplier,
-    customer, and both nation copies broadcast."""
+    ship year) for 1996-1997. lineitem⋈orders shuffles once; both nation
+    copies force-broadcast; supplier/customer joins left to AQE (broadcast
+    while they fit, shuffle join at scale)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -94,7 +98,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -140,8 +144,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _rev()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("c_regionkey") == F.col("r_regionkey"))
@@ -194,8 +198,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
@@ -264,7 +268,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -328,7 +332,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the disjunction stays a single JVM predicate."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
