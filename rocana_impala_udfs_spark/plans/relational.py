@@ -1057,13 +1057,15 @@ FROM rev ORDER BY r_name, n_name
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 flavor — correlated aggregate decorrelated into a join:
     revenue of lineitems whose quantity is below 20% of their part's average.
-    The per-part averages are a broadcast-sized aggregate."""
+    The per-part averages scale with the part count, so the join strategy is
+    left to AQE (broadcast while small, shuffle join at 100 TB — a forced
+    broadcast of a per-part frame would not survive real scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part_avg), li.l_partkey == part_avg.pk)
+        li.join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
