@@ -835,6 +835,60 @@ WHERE d.adev > 3 * 1.4826 * m.mad
 """
 
 
+def q_profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit: one row per column with null count, exact
+    distinct count, and min/max (string-rendered). ONE pass over the table —
+    all per-column aggregates ride a single partial+final HashAggregate;
+    the wide→long flip happens on the 1-row result via stack()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # min/max in the NATIVE type, rendered to string after — casting
+            # first would make numeric extrema lexicographic.
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("column_name")
+
+
+ORACLE_PROFILE_LINEITEM = """
+SELECT 'l_orderkey' AS column_name, CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_val, CAST(max(l_orderkey) AS VARCHAR) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_partkey), CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_quantity), CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_shipdate),
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'), strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+FROM lineitem
+ORDER BY column_name
+"""
+
+
 def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in ≥ 3
     orders. The self-join is WITHIN the order key, so expansion is bounded
@@ -1358,6 +1412,7 @@ QUERIES = {
     "events_mad_outliers": q_events_mad_outliers,
     "winsorized_stats_price": q_winsorized_stats_price,
     "basket_part_pairs": q_basket_part_pairs,
+    "profile_lineitem_columns": q_profile_lineitem_columns,
     "events_path_patterns": q_events_path_patterns,
     "customer_rfm_segments": q_customer_rfm_segments,
     "revenue_share_of_region": q_revenue_share_of_region,
@@ -1410,6 +1465,7 @@ ORACLE = {
     "events_mad_outliers": ORACLE_EVENTS_MAD,
     "winsorized_stats_price": ORACLE_WINSORIZED,
     "basket_part_pairs": ORACLE_BASKET_PAIRS,
+    "profile_lineitem_columns": ORACLE_PROFILE_LINEITEM,
     "events_path_patterns": ORACLE_PATH_PATTERNS,
     "customer_rfm_segments": ORACLE_RFM,
     "revenue_share_of_region": ORACLE_REVENUE_SHARE_REGION,
