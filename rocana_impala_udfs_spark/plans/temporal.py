@@ -617,11 +617,16 @@ _DECILES = [i / 10 for i in range(1, 10)]
 
 def q_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-bucketed) histogram — the complement of the
-    equal-width bins above. Scale-correct WITHOUT a global sort: exact
-    decile boundaries come from the ``percentile`` AGGREGATE (partial+final,
-    verified bit-identical to DuckDB ``quantile_cont``), broadcast as one
-    row; each row's bucket is 1 + #boundaries strictly below its value
-    (ties land in the lower bucket in both engines)."""
+    equal-width bins above. Decile boundaries come from the exact
+    ``percentile`` AGGREGATE (verified bit-identical to DuckDB
+    ``quantile_cont``), broadcast as one row; each row's bucket is
+    1 + #boundaries strictly below its value (ties land in the lower bucket
+    in both engines). Scale note: EXACT quantiles fundamentally buffer the
+    group's values in the aggregation state (no global sort node, but the
+    final agg task holds the column) — fine to ~10⁸ values; at 100 TB swap
+    the boundary expression for ``percentile_approx`` (bounded
+    QuantileSummaries state, identical plan shape), trading exactness the
+    oracle can check for bounded memory."""
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(
         F.expr(
