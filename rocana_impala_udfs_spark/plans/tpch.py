@@ -413,3 +413,158 @@ TPCH_ORACLE = {
     "disjunct_q19_discounted_revenue": ORACLE_Q19,
     "notexists_q22_idle_customers": ORACLE_Q22,
 }
+
+
+# --- Q12 flavor: shipping-priority CASE aggregation -------------------------
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line counts by return flag split into high/low order priority via
+    conditional sums (the Q12 CASE shape; the schema has no shipmode).
+    One fact-fact shuffle + one partial+final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- Q15 flavor: top supplier by quarterly revenue --------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1996Q1 revenue — the Q15 view + scalar
+    max shape, decorrelated: the 1-row max broadcasts back onto the
+    supplier-revenue aggregate; revenue summed in DECIMAL so the max
+    comparison can't be perturbed by summation order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_rev().cast("decimal(18,4)")).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(s, F.col("suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("_rev", 2).cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+    SELECT l_suppkey AS suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(round(r, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q16 flavor: supplier breadth per part brand/type -----------------------
+
+
+def q16_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type) for mid-size parts — the
+    Q16 shape re-based on lineitem (no partsupp table): the supplier
+    relationships come from shipped lines, distinct-counted after an early
+    projection to the three columns that matter."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 40))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 40
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+# --- Q20 flavor: suppliers with heavy shipments of PROMO parts --------------
+
+
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 45 units of any PROMO-type part in
+    1996 — the Q20 nested-IN shape as two semi-join hops: qualifying
+    (supplier, part) aggregates → distinct suppliers → supplier detail."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 45)
+    )
+    return (
+        s.join(heavy.select("l_suppkey").distinct(), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 45
+)
+ORDER BY s_suppkey
+"""
+
+
+TPCH_QUERIES.update(
+    {
+        "case_q12_priority_shipping": q12_priority_shipping,
+        "view_q15_top_supplier": q15_top_supplier,
+        "distinct_q16_supplier_breadth": q16_parts_supplier_breadth,
+        "nestedin_q20_promo_part_suppliers": q20_promo_part_suppliers,
+    }
+)
+
+TPCH_ORACLE.update(
+    {
+        "case_q12_priority_shipping": ORACLE_Q12,
+        "view_q15_top_supplier": ORACLE_Q15,
+        "distinct_q16_supplier_breadth": ORACLE_Q16,
+        "nestedin_q20_promo_part_suppliers": ORACLE_Q20,
+    }
+)
