@@ -37,25 +37,86 @@ def entry(spark: SparkSession) -> DataFrame:
     return MEDIAN_QUERIES["appx_median_price_by_returnflag"](spark, SF_SMOKE)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness run may truncate on a
-    # time budget (round 1 stopped at 50/97), so the reference-core median
-    # family goes first, then the novel pipeline/temporal surfaces, and the
-    # long relational tail last — a truncated run still covers new work.
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(MEDIAN_QUERIES)
-    out.update(PIPELINE_QUERIES)
-    out.update(TEMPORAL_QUERIES)
-    out.update(TPCH_QUERIES)
-    out.update(relational.QUERIES)
+# Ordering is deliberate: the driver's correctness run truncates on a time
+# budget (~50 keys/round), so keys that have never had a driver oracle row
+# (union of CORRECTNESS_r01..r03) go FIRST — the r3-fixed temporal family,
+# then the TPC-H pack, then the r2 statistical operators — and the keys the
+# driver already confirmed green in r1-r3 form the tail.
+_NEVER_DRIVER_CHECKED = [
+    # temporal family (8 of these were the Spark-4.1.2 NTZ breakage, now fixed)
+    "asof_click_attribution",
+    "sessionize_events",
+    "ops_session_health",
+    "window_trailing_7d_user_value",
+    "tumbling_hourly_event_stats",
+    "multi_resolution_rollup",
+    "gap_filled_minute_counts",
+    "sliding_window_event_rates",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "variant_props_stats",
+    "json_event_props_stats",
+    "salted_skew_agg",
+    "pivot_daily_event_counts",
+    "range_join_value_bands",
+    "histogram_price_bins",
+    "histogram_price_equidepth",
+    "events_transition_matrix",
+    "ops_error_burn_rate",
+    "events_dau_wau",
+    # TPC-H pack
+    "exists_q4_order_priority",
+    "join_q7_nation_volume",
+    "join_q8_market_share",
+    "join_q9_profit_by_nation_year",
+    "join_q10_returned_items",
+    "conditional_q14_promo_share",
+    "in_q18_large_volume_customers",
+    "disjunct_q19_discounted_revenue",
+    "notexists_q22_idle_customers",
+    "case_q12_priority_shipping",
+    "view_q15_top_supplier",
+    "distinct_q16_supplier_breadth",
+    "nestedin_q20_promo_part_suppliers",
+    # r2 statistical operators + kmeans/resample
+    "stats_spearman_price_quantity",
+    "window_revenue_share_by_nation",
+    "window_rolling_p90_totalprice",
+    "events_mad_outliers",
+    "winsorized_stats_price",
+    "basket_part_pairs",
+    "profile_lineitem_columns",
+    "events_path_patterns",
+    "customer_rfm_segments",
+    "revenue_share_of_region",
+    "skyline_parts",
+    "emb_kmeans_assign",
+    "emb_kmeans_clusters",
+    "resample_by_quality",
+]
+
+
+def _reorder(full: dict) -> dict:
+    out = {k: full[k] for k in _NEVER_DRIVER_CHECKED if k in full}
+    out.update((k, v) for k, v in full.items() if k not in out)
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    full: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    full.update(MEDIAN_QUERIES)
+    full.update(PIPELINE_QUERIES)
+    full.update(TEMPORAL_QUERIES)
+    full.update(TPCH_QUERIES)
+    full.update(relational.QUERIES)
+    return _reorder(full)
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    out.update(MEDIAN_ORACLE)
-    out.update(PIPELINE_ORACLE)
-    out.update(TEMPORAL_ORACLE)
-    out.update(TPCH_ORACLE)
-    out.update(relational.ORACLE)
-    return out
+    full: dict[str, str] = {}
+    full.update(MEDIAN_ORACLE)
+    full.update(PIPELINE_ORACLE)
+    full.update(TEMPORAL_ORACLE)
+    full.update(TPCH_ORACLE)
+    full.update(relational.ORACLE)
+    return _reorder(full)

@@ -295,10 +295,16 @@ def _driver_cc_max_edges(spark) -> int:
     override = spark.conf.get("spark.rocana.cc.maxDriverEdges", None)
     if override is not None:
         return int(override)
+    import re
+
     mem = spark.conf.get("spark.driver.memory", "1g").strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    mult = units.get(mem[-1], 1)
-    heap = int(mem[:-1]) * mult if mem[-1] in units else int(mem)
+    # JVM memory strings allow both "512m" and "512mb" (and bare bytes).
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", mem)
+    if m is None:
+        heap = 1 << 30  # unparseable → assume the 1g default
+    else:
+        units = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        heap = int(m.group(1)) * units[m.group(2)]
     return max(10_000, heap // 10 // _BYTES_PER_CC_EDGE)
 
 

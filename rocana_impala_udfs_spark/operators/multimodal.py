@@ -196,7 +196,11 @@ def synthetic_ppm_images(spark: SparkSession, source_df: DataFrame, id_col: str 
     """
     w = (F.lit(8) + F.col(id_col) % 9).cast("int")
     h = (F.lit(8) + F.col(id_col) % 7).cast("int")
-    body = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit("x"))
+    # rpad counts CHARS but the decoder indexes BYTES; map any non-printable
+    # /non-ASCII char to 'x' first so 1 char == 1 byte and the SQL oracle's
+    # char-indexed reconstruction stays byte-exact on any corpus.
+    ascii_text = F.regexp_replace(F.col(text_col), "[^ -~]", "x")
+    body = F.coalesce(F.nullif(ascii_text, F.lit("")), F.lit("x"))
     pix = F.rpad(body, (w * h * 3).cast("int"), body)
     payload = F.encode(
         F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"), pix),

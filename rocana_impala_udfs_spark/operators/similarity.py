@@ -468,5 +468,8 @@ def kmeans_lloyd(
         )
         rows = stats.collect()  # k rows of dim+1 doubles — bounded by k, not N
         inertia_history.append(float(sum(r.sse for r in rows)))
-        cents = {int(r.cluster): [r[f"m{i}"] for i in range(dim)] for r in rows}
+        new_cents = {int(r.cluster): [r[f"m{i}"] for i in range(dim)] for r in rows}
+        # a cluster that captured no points keeps its previous centroid so k
+        # never silently shrinks (standard Lloyd empty-cluster handling)
+        cents = {cid: new_cents.get(cid, vec) for cid, vec in cents.items()}
     return assign.select(id_col, "cluster", F.round("dist", 4).alias("dist")), cents, inertia_history

@@ -114,7 +114,10 @@ def sessionize(
     exchange + sort.
     """
     order = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double"), 1).over(order)
+    # unix_micros over an explicit TIMESTAMP_LTZ cast: works for both LTZ and
+    # NTZ inputs (direct NTZ→DOUBLE casts are rejected by Spark 4.1+).
+    tsec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    gap = tsec - F.lag(tsec, 1).over(order)
     boundary = F.when(gap.isNull() | (gap > max_gap_seconds), 1).otherwise(0)
     running = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -1157,10 +1157,12 @@ def q_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ppm_decode_stats(media)
 
 
+# mirror of synthetic_ppm_images: non-printable/non-ASCII → 'x' keeps
+# 1 char == 1 byte, so char-indexed SQL matches the byte-indexed decoder
 _PPM_PIX = (
-    "rpad(coalesce(nullif(text, ''), 'x'), "
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
     "CAST((8 + doc_id % 9) * (8 + doc_id % 7) * 3 AS INT), "
-    "coalesce(nullif(text, ''), 'x'))"
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
 )
 
 ORACLE_PPM_DECODE = f"""

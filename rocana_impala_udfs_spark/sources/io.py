@@ -38,10 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # spark.sql.legacy.parquet.nanosAsLong; normalize to TIMESTAMP (micros,
     # truncating like DuckDB does) so downstream plans see one type.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark 4.1+ reads INT64 TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ (no
+    # nanosAsLong needed). Normalize to TIMESTAMP_LTZ: the session tz is UTC,
+    # so epoch semantics match DuckDB exactly (same micros truncation), and
+    # downstream unix_micros()/RANGE-frame plans keep working.
+    if name == "events" and isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -47,21 +47,10 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        # Executor-side: independent deterministic stream per partition.
-        import random
-        from datetime import datetime, timedelta
-
-        rng = random.Random((self.seed << 20) ^ partition.index)
-        types = ["click", "view", "purchase", "signup", "error"]
-        base = datetime(2024, 1, 1)
-        for i in range(partition.start, partition.end):
-            yield (
-                i,
-                base + timedelta(seconds=rng.randint(0, 86400 * 30)),
-                rng.randint(1, 500),
-                types[rng.randint(0, 4)],
-                round(rng.uniform(0, 100), 4),
-            )
+        # Executor-side. Rows are keyed by event id via the shared generator,
+        # so values are identical under ANY partition count and row-for-row
+        # equal to the streaming flavor's replay of the same ids.
+        return _gen_rows(self.seed, partition.start, partition.end)
 
 
 def _gen_rows(seed: int, start: int, end: int):

@@ -191,3 +191,6 @@ def test_python_datasource_streaming_reader(spark):
         .collect()
     }
     assert set(batch) == set(ids)
+    # row-for-row value agreement, not just matching id sets
+    for r in rows:
+        assert batch[r.event_id] == (r.user_id, r.event_type, r.value)
