@@ -622,16 +622,19 @@ def q_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, and exact interpolated p50/p90/p99 of per-doc token counts.
     ``percentile`` is an aggregate (partial+final), not a global sort; token
     counts are small integers so the interpolated values are exact halves —
-    deterministic across engines."""
+    deterministic across engines. ``spark.rocana.quantile.approx=true``
+    swaps in bounded-state percentile_approx (same schema)."""
+    from rocana_impala_udfs_spark.functions.quantiles import quantile_agg
+
     docs = load_table(spark, sf_dir, "documents")
     tc = docs.select(T.token_count("text").alias("tc"))
     return tc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tc").cast("bigint").alias("total_tokens"),
         F.round(F.avg("tc"), 4).alias("mean_tokens"),
-        F.expr("percentile(tc, 0.5)").alias("p50_tokens"),
-        F.expr("percentile(tc, 0.9)").alias("p90_tokens"),
-        F.expr("percentile(tc, 0.99)").alias("p99_tokens"),
+        quantile_agg(spark, "tc", 0.5).alias("p50_tokens"),
+        quantile_agg(spark, "tc", 0.9).alias("p90_tokens"),
+        quantile_agg(spark, "tc", 0.99).alias("p99_tokens"),
     )
 
 

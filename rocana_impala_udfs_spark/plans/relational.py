@@ -968,11 +968,14 @@ def q_winsorized_stats_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact aggregate percentiles, broadcast back) and report robust
     mean/stddev. Same exact-quantile memory caveat as
     histogram_price_equidepth: per-group values buffer in the boundary
-    aggregation; at 100 TB use percentile_approx boundaries (same plan)."""
+    aggregation; ``spark.rocana.quantile.approx=true`` swaps in bounded
+    percentile_approx boundaries (same plan shape)."""
+    from rocana_impala_udfs_spark.functions.quantiles import quantile_agg
+
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+        quantile_agg(spark, "l_extendedprice", 0.05).alias("lo"),
+        quantile_agg(spark, "l_extendedprice", 0.95).alias("hi"),
     )
     clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
@@ -1022,10 +1025,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary",
     )
+    from rocana_impala_udfs_spark.functions.quantiles import quantile_agg
+
+    quartiles = [0.25, 0.5, 0.75]
     qb = rfm.agg(
-        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rq"),
-        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fq"),
-        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mq"),
+        quantile_agg(spark, "recency_days", quartiles).alias("rq"),
+        quantile_agg(spark, "freq", quartiles).alias("fq"),
+        quantile_agg(spark, "monetary", quartiles).alias("mq"),
     )
 
     def score(col: str, bs: str) -> F.Column:

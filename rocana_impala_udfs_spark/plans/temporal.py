@@ -623,16 +623,14 @@ def q_price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 + #boundaries strictly below its value (ties land in the lower bucket
     in both engines). Scale note: EXACT quantiles fundamentally buffer the
     group's values in the aggregation state (no global sort node, but the
-    final agg task holds the column) — fine to ~10⁸ values; at 100 TB swap
-    the boundary expression for ``percentile_approx`` (bounded
-    QuantileSummaries state, identical plan shape), trading exactness the
-    oracle can check for bounded memory."""
+    final agg task holds the column) — fine to ~10⁸ values; at 100 TB set
+    ``spark.rocana.quantile.approx=true`` for ``percentile_approx``
+    boundaries (bounded QuantileSummaries state, identical plan shape),
+    trading exactness the oracle can check for bounded memory."""
+    from rocana_impala_udfs_spark.functions.quantiles import quantile_agg
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.expr(
-            f"percentile(l_extendedprice, array({','.join(map(str, _DECILES))}))"
-        ).alias("bs")
-    )
+    bounds = li.agg(quantile_agg(spark, "l_extendedprice", _DECILES).alias("bs"))
     return (
         li.crossJoin(F.broadcast(bounds))
         .select(
