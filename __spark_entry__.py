@@ -93,6 +93,8 @@ _NEVER_DRIVER_CHECKED = [
     "emb_kmeans_assign",
     "emb_kmeans_clusters",
     "resample_by_quality",
+    # new in r4 (never driver-checked yet)
+    "multimodal_png_decode_stats",
 ]
 
 

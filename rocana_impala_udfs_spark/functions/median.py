@@ -225,22 +225,29 @@ def make_appx_median_bounded_udf():
     return appx_median_bounded_udf
 
 
-def make_appx_median_bounded_str_udf():
+def make_appx_median_bounded_str_udf(cpp_format: bool = False):
     """STRING-returning variant for exact reference DDL compatibility
     (``(DOUBLE, INT) RETURNS STRING``, reference ``README.md:40``).
 
-    Deliberate formatting divergence, pinned in tests/test_median.py: the
+    Default formatting divergence, pinned in tests/test_median.py: the
     reference's ``ToStringVal`` (``median.cc:29-37``) uses default
     ``stringstream`` formatting — 6 significant digits — so its string LOSES
     precision. We return ``repr(float)`` (shortest round-trip form) so the
     documented ``CAST(appx_median_bounded(x, k) AS DOUBLE)`` idiom recovers
-    the exact double. Byte-level parity with the C++ string is explicitly
-    not a goal; value-level parity through the CAST is."""
+    the exact double.
+
+    ``cpp_format=True`` opts into byte-level ``stringstream`` parity:
+    ``operator<<(double)`` with the default precision(6) prints like C's
+    ``%g`` with 6 significant digits ("500", "51504.4", "1e+07") — Python's
+    ``%.6g`` is the same algorithm (shortest-of-fixed/scientific, trailing
+    zeros stripped), so the bytes match the C++ output."""
 
     @pandas_udf("string")
     def appx_median_bounded_str_udf(x: pd.Series, k: pd.Series) -> str:
         m = _median_of_group(x, k)
-        return None if m is None else repr(m)
+        if m is None:
+            return None
+        return "%.6g" % m if cpp_format else repr(m)
 
     return appx_median_bounded_str_udf
 

@@ -271,3 +271,206 @@ def ppm_resize_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     return media.select("media_id", "payload").mapInPandas(
         run, schema="media_id bigint, out_w int, out_h int, resized_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image path 2: PNG (zlib inflate + filter reconstruction in numpy —
+# stdlib only, no codec libraries)
+# ---------------------------------------------------------------------------
+#
+# PNG is "codec-free" in this container because its compression is DEFLATE
+# (stdlib zlib) and everything else is byte arithmetic: chunk framing with
+# CRC32, and per-scanline filters 0-4 (None/Sub/Up/Average/Paeth) undone
+# with numpy. The encoder deliberately cycles through ALL five filter types
+# so decode genuinely exercises every reconstruction branch.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 8-bit RGB PNG. Scanline filters cycle 0..4 by row
+    index, so a round-trip covers every filter reconstruction path."""
+    import struct
+    import zlib as _z
+
+    h, w, _ = img.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            filt = (line - left) % 256
+        elif f == 2:  # Up
+            filt = (line - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            filt = (line - (left + prev) // 2) % 256
+        else:  # Paeth
+            filt = np.empty_like(line)
+            for i in range(line.size):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                filt[i] = (int(line[i]) - _paeth(a, b, c)) % 256
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit RGB PNG → (h, w, 3) uint8: chunk walk → zlib inflate → undo
+    scanline filters 0-4. Raises NotImplementedError on interlace, palettes,
+    alpha, or non-8-bit depth — honest scope, same policy as decode_ppm."""
+    import struct
+    import zlib as _z
+
+    if not payload.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG payload")
+    pos, w = len(_PNG_SIG), 0
+    idat = bytearray()
+    h = bitdepth = colortype = interlace = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        expect_crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if _z.crc32(tag + body) & 0xFFFFFFFF != expect_crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if bitdepth != 8 or colortype != 2 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced RGB supported (got depth={bitdepth}, "
+            f"color={colortype}, interlace={interlace})"
+        )
+    raw = _z.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            recon = line
+        elif f == 1:  # Sub: prefix-sum per pixel-channel stride
+            recon = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            recon = (line + prev) % 256
+        elif f == 3:  # Average — sequential in x
+            recon = np.empty_like(line)
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
+        elif f == 4:  # Paeth — sequential in x
+            recon = np.empty_like(line)
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w, 3)
+
+
+def synthetic_png_images(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real PNG payloads whose PIXELS follow the same SQL-reconstructable
+    formula as synthetic_ppm_images (ASCII-sanitized text rpad-repeated to
+    w*h*3 bytes, w = 8 + id % 5, h = 8 + id % 11) — the encoder runs in an
+    Arrow-batched kernel (zlib is not expressible in SQL), but every decoded
+    STATISTIC is oracle-checkable because the pixel content is."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                w, h = 8 + doc_id % 5, 8 + doc_id % 11
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                n = w * h * 3
+                pix = (body * (n // len(body) + 1))[:n].encode("ascii")
+                img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+                rows.append((doc_id, w, h, encode_png(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
+
+    return source_df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
+    )
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL PNG decode: inflate + filter reconstruction, then parsed
+    geometry and exact per-channel means from the decoded array only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(bytes(r.payload))
+                means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                rows.append(
+                    (r.media_id, img.shape[1], img.shape[0],
+                     float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b"]
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id bigint, img_w int, img_h int, mean_r double, mean_g double, mean_b double",
+    )
+    return out.select(
+        "media_id",
+        "img_w",
+        "img_h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )

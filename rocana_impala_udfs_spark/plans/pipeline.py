@@ -1225,6 +1225,46 @@ FROM resized
 """
 
 
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-checked: payloads are genuine PNGs (zlib
+    DEFLATE + cycling scanline filters 0-4, built in an Arrow kernel), the
+    decoder is the pure numpy+zlib inflate/filter-reconstruction path, and
+    the oracle recomputes the channel means from the SQL-reconstructable
+    pixel formula. Retires the 'decode stubbed' gap for a second real
+    format alongside PPM; JPEG/AV remain honestly stubbed."""
+    media = multimodal.synthetic_png_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.png_decode_stats(media)
+
+
+# pixel formula shared with synthetic_png_images: w = 8 + id % 5,
+# h = 8 + id % 11, body = ASCII-sanitized text rpad-repeated to w*h*3
+_PNG_PIX = (
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
+    "CAST((8 + doc_id % 5) * (8 + doc_id % 11) * 3 AS INT), "
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
+)
+
+ORACLE_PNG_DECODE = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 5 AS INT) AS img_w,
+           CAST(8 + doc_id % 11 AS INT) AS img_h,
+           {_PNG_PIX} AS pix
+    FROM documents
+),
+px AS (
+    SELECT media_id, img_w, img_h,
+           unnest(range(img_w * img_h * 3)) AS i, pix
+    FROM imgs
+)
+SELECT media_id, img_w, img_h,
+       round(avg(CASE WHEN i % 3 = 0 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_r,
+       round(avg(CASE WHEN i % 3 = 1 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_g,
+       round(avg(CASE WHEN i % 3 = 2 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_b
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
@@ -1249,6 +1289,7 @@ PIPELINE_QUERIES = {
     "multimodal_resize": q_media_resize,
     "multimodal_ppm_decode_stats": q_ppm_decode_stats,
     "multimodal_ppm_resize": q_ppm_resize,
+    "multimodal_png_decode_stats": q_png_decode_stats,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "weighted_sample_docs": q_weighted_sample_docs,
@@ -1289,6 +1330,7 @@ PIPELINE_ORACLE = {
     "multimodal_resize": ORACLE_MEDIA_RESIZE,
     "multimodal_ppm_decode_stats": ORACLE_PPM_DECODE,
     "multimodal_ppm_resize": ORACLE_PPM_RESIZE,
+    "multimodal_png_decode_stats": ORACLE_PNG_DECODE,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

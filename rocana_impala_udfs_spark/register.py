@@ -29,6 +29,11 @@ def register_all(spark: SparkSession) -> SparkSession:
     from rocana_impala_udfs_spark.functions import text as text_fns
 
     spark.udf.register("appx_median_bounded", make_appx_median_bounded_str_udf())
+    # byte-parity flavor: formats like the reference's ToStringVal
+    # (stringstream precision-6, median.cc:29-37)
+    spark.udf.register(
+        "appx_median_bounded_ref_format", make_appx_median_bounded_str_udf(cpp_format=True)
+    )
     spark.udf.register("appx_median_bounded_double", make_appx_median_bounded_udf())
     spark.udf.register("reservoir_sample", make_reservoir_sample_udf())
     text_fns.register(spark)

@@ -284,3 +284,17 @@ def test_string_return_full_precision_round_trip(spark):
     df.createOrReplaceTempView("_prec3")
     row = spark.sql("SELECT CAST(appx_median_bounded(x, 10) AS DOUBLE) AS m FROM _prec3").collect()[0]
     assert row.m == 51504.36
+
+
+def test_string_return_cpp_stringstream_parity(spark):
+    # cpp_format=True pins byte parity with the reference's ToStringVal
+    # (median.cc:29-37): stringstream default precision(6) == C %g with 6
+    # significant digits. Cases cover integral ("500"), rounded to 6 sig
+    # digits ("51504.4"), and scientific switchover ("1e+07").
+    for val, expect in [(500.0, "500"), (51504.36, "51504.4"), (1e7, "1e+07")]:
+        df = spark.createDataFrame([(val,)] * 3, "x double")
+        df.createOrReplaceTempView("_cppfmt")
+        row = spark.sql(
+            "SELECT appx_median_bounded_ref_format(x, 10) AS s FROM _cppfmt"
+        ).collect()[0]
+        assert row.s == expect, (val, row.s)

@@ -502,3 +502,57 @@ def test_ppm_resize_matches_reference(spark):
         h, w, _ = img.shape
         ref = img[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
         assert got[r.media_id] == hashlib.md5(multimodal.encode_ppm(ref)).hexdigest()
+
+
+def test_png_codec_roundtrip_all_filters():
+    # encoder cycles filters 0-4 by row; 11 rows hit each at least twice
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (5, 3), (11, 8), (7, 20)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = multimodal.decode_png(multimodal.encode_png(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_png_codec_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=16),
+        w=st.integers(min_value=1, max_value=16),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(h, w, seed):
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_png(multimodal.encode_png(img)) == img).all()
+
+    check()
+
+
+def test_png_decode_rejects_non_png():
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_png(b"P6\n1 1\n255\nabc")
+
+
+def test_png_decode_detects_corruption():
+    import pytest as _pt
+
+    payload = bytearray(multimodal.encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    payload[40] ^= 0xFF  # flip a byte inside a chunk body
+    with _pt.raises(ValueError):
+        multimodal.decode_png(bytes(payload))
+
+
+def test_png_decode_stats_spark_plumbing(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = multimodal.synthetic_png_images(spark, docs)
+    stats = multimodal.png_decode_stats(media).collect()
+    assert len(stats) == 30
+    for r in stats:
+        assert 8 <= r.img_w <= 12 and 8 <= r.img_h <= 18
+        for m in (r.mean_r, r.mean_g, r.mean_b):
+            assert 32 <= m <= 127  # printable-ASCII pixel bytes
