@@ -93,3 +93,52 @@ def weighted_hash_gate(
         % precision
     ) / F.lit(float(precision))
     return df.withColumn("_u", u).filter(F.col("_u") < weight).drop("_u")
+
+
+def stratified_hash_gate(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its content-
+    addressed integer draw (md5-bucket of ``key_col``) is below the
+    stratum's integer threshold. Unlike seeded ``sampleBy`` the decision is
+    a pure projection reproducible in ANY engine (the hash IS the RNG), so
+    it is exactly oracle-checkable AND stable across reprocessing — the
+    property that matters when a 100-TB corpus is resampled incrementally.
+    Strata absent from ``fractions`` are dropped (gate 0), matching
+    ``sampleBy``. The draw-vs-threshold compare is integer-only: no float
+    boundary can flip a row between engines."""
+    draw = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast("bigint")
+        % precision
+    )
+    gate = F.lit(0)
+    for stratum, frac in sorted(fractions.items()):
+        gate = F.when(F.col(stratum_col) == stratum, int(frac * precision)).otherwise(gate)
+    return df.filter(draw < gate)
+
+
+def weighted_sample_deterministic(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """A-Res weighted top-k with the content-addressed draw as the RNG:
+    key = u^(1/w) with u = md5-bucket(key_col)/precision, keep the k
+    largest keys (ties broken by ``key_col`` — the key is rounded to 9
+    decimals in both engines so a sub-ulp libm difference in ``pow`` cannot
+    reorder the boundary). Same single-pass TakeOrdered plan as
+    :func:`weighted_sample`, but reproducible outside Spark and therefore
+    exactly oracle-checkable."""
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast("bigint")
+        % precision
+    ) / F.lit(float(precision))
+    keyed = df.filter(w > 0).withColumn("_ares_key", F.round(F.pow(u, 1.0 / w), 9))
+    return keyed.orderBy(F.col("_ares_key").desc(), F.col(key_col)).limit(k)

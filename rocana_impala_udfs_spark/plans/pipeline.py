@@ -421,6 +421,39 @@ WHERE (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGI
 """
 
 
+ORACLE_WEIGHTED_DET = f"""
+WITH base AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr
+    FROM base
+),
+scored AS (
+    SELECT doc_id,
+           round((least(n_chars / 500.0, 1.0)
+                  + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0)
+                 ) / 3.0, 6) AS quality
+    FROM feats
+),
+keyed AS (
+    SELECT doc_id, quality,
+           round(pow((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                      % 1000000) / 1000000.0,
+                     1.0 / quality), 9) AS ares_key
+    FROM scored WHERE quality > 0
+)
+SELECT doc_id, quality, ares_key FROM keyed
+ORDER BY ares_key DESC, doc_id LIMIT 50
+"""
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1058,6 +1091,57 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_FRACTIONS = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+
+
+def q_stratified_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic flavor of stratified sampling — the md5 draw IS the
+    RNG, so the exact kept set (not just its expected size) is reproducible
+    in any engine; the integer draw-vs-threshold compare leaves no float
+    boundary to disagree on. This is the reprocessing-stable sampler a
+    100-TB corpus pipeline wants; the seeded ``sampleBy`` variant above
+    stays as the Spark-native alternative."""
+    from rocana_impala_udfs_spark.operators.sampling import stratified_hash_gate
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        stratified_hash_gate(ev, "event_type", "event_id", _STRAT_FRACTIONS)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STRATIFIED_HASH = """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE (CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000)
+      < CASE event_type
+            WHEN 'click' THEN 100000
+            WHEN 'view' THEN 100000
+            WHEN 'purchase' THEN 1000000
+            WHEN 'signup' THEN 1000000
+            WHEN 'error' THEN 500000
+            ELSE 0
+        END
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-Res weighted top-k (key = u^(1/quality), u from the
+    content-addressed md5 draw): the exact 50-row sample is engine-
+    reproducible, so the oracle checks the actual selection — the seeded
+    ``rand()`` variant above can only be statistically tested."""
+    from rocana_impala_udfs_spark.operators.sampling import weighted_sample_deterministic
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", T.quality_score("text").alias("quality"))
+    return weighted_sample_deterministic(scored, "quality", "doc_id", 50).select(
+        "doc_id", "quality", F.col("_ares_key").alias("ares_key")
+    )
+
+
 # --- multimodal columns -----------------------------------------------------
 
 
@@ -1292,7 +1376,9 @@ PIPELINE_QUERIES = {
     "multimodal_png_decode_stats": q_png_decode_stats,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
+    "stratified_hash_counts": q_stratified_hash_counts,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "weighted_sample_det_topk": q_weighted_sample_det,
     "decontaminate_docs": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_dedup_stats": q_chunk_dedup_stats,
@@ -1345,4 +1431,6 @@ PIPELINE_ORACLE = {
     "text_pii_flags": ORACLE_TEXT_PII,
     "emb_kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "resample_by_quality": ORACLE_RESAMPLE_QUALITY,
+    "stratified_hash_counts": ORACLE_STRATIFIED_HASH,
+    "weighted_sample_det_topk": ORACLE_WEIGHTED_DET,
 }

@@ -556,3 +556,43 @@ def test_png_decode_stats_spark_plumbing(spark):
         assert 8 <= r.img_w <= 12 and 8 <= r.img_h <= 18
         for m in (r.mean_r, r.mean_g, r.mean_b):
             assert 32 <= m <= 127  # printable-ASCII pixel bytes
+
+
+def test_stratified_hash_gate_fractions_and_determinism(spark):
+    from rocana_impala_udfs_spark.operators.sampling import stratified_hash_gate
+
+    ev = load_table(spark, SF, "events")
+    fractions = {"click": 0.1, "purchase": 1.0, "error": 0.5}
+    kept = stratified_hash_gate(ev, "event_type", "event_id", fractions)
+    base = {r.event_type: r.n for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    got = {r.event_type: r.n for r in kept.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert set(got) <= set(fractions)  # absent strata dropped
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
+    assert 0.05 <= got["click"] / base["click"] <= 0.15
+    assert 0.4 <= got["error"] / base["error"] <= 0.6
+    # content-addressed: a second evaluation selects the identical id set
+    ids1 = {r.event_id for r in kept.select("event_id").collect()}
+    ids2 = {r.event_id for r in stratified_hash_gate(ev, "event_type", "event_id", fractions).select("event_id").collect()}
+    assert ids1 == ids2
+
+
+def test_weighted_sample_deterministic_exact_k_and_bias(spark):
+    from rocana_impala_udfs_spark.functions.text import quality_score
+    from rocana_impala_udfs_spark.operators.sampling import weighted_sample_deterministic
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    got = weighted_sample_deterministic(docs, "quality", "doc_id", 50).collect()
+    assert len(got) == 50
+    # repeatable row-for-row (no RNG state anywhere)
+    again = weighted_sample_deterministic(docs, "quality", "doc_id", 50).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in again]
+    # weighted: with strongly separated weights, heavy rows dominate the
+    # sample (corpus quality is near-uniform, so bias is tested synthetically)
+    synth = spark.createDataFrame(
+        [(i, 0.95 if i % 2 == 0 else 0.05) for i in range(400)], "doc_id long, quality double"
+    )
+    heavy = weighted_sample_deterministic(synth, "quality", "doc_id", 50).collect()
+    n_heavy = sum(1 for r in heavy if r.quality > 0.5)
+    assert n_heavy >= 45
