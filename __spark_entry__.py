@@ -95,6 +95,7 @@ _NEVER_DRIVER_CHECKED = [
     "resample_by_quality",
     # new in r4 (never driver-checked yet)
     "multimodal_png_decode_stats",
+    "multimodal_ppm_feature_histogram",
     "stratified_hash_counts",
     "weighted_sample_det_topk",
 ]

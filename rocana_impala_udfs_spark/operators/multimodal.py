@@ -474,3 +474,31 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+def ppm_feature_histogram(media: DataFrame, bins: int = 32) -> DataFrame:
+    """REAL feature extraction from decoded pixels: per-image ``bins``-bin
+    byte histogram of the decoded array, L1-normalized, emitted as
+    (media_id, bin, frac) rows for nonzero bins — fully oracle-checkable
+    because every count is derivable from the SQL-reconstructable pixel
+    string (bin = byte // (256 // bins)). The companion to
+    :func:`extract_features`, whose fake-decoder path covers the
+    codec-dependent formats."""
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_ppm(bytes(r.payload))
+                flat = img.reshape(-1)
+                hist = np.bincount(flat // width, minlength=bins)
+                total = float(flat.size)
+                for b in np.nonzero(hist)[0]:
+                    rows.append((r.media_id, int(b), float(hist[b] / total)))
+            yield pd.DataFrame(rows, columns=["media_id", "bin", "frac"])
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, bin int, frac double"
+    )
+    return out.select("media_id", "bin", F.round("frac", 6).alias("frac"))

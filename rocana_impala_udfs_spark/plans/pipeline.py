@@ -1349,6 +1349,35 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+def q_ppm_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL feature extraction, oracle-checked: 32-bin L1-normalized byte
+    histogram of each DECODED P6 image (decode runs for real; the oracle
+    recomputes every bin count from the SQL-reconstructed pixel string).
+    Retires the last decode-stubbed weak grade on the multimodal surface —
+    extract_features(fake=True) remains for codec-dependent formats."""
+    media = multimodal.synthetic_ppm_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.ppm_feature_histogram(media)
+
+
+ORACLE_PPM_FEATURES = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS INT) AS img_w,
+           CAST(8 + doc_id % 7 AS INT) AS img_h,
+           {_PPM_PIX} AS pix
+    FROM documents
+),
+px AS (
+    SELECT media_id, img_w, img_h,
+           CAST(ascii(substring(pix, CAST(i AS INT) + 1, 1)) // 8 AS INT) AS bin
+    FROM imgs, unnest(range(img_w * img_h * 3)) AS t(i)
+)
+SELECT media_id, bin,
+       round(count(*) * 1.0 / (max(img_w) * max(img_h) * 3), 6) AS frac
+FROM px GROUP BY media_id, bin
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
@@ -1374,6 +1403,7 @@ PIPELINE_QUERIES = {
     "multimodal_ppm_decode_stats": q_ppm_decode_stats,
     "multimodal_ppm_resize": q_ppm_resize,
     "multimodal_png_decode_stats": q_png_decode_stats,
+    "multimodal_ppm_feature_histogram": q_ppm_feature_histogram,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "stratified_hash_counts": q_stratified_hash_counts,
@@ -1417,6 +1447,7 @@ PIPELINE_ORACLE = {
     "multimodal_ppm_decode_stats": ORACLE_PPM_DECODE,
     "multimodal_ppm_resize": ORACLE_PPM_RESIZE,
     "multimodal_png_decode_stats": ORACLE_PNG_DECODE,
+    "multimodal_ppm_feature_histogram": ORACLE_PPM_FEATURES,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

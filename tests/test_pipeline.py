@@ -596,3 +596,18 @@ def test_weighted_sample_deterministic_exact_k_and_bias(spark):
     heavy = weighted_sample_deterministic(synth, "quality", "doc_id", 50).collect()
     n_heavy = sum(1 for r in heavy if r.quality > 0.5)
     assert n_heavy >= 45
+
+
+def test_ppm_feature_histogram_real_decode(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = multimodal.synthetic_ppm_images(spark, docs)
+    rows = multimodal.ppm_feature_histogram(media).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id) == 20
+    for mid, bins in by_id.items():
+        # L1-normalized: fractions sum to 1 (rounding to 6dp per bin)
+        assert sum(b.frac for b in bins) == pytest.approx(1.0, abs=1e-4)
+        # printable-ASCII pixels land in bins 4..15 (32..127 // 8)
+        assert all(4 <= b.bin <= 15 for b in bins)

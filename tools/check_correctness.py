@@ -31,28 +31,41 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
-def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
-    problems = []
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[list[str], list[str]]:
+    """Returns (problems, near_misses). The driver's gate is an EXACT
+    value-hash; a float column that only passes within 1e-9 locally can
+    still hash-mismatch there, so exact-vs-close divergence is surfaced
+    as a near-miss instead of being silently absorbed."""
+    problems: list[str] = []
+    near: list[str] = []
     if len(sdf) != len(odf):
         problems.append(f"row count {len(sdf)} vs oracle {len(odf)}")
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}")
-        return problems
+        return problems, near
     if problems:
-        return problems
+        return problems, near
     a, b = canon(sdf.copy()), canon(odf.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")
-            bad = ~(np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True))
+            close = np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True)
+            exact = (av.to_numpy() == bv.to_numpy()) | (av.isna() & bv.isna()).to_numpy()
+            bad = ~close
+            if (~exact & close).any():
+                i = int(np.argmax(np.asarray(~exact & close)))
+                near.append(
+                    f"col {c}: {int((~exact & close).sum())} values differ in low bits "
+                    f"(e.g. {av.iloc[i]!r} vs {bv.iloc[i]!r}) — driver exact-hash risk"
+                )
         else:
             bad = ~((av == bv) | (av.isna() & bv.isna()))
         if bad.any():
             i = int(np.argmax(np.asarray(bad)))
             problems.append(f"col {c}: {int(bad.sum())} mismatches, first at row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
-    return problems
+    return problems, near
 
 
 def main() -> int:
@@ -85,12 +98,13 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        problems = compare(sdf, odf)
+        problems, near = compare(sdf, odf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"pass {name} ({len(sdf)} rows)")
+            tag = " NEAR[" + "; ".join(near) + "]" if near else ""
+            print(f"pass {name} ({len(sdf)} rows){tag}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
     return 1 if n_fail else 0
