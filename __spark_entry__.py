@@ -98,6 +98,10 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_ppm_feature_histogram",
     "stratified_hash_counts",
     "weighted_sample_det_topk",
+    "corrmin_q2_min_price_supplier",
+    "share_q11_important_parts",
+    "outeragg_q13_order_count_distribution",
+    "selfjoin_q21_sole_returned_suppliers",
 ]
 
 

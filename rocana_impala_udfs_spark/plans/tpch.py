@@ -568,3 +568,213 @@ TPCH_ORACLE.update(
         "nestedin_q20_promo_part_suppliers": ORACLE_Q20,
     }
 )
+
+
+# --- Q2 flavor: correlated min subquery + multi-join lookup -----------------
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's operator shape without partsupp: for each part TYPE, the parts
+    priced at that type's minimum retail price, and every supplier that
+    shipped them. The correlated MIN subquery becomes a tiny per-type agg
+    (bounded by #distinct types) broadcast back onto part — in-plan, no
+    driver round-trip; supplier lookup rides the one lineitem shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    minp = p.groupBy("p_type").agg(F.min("p_retailprice").alias("mp"))
+    cheap = (
+        p.join(F.broadcast(minp), "p_type")
+        .filter(F.col("p_retailprice") == F.col("mp"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
+    sup = li.select("l_partkey", "l_suppkey").distinct().join(
+        cheap, F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        sup.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("p_retailprice").alias("min_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """
+WITH minp AS (SELECT p_type, min(p_retailprice) AS mp FROM part GROUP BY p_type),
+cheap AS (
+    SELECT p_partkey, p.p_type, p_retailprice
+    FROM part p JOIN minp ON p.p_type = minp.p_type AND p_retailprice = mp
+),
+sup AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, p_retailprice AS min_price
+FROM sup
+JOIN cheap ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11 flavor: group share vs in-plan global-total scalar subquery --------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's HAVING > scalar-subquery shape: parts whose revenue exceeds
+    1.5x the mean per-part revenue (SF-invariant head, unlike a fixed
+    corpus fraction). The threshold derives from an exact DECIMAL sum and
+    an integer count, so the comparison inputs are bit-identical across
+    engines; the 1-row scalar is broadcast (crossJoin), never collected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(_sum_rev_exact("value"))
+    cut = per_part.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            * F.lit(1.5)
+            / F.count(F.lit(1))
+        ).alias("cut")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(cut))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH per AS (
+    SELECT l_partkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+    SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 1.5 / count(*) AS cut
+    FROM per
+)
+SELECT l_partkey, value FROM per, tot WHERE value > cut
+ORDER BY value DESC, l_partkey
+"""
+
+
+# --- Q13 flavor: outer-join count distribution (double aggregation) ---------
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13's shape: customer LEFT JOIN filtered orders, per-customer order
+    count INCLUDING zero, then the distribution of counts. The order-side
+    filter stays on the build input (not a post-join WHERE, which would
+    break outer semantics); two aggregations, the second over #distinct
+    counts (tiny)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q21 flavor: self semi + anti join (EXISTS other / NOT EXISTS other) ----
+
+
+def q21_sole_returned_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double-correlated shape on available columns: suppliers whose
+    line in a multi-supplier order was returned while NO other supplier's
+    line in that order was. EXISTS(other supplier) == left-semi self-join;
+    NOT EXISTS(other returned) == left-anti self-join — both on the order
+    key, no distinct-then-join, no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    allsup = li.select("l_orderkey", "l_suppkey").distinct()
+    cand = ret.alias("l1").join(
+        allsup.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    cand = cand.alias("c").join(
+        ret.alias("l3"),
+        (F.col("c.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+WITH ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+cand AS (
+    SELECT l1.l_orderkey, l1.l_suppkey FROM ret l1
+    WHERE EXISTS (
+        SELECT 1 FROM allsup l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM ret l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+)
+SELECT s_name, n_name, count(*) AS numwait
+FROM cand JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+TPCH_QUERIES.update(
+    {
+        "corrmin_q2_min_price_supplier": q2_min_price_supplier,
+        "share_q11_important_parts": q11_important_parts,
+        "outeragg_q13_order_count_distribution": q13_order_count_distribution,
+        "selfjoin_q21_sole_returned_suppliers": q21_sole_returned_suppliers,
+    }
+)
+
+TPCH_ORACLE.update(
+    {
+        "corrmin_q2_min_price_supplier": ORACLE_Q2,
+        "share_q11_important_parts": ORACLE_Q11,
+        "outeragg_q13_order_count_distribution": ORACLE_Q13,
+        "selfjoin_q21_sole_returned_suppliers": ORACLE_Q21,
+    }
+)
