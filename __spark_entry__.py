@@ -102,6 +102,8 @@ _NEVER_DRIVER_CHECKED = [
     "share_q11_important_parts",
     "outeragg_q13_order_count_distribution",
     "selfjoin_q21_sole_returned_suppliers",
+    "appx_p90_value_by_event_type",
+    "appx_percentile_sql_udaf",
 ]
 
 

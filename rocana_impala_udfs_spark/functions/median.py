@@ -180,9 +180,18 @@ class ReservoirState:
         and return the element at index ``n // 2`` — the *upper* median for
         even counts, no interpolation (``median.cc:299-301``).
         """
+        return self.finalize_percentile(0.5)
+
+    def finalize_percentile(self, p: float) -> float | None:
+        """Generalization of the reference's finalize rule to any p in
+        [0, 1]: element at index ``min(floor(n*p), n-1)`` of the sorted
+        sample — for p=0.5 this IS ``n // 2``, the reference's upper-median
+        convention (``median.cc:299-301``); no interpolation, always an
+        actual data element."""
         if self.vals.size == 0:
             return None
-        return float(np.sort(self.vals)[self.vals.size // 2])
+        idx = min(int(np.floor(self.vals.size * p)), self.vals.size - 1)
+        return float(np.sort(self.vals)[idx])
 
     def sample_values(self) -> np.ndarray:
         return self.vals.copy()
@@ -250,6 +259,28 @@ def make_appx_median_bounded_str_udf(cpp_format: bool = False):
         return "%.6g" % m if cpp_format else repr(m)
 
     return appx_median_bounded_str_udf
+
+
+def make_appx_percentile_bounded_udf():
+    """``appx_percentile_bounded(x, p, k) -> DOUBLE``: the reference's
+    bounded reservoir generalized to any percentile (finalize picks
+    sorted[min(floor(n*p), n-1)]; p=0.5 reproduces ``appx_median_bounded``
+    exactly). ``p`` is a per-call constant column (max over the group, like
+    the k ratchet)."""
+
+    @pandas_udf("double")
+    def appx_percentile_bounded_udf(x: pd.Series, p: pd.Series, k: pd.Series) -> float:
+        ks = np.asarray(k, dtype=np.float64)
+        ks = ks[~np.isnan(ks)]
+        max_samples = int(ks.max()) if ks.size else 100
+        ps = np.asarray(p, dtype=np.float64)
+        ps = ps[~np.isnan(ps)]
+        pct = float(ps.max()) if ps.size else 0.5
+        state = ReservoirState(max_samples)
+        state.update(np.asarray(x, dtype=np.float64))
+        return state.finalize_percentile(pct)
+
+    return appx_percentile_bounded_udf
 
 
 def make_reservoir_sample_udf():

@@ -159,6 +159,25 @@ def appx_median_bounded_agg(
     serialized reservoir states. Exact when each group has ≤ ``max_samples``
     non-null rows. Group columns come back with their original types.
     """
+    return appx_percentile_bounded_agg(
+        df, value_col, 0.5, max_samples, group_cols, out, seed
+    )
+
+
+def appx_percentile_bounded_agg(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    max_samples: int,
+    group_cols: list[str] | None = None,
+    out: str = "percentile",
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """The reference's bounded-reservoir aggregate generalized to any
+    percentile: identical five-phase protocol and shuffle bound, finalize
+    picks sorted[min(floor(n*p), n-1)] (p=0.5 == the reference's
+    upper-median rule, ``median.cc:299-301``). Exact whenever each group
+    has ≤ ``max_samples`` non-null rows."""
     group_cols = list(group_cols or [])
     partials = reservoir_partials(df, value_col, max_samples, group_cols, seed)
     schema = (
@@ -175,7 +194,7 @@ def appx_median_bounded_agg(
             st.keys = np.asarray(row.keys, dtype=np.float64)
             st.source_size = int(row.source_size)
             acc = st if acc is None else (acc.merge(st) or acc)
-        median = acc.finalize() if acc is not None else None
+        median = acc.finalize_percentile(p) if acc is not None else None
         head = [pdf.iloc[0][c] for c in group_cols]
         return pd.DataFrame([head + [median]], columns=group_cols + [out])
 

@@ -92,6 +92,52 @@ def q_median_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p90_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded reservoir generalized to p90 (same five-phase protocol,
+    finalize at sorted[min(floor(n*0.9), n-1)]); exact at this SF because
+    BIG_K exceeds every group, so the oracle can pin the exact element."""
+    from rocana_impala_udfs_spark.operators.reservoir import appx_percentile_bounded_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return appx_percentile_bounded_agg(
+        ev, "value", 0.9, BIG_K, ["event_type"], out="p90_value"
+    )
+
+
+ORACLE_P90_VALUE = """
+SELECT event_type, x AS p90_value FROM (
+    SELECT event_type, value AS x,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+) ranked
+WHERE rn = least(CAST(floor(n * 0.9) AS BIGINT), n - 1) + 1
+"""
+
+
+def q_percentile_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered generalized UDAF from SQL:
+    ``appx_percentile_bounded(x, p, k)``."""
+    register_all(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_pct_udaf")
+    return spark.sql(
+        f"""SELECT l_linestatus,
+                   appx_percentile_bounded(l_quantity, 0.25, {BIG_K}) AS p25_qty
+            FROM _li_pct_udaf GROUP BY l_linestatus"""
+    )
+
+
+ORACLE_P25_QTY = """
+SELECT l_linestatus, x AS p25_qty FROM (
+    SELECT l_linestatus, l_quantity AS x,
+           row_number() OVER (PARTITION BY l_linestatus ORDER BY l_quantity) AS rn,
+           count(*) OVER (PARTITION BY l_linestatus) AS n
+    FROM lineitem WHERE l_quantity IS NOT NULL
+) ranked
+WHERE rn = least(CAST(floor(n * 0.25) AS BIGINT), n - 1) + 1
+"""
+
+
 def q_median_shipdate_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed generalization: TIMESTAMP median (ordering comparator the
     reference defines at median.cc:216-221 but never wires). Exact relational
@@ -219,6 +265,8 @@ MEDIAN_QUERIES = {
     "appx_median_value_by_event_type": q_median_value_by_event_type,
     "appx_median_value_by_day": q_median_value_by_day,
     "appx_median_sql_udaf": q_median_sql_udaf,
+    "appx_p90_value_by_event_type": q_p90_value_by_event_type,
+    "appx_percentile_sql_udaf": q_percentile_sql_udaf,
     "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
     "exact_median_name_by_segment": q_median_name_by_segment,
     "exact_median_name_truncated10": q_median_name_truncated10,
@@ -244,6 +292,8 @@ MEDIAN_ORACLE = {
     "appx_median_sql_udaf": _upper_median_oracle(
         "lineitem", "l_quantity", "median_qty", group="l_linestatus"
     ),
+    "appx_p90_value_by_event_type": ORACLE_P90_VALUE,
+    "appx_percentile_sql_udaf": ORACLE_P25_QTY,
     "exact_median_shipdate_by_returnflag": f"""
         SELECT l_returnflag, strftime(x, '%Y-%m-%d %H:%M:%S') AS median_shipdate FROM (
             SELECT l_returnflag, l_shipdate AS x,

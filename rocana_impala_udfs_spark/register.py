@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 from rocana_impala_udfs_spark.functions.median import (
     make_appx_median_bounded_str_udf,
     make_appx_median_bounded_udf,
+    make_appx_percentile_bounded_udf,
     make_reservoir_sample_udf,
 )
 
@@ -35,6 +36,7 @@ def register_all(spark: SparkSession) -> SparkSession:
         "appx_median_bounded_ref_format", make_appx_median_bounded_str_udf(cpp_format=True)
     )
     spark.udf.register("appx_median_bounded_double", make_appx_median_bounded_udf())
+    spark.udf.register("appx_percentile_bounded", make_appx_percentile_bounded_udf())
     spark.udf.register("reservoir_sample", make_reservoir_sample_udf())
     text_fns.register(spark)
 

@@ -298,3 +298,43 @@ def test_string_return_cpp_stringstream_parity(spark):
             "SELECT appx_median_bounded_ref_format(x, 10) AS s FROM _cppfmt"
         ).collect()[0]
         assert row.s == expect, (val, row.s)
+
+
+def test_percentile_generalization_p50_equals_median(spark):
+    from rocana_impala_udfs_spark.operators.reservoir import (
+        appx_median_bounded_agg,
+        appx_percentile_bounded_agg,
+    )
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    med = appx_median_bounded_agg(li, "l_extendedprice", 100_000, ["l_returnflag"], out="v")
+    p50 = appx_percentile_bounded_agg(li, "l_extendedprice", 0.5, 100_000, ["l_returnflag"], out="v")
+    assert {(r.l_returnflag, r.v) for r in med.collect()} == {
+        (r.l_returnflag, r.v) for r in p50.collect()
+    }
+
+
+def test_percentile_exact_when_unsaturated(spark):
+    from rocana_impala_udfs_spark.operators.reservoir import appx_percentile_bounded_agg
+
+    df = spark.range(0, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    for p, expect in [(0.0, 0.0), (0.25, 250.0), (0.9, 900.0), (1.0, 1000.0)]:
+        got = appx_percentile_bounded_agg(df, "x", p, 5000, out="v").collect()[0].v
+        assert got == expect, (p, got)
+
+
+def test_percentile_saturated_statistical(spark):
+    # saturated reservoir: p90 of uniform 0..9999 with k=500 samples should
+    # land within a few percentile points of 9000
+    from rocana_impala_udfs_spark.operators.reservoir import appx_percentile_bounded_agg
+
+    df = spark.range(0, 10_000).selectExpr("CAST(id AS DOUBLE) AS x")
+    got = appx_percentile_bounded_agg(df, "x", 0.9, 500, out="v").collect()[0].v
+    assert 8500 <= got <= 9500, got
+
+
+def test_percentile_sql_udaf_route(spark):
+    spark.range(0, 101).selectExpr("CAST(id AS DOUBLE) AS x").createOrReplaceTempView("_pct_n")
+    row = spark.sql("SELECT appx_percentile_bounded(x, 0.75, 1000) AS v FROM _pct_n").collect()[0]
+    assert row.v == 75.0
