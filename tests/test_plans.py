@@ -225,3 +225,40 @@ def test_equidepth_no_global_sort(spark):
     assert "BroadcastExchange" in plan
     # no window over a single unbounded partition of the corpus
     assert "Window" not in plan
+
+
+def test_stratified_hash_gate_is_pure_projection(spark):
+    # the deterministic sampler's keep decision must not shuffle: the only
+    # exchanges belong to the count aggregation, and no Python eval node
+    # appears (md5/conv are JVM expressions)
+    plan = _plan(spark, "stratified_hash_counts")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    before_agg = plan.split("HashAggregate")[-1]  # below the partial agg
+    assert "Exchange" not in before_agg
+
+
+def test_weighted_det_topk_no_global_sort(spark):
+    # deterministic A-Res top-k must plan as TakeOrdered (per-partition
+    # heaps + driver merge), never a full Sort of the corpus
+    plan = _plan(spark, "weighted_sample_det_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q21_no_cartesian_and_semi_anti_shapes(spark):
+    plan = _plan(spark, "selfjoin_q21_sole_returned_suppliers")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q2_min_subquery_stays_in_plan(spark):
+    # the per-type MIN must be an aggregate broadcast back, not a collected
+    # scalar: no more than the agg exchanges, and a broadcast join on p_type
+    plan = _plan(spark, "corrmin_q2_min_price_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_join_preserved(spark):
+    plan = _plan(spark, "outeragg_q13_order_count_distribution")
+    assert "LeftOuter" in plan
