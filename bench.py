@@ -24,6 +24,8 @@ HEADLINE = [
     # The reference's own function, distributed two-phase (scale path).
     "appx_median_price_by_returnflag",
     "appx_median_value_by_event_type",
+    # r4: generalized bounded percentile (same protocol, p=0.9)
+    "appx_p90_value_by_event_type",
     # Relational coverage: scan+agg, multi-join, broadcast join, top-k, window.
     "q1_pricing_summary",
     "join_revenue_by_nation",
@@ -53,6 +55,11 @@ HEADLINE = [
     "split_train_val_test",
     # Flagship composition: full corpus-prep pipeline.
     "llm_corpus_pipeline",
+    # r4 additions: real PNG decode, deterministic samplers, Q21 self-joins.
+    "multimodal_png_decode_stats",
+    "stratified_hash_counts",
+    "weighted_sample_det_topk",
+    "selfjoin_q21_sole_returned_suppliers",
 ]
 
 
