@@ -104,6 +104,7 @@ _NEVER_DRIVER_CHECKED = [
     "selfjoin_q21_sole_returned_suppliers",
     "appx_p90_value_by_event_type",
     "appx_percentile_sql_udaf",
+    "ewma_user_value",
 ]
 
 

@@ -251,3 +251,39 @@ def tumbling_agg(
         .withColumn("window_start", F.col("_w.start"))
         .drop("_w")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.1,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exact exponential smoothing per key: ewma_1 = x_1,
+    ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1} over ``order_cols`` order.
+
+    The recursion is inherently sequential per key, so it runs as ONE
+    keyed shuffle + ``applyInPandas`` fold (the custom-stateful-operator
+    escape hatch); state is O(1) per key. The fold uses exactly
+    ``alpha*x + (1-alpha)*acc`` so an engine doing the same left fold
+    (DuckDB ``list_reduce``) reproduces it bit-for-bit — IEEE mul/add are
+    correctly rounded, leaving no cross-engine slack.
+    """
+    src = df.select(*key_cols, *order_cols, value_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + f", `{out}` double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        acc = None
+        res = []
+        for x in pdf[value_col].astype(float):
+            acc = x if acc is None else alpha * x + (1 - alpha) * acc
+            res.append(acc)
+        pdf[out] = res
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)

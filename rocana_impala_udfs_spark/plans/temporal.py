@@ -725,6 +725,38 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact exponential smoothing (alpha=0.1) of each user's event values
+    in time order — the classic alerting baseline. The sequential recursion
+    runs as one keyed shuffle + applyInPandas fold
+    (operators/temporal.py:ewma_smooth); the oracle reproduces the
+    identical left fold with DuckDB list_reduce, so values match
+    bit-for-bit (IEEE mul/add, no rounding needed)."""
+    from rocana_impala_udfs_spark.operators.temporal import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = ewma_smooth(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.1)
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
+ORACLE_EWMA = """
+WITH per AS (
+    SELECT user_id,
+           list(event_id ORDER BY ts, event_id) AS ids,
+           list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+),
+idx AS (
+    SELECT user_id, ids, vals, unnest(range(1, len(vals) + 1)) AS i FROM per
+)
+SELECT user_id,
+       ids[CAST(i AS INT)] AS event_id,
+       vals[CAST(i AS INT)] AS value,
+       list_reduce(vals[1:CAST(i AS INT)], (acc, x) -> 0.1*x + (1 - 0.1)*acc) AS ewma
+FROM idx
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
@@ -746,10 +778,12 @@ TEMPORAL_QUERIES = {
     "ops_error_burn_rate": q_ops_error_burn_rate,
     "events_dau_wau": q_events_dau_wau,
     "sliding_window_event_rates": q_sliding_window_event_rates,
+    "ewma_user_value": q_ewma_user_value,
 }
 
 TEMPORAL_ORACLE = {
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
+    "ewma_user_value": ORACLE_EWMA,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,

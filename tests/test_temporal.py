@@ -248,3 +248,20 @@ def test_funnel_strictly_after_semantics(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {r.step: r.n_users for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_ewma_smooth_hand_computed(spark):
+    from rocana_impala_udfs_spark.operators.temporal import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "k long, seq long, x double",
+    )
+    got = {
+        (r.k, r.seq): r.ewma
+        for r in ewma_smooth(df, ["k"], ["seq"], "x", alpha=0.5).collect()
+    }
+    assert got[(1, 1)] == 10.0
+    assert got[(1, 2)] == 0.5 * 20.0 + 0.5 * 10.0
+    assert got[(1, 3)] == 0.5 * 30.0 + 0.5 * (0.5 * 20.0 + 0.5 * 10.0)
+    assert got[(2, 1)] == 5.0  # independent key restarts the fold
