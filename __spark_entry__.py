@@ -105,6 +105,7 @@ _NEVER_DRIVER_CHECKED = [
     "appx_p90_value_by_event_type",
     "appx_percentile_sql_udaf",
     "ewma_user_value",
+    "interpolated_minute_values",
 ]
 
 

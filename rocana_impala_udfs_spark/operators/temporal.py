@@ -287,3 +287,58 @@ def ewma_smooth(
         return pdf
 
     return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
+
+
+def interpolate_fill(
+    agg: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Linear-interpolation gap fill (the hypertable ``interpolate()``
+    companion to :func:`gap_fill`'s constant default): missing buckets get
+    ``y0 + (y1 - y0) * (t - t0) / (t1 - t0)`` between their nearest real
+    neighbors; leading/trailing gaps carry the nearest real value.
+
+    Same spine construction as gap_fill (sequence + explode per group, no
+    driver loop, no global calendar), then two window passes over ONE
+    keyed shuffle: last-ignore-nulls looking back and first-ignore-nulls
+    looking forward. Adds ``<value_col>_filled`` and keeps the original
+    (NULL in gaps) for inspection.
+    """
+    bounds = agg.groupBy(*group_cols).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step_seconds} SECONDS"))
+        ).alias(ts_col),
+    )
+    filled = spine.join(agg, [*group_cols, ts_col], "left")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    t_real = F.when(F.col(value_col).isNotNull(), t)
+    back = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    y0 = F.last(value_col, ignorenulls=True).over(back)
+    t0 = F.last(t_real, ignorenulls=True).over(back)
+    y1 = F.first(value_col, ignorenulls=True).over(fwd)
+    t1 = F.first(t_real, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(y0.isNull(), y1)
+        .when(y1.isNull(), y0)
+        .otherwise(y0 + (y1 - y0) * ((t - t0) / (t1 - t0)))
+    )
+    return filled.select(
+        *group_cols, ts_col, F.col(value_col), interp.alias(f"{value_col}_filled")
+    )

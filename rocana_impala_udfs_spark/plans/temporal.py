@@ -757,6 +757,73 @@ FROM idx
 """
 
 
+def q_interpolated_minute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over 5-minute buckets of per-type MIN
+    value (min is summation-order-independent, so the interpolation inputs
+    — and therefore the IEEE arithmetic — are identical in both engines;
+    no rounding needed)."""
+    from rocana_impala_udfs_spark.operators.temporal import interpolate_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    # 5-minute buckets via integer floor division (a float-divide +
+    # bigint cast would TRUNCATE in Spark but ROUND in DuckDB)
+    agg5 = ev.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000 div 300 * 300")
+        ).alias("bucket"),
+    ).agg(F.min("value").alias("v"))
+    out = interpolate_fill(agg5, "bucket", ["event_type"], "v", 300)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        "v",
+        "v_filled",
+    )
+
+
+ORACLE_INTERPOLATE = """
+WITH agg AS (
+    SELECT event_type,
+           to_timestamp(epoch_us(ts) // 1000000 // 300 * 300) AS bucket,
+           min(value) AS v
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 300 SECONDS)) AS bucket
+    FROM bounds
+),
+joined AS (
+    SELECT s.event_type, s.bucket, a.v,
+           CAST(epoch_us(s.bucket) AS DOUBLE) AS t,
+           CASE WHEN a.v IS NOT NULL THEN CAST(epoch_us(s.bucket) AS DOUBLE) END AS t_real
+    FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+),
+win AS (
+    SELECT event_type, bucket, v, t,
+           last_value(v IGNORE NULLS) OVER back AS y0,
+           last_value(t_real IGNORE NULLS) OVER back AS t0,
+           first_value(v IGNORE NULLS) OVER fwd AS y1,
+           first_value(t_real IGNORE NULLS) OVER fwd AS t1
+    FROM joined
+    WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fwd AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, epoch_us(bucket) AS bucket_us, v,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN y0 IS NULL THEN y1
+            WHEN y1 IS NULL THEN y0
+            ELSE y0 + (y1 - y0) * ((t - t0) / (t1 - t0))
+       END AS v_filled
+FROM win
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
@@ -779,11 +846,13 @@ TEMPORAL_QUERIES = {
     "events_dau_wau": q_events_dau_wau,
     "sliding_window_event_rates": q_sliding_window_event_rates,
     "ewma_user_value": q_ewma_user_value,
+    "interpolated_minute_values": q_interpolated_minute_values,
 }
 
 TEMPORAL_ORACLE = {
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
     "ewma_user_value": ORACLE_EWMA,
+    "interpolated_minute_values": ORACLE_INTERPOLATE,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,

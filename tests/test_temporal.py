@@ -265,3 +265,22 @@ def test_ewma_smooth_hand_computed(spark):
     assert got[(1, 2)] == 0.5 * 20.0 + 0.5 * 10.0
     assert got[(1, 3)] == 0.5 * 30.0 + 0.5 * (0.5 * 20.0 + 0.5 * 10.0)
     assert got[(2, 1)] == 5.0  # independent key restarts the fold
+
+
+def test_interpolate_fill_hand_computed(spark):
+    from rocana_impala_udfs_spark.operators.temporal import interpolate_fill
+
+    # buckets at 0s, 60s present; 120s missing; 180s present; values 10, 20, ?, 50
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 60, 20.0), ("a", 180, 50.0)],
+        "g string, sec long, v double",
+    ).select("g", F.timestamp_seconds("sec").alias("b"), "v")
+    got = {
+        r.b.second + r.b.minute * 60: (r.v, r.v_filled)
+        for r in interpolate_fill(df, "b", ["g"], "v", 60).collect()
+    }
+    assert got[0] == (10.0, 10.0)
+    assert got[60] == (20.0, 20.0)
+    # 120s sits 1/2 of the way from 60s (20.0) to 180s (50.0) -> 35.0
+    assert got[120] == (None, 35.0)
+    assert got[180] == (50.0, 50.0)
