@@ -106,6 +106,7 @@ _NEVER_DRIVER_CHECKED = [
     "appx_percentile_sql_udaf",
     "ewma_user_value",
     "interpolated_minute_values",
+    "vocab_growth_stats",
 ]
 
 

@@ -1029,6 +1029,36 @@ HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
 """
 
 
+def q_vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report: total tokens, vocabulary size, hapax
+    legomena (frequency-1 types), and type-token ratio — the standard
+    Zipf/coverage diagnostics before training. One token-keyed shuffle with
+    map-side partial counts; the final reduction is over #distinct tokens.
+    All-integer arithmetic except the final ratio (one division of exact
+    integers — engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split(T.normalize_text("text"), " ")).alias("tok"))
+    per_type = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_type.agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax_count"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"),
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH norm AS (SELECT {_NORM} AS t FROM documents),
+tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM norm),
+per AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       count(*) AS vocab_size,
+       count(*) FILTER (WHERE cnt = 1) AS hapax_count,
+       round(count(*) * 1.0 / sum(cnt), 6) AS type_token_ratio
+FROM per
+"""
+
+
 def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No SQL oracle: greedy packing is partition-order-dependent by design
     # (bin ids are partition-scoped); invariants are pinned in pytest.
@@ -1414,6 +1444,7 @@ PIPELINE_QUERIES = {
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "repetition_scores": q_repetition_scores,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "vocab_growth_stats": q_vocab_growth_stats,
     "pack_training_sequences": q_pack_training_sequences,
     "text_bigram_lm_scores": q_bigram_lm_scores,
     "text_collocations_pmi": q_collocations_pmi,
@@ -1454,6 +1485,7 @@ PIPELINE_ORACLE = {
     "chunk_dedup_stats": ORACLE_CHUNK_DEDUP,
     "repetition_scores": ORACLE_REPETITION,
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
+    "vocab_growth_stats": ORACLE_VOCAB_GROWTH,
     "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
     "text_collocations_pmi": ORACLE_COLLOCATIONS,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,
