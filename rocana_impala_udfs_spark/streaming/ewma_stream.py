@@ -1,0 +1,67 @@
+"""Streaming exponential smoothing — the batch ``ewma_smooth`` fold
+(operators/temporal.py) carried across micro-batches with
+``applyInPandasWithState``.
+
+State per key is exactly ``(acc, n)`` — O(1) forever, an even stronger
+bound than the reference's capped reservoir (``median.h:27-29``): the
+recursion ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1} needs only its last
+value. Rows are folded in (ts, event_id) order WITHIN each micro-batch;
+equivalence with the batch fold holds when per-key event time is
+non-decreasing across batches (the usual replay/ingest contract — enforce
+with a watermark + sorted sources upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id string, ewma double, n_events bigint"
+STATE_SCHEMA = "acc double, n bigint"
+
+
+def running_ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-key running EWMA across micro-batches (update output mode)."""
+
+    def update_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc: float | None = None
+        n = 0
+        if state.exists:
+            acc, n = state.get
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, order_tiebreak], kind="mergesort")
+        for x in rows[value_col].astype(float):
+            acc = x if acc is None else alpha * x + (1 - alpha) * acc
+            n += 1
+        state.update((float(acc) if acc is not None else None, n))
+        yield pd.DataFrame([{ "user_id": key[0], "ewma": acc, "n_events": n }])
+
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.col(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

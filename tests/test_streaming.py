@@ -274,3 +274,34 @@ def test_streaming_heavy_hitters_bounded_state(spark, event_stream_dir):
     assert len(per_value_last) <= len(true_counts)
     for v, c in per_value_last.items():
         assert c <= true_counts[v]
+
+
+def test_running_ewma_stream_matches_batch_fold(spark, event_stream_dir):
+    from rocana_impala_udfs_spark.operators.temporal import ewma_smooth
+    from rocana_impala_udfs_spark.streaming.ewma_stream import running_ewma_stream
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = running_ewma_stream(stream, alpha=0.1)
+    _run_stream(out, "ewma_stream")
+    got = {r.user_id: (r.ewma, r.n_events) for r in spark.sql("SELECT * FROM ewma_stream").collect()}
+
+    batch = load_table(spark, SF, "events").select("user_id", "event_id", "ts", "value")
+    folded = ewma_smooth(batch, ["user_id"], ["ts", "event_id"], "value", alpha=0.1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        folded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ewma")
+    )
+    counts = batch.groupBy("user_id").count()
+    expect = {
+        str(r.user_id): (r.ewma, r.n)
+        for r in last.join(counts.withColumnRenamed("count", "n"), "user_id").collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][1] == expect[k][1], k  # event counts agree
+        assert got[k][0] == expect[k][0], k  # bit-identical fold
