@@ -55,11 +55,14 @@ HEADLINE = [
     "split_train_val_test",
     # Flagship composition: full corpus-prep pipeline.
     "llm_corpus_pipeline",
-    # r4 additions: real PNG decode, deterministic samplers, Q21 self-joins.
+    # r4 additions: real PNG decode, deterministic samplers, Q21 self-joins,
+    # interpolation gap fill, vocabulary report.
     "multimodal_png_decode_stats",
     "stratified_hash_counts",
     "weighted_sample_det_topk",
     "selfjoin_q21_sole_returned_suppliers",
+    "interpolated_minute_values",
+    "vocab_growth_stats",
 ]
 
 

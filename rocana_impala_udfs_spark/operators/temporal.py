@@ -324,15 +324,20 @@ def interpolate_fill(
         .orderBy(F.col(ts_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward lookup as a RUNNING frame over descending order: Spark
+    # evaluates [current, UNBOUNDED FOLLOWING] frames by re-scanning the
+    # partition tail per row (O(n^2) — measured 17s vs 0.5s on 43k buckets);
+    # last-ignore-nulls over the reversed running prefix is the same value
+    # computed incrementally in O(n).
     fwd = (
         Window.partitionBy(*group_cols)
-        .orderBy(F.col(ts_col).asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     y0 = F.last(value_col, ignorenulls=True).over(back)
     t0 = F.last(t_real, ignorenulls=True).over(back)
-    y1 = F.first(value_col, ignorenulls=True).over(fwd)
-    t1 = F.first(t_real, ignorenulls=True).over(fwd)
+    y1 = F.last(value_col, ignorenulls=True).over(fwd)
+    t1 = F.last(t_real, ignorenulls=True).over(fwd)
     interp = (
         F.when(F.col(value_col).isNotNull(), F.col(value_col))
         .when(y0.isNull(), y1)
