@@ -284,3 +284,22 @@ def test_interpolate_fill_hand_computed(spark):
     # 120s sits 1/2 of the way from 60s (20.0) to 180s (50.0) -> 35.0
     assert got[120] == (None, 35.0)
     assert got[180] == (50.0, 50.0)
+
+
+def test_r4_operators_on_empty_input(spark):
+    from rocana_impala_udfs_spark.operators.reservoir import appx_percentile_bounded_agg
+    from rocana_impala_udfs_spark.operators.temporal import ewma_smooth, interpolate_fill
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, value double"
+    )
+    assert ewma_smooth(empty_ev, ["user_id"], ["ts", "event_id"], "value").count() == 0
+
+    empty_agg = spark.createDataFrame([], "g string, b timestamp, v double")
+    assert interpolate_fill(empty_agg, "b", ["g"], "v", 60).count() == 0
+
+    # global percentile over an empty relation keeps the reference's
+    # empty => one NULL row convention (median.cc:295-298)
+    empty = spark.createDataFrame([], "x double")
+    rows = appx_percentile_bounded_agg(empty, "x", 0.9, 100, out="v").collect()
+    assert len(rows) == 1 and rows[0].v is None
