@@ -107,6 +107,7 @@ _NEVER_DRIVER_CHECKED = [
     "ewma_user_value",
     "interpolated_minute_values",
     "vocab_growth_stats",
+    "multimodal_jpeg_decode_stats",
 ]
 
 

@@ -502,3 +502,284 @@ def ppm_feature_histogram(media: DataFrame, bins: int = 32) -> DataFrame:
         run, schema="media_id bigint, bin int, frac double"
     )
     return out.select("media_id", "bin", F.round("frac", 6).alias("frac"))
+
+
+# ---------------------------------------------------------------------------
+# REAL image path 3: baseline JPEG, grayscale (pure numpy + stdlib — Huffman
+# entropy coding, DCT, marker framing all implemented here)
+# ---------------------------------------------------------------------------
+#
+# The third real codec. The DECODER is a general baseline-JPEG grayscale
+# decoder: marker parse, DQT/DHT table build, Huffman entropy decode
+# (byte-unstuffing), dequantization, de-zigzag, 8x8 IDCT. The ENCODER is
+# spec-compliant but scoped to flat 8x8 blocks (one gray level per block,
+# quant table all-ones, minimal EOB-only AC table): for flat blocks the DCT
+# has a single integer DC coefficient, so encode -> decode is EXACT — which
+# is what lets decoded statistics be oracle-checked even though JPEG is
+# lossy in general. Non-flat blocks raise (honest scope), as do progressive
+# / color / subsampled streams on the decode side.
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# custom spec-legal Huffman tables: 12 DC categories at code length 4,
+# one EOB-only AC symbol at code length 1
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00]
+
+
+def _jpeg_canonical_codes(bits: list, vals: list) -> dict:
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    T = np.zeros((8, 8))
+    for k in range(8):
+        for x in range(8):
+            T[k, x] = np.cos((2 * x + 1) * k * np.pi / 16) * (
+                np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)
+            )
+    return T
+
+
+def encode_jpeg_gray_flat(img: np.ndarray) -> bytes:
+    """(h, w) uint8, h/w multiples of 8, each 8x8 block constant → baseline
+    JFIF grayscale JPEG with exact round-trip. Raises on non-flat blocks."""
+    import struct
+
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    q = np.ones(64, dtype=np.uint8)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q.tolist())
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    dc_payload = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ac_payload = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_payload)) + dc_payload
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_payload)) + ac_payload
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    T = _jpeg_dct_matrix()
+    buf, acc, nbits = bytearray(), 0, 0
+
+    def put(value: int, k: int) -> None:
+        nonlocal acc, nbits
+        for i in range(k - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                buf.append(acc)
+                if acc == 0xFF:
+                    buf.append(0x00)  # byte stuffing
+                acc, nbits = 0, 0
+
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
+            coef = T @ block @ T.T
+            zz = np.round(coef.flatten()[_JPEG_ZIGZAG]).astype(np.int64)
+            if np.any(zz[1:] != 0):
+                raise ValueError("encoder scope: flat 8x8 blocks only")
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = abs(diff).bit_length()
+            code, length = dc_codes[cat]
+            put(code, length)
+            if cat:
+                put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            code, length = ac_codes[0x00]
+            put(code, length)
+    while nbits:
+        put(1, 1)  # pad with 1s per spec
+    out += bytes(buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """General baseline grayscale JPEG → (h, w) uint8: markers, DQT/DHT,
+    Huffman entropy decode with byte-unstuffing, dequant, de-zigzag, IDCT.
+    Raises NotImplementedError on progressive/color/subsampled streams."""
+    import struct
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise NotImplementedError("not a JPEG payload")
+    pos, quant, huff = 2, {}, {}
+    h = w = comp_tq = dc_tid = ac_tid = None
+    scan_data = None
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker framing")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2: pos + seglen]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                tq = body[o] & 0x0F
+                quant[tq] = np.frombuffer(body[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                o += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError("only 8-bit single-component (grayscale) supported")
+            if body[7] != 0x11:
+                raise NotImplementedError("no subsampling support")
+            comp_tq = body[8]
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1:o + 17])
+                nvals = sum(bits)
+                vals = list(body[o + 17:o + 17 + nvals])
+                huff[tc_th] = {
+                    (c, L): sym for sym, (c, L) in _jpeg_canonical_codes(bits, vals).items()
+                }
+                o += 17 + nvals
+        elif marker == 0xDA:
+            dc_tid, ac_tid = body[2] >> 4, body[2] & 0x0F
+            scan_data = payload[pos + seglen: payload.rfind(b"\xff\xd9")]
+            break
+        pos += seglen
+    if scan_data is None or h is None:
+        raise ValueError("truncated JPEG: missing SOS or SOF0")
+    q = quant[comp_tq]
+    dc_table, ac_table = huff[0x00 | dc_tid], huff[0x10 | ac_tid]
+
+    data, dpos, dacc, dn = scan_data, 0, 0, 0
+
+    def read_bit() -> int:
+        nonlocal dpos, dacc, dn
+        if dn == 0:
+            b = data[dpos]
+            dpos += 1
+            if b == 0xFF:
+                if data[dpos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                dpos += 1
+            dacc, dn = b, 8
+        dn -= 1
+        return (dacc >> dn) & 1
+
+    def read_bits(k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_symbol(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    def extend(v: int, size: int) -> int:
+        return v - ((1 << size) - 1) if v < (1 << (size - 1)) else v
+
+    T = _jpeg_dct_matrix()
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = read_symbol(dc_table)
+            prev_dc += extend(read_bits(cat), cat) if cat else 0
+            zz[0] = prev_dc
+            k = 1
+            while k <= 63:
+                sym = read_symbol(ac_table)
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if size:
+                    zz[k] = extend(read_bits(size), size)
+                    k += 1
+                elif run != 15:
+                    raise ValueError("bad AC symbol")
+                else:
+                    k += 1
+            coef = (zz * q)[inv_zz].reshape(8, 8).astype(np.float64)
+            block = T.T @ coef @ T
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.round(block + 128.0), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+def synthetic_jpeg_images(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real grayscale JPEGs whose 8x8 blocks each carry one gray level from
+    the SQL-reconstructable text formula (block (by,bx) = ASCII code of
+    char by*wb+bx of the rpad-repeated sanitized text; wb = 1 + id % 2,
+    hb = 1 + id % 3 blocks). Flat blocks make the lossy format exact here,
+    so decoded statistics remain oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                wb, hb = 1 + doc_id % 2, 1 + doc_id % 3
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                n = wb * hb
+                levels = (body * (n // len(body) + 1))[:n].encode("ascii")
+                grid = np.frombuffer(levels, dtype=np.uint8).reshape(hb, wb)
+                img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                rows.append((doc_id, wb * 8, hb * 8, encode_jpeg_gray_flat(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
+
+    return source_df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
+    )
+
+
+def jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode: full Huffman + IDCT pipeline per payload, emitting
+    parsed geometry and the exact mean gray level of the decoded image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_jpeg_gray(bytes(r.payload))
+                rows.append(
+                    (r.media_id, img.shape[1], img.shape[0], float(img.mean(dtype=np.float64)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "img_w", "img_h", "mean_gray"])
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, img_w int, img_h int, mean_gray double"
+    )
+    return out.select("media_id", "img_w", "img_h", F.round("mean_gray", 4).alias("mean_gray"))

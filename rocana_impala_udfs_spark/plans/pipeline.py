@@ -1408,6 +1408,46 @@ FROM px GROUP BY media_id, bin
 """
 
 
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, oracle-checked: baseline grayscale JPEGs (Huffman
+    entropy coding + DCT, all implemented in numpy/stdlib) built from flat
+    8x8 blocks so the lossy format round-trips exactly; the oracle
+    recomputes each image's mean gray from the per-block text formula.
+    Third real codec after PPM and PNG — color/progressive JPEG and AV
+    remain honestly stubbed."""
+    media = multimodal.synthetic_jpeg_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.jpeg_decode_stats(media)
+
+
+# block grid: wb = 1 + id % 2, hb = 1 + id % 3; block (by,bx) gray level =
+# ascii of char by*wb+bx of the sanitized rpad-repeated text; each block is
+# 64 equal pixels so mean gray == mean of the wb*hb block bytes
+_JPEG_PIX = (
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
+    "CAST((1 + doc_id % 2) * (1 + doc_id % 3) AS INT), "
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
+)
+
+ORACLE_JPEG_DECODE = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST((1 + doc_id % 2) * 8 AS INT) AS img_w,
+           CAST((1 + doc_id % 3) * 8 AS INT) AS img_h,
+           CAST((1 + doc_id % 2) * (1 + doc_id % 3) AS INT) AS nb,
+           {_JPEG_PIX} AS blocks
+    FROM documents
+),
+px AS (
+    SELECT media_id, img_w, img_h, nb,
+           ascii(substring(blocks, CAST(i AS INT) + 1, 1)) AS lvl
+    FROM imgs, unnest(range(nb)) AS t(i)
+)
+SELECT media_id, img_w, img_h,
+       round(avg(lvl), 4) AS mean_gray
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
@@ -1434,6 +1474,7 @@ PIPELINE_QUERIES = {
     "multimodal_ppm_resize": q_ppm_resize,
     "multimodal_png_decode_stats": q_png_decode_stats,
     "multimodal_ppm_feature_histogram": q_ppm_feature_histogram,
+    "multimodal_jpeg_decode_stats": q_jpeg_decode_stats,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "stratified_hash_counts": q_stratified_hash_counts,
@@ -1479,6 +1520,7 @@ PIPELINE_ORACLE = {
     "multimodal_ppm_resize": ORACLE_PPM_RESIZE,
     "multimodal_png_decode_stats": ORACLE_PNG_DECODE,
     "multimodal_ppm_feature_histogram": ORACLE_PPM_FEATURES,
+    "multimodal_jpeg_decode_stats": ORACLE_JPEG_DECODE,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

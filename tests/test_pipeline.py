@@ -611,3 +611,63 @@ def test_ppm_feature_histogram_real_decode(spark):
         assert sum(b.frac for b in bins) == pytest.approx(1.0, abs=1e-4)
         # printable-ASCII pixels land in bins 4..15 (32..127 // 8)
         assert all(4 <= b.bin <= 15 for b in bins)
+
+
+def test_jpeg_codec_roundtrip_flat_blocks():
+    rng = np.random.default_rng(11)
+    for bh, bw in [(1, 1), (2, 3), (3, 2), (3, 1)]:
+        grid = rng.integers(0, 256, size=(bh, bw))
+        img = np.kron(grid, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+        dec = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray_flat(img))
+        assert dec.shape == img.shape
+        assert (dec == img).all()
+
+
+def test_jpeg_codec_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        bh=st.integers(min_value=1, max_value=4),
+        bw=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(bh, bw, seed):
+        grid = np.random.default_rng(seed).integers(0, 256, size=(bh, bw))
+        img = np.kron(grid, np.ones((8, 8), dtype=np.uint8)).astype(np.uint8)
+        assert (multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray_flat(img)) == img).all()
+
+    check()
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray(b"P6\n1 1\n255\nabc")
+    # progressive: swap SOF0 marker for SOF2
+    payload = bytearray(multimodal.encode_jpeg_gray_flat(np.zeros((8, 8), dtype=np.uint8)))
+    idx = bytes(payload).find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray(bytes(payload))
+
+
+def test_jpeg_encoder_rejects_nonflat_blocks():
+    import pytest as _pt
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[0, 0] = 255  # non-flat block -> AC energy -> out of encoder scope
+    with _pt.raises(ValueError):
+        multimodal.encode_jpeg_gray_flat(img)
+
+
+def test_jpeg_decode_stats_spark_plumbing(spark):
+    docs = load_table(spark, SF, "documents").limit(24)
+    media = multimodal.synthetic_jpeg_images(spark, docs)
+    rows = multimodal.jpeg_decode_stats(media).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r.img_w in (8, 16) and r.img_h in (8, 16, 24)
+        assert 32 <= r.mean_gray <= 127  # printable-ASCII gray levels
