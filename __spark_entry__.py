@@ -108,6 +108,7 @@ _NEVER_DRIVER_CHECKED = [
     "interpolated_minute_values",
     "vocab_growth_stats",
     "multimodal_jpeg_decode_stats",
+    "chunk_documents_overlap",
 ]
 
 

@@ -1059,6 +1059,66 @@ FROM per
 """
 
 
+_CHUNK_W, _CHUNK_S = 20, 15  # window width / stride in words (5-word overlap)
+
+
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: fixed word windows with stride
+    (chunk i = words [i*stride, i*stride+width)), the standard prep before
+    embedding. Pure JVM column work — split → sequence → slice/array_join —
+    with ZERO shuffle; rows stay narrow by emitting md5(chunk) instead of
+    the text. Starts advance while start < n_words, so tail chunks shorten
+    and every word is covered at least once."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(T.normalize_text("text"), " ")
+    n = F.when(F.size(words) == 1, F.when(F.element_at(words, 1) == "", 0).otherwise(1)).otherwise(F.size(words))
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - F.lit(_CHUNK_W)) / F.lit(_CHUNK_S)) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(words, i * _CHUNK_S + 1, _CHUNK_W), " ").alias("chunk"),
+            F.least(F.lit(_CHUNK_W), n - i * _CHUNK_S).cast("int").alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col("doc_id"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.md5(F.col("c.chunk")).alias("chunk_md5"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH base AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+),
+sized AS (
+    SELECT doc_id, words,
+           CASE WHEN len(words) = 1 AND words[1] = '' THEN 0 ELSE len(words) END AS n
+    FROM base
+),
+counted AS (
+    SELECT doc_id, words, n,
+           CAST(greatest(1, ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0) + 1) AS INT) AS nc
+    FROM sized
+),
+chunks AS (
+    SELECT doc_id, n, unnest(range(nc)) AS chunk_idx, words FROM counted
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least({_CHUNK_W}, n - chunk_idx * {_CHUNK_S}) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(words, CAST(chunk_idx * {_CHUNK_S} + 1 AS INT),
+                                      CAST(chunk_idx * {_CHUNK_S} + {_CHUNK_W} AS INT)), ' ')) AS chunk_md5
+FROM chunks
+WHERE least({_CHUNK_W}, n - chunk_idx * {_CHUNK_S}) > 0
+"""
+
+
 def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No SQL oracle: greedy packing is partition-order-dependent by design
     # (bin ids are partition-scoped); invariants are pinned in pytest.
@@ -1486,6 +1546,7 @@ PIPELINE_QUERIES = {
     "repetition_scores": q_repetition_scores,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "vocab_growth_stats": q_vocab_growth_stats,
+    "chunk_documents_overlap": q_chunk_documents_overlap,
     "pack_training_sequences": q_pack_training_sequences,
     "text_bigram_lm_scores": q_bigram_lm_scores,
     "text_collocations_pmi": q_collocations_pmi,
@@ -1528,6 +1589,7 @@ PIPELINE_ORACLE = {
     "repetition_scores": ORACLE_REPETITION,
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
     "vocab_growth_stats": ORACLE_VOCAB_GROWTH,
+    "chunk_documents_overlap": ORACLE_CHUNK_OVERLAP,
     "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
     "text_collocations_pmi": ORACLE_COLLOCATIONS,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,

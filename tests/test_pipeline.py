@@ -671,3 +671,24 @@ def test_jpeg_decode_stats_spark_plumbing(spark):
     for r in rows:
         assert r.img_w in (8, 16) and r.img_h in (8, 16, 24)
         assert 32 <= r.mean_gray <= 127  # printable-ASCII gray levels
+
+
+def test_chunk_overlap_coverage_and_stride(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["chunk_documents_overlap"](spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    assert set(by_doc) <= set(docs)
+    for doc_id, chunks in list(by_doc.items())[:50]:
+        idxs = sorted(c.chunk_idx for c in chunks)
+        assert idxs == list(range(len(idxs)))  # contiguous chunk ids from 0
+        # every chunk except possibly the last is full width
+        widths = [c.n_tokens for c in sorted(chunks, key=lambda c: c.chunk_idx)]
+        assert all(w == 20 for w in widths[:-1])
+        assert 1 <= widths[-1] <= 20
+        # chunk starts advance by the stride: total covered words
+        n_words = len((docs[doc_id] or "").split())
+        assert (len(idxs) - 1) * 15 < max(n_words, 1) or len(idxs) == 1
