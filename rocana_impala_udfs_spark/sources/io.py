@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -67,6 +68,35 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    num_files: int = 8,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on the cluster
+    column + ``sortWithinPartitions`` before writing, so each output file
+    covers a narrow, (near-)disjoint range of the column. Parquet footers
+    then carry tight min/max stats per file/row-group and a filtered scan
+    skips most of the data — the layout optimization that decides scan cost
+    at 100 TB (the same idea as Delta/Iceberg ordered writes, expressed
+    with vanilla Spark).
+
+    Range partitioning samples the column to build balanced boundaries, so
+    skewed cluster keys still give even file sizes.
+    """
+    w = (
+        df.repartitionByRange(num_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
 
 

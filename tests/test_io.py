@@ -194,3 +194,42 @@ def test_python_datasource_streaming_reader(spark):
     # row-for-row value agreement, not just matching id sets
     for r in rows:
         assert batch[r.event_id] == (r.user_id, r.event_type, r.value)
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """The range-clustered layout must produce files whose parquet footer
+    min/max ranges barely overlap — the property that lets a filtered scan
+    skip whole files at scale."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rocana_impala_udfs_spark.sources.io import write_clustered_parquet
+
+    li = load_table(spark, SF, "lineitem")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(li, out, "l_extendedprice", num_files=6)
+
+    ranges = []
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, name)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_extendedprice"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # consecutive file ranges must not materially overlap (range partitioner
+    # boundaries are exact; equal boundary values may straddle)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2 or (hi1 - lo2) < (hi2 - lo1) * 0.01, (hi1, lo2)
+    # round-trip: the clustered copy holds exactly the same rows
+    assert spark.read.parquet(out).count() == li.count()
