@@ -63,6 +63,8 @@ HEADLINE = [
     "selfjoin_q21_sole_returned_suppliers",
     "interpolated_minute_values",
     "vocab_growth_stats",
+    "multimodal_jpeg_decode_stats",
+    "chunk_documents_overlap",
 ]
 
 
