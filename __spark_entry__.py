@@ -109,6 +109,7 @@ _NEVER_DRIVER_CHECKED = [
     "vocab_growth_stats",
     "multimodal_jpeg_decode_stats",
     "chunk_documents_overlap",
+    "snapshot_diff_summary",
 ]
 
 

@@ -1508,6 +1508,53 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation report (operators/reconcile.py): the current
+    documents table vs a deterministically mutated next version (drop
+    id%97==0, append '!' to text where id%89==0, add 7 fresh ids) — one
+    full-outer join on the key with md5 row hashes, so arbitrarily wide
+    rows diff at 32 bytes each. Statuses: added/removed/changed/unchanged."""
+    from rocana_impala_udfs_spark.operators.reconcile import snapshot_diff_summary
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 7).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff_summary(docs, mutated, ["doc_id"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new_ AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 89 = 0 THEN text || '!' ELSE text END AS text
+    FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 7
+),
+diff AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new_ n USING (doc_id)
+)
+SELECT status, count(*) AS n FROM diff GROUP BY status ORDER BY status
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
@@ -1547,6 +1594,7 @@ PIPELINE_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "vocab_growth_stats": q_vocab_growth_stats,
     "chunk_documents_overlap": q_chunk_documents_overlap,
+    "snapshot_diff_summary": q_snapshot_diff_summary,
     "pack_training_sequences": q_pack_training_sequences,
     "text_bigram_lm_scores": q_bigram_lm_scores,
     "text_collocations_pmi": q_collocations_pmi,
@@ -1590,6 +1638,7 @@ PIPELINE_ORACLE = {
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
     "vocab_growth_stats": ORACLE_VOCAB_GROWTH,
     "chunk_documents_overlap": ORACLE_CHUNK_OVERLAP,
+    "snapshot_diff_summary": ORACLE_SNAPSHOT_DIFF,
     "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
     "text_collocations_pmi": ORACLE_COLLOCATIONS,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,

@@ -692,3 +692,26 @@ def test_chunk_overlap_coverage_and_stride(spark):
         # chunk starts advance by the stride: total covered words
         n_words = len((docs[doc_id] or "").split())
         assert (len(idxs) - 1) * 15 < max(n_words, 1) or len(idxs) == 1
+
+
+def test_snapshot_diff_statuses(spark):
+    from rocana_impala_udfs_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, None, 4.0), (5, "new", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"}
+    # NULL-safe hashing: NULL vs empty string must differ
+    old2 = spark.createDataFrame([(1, None)], "k long, s string")
+    new2 = spark.createDataFrame([(1, "")], "k long, s string")
+    assert snapshot_diff(old2, new2, ["k"]).collect()[0].status == "changed"
+    # length-prefix: ("ab","c") vs ("a","bc") must differ
+    old3 = spark.createDataFrame([(1, "ab", "c")], "k long, x string, y string")
+    new3 = spark.createDataFrame([(1, "a", "bc")], "k long, x string, y string")
+    assert snapshot_diff(old3, new3, ["k"]).collect()[0].status == "changed"
