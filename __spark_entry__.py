@@ -110,6 +110,7 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_jpeg_decode_stats",
     "chunk_documents_overlap",
     "snapshot_diff_summary",
+    "data_quality_report",
 ]
 
 

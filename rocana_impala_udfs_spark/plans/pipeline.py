@@ -1555,6 +1555,57 @@ SELECT status, count(*) AS n FROM diff GROUP BY status ORDER BY status
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative integrity suite over the star schema
+    (operators/quality.py): referential orphans via broadcast anti-join,
+    uniqueness via count-vs-distinct, range and null-rate via conditional
+    counts — each check is a 1-row aggregate, violating ROWS never ship."""
+    from rocana_impala_udfs_spark.operators import quality as Q
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return Q.quality_report(
+        [
+            Q.references(o, "o_custkey", c, "c_custkey"),
+            Q.references(li, "l_orderkey", o, "o_orderkey", broadcast_parent=False),
+            Q.unique(c, ["c_custkey"]),
+            Q.unique(ev, ["event_id"]),
+            Q.in_range(li, "l_quantity", 1, 50),
+            Q.in_range(li, "l_discount", 0.0, 0.1),
+            Q.not_null(ev, "value"),
+            Q.not_null(o, "o_orderdate"),
+        ]
+    )
+
+
+ORACLE_DQ_REPORT = """
+SELECT 'references:o_custkey->c_custkey' AS "check", count(*) AS violations
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'references:l_orderkey->o_orderkey', count(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'unique:c_custkey', count(*) - count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'unique:event_id', count(*) - count(DISTINCT event_id) FROM events
+UNION ALL
+SELECT 'in_range:l_quantity',
+       count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+FROM lineitem
+UNION ALL
+SELECT 'in_range:l_discount',
+       count(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1)
+FROM lineitem
+UNION ALL
+SELECT 'not_null:value', count(*) FILTER (WHERE value IS NULL) FROM events
+UNION ALL
+SELECT 'not_null:o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+ORDER BY "check"
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
@@ -1595,6 +1646,7 @@ PIPELINE_QUERIES = {
     "vocab_growth_stats": q_vocab_growth_stats,
     "chunk_documents_overlap": q_chunk_documents_overlap,
     "snapshot_diff_summary": q_snapshot_diff_summary,
+    "data_quality_report": q_data_quality_report,
     "pack_training_sequences": q_pack_training_sequences,
     "text_bigram_lm_scores": q_bigram_lm_scores,
     "text_collocations_pmi": q_collocations_pmi,
@@ -1639,6 +1691,7 @@ PIPELINE_ORACLE = {
     "vocab_growth_stats": ORACLE_VOCAB_GROWTH,
     "chunk_documents_overlap": ORACLE_CHUNK_OVERLAP,
     "snapshot_diff_summary": ORACLE_SNAPSHOT_DIFF,
+    "data_quality_report": ORACLE_DQ_REPORT,
     "text_bigram_lm_scores": ORACLE_BIGRAM_LM,
     "text_collocations_pmi": ORACLE_COLLOCATIONS,
     "corpus_length_report": ORACLE_CORPUS_LENGTH,

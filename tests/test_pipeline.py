@@ -715,3 +715,25 @@ def test_snapshot_diff_statuses(spark):
     old3 = spark.createDataFrame([(1, "ab", "c")], "k long, x string, y string")
     new3 = spark.createDataFrame([(1, "a", "bc")], "k long, x string, y string")
     assert snapshot_diff(old3, new3, ["k"]).collect()[0].status == "changed"
+
+
+def test_quality_checks_detect_planted_violations(spark):
+    from rocana_impala_udfs_spark.operators import quality as Q
+
+    child = spark.createDataFrame([(1, 10), (2, 99), (2, 10), (3, None)], "k long, v long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    report = {
+        r.check: r.violations
+        for r in Q.quality_report(
+            [
+                Q.references(child, "v", parent, "pk", name="ref"),
+                Q.unique(child, ["k"], name="uniq"),
+                Q.in_range(child, "v", 0, 50, name="range"),
+                Q.not_null(child, "v", name="nn"),
+            ]
+        ).collect()
+    }
+    assert report["ref"] == 2      # v=99 and v=NULL miss the parent
+    assert report["uniq"] == 1     # k=2 appears twice
+    assert report["range"] == 2    # 99 out of range, NULL counts as violation
+    assert report["nn"] == 1
