@@ -65,6 +65,8 @@ HEADLINE = [
     "vocab_growth_stats",
     "multimodal_jpeg_decode_stats",
     "chunk_documents_overlap",
+    "snapshot_diff_summary",
+    "data_quality_report",
 ]
 
 
