@@ -111,6 +111,7 @@ _NEVER_DRIVER_CHECKED = [
     "chunk_documents_overlap",
     "snapshot_diff_summary",
     "data_quality_report",
+    "events_wow_seasonality",
 ]
 
 

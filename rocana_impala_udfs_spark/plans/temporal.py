@@ -824,6 +824,44 @@ FROM win
 """
 
 
+def q_events_wow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week seasonality: weekly event counts per type with the
+    previous week's count, absolute delta, and pct change — lag over a
+    tiny aggregate (weeks x types), so the window costs nothing; only the
+    count aggregation touches the corpus. Integer counts keep the deltas
+    exact; the pct division is one exact-integer op in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n", 1).over(w)
+    return weekly.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "event_type",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        F.round((F.col("n") - prev) * 1.0 / prev, 6).alias("pct_change"),
+    )
+
+
+ORACLE_WOW = """
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week, event_type, n,
+       lag(n, 1) OVER w AS prev_n,
+       n - lag(n, 1) OVER w AS delta,
+       round((n - lag(n, 1) OVER w) * 1.0 / lag(n, 1) OVER w, 6) AS pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
@@ -847,12 +885,14 @@ TEMPORAL_QUERIES = {
     "sliding_window_event_rates": q_sliding_window_event_rates,
     "ewma_user_value": q_ewma_user_value,
     "interpolated_minute_values": q_interpolated_minute_values,
+    "events_wow_seasonality": q_events_wow_seasonality,
 }
 
 TEMPORAL_ORACLE = {
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
     "ewma_user_value": ORACLE_EWMA,
     "interpolated_minute_values": ORACLE_INTERPOLATE,
+    "events_wow_seasonality": ORACLE_WOW,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
