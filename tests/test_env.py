@@ -40,6 +40,8 @@ def test_events_ts_is_timestamp_ltz(spark):
         "sessionize_events",  # temporal, sessionize gap math
         "conditional_q14_promo_share",  # tpch
         "dedup_exact_docs",  # pipeline
+        "ewma_user_value",  # stateful fold (applyInPandas)
+        "multimodal_jpeg_decode_stats",  # Arrow codec kernels
     ],
 )
 def test_one_query_per_family_plans_and_runs(spark, key):
