@@ -112,6 +112,7 @@ _NEVER_DRIVER_CHECKED = [
     "snapshot_diff_summary",
     "data_quality_report",
     "events_wow_seasonality",
+    "asof_click_attribution_30m",
 ]
 
 

@@ -61,6 +61,53 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_asof_click_attribution_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's TOLERANCE path: clicks older than 30 minutes before
+    the purchase attribute as NULL (stale matches dropped in-plan — same
+    single-shuffle union+window plan, one extra filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    joined = as_of_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_value_cols=["event_id", "value"],
+        tolerance="INTERVAL 30 MINUTES",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("asof_event_id").alias("click_id"),
+        F.unix_micros("asof_ts").alias("click_ts_us"),
+        F.round("asof_value", 4).alias("click_value"),
+    )
+
+
+ORACLE_ASOF_CLICK_30M = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+ranked AS (
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+           round(c.value, 4) AS click_value,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC, c.value DESC
+           ) AS rk
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+)
+SELECT purchase_id, user_id, purchase_ts_us, click_id, click_ts_us, click_value
+FROM ranked WHERE rk = 1
+"""
+
+
 # --- sessionization ---------------------------------------------------------
 
 _GAP_S = 1800
@@ -886,6 +933,7 @@ TEMPORAL_QUERIES = {
     "ewma_user_value": q_ewma_user_value,
     "interpolated_minute_values": q_interpolated_minute_values,
     "events_wow_seasonality": q_events_wow_seasonality,
+    "asof_click_attribution_30m": q_asof_click_attribution_30m,
 }
 
 TEMPORAL_ORACLE = {
@@ -893,6 +941,7 @@ TEMPORAL_ORACLE = {
     "ewma_user_value": ORACLE_EWMA,
     "interpolated_minute_values": ORACLE_INTERPOLATE,
     "events_wow_seasonality": ORACLE_WOW,
+    "asof_click_attribution_30m": ORACLE_ASOF_CLICK_30M,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
