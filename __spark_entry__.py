@@ -113,6 +113,7 @@ _NEVER_DRIVER_CHECKED = [
     "data_quality_report",
     "events_wow_seasonality",
     "asof_click_attribution_30m",
+    "events_seasonal_anomalies",
 ]
 
 

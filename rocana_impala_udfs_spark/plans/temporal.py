@@ -108,6 +108,58 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection with a robust baseline: hourly event
+    counts compared against the upper median of their own (event_type,
+    hour-of-day) stratum; buckets at > 2x their seasonal median are
+    flagged. Two tiny aggregations over the corpus-touching hourly rollup;
+    all arithmetic is exact (integer counts, median = an actual element),
+    so the flag set is bit-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    strata = hourly.select(
+        "bucket", "event_type", "n", F.hour("bucket").alias("hod")
+    )
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    base = exact_upper_median(strata, "n", ["event_type", "hod"], out="baseline_n")
+    return (
+        strata.join(F.broadcast(base), ["event_type", "hod"])
+        .filter(F.col("n") > 2 * F.col("baseline_n"))
+        .select(
+            "event_type",
+            F.unix_micros("bucket").alias("bucket_us"),
+            "n",
+            F.col("baseline_n").cast("bigint").alias("baseline_n"),
+        )
+    )
+
+
+ORACLE_SEASONAL_ANOMALIES = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+strata AS (
+    SELECT bucket, event_type, n, CAST(hour(bucket) AS INT) AS hod FROM hourly
+),
+base AS (
+    SELECT event_type, hod, x AS baseline_n FROM (
+        SELECT event_type, hod, n AS x,
+               row_number() OVER (PARTITION BY event_type, hod ORDER BY n) AS rn,
+               count(*) OVER (PARTITION BY event_type, hod) AS cnt
+        FROM strata
+    ) ranked WHERE rn = CAST(cnt // 2 AS BIGINT) + 1
+)
+SELECT s.event_type, epoch_us(s.bucket) AS bucket_us, s.n,
+       CAST(b.baseline_n AS BIGINT) AS baseline_n
+FROM strata s JOIN base b USING (event_type, hod)
+WHERE s.n > 2 * b.baseline_n
+"""
+
+
 # --- sessionization ---------------------------------------------------------
 
 _GAP_S = 1800
@@ -934,6 +986,7 @@ TEMPORAL_QUERIES = {
     "interpolated_minute_values": q_interpolated_minute_values,
     "events_wow_seasonality": q_events_wow_seasonality,
     "asof_click_attribution_30m": q_asof_click_attribution_30m,
+    "events_seasonal_anomalies": q_events_seasonal_anomalies,
 }
 
 TEMPORAL_ORACLE = {
@@ -942,6 +995,7 @@ TEMPORAL_ORACLE = {
     "interpolated_minute_values": ORACLE_INTERPOLATE,
     "events_wow_seasonality": ORACLE_WOW,
     "asof_click_attribution_30m": ORACLE_ASOF_CLICK_30M,
+    "events_seasonal_anomalies": ORACLE_SEASONAL_ANOMALIES,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
