@@ -40,10 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Ordering is deliberate: the driver's correctness run truncates on a time
 # budget (~50 keys/round), so keys that have never had a driver oracle row
 # (union of CORRECTNESS_r01..r03) go FIRST — the r3-fixed temporal family,
-# then the TPC-H pack, then the r2 statistical operators — and the keys the
-# driver already confirmed green in r1-r3 form the tail.
+# the TPC-H pack, then every round-4 addition (this round's deliverable gets
+# driver evidence), then the remaining never-checked temporal/statistical
+# keys — and the keys the driver already confirmed green form the tail.
 _NEVER_DRIVER_CHECKED = [
-    # temporal family (8 of these were the Spark-4.1.2 NTZ breakage, now fixed)
     "asof_click_attribution",
     "sessionize_events",
     "ops_session_health",
@@ -52,19 +52,6 @@ _NEVER_DRIVER_CHECKED = [
     "multi_resolution_rollup",
     "gap_filled_minute_counts",
     "sliding_window_event_rates",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "variant_props_stats",
-    "json_event_props_stats",
-    "salted_skew_agg",
-    "pivot_daily_event_counts",
-    "range_join_value_bands",
-    "histogram_price_bins",
-    "histogram_price_equidepth",
-    "events_transition_matrix",
-    "ops_error_burn_rate",
-    "events_dau_wau",
-    # TPC-H pack
     "exists_q4_order_priority",
     "join_q7_nation_volume",
     "join_q8_market_share",
@@ -78,22 +65,6 @@ _NEVER_DRIVER_CHECKED = [
     "view_q15_top_supplier",
     "distinct_q16_supplier_breadth",
     "nestedin_q20_promo_part_suppliers",
-    # r2 statistical operators + kmeans/resample
-    "stats_spearman_price_quantity",
-    "window_revenue_share_by_nation",
-    "window_rolling_p90_totalprice",
-    "events_mad_outliers",
-    "winsorized_stats_price",
-    "basket_part_pairs",
-    "profile_lineitem_columns",
-    "events_path_patterns",
-    "customer_rfm_segments",
-    "revenue_share_of_region",
-    "skyline_parts",
-    "emb_kmeans_assign",
-    "emb_kmeans_clusters",
-    "resample_by_quality",
-    # new in r4 (never driver-checked yet)
     "multimodal_png_decode_stats",
     "multimodal_ppm_feature_histogram",
     "stratified_hash_counts",
@@ -114,6 +85,32 @@ _NEVER_DRIVER_CHECKED = [
     "events_wow_seasonality",
     "asof_click_attribution_30m",
     "events_seasonal_anomalies",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "variant_props_stats",
+    "json_event_props_stats",
+    "salted_skew_agg",
+    "pivot_daily_event_counts",
+    "range_join_value_bands",
+    "histogram_price_bins",
+    "histogram_price_equidepth",
+    "events_transition_matrix",
+    "ops_error_burn_rate",
+    "events_dau_wau",
+    "stats_spearman_price_quantity",
+    "window_revenue_share_by_nation",
+    "window_rolling_p90_totalprice",
+    "events_mad_outliers",
+    "winsorized_stats_price",
+    "basket_part_pairs",
+    "profile_lineitem_columns",
+    "events_path_patterns",
+    "customer_rfm_segments",
+    "revenue_share_of_region",
+    "skyline_parts",
+    "emb_kmeans_assign",
+    "emb_kmeans_clusters",
+    "resample_by_quality",
 ]
 
 
