@@ -532,3 +532,42 @@ def contamination_hits(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(F.col("id").alias(id_col), F.col("n_hits").cast("int").alias("n_hits"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    The asymmetric companion to Jaccard — a short document quoted inside a
+    long one scores near 1.0 on containment but low on Jaccard (the union
+    dwarfs the intersection), so this catches subset-duplication Jaccard
+    misses. Same shingle self-join + broadcast-sizes plan shape as
+    :func:`ngram_jaccard_pairs`; at 100 TB run it over LSH candidates the
+    same way minhash_lsh_pairs scopes its verification.
+    """
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    si, sj = sizes.alias("si"), sizes.alias("sj")
+    return (
+        inter.join(F.broadcast(si), F.col("i") == F.col("si.id"))
+        .join(F.broadcast(sj), F.col("j") == F.col("sj.id"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("both_cnt") / F.least(F.col("si.n"), F.col("sj.n")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1606,11 +1606,31 @@ ORDER BY "check"
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) near-dup pairs: |A∩B|/min(|A|,|B|)
+    ≥ 0.9 — catches a short document quoted inside a long one, which
+    symmetric Jaccard misses (operators/dedup.py:ngram_containment_pairs)."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_JACCARD_CTES}
+SELECT i, j, round(both_cnt * 1.0 / least(si.n, sj.n), 6) AS containment
+FROM inter
+JOIN sizes si ON si.doc_id = i
+JOIN sizes sj ON sj.doc_id = j
+WHERE both_cnt * 1.0 / least(si.n, sj.n) >= 0.9
+"""
+
+
 PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
+    "dedup_containment_pairs": q_dedup_containment,
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_survivors": q_dedup_survivors,
     "ann_cosine_top5": q_ann_cosine_top5,
@@ -1664,6 +1684,7 @@ PIPELINE_ORACLE = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "dedup_containment_pairs": ORACLE_CONTAINMENT,
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "ann_cosine_top5": ORACLE_ANN_TOP5,

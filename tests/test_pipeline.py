@@ -737,3 +737,14 @@ def test_quality_checks_detect_planted_violations(spark):
     assert report["uniq"] == 1     # k=2 appears twice
     assert report["range"] == 2    # 99 out of range, NULL counts as violation
     assert report["nn"] == 1
+
+
+def test_containment_catches_subset_duplication(spark):
+    # a short doc fully quoted inside a long one: containment ~1, jaccard low
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, long_), (2, short)], "doc_id long, text string")
+    cont = {(r.i, r.j): r.containment for r in dedup.ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []  # symmetric jaccard misses the quoted inclusion
