@@ -160,6 +160,85 @@ WHERE s.n > 2 * b.baseline_n
 """
 
 
+def q_ops_daily_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-analytics flagship composition (the log-analytics mirror of
+    llm_corpus_pipeline): one report row per event type combining volume,
+    reach, the reference's bounded-reservoir p90 of event value, and the
+    count of seasonal-anomaly hours — three tiny per-type aggregates
+    broadcast-joined above a single corpus pass each. Every component is
+    exact (integer counts, reservoir percentile = an actual element)."""
+    from rocana_impala_udfs_spark.operators.reservoir import appx_percentile_bounded_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    p90 = appx_percentile_bounded_agg(
+        ev, "value", 0.9, 200_000, ["event_type"], out="p90_value"
+    )
+    anomalies = (
+        q_events_seasonal_anomalies(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("anomaly_hours"))
+    )
+    return (
+        totals.join(F.broadcast(p90), "event_type")
+        .join(F.broadcast(anomalies), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "p90_value",
+            F.coalesce("anomaly_hours", F.lit(0)).cast("bigint").alias("anomaly_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_OPS_DIGEST = """
+WITH totals AS (
+    SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+),
+p90 AS (
+    SELECT event_type, x AS p90_value FROM (
+        SELECT event_type, value AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ) ranked WHERE rn = least(CAST(floor(n * 0.9) AS BIGINT), n - 1) + 1
+),
+hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+strata AS (
+    SELECT bucket, event_type, n, CAST(hour(bucket) AS INT) AS hod FROM hourly
+),
+base AS (
+    SELECT event_type, hod, x AS baseline_n FROM (
+        SELECT event_type, hod, n AS x,
+               row_number() OVER (PARTITION BY event_type, hod ORDER BY n) AS rn,
+               count(*) OVER (PARTITION BY event_type, hod) AS cnt
+        FROM strata
+    ) ranked WHERE rn = CAST(cnt // 2 AS BIGINT) + 1
+),
+anom AS (
+    SELECT s.event_type, count(*) AS anomaly_hours
+    FROM strata s JOIN base b USING (event_type, hod)
+    WHERE s.n > 2 * b.baseline_n
+    GROUP BY 1
+)
+SELECT t.event_type, t.n_events, t.n_users, p.p90_value,
+       CAST(coalesce(a.anomaly_hours, 0) AS BIGINT) AS anomaly_hours
+FROM totals t
+JOIN p90 p USING (event_type)
+LEFT JOIN anom a USING (event_type)
+ORDER BY t.event_type
+"""
+
+
 # --- sessionization ---------------------------------------------------------
 
 _GAP_S = 1800
@@ -987,6 +1066,7 @@ TEMPORAL_QUERIES = {
     "events_wow_seasonality": q_events_wow_seasonality,
     "asof_click_attribution_30m": q_asof_click_attribution_30m,
     "events_seasonal_anomalies": q_events_seasonal_anomalies,
+    "ops_daily_digest": q_ops_daily_digest,
 }
 
 TEMPORAL_ORACLE = {
@@ -996,6 +1076,7 @@ TEMPORAL_ORACLE = {
     "events_wow_seasonality": ORACLE_WOW,
     "asof_click_attribution_30m": ORACLE_ASOF_CLICK_30M,
     "events_seasonal_anomalies": ORACLE_SEASONAL_ANOMALIES,
+    "ops_daily_digest": ORACLE_OPS_DIGEST,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
