@@ -38,62 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so keys that have never had a driver oracle row
-# (union of CORRECTNESS_r01..r03) go FIRST — the r3-fixed temporal family,
-# the TPC-H pack, then every round-4 addition (this round's deliverable gets
-# driver evidence), then the remaining never-checked temporal/statistical
-# keys — and the keys the driver already confirmed green form the tail.
+# budget (~50 keys/round), so the UNPROVEN set goes first. After round 4
+# the unproven set is: the 2 keys whose r4 hash mismatch was fixed this
+# round (un-cast oracle sums — DuckDB HUGEINT vs Spark BIGINT), the 2 keys
+# whose latest driver row is a stale round-1 error (pre-NTZ-fix; an `err`
+# row counts as unchecked), the 17 keys past round 4's 50-key truncation,
+# and the 2 round-4 additions that were missing from this list, then every
+# round-5 addition. The ~46 keys CORRECTNESS_r04 confirmed green moved to
+# the tail.
 _NEVER_DRIVER_CHECKED = [
-    "asof_click_attribution",
-    "sessionize_events",
-    "ops_session_health",
-    "window_trailing_7d_user_value",
-    "tumbling_hourly_event_stats",
-    "multi_resolution_rollup",
-    "gap_filled_minute_counts",
-    "sliding_window_event_rates",
-    "exists_q4_order_priority",
-    "join_q7_nation_volume",
-    "join_q8_market_share",
-    "join_q9_profit_by_nation_year",
-    "join_q10_returned_items",
-    "conditional_q14_promo_share",
-    "in_q18_large_volume_customers",
-    "disjunct_q19_discounted_revenue",
-    "notexists_q22_idle_customers",
+    # r4 hash mismatches, oracle CAST fixed this round
     "case_q12_priority_shipping",
-    "view_q15_top_supplier",
-    "distinct_q16_supplier_breadth",
-    "nestedin_q20_promo_part_suppliers",
-    "multimodal_png_decode_stats",
-    "multimodal_ppm_feature_histogram",
-    "stratified_hash_counts",
-    "weighted_sample_det_topk",
-    "corrmin_q2_min_price_supplier",
-    "share_q11_important_parts",
-    "outeragg_q13_order_count_distribution",
-    "selfjoin_q21_sole_returned_suppliers",
-    "appx_p90_value_by_event_type",
-    "appx_percentile_sql_udaf",
-    "ewma_user_value",
-    "interpolated_minute_values",
-    "vocab_growth_stats",
-    "multimodal_jpeg_decode_stats",
-    "chunk_documents_overlap",
-    "snapshot_diff_summary",
-    "data_quality_report",
-    "events_wow_seasonality",
-    "asof_click_attribution_30m",
-    "events_seasonal_anomalies",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "variant_props_stats",
-    "json_event_props_stats",
-    "salted_skew_agg",
     "pivot_daily_event_counts",
-    "range_join_value_bands",
-    "histogram_price_bins",
-    "histogram_price_equidepth",
+    # stale round-1 `err` rows (TIMESTAMP_NTZ read, fixed r4, never re-run)
+    "window_lag_lead_events",
+    "events_value_outliers",
+    # never driver-checked (past r4's truncation point)
     "events_transition_matrix",
     "ops_error_burn_rate",
     "events_dau_wau",
@@ -111,6 +71,9 @@ _NEVER_DRIVER_CHECKED = [
     "emb_kmeans_assign",
     "emb_kmeans_clusters",
     "resample_by_quality",
+    # r4 additions that were missing from this rotation entirely
+    "dedup_containment_pairs",
+    "ops_daily_digest",
 ]
 
 

@@ -174,8 +174,10 @@ def q_ops_daily_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+    from rocana_impala_udfs_spark.plans.medians import BIG_K
+
     p90 = appx_percentile_bounded_agg(
-        ev, "value", 0.9, 200_000, ["event_type"], out="p90_value"
+        ev, "value", 0.9, BIG_K, ["event_type"], out="p90_value"
     )
     anomalies = (
         q_events_seasonal_anomalies(spark, sf_dir)
@@ -778,7 +780,7 @@ def q_ops_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ERROR_BURN = """
 WITH hourly AS (
     SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
     FROM events GROUP BY 1
 )
 SELECT epoch_us(hour) AS hour_us, n_events, n_errors,
@@ -861,11 +863,11 @@ def q_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DAILY_PIVOT = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY 1
 """
 
