@@ -74,6 +74,8 @@ _NEVER_DRIVER_CHECKED = [
     # r4 additions that were missing from this rotation entirely
     "dedup_containment_pairs",
     "ops_daily_digest",
+    # round-5 additions
+    "fuzzy_join_part_names_d2",
 ]
 
 

@@ -380,6 +380,42 @@ def test_fuzzy_pairs_edit_distance_semantics(spark):
     }
 
 
+def test_fuzzy_pairs_distance2_matches_brute_force(spark):
+    """The depth-2 deletion closure has recall 1 at d=2: compare against a
+    brute-force all-pairs Levenshtein over a corpus mixing 1-char strings,
+    double-edits (substitute+insert, two deletes), and >2-distant decoys."""
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.operators.fuzzy import fuzzy_pairs
+
+    vals = ["abc", "abd", "ab", "abcd", "xyz", "azd", "azz", "a", "abcde",
+            "bcd", "hello", "help", "hero", "zzzz"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "p_partkey long, p_name string")
+    got = {(r.a, r.b): r.dist for r in fuzzy_pairs(df, "p_name", max_dist=2).collect()}
+
+    names = df.select(F.col("p_name").alias("name")).distinct()
+    brute = (
+        names.alias("x").join(names.alias("y"), F.col("x.name") < F.col("y.name"))
+        .select(F.col("x.name").alias("a"), F.col("y.name").alias("b"),
+                F.levenshtein("x.name", "y.name").alias("dist"))
+        .filter(F.col("dist") <= 2)
+    )
+    want = {(r.a, r.b): r.dist for r in brute.collect()}
+    assert got == want
+    assert any(d == 2 for d in want.values())  # the corpus exercises d=2
+
+
+def test_fuzzy_pairs_rejects_unsupported_distance(spark):
+    import pytest as _pytest
+
+    from rocana_impala_udfs_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "abc")], "p_partkey long, p_name string")
+    with _pytest.raises(NotImplementedError):
+        fuzzy_pairs(df, "p_name", max_dist=3)
+
+
 def test_pack_sequences_invariants(spark):
     """Every doc assigned exactly once; no bin over budget (unless a single
     oversized doc owns it); first-fit-decreasing keeps bins reasonably

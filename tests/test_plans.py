@@ -63,6 +63,15 @@ def test_minhash_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_d1_d2_no_cartesian(spark):
+    """Both SymSpell depths stay an equality join on deletion variants —
+    the n² pairing lives only in the DuckDB oracle."""
+    for name in ("fuzzy_join_part_names", "fuzzy_join_part_names_d2"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_ivf_and_lsh_have_no_cartesian(spark):
     for name in ("ann_lsh_top5", "ann_ivf_top5"):
         plan = _plan(spark, name)
