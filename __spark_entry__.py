@@ -76,6 +76,7 @@ _NEVER_DRIVER_CHECKED = [
     "ops_daily_digest",
     # round-5 additions
     "fuzzy_join_part_names_d2",
+    "multimodal_jpeg_color_stats",
 ]
 
 

@@ -783,3 +783,318 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
         run, schema="media_id bigint, img_w int, img_h int, mean_gray double"
     )
     return out.select("media_id", "img_w", "img_h", F.round("mean_gray", 4).alias("mean_gray"))
+
+
+# --- color (YCbCr 4:2:0) baseline JPEG ------------------------------------
+#
+# Same public-spec ground as the grayscale codec (ITU T.81 baseline DCT +
+# JFIF YCbCr), extended to three components with 2x2 luma sampling — the
+# layout virtually every camera/web color JPEG uses. Flat 16x16 MCUs keep
+# the lossy format exactly round-trippable (every 8x8 block, luma and
+# subsampled chroma alike, is constant, so only DC coefficients survive the
+# DCT and quantization by 1 is exact), which keeps decoded statistics
+# oracle-checkable. The decoder is general for baseline 4:2:0 streams: full
+# interleaved-MCU Huffman decode, per-component DC prediction, dequant,
+# IDCT, nearest-neighbor chroma upsample, integer YCbCr->RGB.
+
+
+def encode_jpeg_color_flat(ycbcr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 Y/Cb/Cr planes, h/w multiples of 16, each 16x16 MCU
+    constant in all three channels → baseline JFIF color JPEG (Y 2x2, Cb/Cr
+    1x1 = 4:2:0) with exact round-trip. Raises on non-flat MCUs."""
+    import struct
+
+    h, w, nc = ycbcr.shape
+    if nc != 3:
+        raise ValueError("expected (h, w, 3) YCbCr")
+    if h % 16 or w % 16:
+        raise ValueError("dimensions must be multiples of 16 (one flat MCU each)")
+    mcus_y, mcus_x = h // 16, w // 16
+    grid = ycbcr[::16, ::16, :].astype(np.int64)
+    if not (ycbcr == np.kron(grid, np.ones((16, 16, 1))).astype(np.uint8)).all():
+        raise ValueError("encoder scope: flat 16x16 MCUs only")
+
+    q = np.ones(64, dtype=np.uint8)
+    out = bytearray()
+    out += b"\xff\xd8"
+    for tq in (0, 1):  # separate luma/chroma tables, as real encoders emit
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(q.tolist())
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0])  # Y: 2x2 sampling, luma quant table
+    out += bytes([2, 0x11, 1])  # Cb
+    out += bytes([3, 0x11, 1])  # Cr
+    dc_payload = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ac_payload = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_payload)) + dc_payload
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_payload)) + ac_payload
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    buf, acc, nbits = bytearray(), 0, 0
+
+    def put(value: int, k: int) -> None:
+        nonlocal acc, nbits
+        for i in range(k - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                buf.append(acc)
+                if acc == 0xFF:
+                    buf.append(0x00)  # byte stuffing
+                acc, nbits = 0, 0
+
+    def put_block(value: int, prev_dc: int) -> int:
+        dc = 8 * (value - 128)  # DCT DC of a flat block; all AC are 0
+        diff = dc - prev_dc
+        cat = abs(diff).bit_length()
+        code, length = dc_codes[cat]
+        put(code, length)
+        if cat:
+            put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        code, length = ac_codes[0x00]
+        put(code, length)  # EOB
+        return dc
+
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            yv, cbv, crv = (int(grid[my, mx, c]) for c in range(3))
+            for _ in range(4):  # 2x2 luma blocks, all flat at yv
+                prev[0] = put_block(yv, prev[0])
+            prev[1] = put_block(cbv, prev[1])
+            prev[2] = put_block(crv, prev[2])
+    while nbits:
+        put(1, 1)  # pad with 1s per spec
+    out += bytes(buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
+    """JFIF integer conversion, floor(x + 0.5) so the rounding rule is
+    reproducible in SQL (DuckDB floor) — numpy round would be banker's."""
+    y = ycbcr[..., 0].astype(np.float64)
+    cb = ycbcr[..., 1].astype(np.float64)
+    cr = ycbcr[..., 2].astype(np.float64)
+    # association order mirrors the oracle SQL expressions exactly
+    r = np.floor((y + 1.402 * (cr - 128.0)) + 0.5)
+    g = np.floor(((y - 0.344136 * (cb - 128.0)) - 0.714136 * (cr - 128.0)) + 0.5)
+    b = np.floor((y + 1.772 * (cb - 128.0)) + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_color(payload: bytes) -> np.ndarray:
+    """General baseline 4:2:0 color JPEG → (h, w, 3) uint8 RGB: markers,
+    DQT/DHT, interleaved-MCU Huffman decode with per-component DC
+    predictors, dequant, de-zigzag, IDCT, chroma upsample, YCbCr→RGB.
+    Raises NotImplementedError on progressive / non-4:2:0 streams (use
+    ``decode_jpeg_gray`` for single-component)."""
+    import struct
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise NotImplementedError("not a JPEG payload")
+    pos, quant, huff = 2, {}, {}
+    h = w = None
+    comps = []  # (cid, hsamp, vsamp, tq)
+    scan_ids = []  # (cid, td, ta) in scan order
+    scan_data = None
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker framing")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2: pos + seglen]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                tq = body[o] & 0x0F
+                quant[tq] = np.frombuffer(body[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                o += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 3:
+                raise NotImplementedError("decode_jpeg_color: 8-bit 3-component only")
+            for c in range(3):
+                cid, samp, tq = body[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if comps[0][1:3] != (2, 2) or any(c[1:3] != (1, 1) for c in comps[1:]):
+                raise NotImplementedError("only 4:2:0 (Y 2x2, chroma 1x1) supported")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1:o + 17])
+                nvals = sum(bits)
+                vals = list(body[o + 17:o + 17 + nvals])
+                huff[tc_th] = {
+                    (c, L): sym for sym, (c, L) in _jpeg_canonical_codes(bits, vals).items()
+                }
+                o += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                scan_ids.append((body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F))
+            scan_data = payload[pos + seglen: payload.rfind(b"\xff\xd9")]
+            break
+        pos += seglen
+    if scan_data is None or h is None or len(scan_ids) != 3:
+        raise ValueError("truncated JPEG: missing SOS or SOF0")
+
+    data, dpos, dacc, dn = scan_data, 0, 0, 0
+
+    def read_bit() -> int:
+        nonlocal dpos, dacc, dn
+        if dn == 0:
+            b = data[dpos]
+            dpos += 1
+            if b == 0xFF:
+                if data[dpos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                dpos += 1
+            dacc, dn = b, 8
+        dn -= 1
+        return (dacc >> dn) & 1
+
+    def read_bits(k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_symbol(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    def extend(v: int, size: int) -> int:
+        return v - ((1 << size) - 1) if v < (1 << (size - 1)) else v
+
+    T = _jpeg_dct_matrix()
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+    by_cid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    planes = {}
+    tables = {}
+    for cid, td, ta in scan_ids:
+        hs, vs, _tq = by_cid[cid]
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.uint8)
+        tables[cid] = (huff[0x00 | td], huff[0x10 | ta])
+    prev_dc = {cid: 0 for cid, _, _ in scan_ids}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, _td, _ta in scan_ids:
+                hs, vs, tq = by_cid[cid]
+                dc_table, ac_table = tables[cid]
+                q = quant[tq]
+                for v in range(vs):
+                    for hh in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = read_symbol(dc_table)
+                        prev_dc[cid] += extend(read_bits(cat), cat) if cat else 0
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k <= 63:
+                            sym = read_symbol(ac_table)
+                            if sym == 0x00:
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if size:
+                                zz[k] = extend(read_bits(size), size)
+                                k += 1
+                            elif run != 15:
+                                raise ValueError("bad AC symbol")
+                            else:
+                                k += 1
+                        coef = (zz * q)[inv_zz].reshape(8, 8).astype(np.float64)
+                        block = T.T @ coef @ T
+                        py, px = (my * vs + v) * 8, (mx * hs + hh) * 8
+                        planes[cid][py:py + 8, px:px + 8] = np.clip(
+                            np.round(block + 128.0), 0, 255
+                        ).astype(np.uint8)
+    y_cid, cb_cid, cr_cid = (cid for cid, _, _ in scan_ids)
+    yp = planes[y_cid][:h, :w]
+    up = np.ones((2, 2), dtype=np.uint8)
+    cbp = np.kron(planes[cb_cid], up)[:h, :w]
+    crp = np.kron(planes[cr_cid], up)[:h, :w]
+    return ycbcr_to_rgb(np.stack([yp, cbp, crp], axis=-1))
+
+
+def synthetic_color_jpeg_images(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real 4:2:0 color JPEGs whose 16x16 MCUs each carry one YCbCr triple
+    from the SQL-reconstructable text formula: MCU i (row-major over a
+    wb = 1 + id % 2 by hb = 1 + id % 3 grid) has y = ASCII code of char i
+    of the rpad-repeated sanitized text, cb = (y*5) % 256, cr = (y*11) %
+    256. Flat MCUs make the lossy format exact here, so decoded RGB
+    statistics remain oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                wb, hb = 1 + doc_id % 2, 1 + doc_id % 3
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                n = wb * hb
+                levels = (body * (n // len(body) + 1))[:n].encode("ascii")
+                y = np.frombuffer(levels, dtype=np.uint8).reshape(hb, wb).astype(np.int64)
+                grid = np.stack([y, (y * 5) % 256, (y * 11) % 256], axis=-1)
+                img = np.kron(grid, np.ones((16, 16, 1))).astype(np.uint8)
+                rows.append((doc_id, wb * 16, hb * 16, encode_jpeg_color_flat(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
+
+    return source_df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
+    )
+
+
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """REAL color JPEG decode: interleaved Huffman + IDCT + chroma upsample
+    + YCbCr→RGB per payload, emitting geometry and exact per-channel means
+    of the decoded RGB image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rgb = decode_jpeg_color(bytes(r.payload))
+                rows.append(
+                    (
+                        r.media_id,
+                        rgb.shape[1],
+                        rgb.shape[0],
+                        float(rgb[..., 0].mean(dtype=np.float64)),
+                        float(rgb[..., 1].mean(dtype=np.float64)),
+                        float(rgb[..., 2].mean(dtype=np.float64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b"]
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id bigint, img_w int, img_h int, mean_r double, mean_g double, mean_b double",
+    )
+    return out.select(
+        "media_id",
+        "img_w",
+        "img_h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )

@@ -784,3 +784,66 @@ def test_containment_catches_subset_duplication(spark):
     assert (1, 2) in cont and cont[(1, 2)] == 1.0
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
     assert jac == []  # symmetric jaccard misses the quoted inclusion
+
+
+def test_jpeg_color_codec_roundtrip_flat_mcus():
+    """decode(encode(ycbcr)) == ycbcr_to_rgb(ycbcr) bit-exactly for flat
+    16x16 MCUs — the lossless-island property the oracle relies on."""
+    rng = np.random.default_rng(23)
+    for mh, mw in [(1, 1), (2, 3), (3, 2), (3, 1)]:
+        grid = rng.integers(0, 256, size=(mh, mw, 3))
+        img = np.kron(grid, np.ones((16, 16, 1))).astype(np.uint8)
+        rgb = multimodal.decode_jpeg_color(multimodal.encode_jpeg_color_flat(img))
+        assert rgb.shape == img.shape
+        assert (rgb == multimodal.ycbcr_to_rgb(img)).all()
+
+
+def test_jpeg_color_codec_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        mh=st.integers(min_value=1, max_value=3),
+        mw=st.integers(min_value=1, max_value=3),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(mh, mw, seed):
+        grid = np.random.default_rng(seed).integers(0, 256, size=(mh, mw, 3))
+        img = np.kron(grid, np.ones((16, 16, 1))).astype(np.uint8)
+        got = multimodal.decode_jpeg_color(multimodal.encode_jpeg_color_flat(img))
+        assert (got == multimodal.ycbcr_to_rgb(img)).all()
+
+    check()
+
+
+def test_jpeg_color_decoder_scope():
+    import pytest as _pt
+
+    # single-component stream belongs to decode_jpeg_gray
+    gray = multimodal.encode_jpeg_gray_flat(np.zeros((8, 8), dtype=np.uint8))
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_jpeg_color(gray)
+    # progressive: swap SOF0 for SOF2
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    payload = bytearray(multimodal.encode_jpeg_color_flat(img))
+    idx = bytes(payload).find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_jpeg_color(bytes(payload))
+    # non-flat MCU is out of encoder scope
+    bad = np.zeros((16, 16, 3), dtype=np.uint8)
+    bad[0, 0, 0] = 255
+    with _pt.raises(ValueError):
+        multimodal.encode_jpeg_color_flat(bad)
+
+
+def test_jpeg_color_stats_spark_plumbing(spark):
+    docs = load_table(spark, SF, "documents").limit(24)
+    media = multimodal.synthetic_color_jpeg_images(spark, docs)
+    rows = multimodal.jpeg_color_stats(media).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r.img_w in (16, 32) and r.img_h in (16, 32, 48)
+        for v in (r.mean_r, r.mean_g, r.mean_b):
+            assert 0.0 <= v <= 255.0
