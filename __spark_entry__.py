@@ -77,6 +77,8 @@ _NEVER_DRIVER_CHECKED = [
     # round-5 additions
     "fuzzy_join_part_names_d2",
     "multimodal_jpeg_color_stats",
+    # promoted from rows-only (fake decoder) to oracle-checked (real codecs)
+    "multimodal_feature_extract",
 ]
 
 

@@ -1098,3 +1098,59 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+# --- container-routed REAL feature extraction ------------------------------
+
+
+def decode_image_auto(payload: bytes) -> np.ndarray:
+    """Sniff the container by magic bytes and run the matching REAL decoder
+    (P6 PPM, PNG, baseline JPEG gray or 4:2:0 color) — the dispatch a mixed
+    media column needs. Returns the decoded pixel array ((h, w) gray or
+    (h, w, 3) color). Raises NotImplementedError for containers without an
+    in-repo codec (audio/video stay honestly stubbed)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        try:
+            return decode_jpeg_gray(payload)
+        except NotImplementedError:
+            return decode_jpeg_color(payload)
+    raise NotImplementedError("unrecognized media container")
+
+
+def media_features_real(media: DataFrame) -> DataFrame:
+    """media → (media_id, container, features ARRAY<FLOAT>, mean_px) where
+    features is the 32-bin L1-normalized histogram of DECODED pixel bytes —
+    the real-codec promotion of :func:`extract_features`'s fake path (same
+    feature contract, but computed from actual decoded images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = bytes(r.payload)
+                if p.startswith(b"P6"):
+                    container = "ppm"
+                elif p.startswith(_PNG_SIG):
+                    container = "png"
+                elif p.startswith(b"\xff\xd8"):
+                    container = "jpeg"
+                else:
+                    container = "unknown"
+                img = decode_image_auto(p)
+                flat = img.reshape(-1)
+                hist, _ = np.histogram(flat, bins=FEATURE_DIM, range=(0, 256))
+                total = hist.sum()
+                feats = (hist / total if total else hist).astype(np.float32)
+                rows.append(
+                    (r.media_id, container, feats.tolist(), float(flat.mean(dtype=np.float64)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "container", "features", "mean_px"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id bigint, container string, features array<float>, mean_px double",
+    )

@@ -1265,20 +1265,31 @@ FROM documents
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No SQL oracle: the 32-bin byte-histogram kernel lives in the Pandas
-    # UDF; pytest checks it against a local numpy reference. Output is
-    # summarized (dim + L1 mass) so floats stay comparable.
-    media = multimodal.synthetic_media(spark, load_table(spark, sf_dir, "documents"))
-    feats = multimodal.extract_features(media, fake=True)
+    """REAL feature extraction over a MIXED media column, oracle-checked:
+    documents route by id to genuine PPM / PNG / baseline-JPEG containers,
+    ``media_features_real`` sniffs each payload's magic bytes, runs the
+    matching real decoder, and emits the 32-bin histogram features of the
+    DECODED pixels. Promoted off the fake decoder (r4 verdict item 6) now
+    that three real codecs exist — ``extract_features(fake=True)`` remains
+    only for codec-less formats (audio/video)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        multimodal.synthetic_ppm_images(spark, docs.filter(F.col("doc_id") % 3 == 0))
+        .unionByName(multimodal.synthetic_png_images(spark, docs.filter(F.col("doc_id") % 3 == 1)))
+        .unionByName(multimodal.synthetic_jpeg_images(spark, docs.filter(F.col("doc_id") % 3 == 2)))
+    )
+    feats = multimodal.media_features_real(media)
     return feats.select(
         "media_id",
-        "modality",
+        "container",
         F.size("features").alias("dim"),
-        F.round(
-            F.aggregate(F.transform("features", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x),
-            4,
-        ).alias("l1_mass"),
+        F.size(F.filter(F.transform("features", lambda x: x.cast("double")), lambda x: x > 0)).alias("nnz"),
+        F.round("mean_px", 4).alias("mean_px"),
     )
+
+
+# (its oracle, ORACLE_MEDIA_FEATURES, is defined after the per-container
+# pixel-formula constants it composes — see below ORACLE_JPEG_COLOR)
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1571,34 @@ FROM rgb GROUP BY 1, 2, 3
 """
 
 
+# per-container pixel reconstruction for q_media_features: the decoded byte
+# stream of each format equals (ppm/png) or is a 64x-replication of (jpeg
+# flat blocks) the sanitized rpad-repeated text string, so nnz (occupied
+# 8-wide histogram bins) and mean_px are computable from ascii codes of
+# that string.
+ORACLE_MEDIA_FEATURES = f"""
+WITH fam AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'jpeg' END AS container,
+           CASE doc_id % 3
+                WHEN 0 THEN {_PPM_PIX}
+                WHEN 1 THEN {_PNG_PIX}
+                ELSE {_JPEG_PIX}
+           END AS pix
+    FROM documents
+),
+px AS (
+    SELECT media_id, container,
+           ascii(substring(pix, CAST(i AS INT) + 1, 1)) AS v
+    FROM fam, unnest(range(length(pix))) AS t(i)
+)
+SELECT media_id, container, 32 AS dim,
+       CAST(count(DISTINCT v // 8) AS INT) AS nnz,
+       round(avg(v), 4) AS mean_px
+FROM px GROUP BY 1, 2
+"""
+
+
 def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation report (operators/reconcile.py): the current
     documents table vs a deterministically mutated next version (drop
@@ -1757,6 +1796,7 @@ PIPELINE_ORACLE = {
     "multimodal_ppm_feature_histogram": ORACLE_PPM_FEATURES,
     "multimodal_jpeg_decode_stats": ORACLE_JPEG_DECODE,
     "multimodal_jpeg_color_stats": ORACLE_JPEG_COLOR,
+    "multimodal_feature_extract": ORACLE_MEDIA_FEATURES,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

@@ -847,3 +847,45 @@ def test_jpeg_color_stats_spark_plumbing(spark):
         assert r.img_w in (16, 32) and r.img_h in (16, 32, 48)
         for v in (r.mean_r, r.mean_g, r.mean_b):
             assert 0.0 <= v <= 255.0
+
+
+def test_decode_image_auto_dispatch():
+    """Magic-byte sniffing routes each container to its real decoder."""
+    import pytest as _pt
+
+    rng = np.random.default_rng(3)
+    ppm_img = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    assert (multimodal.decode_image_auto(multimodal.encode_ppm(ppm_img)) == ppm_img).all()
+    png_img = rng.integers(0, 256, (6, 4, 3)).astype(np.uint8)
+    assert (multimodal.decode_image_auto(multimodal.encode_png(png_img)) == png_img).all()
+    gray = np.kron(rng.integers(0, 256, (2, 2)), np.ones((8, 8))).astype(np.uint8)
+    assert (multimodal.decode_image_auto(multimodal.encode_jpeg_gray_flat(gray)) == gray).all()
+    color = np.kron(rng.integers(0, 256, (1, 2, 3)), np.ones((16, 16, 1))).astype(np.uint8)
+    assert (
+        multimodal.decode_image_auto(multimodal.encode_jpeg_color_flat(color))
+        == multimodal.ycbcr_to_rgb(color)
+    ).all()
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_image_auto(b"RIFF....WAVE")  # no audio codec in-repo
+
+
+def test_media_features_real_matches_numpy(spark):
+    """Features from the mixed-container Spark path equal a local numpy
+    recompute from the same decoded pixels."""
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = (
+        multimodal.synthetic_ppm_images(spark, docs.filter(F.col("doc_id") % 3 == 0))
+        .unionByName(multimodal.synthetic_png_images(spark, docs.filter(F.col("doc_id") % 3 == 1)))
+        .unionByName(multimodal.synthetic_jpeg_images(spark, docs.filter(F.col("doc_id") % 3 == 2)))
+    )
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    rows = multimodal.media_features_real(media).collect()
+    assert len(rows) == 30
+    for r in rows:
+        img = multimodal.decode_image_auto(payloads[r.media_id])
+        flat = img.reshape(-1)
+        hist, _ = np.histogram(flat, bins=32, range=(0, 256))
+        want = (hist / hist.sum()).astype(np.float32)
+        assert np.array_equal(np.array(r.features, dtype=np.float32), want)
+        assert r.mean_px == float(flat.mean(dtype=np.float64))
+        assert r.container in ("ppm", "png", "jpeg")
