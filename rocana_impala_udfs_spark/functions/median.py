@@ -188,6 +188,8 @@ class ReservoirState:
         sample — for p=0.5 this IS ``n // 2``, the reference's upper-median
         convention (``median.cc:299-301``); no interpolation, always an
         actual data element."""
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile p must be in [0, 1], got {p}")
         if self.vals.size == 0:
             return None
         idx = min(int(np.floor(self.vals.size * p)), self.vals.size - 1)
@@ -276,6 +278,10 @@ def make_appx_percentile_bounded_udf():
         ps = np.asarray(p, dtype=np.float64)
         ps = ps[~np.isnan(ps)]
         pct = float(ps.max()) if ps.size else 0.5
+        # finalize_percentile also validates; check here so a bad SQL
+        # literal fails with the argument name, not an index error
+        if not 0.0 <= pct <= 1.0:
+            raise ValueError(f"percentile p must be in [0, 1], got {pct}")
         state = ReservoirState(max_samples)
         state.update(np.asarray(x, dtype=np.float64))
         return state.finalize_percentile(pct)

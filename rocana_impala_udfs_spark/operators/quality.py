@@ -56,7 +56,11 @@ def references(
     p = parent.select(F.col(parent_key).alias(child_key)).distinct()
     if broadcast_parent:
         p = F.broadcast(p)
-    orphans = child.join(p, child_key, "left_anti")
+    # NULL child keys are excluded: a NULL is a not_null violation, not a
+    # referential one — and this matches SQL `key NOT IN (SELECT ...)`
+    # semantics (NULL key yields UNKNOWN, never counted), so the operator
+    # and a NOT IN oracle agree even on corpora with NULL keys.
+    orphans = child.filter(F.col(child_key).isNotNull()).join(p, child_key, "left_anti")
     return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
         F.lit(label).alias("check"), "violations"
     )

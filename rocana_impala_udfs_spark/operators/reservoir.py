@@ -178,6 +178,8 @@ def appx_percentile_bounded_agg(
     picks sorted[min(floor(n*p), n-1)] (p=0.5 == the reference's
     upper-median rule, ``median.cc:299-301``). Exact whenever each group
     has ≤ ``max_samples`` non-null rows."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"percentile p must be in [0, 1], got {p}")
     group_cols = list(group_cols or [])
     partials = reservoir_partials(df, value_col, max_samples, group_cols, seed)
     schema = (

@@ -20,8 +20,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id string, ewma double, n_events bigint"
 STATE_SCHEMA = "acc double, n bigint"
+
+
+def output_schema(key_col: str = "user_id") -> str:
+    """Output schema follows the grouping key so non-default keys don't
+    silently emit a mislabeled 'user_id' column."""
+    return f"{key_col} string, ewma double, n_events bigint"
+
+
+# historical name for the default-key schema
+OUTPUT_SCHEMA = output_schema()
 
 
 def running_ewma_stream(
@@ -47,7 +56,7 @@ def running_ewma_stream(
             acc = x if acc is None else alpha * x + (1 - alpha) * acc
             n += 1
         state.update((float(acc) if acc is not None else None, n))
-        yield pd.DataFrame([{ "user_id": key[0], "ewma": acc, "n_events": n }])
+        yield pd.DataFrame([{key_col: key[0], "ewma": acc, "n_events": n}])
 
     return (
         events.select(
@@ -59,7 +68,7 @@ def running_ewma_stream(
         .groupBy(key_col)
         .applyInPandasWithState(
             update_fn,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=output_schema(key_col),
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -15,6 +15,7 @@ runtime shifts underneath the repo again:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampType
 
 from rocana_impala_udfs_spark.sources.io import load_table
@@ -50,3 +51,20 @@ def test_one_query_per_family_plans_and_runs(spark, key):
     df = entry_mod.queries()[key](spark, SF_SMOKE)
     # .limit(1).collect() exercises plan analysis + one task per stage cheaply.
     df.limit(1).collect()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_documents_corpus_is_pure_ascii(spark, sf_dir):
+    """The multimodal oracles assume 1 char == 1 byte == 1 codepoint: the
+    '[^ -~]' sanitize regex runs over Java regex semantics in Spark but
+    Unicode codepoints in DuckDB, and an astral-plane character (outside
+    the BMP) could map to a different number of 'x's per engine. The
+    synthetic corpora are pure ASCII, which makes the engines agree — this
+    test pins that assumption so a corpus change fails loudly here instead
+    of as a value-hash mismatch in a multimodal key."""
+    n_non_ascii = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+    )
+    assert n_non_ascii == 0

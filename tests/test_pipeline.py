@@ -769,7 +769,9 @@ def test_quality_checks_detect_planted_violations(spark):
             ]
         ).collect()
     }
-    assert report["ref"] == 2      # v=99 and v=NULL miss the parent
+    # NULL child keys are NOT referential violations (NOT IN semantics —
+    # the NULL row is the not_null check's finding, counted once below)
+    assert report["ref"] == 1      # v=99 misses the parent; v=NULL excluded
     assert report["uniq"] == 1     # k=2 appears twice
     assert report["range"] == 2    # 99 out of range, NULL counts as violation
     assert report["nn"] == 1
