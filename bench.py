@@ -67,6 +67,11 @@ HEADLINE = [
     "chunk_documents_overlap",
     "snapshot_diff_summary",
     "data_quality_report",
+    # r5 additions: edit-distance-2 linkage, real color JPEG decode,
+    # container-sniffing feature extraction over mixed real codecs.
+    "fuzzy_join_part_names_d2",
+    "multimodal_jpeg_color_stats",
+    "multimodal_feature_extract",
 ]
 
 
