@@ -79,6 +79,8 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_jpeg_color_stats",
     # promoted from rows-only (fake decoder) to oracle-checked (real codecs)
     "multimodal_feature_extract",
+    "multimodal_wav_decode_stats",
+    "multimodal_y4m_frame_sample",
 ]
 
 

@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
 
-The container has no image/audio codecs, so the decode kernels are STUBS
-behind an import-try: with real libs present (PIL/librosa/av) they would
-decode; here they raise ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic fake decoder (byte-histogram features, hash-based
-frame offsets) exercises the full Spark-side pipeline — schema, partitioning,
-UDF signature, Arrow batch shape — which IS real and tested.
+Real, from-scratch numpy/stdlib codecs cover one genuine container per
+modality — images: P6 PPM, PNG (zlib + scanline filters), baseline JPEG
+grayscale AND YCbCr 4:2:0 color (Huffman + DCT); audio: PCM WAV (RIFF);
+video: YUV4MPEG2 (Y4M) — so decode/feature/resize/frame-sample paths run
+against actually-decoded bytes and stay oracle-checkable. Codec-DEPENDENT
+formats (progressive JPEG, MP3/AAC, H.264/AV1) have no libraries in this
+container; those kernels are honest STUBS behind an import-try: with real
+libs present (PIL/librosa/av) they would decode, here they raise
+``NotImplementedError`` unless ``fake=True``, whose deterministic fake
+decoder still exercises the full Spark-side pipeline — schema,
+partitioning, UDF signature, Arrow batch shape.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``maxRecordsPerBatch`` bounds batch bytes); feature extraction is
@@ -1153,4 +1158,269 @@ def media_features_real(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run,
         schema="media_id bigint, container string, features array<float>, mean_px double",
+    )
+
+
+# --- REAL audio path: WAV / RIFF PCM (pure-stdlib container) ---------------
+#
+# Like PPM for images, canonical PCM WAV needs no codec: the payload is a
+# RIFF header + fmt chunk + raw little-endian samples, so parsing it is a
+# genuinely real decode (public RIFF/WAVE spec). Retires the audio side of
+# the fake-decoder stub; compressed audio (MP3/AAC/Opus) stays honestly
+# stubbed behind decode_image_auto's NotImplementedError.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """(n,) int16 mono PCM → canonical 44-byte-header WAV."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV → ((n,) int16 samples, sample_rate). Walks RIFF chunks (not a
+    fixed 44-byte assumption), validates PCM/mono/16-bit, raises
+    NotImplementedError on compressed or multichannel streams."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM (format 1) WAV supported")
+    if channels != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit mono supported")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def synthetic_wav_audio(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real PCM WAVs whose samples follow an SQL-reconstructable formula:
+    n = 64 + 32 * (id % 5) samples at 8 kHz, sample i = ascii code of char
+    i of the sanitized rpad-repeated text times 256 minus 16384 (spreading
+    printable ASCII over the int16 range)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                n = 64 + 32 * (doc_id % 5)
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                chars = (body * (n // len(body) + 1))[:n].encode("ascii")
+                samples = np.frombuffer(chars, dtype=np.uint8).astype(np.int64) * 256 - 16384
+                rows.append((doc_id, n, encode_wav(samples.astype(np.int16))))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_samples", "payload"])
+
+    return source_df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id bigint, meta_samples int, payload binary"
+    )
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode: RIFF chunk walk + PCM parse per payload, emitting
+    parsed geometry and exact amplitude statistics of the decoded samples
+    (mean and RMS — int sums are exact in float64, sqrt is IEEE-identical
+    across engines, rounding happens in Spark)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_wav(bytes(r.payload))
+                s = samples.astype(np.float64)
+                rows.append(
+                    (
+                        r.media_id,
+                        int(rate),
+                        int(samples.size),
+                        float(samples.size * 1000.0 / rate),
+                        float(s.mean()),
+                        float(np.sqrt((s * s).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "duration_ms", "mean_amp", "rms"],
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, sample_rate int, n_samples int, "
+            "duration_ms double, mean_amp double, rms double"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
+# --- REAL video path: Y4M / YUV4MPEG2 (pure-stdlib container) --------------
+#
+# YUV4MPEG2 is the standard uncompressed video interchange format (what
+# ffmpeg/mjpegtools pipe raw video through): a text header + per-frame raw
+# YUV planes — parseable without any codec, so frame extraction over it is
+# a genuinely real decode. Retires the video side of the fake frame
+# sampler; compressed video (H.264/VP9/AV1) stays honestly stubbed.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w, 3) uint8 YUV (4:4:4) → YUV4MPEG2 stream."""
+    n, h, w, nc = frames.shape
+    if nc != 3:
+        raise ValueError("expected (n, h, w, 3) YUV frames")
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode())
+    for f in range(n):
+        out += b"FRAME\n"
+        for c in range(3):  # planar: full Y, then U, then V
+            out += frames[f, :, :, c].astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 → ((n, h, w, 3) uint8 YUV frames, fps_numerator). Parses
+    the parameter header and FRAME markers; raises NotImplementedError on
+    subsampled colorspaces (C420*/C422) — this repo's real path is C444."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = fps = None
+    cspace = "C420jpeg"  # the format's documented default when absent
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            fps = int(t[1:].split(":")[0])
+        elif t.startswith("C"):
+            cspace = t
+    if w is None or h is None:
+        raise ValueError("truncated Y4M: missing W or H")
+    if cspace != "C444":
+        raise NotImplementedError(f"only C444 (unsubsampled) supported, got {cspace}")
+    pos, frame_bytes, frames = nl + 1, w * h * 3, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        raw = payload[fnl + 1: fnl + 1 + frame_bytes]
+        if len(raw) < frame_bytes:
+            raise ValueError("truncated frame")
+        planes = np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w)
+        frames.append(np.stack([planes[0], planes[1], planes[2]], axis=-1))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames), int(fps or 25)
+
+
+def synthetic_y4m_videos(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real Y4M streams of n = 2 + id % 3 flat frames, w = 8 + id % 3,
+    h = 8 + id % 2: frame f has Y = ascii code of char f of the sanitized
+    rpad-repeated text, U = (Y*5) % 256, V = (Y*11) % 256 — the same
+    SQL-reconstructable channel formula as the color JPEGs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                nf, w, h = 2 + doc_id % 3, 8 + doc_id % 3, 8 + doc_id % 2
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                chars = (body * (nf // len(body) + 1))[:nf].encode("ascii")
+                y = np.frombuffer(chars, dtype=np.uint8).astype(np.int64)
+                frames = np.zeros((nf, h, w, 3), dtype=np.uint8)
+                frames[..., 0] = y[:, None, None]
+                frames[..., 1] = ((y * 5) % 256)[:, None, None]
+                frames[..., 2] = ((y * 11) % 256)[:, None, None]
+                rows.append((doc_id, nf, w, h, encode_y4m(frames)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "meta_frames", "meta_width", "meta_height", "payload"]
+            )
+
+    return source_df.select(id_col, text_col).mapInPandas(
+        run,
+        schema="media_id bigint, meta_frames int, meta_width int, meta_height int, payload binary",
+    )
+
+
+def y4m_frame_sample(media: DataFrame, num_frames: int = 2) -> DataFrame:
+    """REAL frame sampling: decode each Y4M stream, pick ``num_frames``
+    evenly spaced frames (frame_no = floor(n*i/num_frames) — the fake
+    sampler's spacing rule, now over genuinely decoded frames), and emit
+    exact per-channel means of each sampled frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, _fps = decode_y4m(bytes(r.payload))
+                n = frames.shape[0]
+                for i in range(num_frames):
+                    fno = (n * i) // num_frames
+                    fr = frames[fno].astype(np.float64)
+                    rows.append(
+                        (
+                            r.media_id,
+                            i,
+                            fno,
+                            n,
+                            float(fr[..., 0].mean()),
+                            float(fr[..., 1].mean()),
+                            float(fr[..., 2].mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_idx", "frame_no", "n_frames", "mean_y", "mean_u", "mean_v"],
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, sample_idx int, frame_no int, n_frames int, "
+            "mean_y double, mean_u double, mean_v double"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "sample_idx",
+        "frame_no",
+        "n_frames",
+        F.round("mean_y", 4).alias("mean_y"),
+        F.round("mean_u", 4).alias("mean_u"),
+        F.round("mean_v", 4).alias("mean_v"),
     )

@@ -1599,6 +1599,91 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked: canonical PCM WAVs (RIFF chunk
+    walk + 16-bit mono parse, pure stdlib/numpy) whose samples follow the
+    SQL-reconstructable text formula; the oracle recomputes duration, mean
+    amplitude, and RMS. Retires the audio side of the fake-decoder stub —
+    compressed audio (MP3/AAC) remains honestly stubbed."""
+    media = multimodal.synthetic_wav_audio(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.wav_decode_stats(media)
+
+
+# sample formula shared with synthetic_wav_audio: n = 64 + 32*(id%5)
+# samples, sample i = ascii(char i of sanitized rpad-repeated text)*256
+# - 16384. Integer sums are exact in both engines; sqrt is IEEE-identical.
+_WAV_CHARS = (
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
+    "CAST(64 + 32 * (doc_id % 5) AS INT), "
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
+)
+
+ORACLE_WAV_DECODE = f"""
+WITH au AS (
+    SELECT doc_id AS media_id,
+           CAST(64 + 32 * (doc_id % 5) AS INT) AS n,
+           {_WAV_CHARS} AS chars
+    FROM documents
+),
+smp AS (
+    SELECT media_id, n,
+           ascii(substring(chars, CAST(i AS INT) + 1, 1)) * 256 - 16384 AS v
+    FROM au, unnest(range(n)) AS t(i)
+)
+SELECT media_id, 8000 AS sample_rate, n AS n_samples,
+       round(n * 1000.0 / 8000, 4) AS duration_ms,
+       round(avg(v), 4) AS mean_amp,
+       round(sqrt(avg(v * v)), 4) AS rms
+FROM smp GROUP BY media_id, n
+"""
+
+
+def q_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-checked: YUV4MPEG2 streams (the
+    standard uncompressed interchange container) parsed frame by frame, 2
+    evenly spaced frames sampled per stream, exact per-channel means of
+    each DECODED frame. Retires the video side of the fake frame sampler —
+    compressed video (H.264/AV1) remains honestly stubbed."""
+    media = multimodal.synthetic_y4m_videos(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.y4m_frame_sample(media, num_frames=2)
+
+
+# frame formula shared with synthetic_y4m_videos: nf = 2 + id%3 flat
+# frames; frame f has Y = ascii(char f), U = (Y*5)%256, V = (Y*11)%256;
+# sampled frame_no = floor(nf*i/2) for i in 0..1. Flat frames mean the
+# channel means ARE the per-frame constants.
+_Y4M_CHARS = (
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
+    "CAST(2 + doc_id % 3 AS INT), "
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
+)
+
+ORACLE_Y4M_FRAMES = f"""
+WITH vids AS (
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           {_Y4M_CHARS} AS chars
+    FROM documents
+),
+samp AS (
+    SELECT media_id, n_frames, chars,
+           CAST(i AS INT) AS sample_idx,
+           CAST(n_frames * i // 2 AS INT) AS frame_no
+    FROM vids, unnest(range(2)) AS t(i)
+),
+lvl AS (
+    SELECT media_id, sample_idx, frame_no, n_frames,
+           ascii(substring(chars, frame_no + 1, 1)) AS y
+    FROM samp
+)
+SELECT media_id, sample_idx, frame_no, n_frames,
+       round(CAST(y AS DOUBLE), 4) AS mean_y,
+       round(CAST((y * 5) % 256 AS DOUBLE), 4) AS mean_u,
+       round(CAST((y * 11) % 256 AS DOUBLE), 4) AS mean_v
+FROM lvl
+"""
+
+
 def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation report (operators/reconcile.py): the current
     documents table vs a deterministically mutated next version (drop
@@ -1745,6 +1830,8 @@ PIPELINE_QUERIES = {
     "multimodal_ppm_feature_histogram": q_ppm_feature_histogram,
     "multimodal_jpeg_decode_stats": q_jpeg_decode_stats,
     "multimodal_jpeg_color_stats": q_jpeg_color_stats,
+    "multimodal_wav_decode_stats": q_wav_decode_stats,
+    "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "stratified_hash_counts": q_stratified_hash_counts,
@@ -1797,6 +1884,8 @@ PIPELINE_ORACLE = {
     "multimodal_jpeg_decode_stats": ORACLE_JPEG_DECODE,
     "multimodal_jpeg_color_stats": ORACLE_JPEG_COLOR,
     "multimodal_feature_extract": ORACLE_MEDIA_FEATURES,
+    "multimodal_wav_decode_stats": ORACLE_WAV_DECODE,
+    "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

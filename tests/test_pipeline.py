@@ -891,3 +891,58 @@ def test_media_features_real_matches_numpy(spark):
         assert np.array_equal(np.array(r.features, dtype=np.float32), want)
         assert r.mean_px == float(flat.mean(dtype=np.float64))
         assert r.container in ("ppm", "png", "jpeg")
+
+
+def test_wav_codec_roundtrip_and_scope():
+    import struct
+
+    import pytest as _pt
+
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        s = rng.integers(-32768, 32768, int(rng.integers(1, 500))).astype(np.int16)
+        dec, rate = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
+        assert rate == 8000 and np.array_equal(dec, s)
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_wav(b"OggS.....")  # compressed container
+    stereo = multimodal.encode_wav(np.zeros(4, np.int16))
+    stereo = stereo[:22] + struct.pack("<H", 2) + stereo[24:]
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_wav(stereo)
+
+
+def test_y4m_codec_roundtrip_and_scope():
+    import pytest as _pt
+
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        fr = rng.integers(
+            0, 256, (int(rng.integers(1, 5)), int(rng.integers(2, 10)), int(rng.integers(2, 10)), 3)
+        ).astype(np.uint8)
+        dec, fps = multimodal.decode_y4m(multimodal.encode_y4m(fr, 25))
+        assert fps == 25 and np.array_equal(dec, fr)
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_y4m(b"RIFF....WAVE")
+    subsampled = multimodal.encode_y4m(np.zeros((1, 2, 2, 3), np.uint8)).replace(b"C444", b"C420")
+    with _pt.raises(NotImplementedError):
+        multimodal.decode_y4m(subsampled)
+
+
+def test_wav_and_y4m_spark_plumbing(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    wav_rows = multimodal.wav_decode_stats(multimodal.synthetic_wav_audio(spark, docs)).collect()
+    assert len(wav_rows) == 20
+    for r in wav_rows:
+        assert r.sample_rate == 8000 and r.n_samples in (64, 96, 128, 160, 192)
+        assert r.duration_ms == r.n_samples / 8
+        # printable-ASCII source: amplitudes live in [32, 126]*256 - 16384
+        assert -8192 <= r.mean_amp <= 16384
+
+    vid_rows = multimodal.y4m_frame_sample(
+        multimodal.synthetic_y4m_videos(spark, docs), num_frames=2
+    ).collect()
+    assert len(vid_rows) == 40  # 2 samples per stream
+    for r in vid_rows:
+        assert r.n_frames in (2, 3, 4) and 0 <= r.frame_no < r.n_frames
+        assert r.frame_no == (r.n_frames * r.sample_idx) // 2
+        assert 32 <= r.mean_y <= 126  # flat frames carry printable ASCII
