@@ -81,6 +81,7 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_feature_extract",
     "multimodal_wav_decode_stats",
     "multimodal_y4m_frame_sample",
+    "bpe_tokenize_stats",
 ]
 
 

@@ -1684,6 +1684,20 @@ FROM lvl
 """
 
 
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenizer (train + apply): one distributed word-count
+    shuffle, merge training on the bounded top-2000 vocab driver-side (the
+    k-means contract), broadcast merge table, zero-shuffle Arrow encode.
+    Weak-by-design: the iterative merge recursion is not SQL-expressible —
+    correctness is pinned in pytest (classic hand-computed example,
+    lossless round-trip, partitioning invariance)."""
+    from rocana_impala_udfs_spark.operators.tokenizer import bpe_encode_stats, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=100, top_n=2000)
+    return bpe_encode_stats(docs, merges)
+
+
 def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation report (operators/reconcile.py): the current
     documents table vs a deterministically mutated next version (drop
@@ -1832,6 +1846,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_color_stats": q_jpeg_color_stats,
     "multimodal_wav_decode_stats": q_wav_decode_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
+    "bpe_tokenize_stats": q_bpe_tokenize_stats,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "stratified_hash_counts": q_stratified_hash_counts,

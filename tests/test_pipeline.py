@@ -946,3 +946,51 @@ def test_wav_and_y4m_spark_plumbing(spark):
         assert r.n_frames in (2, 3, 4) and 0 <= r.frame_no < r.n_frames
         assert r.frame_no == (r.n_frames * r.sample_idx) // 2
         assert 32 <= r.mean_y <= 126  # flat frames carry printable ASCII
+
+
+# --- BPE tokenizer ---------------------------------------------------------
+
+
+def test_bpe_train_classic_example():
+    """Sennrich et al.'s hand-computable example: {low:5, lower:2,
+    newest:6, widest:3} must merge (e,s), (es,t), (est,</w>) first."""
+    from rocana_impala_udfs_spark.operators.tokenizer import END, train_merges
+
+    merges = train_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", END)]
+
+
+def test_bpe_encode_lossless_and_greedy():
+    from rocana_impala_udfs_spark.operators.tokenizer import END, encode_word, train_merges
+
+    merges = train_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["lowest", "newest", "low", "zzzq", "a"]:
+        toks = encode_word(w, ranks)
+        assert "".join(toks).replace(END, "") == w  # lossless round-trip
+    assert encode_word("lowest", ranks) == ["low", f"est{END}"]
+
+
+def test_bpe_spark_path_deterministic(spark):
+    """Same corpus → same merges and stats regardless of partitioning; the
+    encode output satisfies basic compression invariants."""
+    from rocana_impala_udfs_spark.operators.tokenizer import bpe_encode_stats, bpe_train
+
+    docs = load_table(spark, SF, "documents").limit(100)
+    merges_a = bpe_train(docs, num_merges=50, top_n=500)
+    merges_b = bpe_train(docs.repartition(7), num_merges=50, top_n=500)
+    assert merges_a == merges_b
+
+    rows = {r.doc_id: r for r in bpe_encode_stats(docs, merges_a).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(rows) == 100
+    for doc_id, r in rows.items():
+        words = [w for w in texts[doc_id].lower().split() if w]
+        assert r.n_words == len(words)
+        # every word yields >= 1 token and <= len(word)+1 symbols
+        assert len(words) <= r.bpe_tokens <= sum(len(w) + 1 for w in words)
+        if r.bpe_tokens:
+            # column is rounded to 4 decimals in the plan
+            assert r.chars_per_token == pytest.approx(
+                sum(len(w) for w in words) / r.bpe_tokens, abs=1e-4
+            )
