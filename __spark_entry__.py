@@ -82,6 +82,12 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_wav_decode_stats",
     "multimodal_y4m_frame_sample",
     "bpe_tokenize_stats",
+    # round-5 additions (session 2): KMV sketch family, Benford DQ screen,
+    # prefix-filter exact-Jaccard join
+    "kmv_distinct_users_by_type",
+    "kmv_merged_weekly_users",
+    "quality_benford_prices",
+    "dedup_prefix_filter_pairs",
 ]
 
 

@@ -14,6 +14,9 @@ Five families, each designed for 100 TB first and verified at test scale:
 - **N-gram Jaccard (exact)** — full shingle self-join; the correctness
   baseline for LSH and the oracle-checkable path. Documented as the
   small/medium-scale route; at 100 TB use MinHash-LSH.
+- **Prefix-filter exact join (AllPairs/PPJoin)** — exact word-set Jaccard
+  with no recall loss and no all-pairs join: global-frequency token order,
+  per-doc prefixes, rare-token candidate join, exact verification.
 - **Embedding near-dup** — see operators/similarity.py (cosine ≥ threshold).
 
 All thresholds chosen for the driver corpus, whose near-dups sit at
@@ -570,4 +573,87 @@ def ngram_containment_pairs(
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07; Xiao et al. ICDE'08) — no hashing, no recall
+    loss, still no all-pairs join.
+
+    Candidate generation: order every document's distinct k-word shingles
+    by global frequency (rarest first, ties by shingle text — a total order
+    both engines reproduce); a pair can reach Jaccard ≥ t only if the two
+    documents share an element inside each one's *prefix* of length
+    ``n - ceil(t*n) + 1`` (prefix filtering principle). Joining prefixes on
+    rare shingles instead of full sets on all shingles is what collapses
+    the candidate space: common shingles never join. A size-ratio filter
+    (``min(n_i,n_j)/max(n_i,n_j) >= t``, since Jaccard ≤ that ratio) prunes
+    further before exact verification.
+
+    The result is *identical* to :func:`ngram_jaccard_pairs`' full
+    self-join (the oracle computes exact Jaccard with no prefix logic) —
+    prefix filtering has no false negatives, and verification removes false
+    positives.
+
+    Scale: one shuffle to rank shingles per doc (window by id), one
+    rare-shingle prefix self-join, one (id, shingle)-keyed verify join. The
+    verify join is proportional to candidate pairs × set size, not corpus².
+    """
+    t = threshold
+    # Reused by ranking, candidate prefixes, and both verify sides — cache
+    # the distinct shingle sets once (same rationale as ngram_jaccard_pairs).
+    toks = shingle_sets(df, text_col, id_col, k).withColumnRenamed("shingle", "tok").cache()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    w_id = Window.partitionBy("id").orderBy("tf", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rnk", F.row_number().over(w_id))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("id", "tok", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("b.id").alias("j"),
+            F.col("a.n").alias("ni"),
+            F.col("b.n").alias("nj"),
+        )
+        .distinct()
+    )
+    ti = toks.select(F.col("id").alias("i"), "tok")
+    tj = toks.select(F.col("id").alias("j"), "tok")
+    inter = (
+        cand.join(ti, "i")
+        .join(tj, ["j", "tok"])
+        .groupBy("i", "j", "ni", "nj")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    return (
+        inter.select(
+            "i",
+            "j",
+            F.round(
+                F.col("both_cnt") / (F.col("ni") + F.col("nj") - F.col("both_cnt")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
     )

@@ -1,0 +1,149 @@
+"""Mergeable distinct-count sketches (KMV / k-minimum-values).
+
+The reference's charter is bounded-state approximate aggregation under the
+partial→serialize→merge→finalize lifecycle (``median.cc:117-304`` implements
+it for the reservoir-median UDA). KMV is the same contract applied to
+distinct counting: the sketch state is the ``k`` smallest *distinct* hash
+values of the aggregated column, states merge by union-then-truncate, and
+the finalizer estimates ``D ≈ (k-1) / h_(k)`` where ``h_(k)`` is the k-th
+smallest hash normalized to (0, 1).  Unlike HyperLogLog (Spark's
+``approx_count_distinct``), KMV built on a hash both engines share (md5) is
+fully deterministic and therefore *oracle-checkable* — the DuckDB oracle
+reproduces the estimate bit-for-bit, giving this sketch family a driver
+hash-green row instead of the weaker bounded-error check.
+
+Scale notes
+-----------
+The plan is two exact relational steps, no Python:
+
+1. ``groupBy(group, hash).agg()`` — dedupe hashes.  Partial (map-side)
+   aggregation bounds shuffle volume by the number of *distinct* values,
+   not rows; this is the same shuffle an exact ``count(DISTINCT)`` pays.
+2. a ``row_number`` window per group over the distinct hashes, keep
+   ``rk <= k`` — one more shuffle, input already deduped.
+
+At 100 TB the dedupe shuffle dominates exactly as it would for exact
+distinct counting; the win over exact counting is realized when the sketch
+is *persisted and merged* across partitions/days (``kmv_merge``), which is
+the production pattern: per-partition sketches of ``k`` doubles instead of
+re-scanning history.  ``tests/test_sketches.py`` pins the merge identity
+(sketch(A ∪ B) == merge(sketch(A), sketch(B))) and the (k, error) bound.
+
+Error: relative standard error ≈ 1/sqrt(k-2) (Beyer et al., "On Synopses
+for Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 48 bits of md5 → uniform double in (0, 1]; identical expression exists in
+# DuckDB (conv == from hex), so oracles reproduce estimates exactly.
+_HASH_BITS = 48
+_HASH_DENOM = float(1 << _HASH_BITS)
+
+
+def kmv_hash(value: Column) -> Column:
+    """Uniform (0, 1] hash of any column, engine-portable (md5-based).
+
+    DuckDB equivalent::
+
+        (from_hex-style) CAST(('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 12)) AS ...)
+
+    — see :data:`ORACLE_HASH_EXPR` for the exact SQL used by oracles.
+    """
+    h48 = F.conv(F.substring(F.md5(value.cast("string")), 1, 12), 16, 10).cast("bigint")
+    # +1 keeps the hash strictly positive so (k-1)/h_(k) never divides by 0.
+    return (h48 + F.lit(1)).cast("double") / F.lit(_HASH_DENOM)
+
+
+#: DuckDB expression computing the same (0, 1] hash of column ``{v}``.
+ORACLE_HASH_EXPR = (
+    "((CAST(('0x' || substring(md5(CAST({v} AS VARCHAR)), 1, 12)) AS BIGINT) + 1)"
+    " / 281474976710656.0)"
+)
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV sketch state: the ``k`` smallest distinct hashes.
+
+    Returns ``group_cols + [h, rk]`` — the serialized state a production
+    job would persist (k doubles per group) and later ``kmv_merge``.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a usable estimator, got {k}")
+    distinct = (
+        df.select(*group_cols, kmv_hash(F.col(value_col)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .groupBy(*group_cols, "h")
+        .agg(F.lit(1))
+        .select(*group_cols, "h")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return distinct.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def kmv_merge(*sketches: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Union sketch states and re-truncate to the k smallest per group —
+    the UDA merge phase (cf. ``ReservoirSampleMerge``, ``median.cc:228``)."""
+    unioned = sketches[0].select(*group_cols, "h")
+    for s in sketches[1:]:
+        unioned = unioned.unionByName(s.select(*group_cols, "h"))
+    dd = unioned.groupBy(*group_cols, "h").agg(F.lit(1)).select(*group_cols, "h")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return dd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def kmv_finalize(sketch: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Estimate per-group distinct counts from a sketch state.
+
+    When a group holds fewer than ``k`` hashes the sketch is exact (it saw
+    every distinct value) and the finalizer returns that exact count —
+    KMV's standard small-cardinality fallback.
+    """
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk"))
+        .select(
+            *group_cols,
+            F.round(
+                F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+                    (F.lit(float(k - 1)) / F.col("hk"))
+                ),
+                4,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """End-to-end per-group approximate distinct count (sketch → finalize)."""
+    return kmv_finalize(kmv_sketch(df, group_cols, value_col, k), group_cols, k)
+
+
+def kmv_oracle_sql(
+    table: str, group_cols: list[str], value_col: str, k: int = 256
+) -> str:
+    """DuckDB SQL reproducing :func:`kmv_distinct` exactly (same hash, same
+    row_number truncation, same (k-1)/h_(k) arithmetic and rounding)."""
+    g = ", ".join(group_cols)
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT {g}, {ORACLE_HASH_EXPR.format(v=value_col)} AS h
+    FROM {table} WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+    SELECT {g}, h, row_number() OVER (PARTITION BY {g} ORDER BY h) AS rk
+    FROM hashed
+),
+kept AS (SELECT {g}, h FROM ranked WHERE rk <= {k})
+SELECT {g},
+       round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {float(k - 1)} / max(h) END, 4) AS est_distinct
+FROM kept GROUP BY {g}
+"""

@@ -75,6 +75,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard pairs via AllPairs/PPJoin prefix filtering
+    — the no-recall-loss alternative to MinHash-LSH. The oracle computes
+    the same pairs with a plain full self-join (the shared exact-Jaccard
+    CTEs), asserting the filter's zero-false-negative guarantee."""
+    return dedup.prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs → connected components →
     one surviving representative per duplicate cluster."""
@@ -1820,6 +1830,7 @@ PIPELINE_QUERIES = {
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
+    "dedup_prefix_filter_pairs": q_dedup_prefix_filter,
     "dedup_containment_pairs": q_dedup_containment,
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_survivors": q_dedup_survivors,
@@ -1878,6 +1889,7 @@ PIPELINE_ORACLE = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
+    "dedup_prefix_filter_pairs": _ORACLE_JACCARD,
     "dedup_containment_pairs": ORACLE_CONTAINMENT,
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,

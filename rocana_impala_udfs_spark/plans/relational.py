@@ -1425,6 +1425,105 @@ WHERE levenshtein(a.name, b.name) <= 2
 """
 
 
+# --- KMV distinct sketch (deterministic, oracle-checkable) -----------------
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via the KMV sketch — the
+    reference's bounded-state partial/merge/finalize contract
+    (``median.cc:117-304``) applied to distinct counting, built on an
+    engine-portable md5 hash so the DuckDB oracle matches bit-for-bit
+    (unlike ``approx_count_distinct``'s HLL, which is weak-by-design)."""
+    from rocana_impala_udfs_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=256).orderBy("event_type")
+
+
+def q_kmv_merged_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge path of the same sketch: one KMV state per (event_type, week)
+    — the shape a production job persists per ingest partition — merged
+    down to a per-type estimate.  The merge identity (union-then-truncate
+    == sketch of the union) makes this return exactly
+    :func:`q_kmv_distinct_users`'s answer, which is what the shared oracle
+    asserts: the serialize→merge→finalize lifecycle loses nothing."""
+    from rocana_impala_udfs_spark.operators.sketches import (
+        kmv_finalize,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "wk", F.weekofyear("ts")
+    )
+    weekly = kmv_sketch(ev, ["event_type", "wk"], "user_id", k=256)
+    merged = kmv_merge(
+        weekly.select("event_type", "h"), group_cols=["event_type"], k=256
+    )
+    return kmv_finalize(merged, ["event_type"], k=256).orderBy("event_type")
+
+
+def _oracle_kmv_users() -> str:
+    from rocana_impala_udfs_spark.operators.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql("events", ["event_type"], "user_id", k=256)
+
+
+ORACLE_KMV_USERS = _oracle_kmv_users()
+
+
+# --- Benford first-digit data-quality test ---------------------------------
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals: observed first-significant-
+    digit frequencies vs log10(1 + 1/d), with the chi-square contribution
+    per digit.  A standard fraud/data-quality probe that is one narrow
+    column scan + a 9-row aggregate — entirely map-side partial agg, no
+    Python, trivially 100 TB-safe."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.regexp_replace(F.format_string("%.6f", F.col("o_totalprice")), "[0.]", ""), 1, 1
+    ).cast("int")
+    # Single pass: the 9-row digit histogram, then a window total over those
+    # 9 rows (no second scan / driver-side count).
+    t = F.sum("n").over(Window.partitionBy()).cast("double")
+    return (
+        o.select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / t, 6).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n") / t - F.log10(1.0 + 1.0 / F.col("d")), 2)
+                / F.log10(1.0 + 1.0 / F.col("d"))
+                * t,
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+ORACLE_BENFORD = """
+WITH dig AS (
+    SELECT CAST(substring(regexp_replace(printf('%.6f', o_totalprice), '[0.]', '', 'g'), 1, 1) AS INT) AS d
+    FROM orders WHERE o_totalprice > 0
+),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM dig GROUP BY d),
+w AS (SELECT d, n, CAST(sum(n) OVER () AS DOUBLE) AS t FROM hist)
+SELECT d, n,
+       round(n / t, 6) AS observed,
+       round(log10(1.0 + 1.0 / d), 6) AS expected,
+       round(pow(n / t - log10(1.0 + 1.0 / d), 2) / log10(1.0 + 1.0 / d) * t, 4)
+           AS chi2_term
+FROM w ORDER BY d
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "join_q3_shipping_priority": q_shipping_priority,
@@ -1477,6 +1576,9 @@ QUERIES = {
     "subquery_q17_small_qty_revenue": q_small_qty_revenue,
     "events_value_outliers": q_event_value_outliers,
     "skyline_parts": q_skyline_parts,
+    "kmv_distinct_users_by_type": q_kmv_distinct_users,
+    "kmv_merged_weekly_users": q_kmv_merged_weekly,
+    "quality_benford_prices": q_benford_prices,
 }
 
 ORACLE = {
@@ -1529,4 +1631,7 @@ ORACLE = {
     "subquery_q17_small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
     "events_value_outliers": ORACLE_EVENT_OUTLIERS,
     "skyline_parts": ORACLE_SKYLINE_PARTS,
+    "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
+    "kmv_merged_weekly_users": ORACLE_KMV_USERS,
+    "quality_benford_prices": ORACLE_BENFORD,
 }
