@@ -88,6 +88,10 @@ _NEVER_DRIVER_CHECKED = [
     "kmv_merged_weekly_users",
     "quality_benford_prices",
     "dedup_prefix_filter_pairs",
+    "emb_decontaminate_hits",
+    "zorder_part_keys",
+    "interval_overlap_pairs",
+    "zipf_token_fit",
 ]
 
 

@@ -72,6 +72,12 @@ HEADLINE = [
     "fuzzy_join_part_names_d2",
     "multimodal_jpeg_color_stats",
     "multimodal_feature_extract",
+    # r5 session 2: KMV distinct sketch, prefix-filter exact-Jaccard join,
+    # BLAS contamination screen, keyed interval self-overlap join.
+    "kmv_distinct_users_by_type",
+    "dedup_prefix_filter_pairs",
+    "emb_decontaminate_hits",
+    "interval_overlap_pairs",
 ]
 
 

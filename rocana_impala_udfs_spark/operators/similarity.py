@@ -473,3 +473,50 @@ def kmeans_lloyd(
         # never silently shrinks (standard Lloyd empty-cluster handling)
         cents = {cid: new_cents.get(cid, vec) for cid, vec in cents.items()}
     return assign.select(id_col, "cluster", F.round("dist", 4).alias("dist")), cents, inertia_history
+
+
+def contamination_screen(
+    vectors: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: corpus rows whose embedding is close to
+    any held-out (eval/benchmark) embedding — the vector-space companion
+    to the 8-gram lexical decontaminator (``operators/dedup.py``,
+    ``contamination_hits``). Text paraphrases of a benchmark question slip
+    past n-gram matching; their embeddings don't.
+
+    Plan: the held-out matrix is the small side (an eval set — thousands of
+    rows, not billions) collected once and closed over into a
+    ``mapInPandas`` kernel; each Arrow batch of corpus vectors does ONE
+    float64 BLAS matmul against it — the same broadcast-matrix shape as
+    :func:`brute_force_topk_np`, zero shuffle, embarrassingly parallel over
+    100 TB of corpus. Returns (vec_id, max_cos, n_hits) for flagged rows.
+    """
+    h_rows = heldout.select(vec_col).collect()
+    H = np.asarray([r[0] for r in h_rows], dtype=np.float64)
+    Hn = H / np.maximum(np.linalg.norm(H, axis=1, keepdims=True), 1e-12)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ Hn.T  # (batch, n_heldout)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_cos": sims.max(axis=1),
+                    "n_hits": (sims >= threshold).sum(axis=1).astype(np.int64),
+                }
+            )
+
+    return (
+        vectors.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} bigint, max_cos double, n_hits bigint")
+        .filter(F.col("n_hits") > 0)
+        .select(id_col, F.round("max_cos", 4).alias("max_cos"), "n_hits")
+    )

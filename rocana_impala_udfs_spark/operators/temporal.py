@@ -23,6 +23,8 @@ operators such an engine needs, built shuffle-minimal:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -346,4 +348,45 @@ def interpolate_fill(
     )
     return filled.select(
         *group_cols, ts_col, F.col(value_col), interp.alias(f"{value_col}_filled")
+    )
+
+
+def interval_self_overlaps(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Pairs of overlapping intervals within each key: ``(i, j)`` with
+    ``i < j`` and ``[start_i, end_i] ∩ [start_j, end_j] ≠ ∅`` (closed
+    intervals), plus the overlap length.
+
+    Plan: equi-join on the key columns (one shuffle each side, SMJ/AQE)
+    with the range predicates applied as join residuals — never a cartesian
+    across keys. Within a key the comparison is quadratic in that key's
+    interval count; for keys holding millions of live intervals, compose
+    with a time-bucket band (cf. :func:`bucketed_range_join`) so only
+    same-bucket/adjacent-bucket pairs meet. Overlap *detection* (does any
+    overlap exist) has an O(n log n) window alternative — sort by start,
+    compare against the running max of previous ends — but pair
+    *enumeration* is inherently join-shaped.
+    """
+    keep = [*key_cols, id_col, start_col, end_col]
+    a = df.select(*keep).alias("a")
+    b = df.select(*keep).alias("b")
+    key_eq = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond = key_eq + [
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        F.col(f"a.{start_col}") <= F.col(f"b.{end_col}"),
+        F.col(f"b.{start_col}") <= F.col(f"a.{end_col}"),
+    ]
+    overlap = F.least(F.col(f"a.{end_col}"), F.col(f"b.{end_col}")) - F.greatest(
+        F.col(f"a.{start_col}"), F.col(f"b.{start_col}")
+    )
+    return a.join(b, reduce(lambda x, y: x & y, cond)).select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        F.col(f"a.{id_col}").alias("i"),
+        F.col(f"b.{id_col}").alias("j"),
+        overlap.alias("overlap"),
     )

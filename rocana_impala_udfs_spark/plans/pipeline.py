@@ -11,7 +11,7 @@ weaker rows-only check and pytest covers them against in-engine baselines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rocana_impala_udfs_spark.functions import text as T
@@ -346,6 +346,36 @@ SELECT a.vec_id AS i, b.vec_id AS j,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+"""
+
+
+def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus embeddings too close to any
+    held-out embedding (a mod-7 id split plays the benchmark/eval set; in
+    production the held-out side is the eval suite's embeddings). The
+    vector companion to the 8-gram lexical `decontaminate_docs`. The 0.4
+    threshold is tuned to this synthetic corpus — its label clusters put
+    genuinely-related vectors at cos ≈ 0.35-0.5 against a ≈0.29 p99
+    background; a paraphrase-level screen on real embeddings runs 0.9+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.contamination_screen(
+        emb.filter(F.col("vec_id") % 7 != 0),
+        emb.filter(F.col("vec_id") % 7 == 0),
+        threshold=0.4,
+    ).orderBy("vec_id")
+
+
+ORACLE_EMB_DECONTAMINATE = """
+WITH h AS (SELECT embedding::DOUBLE[] AS hv FROM embeddings WHERE vec_id % 7 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 7 <> 0),
+scored AS (SELECT vec_id, list_cosine_similarity(cv, hv) AS cos FROM c CROSS JOIN h),
+agg AS (
+    SELECT vec_id, max(cos) AS mc,
+           CAST(sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM scored GROUP BY vec_id
+)
+SELECT vec_id, round(mc, 4) AS max_cos, n_hits
+FROM agg WHERE n_hits > 0 ORDER BY vec_id
 """
 
 
@@ -1036,6 +1066,49 @@ tot AS (SELECT count(*) AS n FROM tok)
 SELECT tok, count(*) AS cnt FROM tok
 GROUP BY tok
 HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+"""
+
+
+def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares slope
+    of log10(freq) against log10(rank) (natural language ≈ -1; a strongly
+    non-Zipfian slope flags synthetic/templated/degenerate text — a cheap
+    corpus-health probe). One token-keyed shuffle for counts; the ranked
+    frequency table is tiny (vocabulary-sized), so the regression aggregate
+    is map-side trivial. Count ties get deterministic ranks via (cnt DESC,
+    tok) ordering, identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(T.normalize_text("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy().orderBy(F.col("cnt").desc(), "tok")),
+    ).select(F.log10("rk").alias("lx"), F.log10("cnt").alias("ly"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias("zipf_slope"),
+        F.round(
+            F.avg("ly") - (F.covar_pop("lx", "ly") / F.var_pop("lx")) * F.avg("lx"), 4
+        ).alias("zipf_intercept"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH norm AS (SELECT {_NORM} AS t FROM documents),
+tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM norm),
+counts AS (SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok),
+ranked AS (
+    SELECT log10(row_number() OVER (ORDER BY cnt DESC, tok)) AS lx, log10(cnt) AS ly
+    FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       round(covar_pop(lx, ly) / var_pop(lx), 4) AS zipf_slope,
+       round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx)) * avg(lx), 4) AS zipf_intercept
+FROM ranked
 """
 
 
@@ -1838,6 +1911,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
     "emb_neardup_pairs": q_emb_neardup,
+    "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
     "text_quality_scores": q_text_quality,
     "text_token_counts": q_text_tokens,
@@ -1869,6 +1943,7 @@ PIPELINE_QUERIES = {
     "repetition_scores": q_repetition_scores,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "vocab_growth_stats": q_vocab_growth_stats,
+    "zipf_token_fit": q_zipf_token_fit,
     "chunk_documents_overlap": q_chunk_documents_overlap,
     "snapshot_diff_summary": q_snapshot_diff_summary,
     "data_quality_report": q_data_quality_report,
@@ -1895,6 +1970,7 @@ PIPELINE_ORACLE = {
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "ann_cosine_top5": ORACLE_ANN_TOP5,
     "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
+    "emb_decontaminate_hits": ORACLE_EMB_DECONTAMINATE,
     "text_quality_scores": ORACLE_TEXT_QUALITY,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": _text_fingerprints_oracle(),
@@ -1920,6 +1996,7 @@ PIPELINE_ORACLE = {
     "repetition_scores": ORACLE_REPETITION,
     "heavy_hitter_tokens": ORACLE_HEAVY_HITTERS,
     "vocab_growth_stats": ORACLE_VOCAB_GROWTH,
+    "zipf_token_fit": ORACLE_ZIPF_FIT,
     "chunk_documents_overlap": ORACLE_CHUNK_OVERLAP,
     "snapshot_diff_summary": ORACLE_SNAPSHOT_DIFF,
     "data_quality_report": ORACLE_DQ_REPORT,

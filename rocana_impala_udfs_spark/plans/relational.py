@@ -1472,6 +1472,37 @@ def _oracle_kmv_users() -> str:
 ORACLE_KMV_USERS = _oracle_kmv_users()
 
 
+# --- Z-order (Morton) clustering key ---------------------------------------
+
+
+def q_zorder_part_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton interleave of (p_size, price bucket) — the clustering key
+    behind :func:`operators.zorder.write_zorder_parquet`, surfaced as a
+    query so the bit-interleave arithmetic is driver-verified against the
+    SQL twin. ``tests/test_io.py`` verifies the layout property itself
+    (two-dimensional file skipping via parquet footer stats)."""
+    from rocana_impala_udfs_spark.operators.zorder import morton_key
+
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("bigint").bitwiseAND(F.lit(63))
+    y = F.floor(F.col("p_retailprice") / 40.0).cast("bigint").bitwiseAND(F.lit(63))
+    return p.select("p_partkey", morton_key(x, y, bits=6).alias("zkey"))
+
+
+def _oracle_zorder() -> str:
+    from rocana_impala_udfs_spark.operators.zorder import morton_sql_expr
+
+    z = morton_sql_expr(
+        "(CAST(p_size AS BIGINT) & 63)",
+        "(CAST(floor(p_retailprice / 40.0) AS BIGINT) & 63)",
+        bits=6,
+    )
+    return f"SELECT p_partkey, {z} AS zkey FROM part"
+
+
+ORACLE_ZORDER = _oracle_zorder()
+
+
 # --- Benford first-digit data-quality test ---------------------------------
 
 
@@ -1579,6 +1610,7 @@ QUERIES = {
     "kmv_distinct_users_by_type": q_kmv_distinct_users,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "quality_benford_prices": q_benford_prices,
+    "zorder_part_keys": q_zorder_part_keys,
 }
 
 ORACLE = {
@@ -1634,4 +1666,5 @@ ORACLE = {
     "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "quality_benford_prices": ORACLE_BENFORD,
+    "zorder_part_keys": ORACLE_ZORDER,
 }

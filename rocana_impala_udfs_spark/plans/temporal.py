@@ -1042,7 +1042,53 @@ WINDOW w AS (PARTITION BY event_type ORDER BY wk)
 """
 
 
+def q_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-activity detection: treat each event as a live interval
+    [ts, ts + value seconds] and count, per user, the pairs of their own
+    events whose intervals overlap (plus the longest overlap). Classic
+    interval self-join, keyed by user so the join shuffles on user_id and
+    the range predicates run as residuals — no cross-key comparisons.
+    All arithmetic in epoch-microsecond BIGINTs (floor'd identically in
+    both engines), so the hash comparison is integer-exact."""
+    from rocana_impala_udfs_spark.operators.temporal import interval_self_overlaps
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("e"),
+    )
+    pairs = interval_self_overlaps(iv, ["user_id"], "s", "e", "event_id")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.max("overlap").alias("max_overlap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_INTERVAL_OVERLAPS = """
+WITH iv AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+    FROM events
+),
+p AS (
+    SELECT a.user_id, least(a.e, b.e) - greatest(a.s, b.s) AS ov
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps, max(ov) AS max_overlap_us
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
 TEMPORAL_QUERIES = {
+    "interval_overlap_pairs": q_interval_overlaps,
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
@@ -1072,6 +1118,7 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLE = {
+    "interval_overlap_pairs": ORACLE_INTERVAL_OVERLAPS,
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
     "ewma_user_value": ORACLE_EWMA,
     "interpolated_minute_values": ORACLE_INTERPOLATE,

@@ -233,3 +233,45 @@ def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2 or (hi1 - lo2) < (hi2 - lo1) * 0.01, (hi1, lo2)
     # round-trip: the clustered copy holds exactly the same rows
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmpdir):
+    """Z-order layout gives BOTH clustered columns file-level pruning
+    power: for a narrow filter on either column, the fraction of files
+    whose footer [min,max] overlaps the filter must be well under 1.0 —
+    the property a 1-D range-clustered layout only has for its sort key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rocana_impala_udfs_spark.operators.zorder import write_zorder_parquet
+
+    p = load_table(spark, SF, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.floor(F.col("p_retailprice") / 40.0).cast("bigint").alias("y"),
+    )
+    out = f"{tmpdir}/zorder"
+    write_zorder_parquet(p, out, "x", "y", bits=6, num_files=16)
+
+    def file_ranges(col):
+        ranges = []
+        for name in os.listdir(out):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, name)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return ranges
+
+    for col, lo, hi in (("x", 10, 13), ("y", 10, 13)):
+        ranges = file_ranges(col)
+        assert len(ranges) >= 8
+        overlapping = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+        # a narrow band on either axis must skip at least a third of files
+        assert overlapping <= len(ranges) * 2 / 3, (col, overlapping, len(ranges))
+    assert spark.read.parquet(out).count() == p.count()

@@ -994,3 +994,25 @@ def test_bpe_spark_path_deterministic(spark):
             assert r.chars_per_token == pytest.approx(
                 sum(len(w) for w in words) / r.bpe_tokens, abs=1e-4
             )
+
+
+def test_contamination_screen_planted(spark):
+    """A corpus vector identical to a held-out vector is flagged with
+    cos ≈ 1; an orthogonal one is not flagged at all."""
+    dup = [1.0, 0.0, 0.0, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, ortho), (3, near)], "vec_id long, embedding array<double>"
+    )
+    heldout = spark.createDataFrame(
+        [(100, dup), (101, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["max_cos"], r["n_hits"])
+        for r in similarity.contamination_screen(corpus, heldout, threshold=0.9).collect()
+    }
+    assert out[1] == (1.0, 1)
+    assert 2 not in out
+    assert out[3][0] == pytest.approx(0.9939, abs=1e-4)

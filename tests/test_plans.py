@@ -271,3 +271,34 @@ def test_q2_min_subquery_stays_in_plan(spark):
 def test_q13_left_join_preserved(spark):
     plan = _plan(spark, "outeragg_q13_order_count_distribution")
     assert "LeftOuter" in plan
+
+
+def test_prefix_filter_no_cartesian(spark):
+    """Prefix-filter Jaccard: candidate + verify joins are all equi-joins
+    on shingle / id keys — never a cross product."""
+    plan = _plan(spark, "dedup_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_is_keyed(spark):
+    """Interval self-overlap joins on user_id with range residuals — the
+    plan must be a keyed join (SMJ/SHJ), not a nested-loop across keys."""
+    plan = _plan(spark, "interval_overlap_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_is_two_phase_no_python(spark):
+    """KMV sketch: pure JVM expressions (no Python workers) and partial
+    aggregation before the distinct shuffle."""
+    plan = _plan(spark, "kmv_distinct_users_by_type")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_benford_single_scan(spark):
+    """Benford screen reads `orders` exactly once (window total over the
+    9-row histogram, not a second scan or driver count)."""
+    plan = _plan(spark, "quality_benford_prices")
+    assert plan.count("FileScan parquet") == 1

@@ -305,3 +305,41 @@ def test_running_ewma_stream_matches_batch_fold(spark, event_stream_dir):
     for k in expect:
         assert got[k][1] == expect[k][1], k  # event counts agree
         assert got[k][0] == expect[k][0], k  # bit-identical fold
+
+
+def test_running_kmv_distinct_stream_matches_batch(spark, event_stream_dir):
+    """After all micro-batches, the streaming KMV estimate per group equals
+    the batch sketch over the whole table — KMV state is a deterministic
+    function of the value set, so incremental == one-shot."""
+    from rocana_impala_udfs_spark.operators.sketches import kmv_distinct
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_kmv_distinct_stream,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        event_stream_dir
+    )
+    out = running_kmv_distinct_stream(stream, k=64)
+    q = out.writeStream.format("memory").queryName("kmv_stream").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    # update mode re-emits per trigger; latest row per group is the answer
+    got = {
+        r["group"]: (r["est_distinct"], r["state_size"])
+        for r in spark.sql(
+            "SELECT group, est_distinct, state_size FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY group ORDER BY rn DESC) AS rk "
+            " FROM (SELECT *, monotonically_increasing_id() AS rn FROM kmv_stream)) "
+            "WHERE rk = 1"
+        ).collect()
+    }
+    batch = load_table(spark, SF, "events")
+    want = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(batch, ["event_type"], "user_id", k=64).collect()
+    }
+    assert set(got) == set(want)
+    for g, (est, size) in got.items():
+        assert est == want[g], (g, est, want[g])
+        assert size <= 64
