@@ -37,6 +37,19 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 32
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file corpora arrive as ONE scan partition, which would
+    serialize every per-row Python codec kernel downstream onto one core
+    (measured: the whole sf0.1 JPEG suite decoded on 1 of 32 threads). A
+    cheap round-robin repartition of the narrow text rows buys full-cluster
+    parallelism for the expensive encode/decode that follows; at real blob
+    scale the scan is already wide and this is a no-op."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def synthetic_media(spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic fake media table derived from a text corpus: payload =
     UTF-8 bytes, modality round-robins image/audio/video, metadata derived
@@ -87,7 +100,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 {"media_id": pdf["media_id"], "modality": pdf["modality"], "features": feats}
             )
 
-    return media.mapInPandas(run, schema="media_id bigint, modality string, features array<float>")
+    return _spread(media).mapInPandas(run, schema="media_id bigint, modality string, features array<float>")
 
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64, fake: bool = True) -> DataFrame:
@@ -119,7 +132,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64, fake: boo
                 columns=["media_id", "out_width", "out_height", "resized_md5", "scale_x", "scale_y"],
             )
 
-    return media.mapInPandas(
+    return _spread(media).mapInPandas(
         run,
         schema=(
             "media_id bigint, out_width int, out_height int, "
@@ -156,7 +169,7 @@ def sample_frames(media: DataFrame, num_frames: int = 4, fake: bool = True) -> D
                 rows, columns=["media_id", "frame_idx", "frame_offset_ms", "frame_fingerprint"]
             )
 
-    return media.mapInPandas(
+    return _spread(media).mapInPandas(
         run,
         schema="media_id bigint, frame_idx int, frame_offset_ms int, frame_fingerprint string",
     )
@@ -241,7 +254,7 @@ def ppm_decode_stats(media: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b"]
             )
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run,
         schema="media_id bigint, img_w int, img_h int, mean_r double, mean_g double, mean_b double",
     )
@@ -273,7 +286,7 @@ def ppm_resize_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                 rows.append((r.media_id, out_w, out_h, hashlib.md5(encode_ppm(resized)).hexdigest()))
             yield pd.DataFrame(rows, columns=["media_id", "out_w", "out_h", "resized_md5"])
 
-    return media.select("media_id", "payload").mapInPandas(
+    return _spread(media.select("media_id", "payload")).mapInPandas(
         run, schema="media_id bigint, out_w int, out_h int, resized_md5 string"
     )
 
@@ -444,7 +457,7 @@ def synthetic_png_images(
                 rows.append((doc_id, w, h, encode_png(img)))
             yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
 
-    return source_df.select(id_col, text_col).mapInPandas(
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
         run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
     )
 
@@ -467,7 +480,7 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b"]
             )
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run,
         schema="media_id bigint, img_w int, img_h int, mean_r double, mean_g double, mean_b double",
     )
@@ -503,7 +516,7 @@ def ppm_feature_histogram(media: DataFrame, bins: int = 32) -> DataFrame:
                     rows.append((r.media_id, int(b), float(hist[b] / total)))
             yield pd.DataFrame(rows, columns=["media_id", "bin", "frac"])
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run, schema="media_id bigint, bin int, frac double"
     )
     return out.select("media_id", "bin", F.round("frac", 6).alias("frac"))
@@ -765,7 +778,7 @@ def synthetic_jpeg_images(
                 rows.append((doc_id, wb * 8, hb * 8, encode_jpeg_gray_flat(img)))
             yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
 
-    return source_df.select(id_col, text_col).mapInPandas(
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
         run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
     )
 
@@ -784,7 +797,7 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "img_w", "img_h", "mean_gray"])
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run, schema="media_id bigint, img_w int, img_h int, mean_gray double"
     )
     return out.select("media_id", "img_w", "img_h", F.round("mean_gray", 4).alias("mean_gray"))
@@ -1062,7 +1075,7 @@ def synthetic_color_jpeg_images(
                 rows.append((doc_id, wb * 16, hb * 16, encode_jpeg_color_flat(img)))
             yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
 
-    return source_df.select(id_col, text_col).mapInPandas(
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
         run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
     )
 
@@ -1091,7 +1104,7 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b"]
             )
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run,
         schema="media_id bigint, img_w int, img_h int, mean_r double, mean_g double, mean_b double",
     )
@@ -1155,7 +1168,7 @@ def media_features_real(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "container", "features", "mean_px"])
 
-    return media.select("media_id", "payload").mapInPandas(
+    return _spread(media.select("media_id", "payload")).mapInPandas(
         run,
         schema="media_id bigint, container string, features array<float>, mean_px double",
     )
@@ -1234,7 +1247,7 @@ def synthetic_wav_audio(
                 rows.append((doc_id, n, encode_wav(samples.astype(np.int16))))
             yield pd.DataFrame(rows, columns=["media_id", "meta_samples", "payload"])
 
-    return source_df.select(id_col, text_col).mapInPandas(
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
         run, schema="media_id bigint, meta_samples int, payload binary"
     )
 
@@ -1266,7 +1279,7 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
                 columns=["media_id", "sample_rate", "n_samples", "duration_ms", "mean_amp", "rms"],
             )
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run,
         schema=(
             "media_id bigint, sample_rate int, n_samples int, "
@@ -1371,7 +1384,7 @@ def synthetic_y4m_videos(
                 rows, columns=["media_id", "meta_frames", "meta_width", "meta_height", "payload"]
             )
 
-    return source_df.select(id_col, text_col).mapInPandas(
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
         run,
         schema="media_id bigint, meta_frames int, meta_width int, meta_height int, payload binary",
     )
@@ -1408,7 +1421,7 @@ def y4m_frame_sample(media: DataFrame, num_frames: int = 2) -> DataFrame:
                 columns=["media_id", "sample_idx", "frame_no", "n_frames", "mean_y", "mean_u", "mean_v"],
             )
 
-    out = media.select("media_id", "payload").mapInPandas(
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
         run,
         schema=(
             "media_id bigint, sample_idx int, frame_no int, n_frames int, "

@@ -1472,6 +1472,60 @@ def _oracle_kmv_users() -> str:
 ORACLE_KMV_USERS = _oracle_kmv_users()
 
 
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimated user overlap between two event types
+    by inclusion-exclusion over KMV estimates — |A∩B| ≈ est(A) + est(B) −
+    est(A∪B). The classic use of mergeable distinct sketches: audience
+    overlap without ever materializing either audience. One tagged pass
+    (each qualifying row contributes to its own tag and to 'either'), one
+    sketch per tag, a 3-row pivot at the end."""
+    from rocana_impala_udfs_spark.operators.sketches import kmv_distinct
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("event_type").alias("tag"), "user_id")
+    )
+    tagged = ev.unionByName(ev.select(F.lit("either").alias("tag"), "user_id"))
+    est = kmv_distinct(tagged, ["tag"], "user_id", k=512)
+
+    def pick(tag: str):
+        return F.max(F.when(F.col("tag") == tag, F.col("est_distinct")))
+
+    return est.agg(
+        F.round(pick("click"), 4).alias("est_click"),
+        F.round(pick("purchase"), 4).alias("est_purchase"),
+        F.round(pick("either"), 4).alias("est_either"),
+        F.round(pick("click") + pick("purchase") - pick("either"), 4).alias("est_overlap"),
+    )
+
+
+def _oracle_kmv_overlap() -> str:
+    from rocana_impala_udfs_spark.operators.sketches import kmv_oracle_sql
+
+    inner = kmv_oracle_sql("tagged", ["tag"], "user_id", k=512)
+    return f"""
+WITH tagged AS (
+    SELECT event_type AS tag, user_id FROM events
+    WHERE event_type IN ('click', 'purchase')
+    UNION ALL
+    SELECT 'either' AS tag, user_id FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+est AS (SELECT * FROM ({inner}) t)
+SELECT round(max(CASE WHEN tag = 'click' THEN est_distinct END), 4) AS est_click,
+       round(max(CASE WHEN tag = 'purchase' THEN est_distinct END), 4) AS est_purchase,
+       round(max(CASE WHEN tag = 'either' THEN est_distinct END), 4) AS est_either,
+       round(max(CASE WHEN tag = 'click' THEN est_distinct END)
+             + max(CASE WHEN tag = 'purchase' THEN est_distinct END)
+             - max(CASE WHEN tag = 'either' THEN est_distinct END), 4) AS est_overlap
+FROM est
+"""
+
+
+ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
+
+
 # --- Z-order (Morton) clustering key ---------------------------------------
 
 
@@ -1609,6 +1663,7 @@ QUERIES = {
     "skyline_parts": q_skyline_parts,
     "kmv_distinct_users_by_type": q_kmv_distinct_users,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
+    "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "quality_benford_prices": q_benford_prices,
     "zorder_part_keys": q_zorder_part_keys,
 }
@@ -1665,6 +1720,7 @@ ORACLE = {
     "skyline_parts": ORACLE_SKYLINE_PARTS,
     "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
+    "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "quality_benford_prices": ORACLE_BENFORD,
     "zorder_part_keys": ORACLE_ZORDER,
 }
