@@ -92,6 +92,10 @@ _NEVER_DRIVER_CHECKED = [
     "zorder_part_keys",
     "interval_overlap_pairs",
     "zipf_token_fit",
+    "kmv_user_overlap_estimate",
+    "stats_trend_by_event_type",
+    "stats_chi2_type_dow",
+    "entity_resolution_parts",
 ]
 
 

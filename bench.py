@@ -78,6 +78,8 @@ HEADLINE = [
     "dedup_prefix_filter_pairs",
     "emb_decontaminate_hits",
     "interval_overlap_pairs",
+    # Flagship composition: fuzzy-link + connected components + canonicalize.
+    "entity_resolution_parts",
 ]
 
 

@@ -1425,6 +1425,61 @@ WHERE levenshtein(a.name, b.name) <= 2
 """
 
 
+def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution flagship: fuzzy-match part names (edit distance
+    ≤ 2 via the SymSpell deletion-closure join — no n² compare), link
+    matches into entities with connected components, and emit one canonical
+    record per entity (min key, lexicographic-min name, member count). The
+    catalog-dedup composition a reference user runs against supplier/part
+    master data; every stage is the scalable plan (equality joins on
+    deletion keys, min-label propagation, one final groupBy)."""
+    from rocana_impala_udfs_spark.operators.dedup import connected_components
+    from rocana_impala_udfs_spark.operators.fuzzy import fuzzy_pairs
+
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    name_key = parts.groupBy("p_name").agg(F.min("p_partkey").alias("nk"))
+    pairs = fuzzy_pairs(parts, "p_name", max_dist=2)
+    edges = (
+        pairs.join(name_key.select(F.col("p_name").alias("a"), F.col("nk").alias("ka")), "a")
+        .join(name_key.select(F.col("p_name").alias("b"), F.col("nk").alias("kb")), "b")
+        .select(F.least("ka", "kb").alias("i"), F.greatest("ka", "kb").alias("j"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    return (
+        name_key.join(labels.withColumnRenamed("id", "nk"), "nk", "left")
+        .select(F.coalesce("component", F.col("nk")).alias("entity_id"), "p_name")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.min("p_name").alias("canonical_name"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = """
+WITH RECURSIVE names AS (SELECT p_name AS name, min(p_partkey) AS nk FROM part GROUP BY p_name),
+cand AS (
+    SELECT least(a.nk, b.nk) AS i, greatest(a.nk, b.nk) AS j
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+),
+edges AS (SELECT i AS a, j AS b FROM cand UNION SELECT j AS a, i AS b FROM cand),
+reach AS (
+    SELECT a AS id, b AS r FROM edges
+    UNION
+    SELECT e.a AS id, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+SELECT coalesce(c.component, n.nk) AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_names,
+       min(name) AS canonical_name
+FROM names n LEFT JOIN comp c ON c.id = n.nk
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- KMV distinct sketch (deterministic, oracle-checkable) -----------------
 
 
@@ -1557,6 +1612,96 @@ def _oracle_zorder() -> str:
 ORACLE_ZORDER = _oracle_zorder()
 
 
+# --- per-group trend regression + independence test ------------------------
+
+
+def q_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event volume: OLS slope/intercept/R²
+    of count-per-day against day index via the SQL-standard ``regr_*``
+    aggregates (both engines implement them; arithmetic is identical after
+    rounding). Two-phase: the daily rollup shuffles once on (type, day);
+    the 5-type regression aggregate is map-side trivial."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = F.datediff(F.col("day"), F.to_date(F.lit("1995-01-01"))).cast("double")
+    return (
+        daily.select("event_type", x.alias("x"), F.col("n").cast("double").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("y", "x").cast("bigint").alias("n_days"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TREND = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+xy AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1995-01-01', day) AS DOUBLE) AS x,
+           CAST(n AS DOUBLE) AS y
+    FROM daily
+)
+SELECT event_type,
+       CAST(regr_count(y, x) AS BIGINT) AS n_days,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM xy GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen between event type and day-of-week:
+    observed cell counts vs expected (row_total × col_total / N) with each
+    cell's chi² contribution — the categorical data-drift probe. One
+    35-cell contingency aggregate; margins come from window sums over those
+    35 rows, so the table is scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    row_t = F.sum("n").over(Window.partitionBy("event_type")).cast("double")
+    col_t = F.sum("n").over(Window.partitionBy("dow")).cast("double")
+    tot = F.sum("n").over(Window.partitionBy()).cast("double")
+    expected = row_t * col_t / tot
+    return cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(expected, 4).alias("expected"),
+        F.round(F.pow(F.col("n") - expected, 2) / expected, 4).alias("chi2_term"),
+    ).orderBy("event_type", "dow")
+
+
+ORACLE_CHI2 = """
+WITH cells AS (
+    -- DuckDB dayofweek is 0=Sun..6=Sat; Spark's is 1=Sun..7=Sat — align by +1
+    SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, dow, n,
+           CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS row_t,
+           CAST(sum(n) OVER (PARTITION BY dow) AS DOUBLE) AS col_t,
+           CAST(sum(n) OVER () AS DOUBLE) AS tot
+    FROM cells
+)
+SELECT event_type, dow, n,
+       round(row_t * col_t / tot, 4) AS expected,
+       round(pow(n - row_t * col_t / tot, 2) / (row_t * col_t / tot), 4) AS chi2_term
+FROM m ORDER BY event_type, dow
+"""
+
+
 # --- Benford first-digit data-quality test ---------------------------------
 
 
@@ -1664,6 +1809,9 @@ QUERIES = {
     "kmv_distinct_users_by_type": q_kmv_distinct_users,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
+    "stats_trend_by_event_type": q_trend_by_event_type,
+    "stats_chi2_type_dow": q_chi2_type_by_dow,
+    "entity_resolution_parts": q_entity_resolution_parts,
     "quality_benford_prices": q_benford_prices,
     "zorder_part_keys": q_zorder_part_keys,
 }
@@ -1721,6 +1869,9 @@ ORACLE = {
     "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
+    "stats_trend_by_event_type": ORACLE_TREND,
+    "stats_chi2_type_dow": ORACLE_CHI2,
+    "entity_resolution_parts": ORACLE_ENTITY_RESOLUTION,
     "quality_benford_prices": ORACLE_BENFORD,
     "zorder_part_keys": ORACLE_ZORDER,
 }
