@@ -96,6 +96,7 @@ _NEVER_DRIVER_CHECKED = [
     "stats_trend_by_event_type",
     "stats_chi2_type_dow",
     "entity_resolution_parts",
+    "multimodal_jpeg_progressive_stats",
 ]
 
 

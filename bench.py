@@ -80,6 +80,8 @@ HEADLINE = [
     "interval_overlap_pairs",
     # Flagship composition: fuzzy-link + connected components + canonicalize.
     "entity_resolution_parts",
+    # Real progressive (SOF2) JPEG decode.
+    "multimodal_jpeg_progressive_stats",
 ]
 
 

@@ -752,8 +752,287 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     return out
 
 
+
+# --- progressive JPEG (SOF2): DC successive approximation + EOBRUN AC scan --
+
+# EOBn symbols 0x00/0x10/0x20/0x30 at code length 2 — the AC table a
+# progressive scan needs when every AC coefficient is zero (EOB runs).
+_JPEG_PROG_AC_BITS = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = [0x00, 0x10, 0x20, 0x30]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf, self.acc, self.nbits = bytearray(), 0, 0
+
+    def put(self, value: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        while self.nbits:
+            self.put(1, 1)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
+    """(h, w) uint8, flat 8x8 blocks → spec-legal PROGRESSIVE (SOF2)
+    grayscale JPEG in three scans: DC first pass with successive
+    approximation (Ah=0, Al=1), DC refinement (Ah=1, Al=0), and one AC
+    spectral scan (Ss=1..Se=63) that is a single EOBRUN — the minimal
+    honest progressive stream for images whose AC energy is zero. Raises
+    on non-flat blocks (same scope contract as encode_jpeg_gray_flat)."""
+    import struct
+
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    # per-block DC values (level - 128), flatness enforced
+    dcs = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.int64)
+            if not np.all(block == block[0, 0]):
+                raise ValueError("encoder scope: flat 8x8 blocks only")
+            dcs.append(int(block[0, 0]) * 8 - 1024)  # DCT DC of a flat block / q=1
+    q = np.ones(64, dtype=np.uint8)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q.tolist())
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    dc_payload = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ac_payload = bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_payload)) + dc_payload
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_payload)) + ac_payload
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    # scan 1: DC first pass, Al=1 — codes DIFFs of (DC >> 1), arithmetic shift
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, (0 << 4) | 1])
+    bw = _BitWriter()
+    prev = 0
+    for dc in dcs:
+        v = dc >> 1
+        diff = v - prev
+        prev = v
+        cat = abs(diff).bit_length()
+        code, length = dc_codes[cat]
+        bw.put(code, length)
+        if cat:
+            bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    out += bw.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw LSB per block, no Huffman
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, (1 << 4) | 0])
+    bw = _BitWriter()
+    for dc in dcs:
+        bw.put(dc & 1, 1)
+    out += bw.flush()
+
+    # scan 3: AC spectral 1..63, all zero — one EOBRUN spanning every block
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 1, 63, 0])
+    bw = _BitWriter()
+    n = len(dcs)
+    r = n.bit_length() - 1
+    code, length = ac_codes[r << 4]
+    bw.put(code, length)
+    if r:
+        bw.put(n - (1 << r), r)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
+    """General progressive (SOF2) grayscale JPEG → (h, w) uint8: multi-scan
+    coefficient accumulation — DC first/refinement passes with successive
+    approximation, AC spectral-selection scans with EOBRUN/ZRL handling —
+    then dequant + IDCT once all scans are read. AC refinement scans
+    (Ah>0, Ss>0) are outside the encoder's scope and raise."""
+    import struct
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise NotImplementedError("not a JPEG payload")
+    pos, quant, huff = 2, {}, {}
+    h = w = comp_tq = None
+    coef = None
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker framing")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0xC0:
+            raise NotImplementedError("baseline stream: use decode_jpeg_gray")
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only progressive (SOF2) supported here")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2: pos + seglen]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                tq = body[o] & 0x0F
+                quant[tq] = np.frombuffer(body[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                o += 65
+        elif marker == 0xC2:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError("only 8-bit single-component (grayscale) supported")
+            if body[7] != 0x11:
+                raise NotImplementedError("no subsampling support")
+            comp_tq = body[8]
+            coef = np.zeros(((h // 8) * (w // 8), 64), dtype=np.int64)
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1:o + 17])
+                nvals = sum(bits)
+                vals = list(body[o + 17:o + 17 + nvals])
+                huff[tc_th] = {
+                    (c, L): sym for sym, (c, L) in _jpeg_canonical_codes(bits, vals).items()
+                }
+                o += 17 + nvals
+        elif marker == 0xDA:
+            if coef is None:
+                raise ValueError("SOS before SOF2")
+            td_ta, ss, se, ah_al = body[2], body[3], body[4], body[5]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            # entropy segment: up to the next true marker (skip stuffed 0x00)
+            dstart = pos + seglen
+            dend = dstart
+            while dend < len(payload) - 1:
+                if payload[dend] == 0xFF and payload[dend + 1] not in (0x00,) and not (
+                    0xD0 <= payload[dend + 1] <= 0xD7
+                ):
+                    break
+                dend += 1
+            _decode_progressive_scan(
+                payload[dstart:dend], coef, huff, td_ta, ss, se, ah, al
+            )
+            pos = dend
+            continue
+        pos += seglen
+    if coef is None or h is None:
+        raise ValueError("truncated JPEG: missing SOF2")
+    q = quant[comp_tq]
+    T = _jpeg_dct_matrix()
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    out = np.zeros((h, w), dtype=np.uint8)
+    wb = w // 8
+    for b in range(coef.shape[0]):
+        by, bx = divmod(b, wb)
+        cf = (coef[b] * q)[inv_zz].reshape(8, 8).astype(np.float64)
+        block = T.T @ cf @ T
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+            np.round(block + 128.0), 0, 255
+        ).astype(np.uint8)
+    return out
+
+
+def _decode_progressive_scan(data, coef, huff, td_ta, ss, se, ah, al) -> None:
+    nblocks = coef.shape[0]
+    state = {"pos": 0, "acc": 0, "n": 0}
+
+    def read_bit() -> int:
+        if state["n"] == 0:
+            b = data[state["pos"]]
+            state["pos"] += 1
+            if b == 0xFF:
+                if data[state["pos"]] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                state["pos"] += 1
+            state["acc"], state["n"] = b, 8
+        state["n"] -= 1
+        return (state["acc"] >> state["n"]) & 1
+
+    def read_bits(k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_symbol(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    def extend(v: int, size: int) -> int:
+        return v - ((1 << size) - 1) if v < (1 << (size - 1)) else v
+
+    if ss == 0:  # DC scan (se must be 0 per spec)
+        if ah == 0:  # first pass: Huffman diff coding of DC >> al
+            dc_table = huff[0x00 | (td_ta >> 4)]
+            pred = 0
+            for b in range(nblocks):
+                cat = read_symbol(dc_table)
+                pred += extend(read_bits(cat), cat) if cat else 0
+                coef[b, 0] = pred << al
+        else:  # refinement: one raw bit per block at position al
+            for b in range(nblocks):
+                coef[b, 0] += read_bit() << al
+        return
+    if ah != 0:
+        raise NotImplementedError("AC refinement scans not supported (encoder never emits them)")
+    ac_table = huff[0x10 | (td_ta & 0x0F)]
+    eobrun = 0
+    for b in range(nblocks):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = read_symbol(ac_table)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) + (read_bits(run) if run else 0) - 1
+                break
+            k += run
+            coef[b, k] = extend(read_bits(size), size) << al
+            k += 1
+
+
+def jpeg_progressive_stats(media: DataFrame) -> DataFrame:
+    """REAL progressive JPEG decode: multi-scan coefficient accumulation
+    per payload, emitting parsed geometry + exact mean gray (same output
+    contract and oracle as the baseline path — the two formats must decode
+    to identical statistics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_jpeg_gray_progressive(bytes(r.payload))
+                rows.append(
+                    (r.media_id, img.shape[1], img.shape[0], float(img.mean(dtype=np.float64)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "img_w", "img_h", "mean_gray"])
+
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
+        run, schema="media_id bigint, img_w int, img_h int, mean_gray double"
+    )
+    return out.select("media_id", "img_w", "img_h", F.round("mean_gray", 4).alias("mean_gray"))
+
+
 def synthetic_jpeg_images(
-    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    spark: SparkSession,
+    source_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    encoder=None,
 ) -> DataFrame:
     """Real grayscale JPEGs whose 8x8 blocks each carry one gray level from
     the SQL-reconstructable text formula (block (by,bx) = ASCII code of
@@ -775,7 +1054,8 @@ def synthetic_jpeg_images(
                 levels = (body * (n // len(body) + 1))[:n].encode("ascii")
                 grid = np.frombuffer(levels, dtype=np.uint8).reshape(hb, wb)
                 img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
-                rows.append((doc_id, wb * 8, hb * 8, encode_jpeg_gray_flat(img)))
+                enc = encoder or encode_jpeg_gray_flat
+                rows.append((doc_id, wb * 8, hb * 8, enc(img)))
             yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
 
     return _spread(source_df.select(id_col, text_col)).mapInPandas(

@@ -1016,3 +1016,28 @@ def test_contamination_screen_planted(spark):
     assert out[1] == (1.0, 1)
     assert 2 not in out
     assert out[3][0] == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_progressive_jpeg_roundtrip_and_format_guards():
+    """Progressive (SOF2) encode→decode is pixel-exact on flat blocks and
+    identical to the baseline codec's pixels; each decoder rejects the
+    other's format explicitly; the encoder rejects non-flat blocks."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        wb, hb = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        grid = rng.integers(0, 256, (hb, wb)).astype(np.uint8)
+        img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        prog = multimodal.encode_jpeg_gray_progressive(img)
+        assert (multimodal.decode_jpeg_gray_progressive(prog) == img).all()
+        base = multimodal.encode_jpeg_gray_flat(img)
+        assert (
+            multimodal.decode_jpeg_gray(base)
+            == multimodal.decode_jpeg_gray_progressive(prog)
+        ).all()
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_jpeg_gray(prog)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_jpeg_gray_progressive(base)
+    with pytest.raises(ValueError):
+        bad = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        multimodal.encode_jpeg_gray_progressive(bad)
