@@ -97,6 +97,8 @@ _NEVER_DRIVER_CHECKED = [
     "stats_chi2_type_dow",
     "entity_resolution_parts",
     "multimodal_jpeg_progressive_stats",
+    "incremental_agg_merge",
+    "scd2_user_type_history",
 ]
 
 

@@ -1581,6 +1581,106 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+# --- incremental aggregate maintenance --------------------------------------
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer order
+    aggregate built from a persisted BASE state (orders before the cutover)
+    merged with the DELTA batch (orders after), without rescanning history
+    — the partial→merge contract (``median.cc:228-282``) applied to plain
+    algebraic aggregates. The oracle recomputes from scratch over the full
+    table; equality IS the maintenance-correctness proof. At 100 TB the
+    base state is customer-sized (not order-sized) and the nightly job
+    touches only the delta."""
+    cutover = "1997-01-01"
+    o = load_table(spark, sf_dir, "orders")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend_state"),
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < cutover))
+    delta = state(o.filter(F.col("o_orderdate") >= cutover))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("spend_state").cast("double"), 2).alias("total_spend"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_INCREMENTAL_AGG = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spend
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- SCD2 validity intervals -------------------------------------------------
+
+
+def q_scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each user's event stream into
+    validity intervals over which their event_type is constant — lag to
+    flag changes, running sum of flags to number the runs, one groupBy per
+    run. One user-keyed shuffle feeds both window passes; the run
+    aggregation re-shuffles on (user_id, run_id) — run_id is user-local so
+    rows never cross users, but Catalyst can't prove it, and by then the
+    frame is run-count-sized. Deterministic under timestamp ties via
+    (ts, event_id) ordering."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    return (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.min("event_type").alias("event_type"),  # constant within a run; min == the value in both engines
+            F.min("ts_us").alias("valid_from_us"),
+            F.max("ts_us").alias("last_seen_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select("user_id", "run_id", "event_type", "valid_from_us", "last_seen_us", "n_events")
+        .orderBy("user_id", "run_id")
+    )
+
+
+ORACLE_SCD2 = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs AS (
+    SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS run_id
+    FROM flagged
+)
+SELECT user_id, run_id, min(event_type) AS event_type,
+       min(ts_us) AS valid_from_us, max(ts_us) AS last_seen_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM runs GROUP BY user_id, run_id ORDER BY user_id, run_id
+"""
+
+
 # --- Z-order (Morton) clustering key ---------------------------------------
 
 
@@ -1812,6 +1912,8 @@ QUERIES = {
     "stats_trend_by_event_type": q_trend_by_event_type,
     "stats_chi2_type_dow": q_chi2_type_by_dow,
     "entity_resolution_parts": q_entity_resolution_parts,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "scd2_user_type_history": q_scd2_user_type_history,
     "quality_benford_prices": q_benford_prices,
     "zorder_part_keys": q_zorder_part_keys,
 }
@@ -1872,6 +1974,8 @@ ORACLE = {
     "stats_trend_by_event_type": ORACLE_TREND,
     "stats_chi2_type_dow": ORACLE_CHI2,
     "entity_resolution_parts": ORACLE_ENTITY_RESOLUTION,
+    "incremental_agg_merge": ORACLE_INCREMENTAL_AGG,
+    "scd2_user_type_history": ORACLE_SCD2,
     "quality_benford_prices": ORACLE_BENFORD,
     "zorder_part_keys": ORACLE_ZORDER,
 }
