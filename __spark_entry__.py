@@ -99,6 +99,9 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_jpeg_progressive_stats",
     "incremental_agg_merge",
     "scd2_user_type_history",
+    "graph_copurchase_hops",
+    "window_first_last_orders",
+    "null_semantics_probe",
 ]
 
 

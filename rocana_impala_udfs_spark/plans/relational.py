@@ -1581,6 +1581,161 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+# --- window value functions + NULL-semantics probes -------------------------
+
+
+def q_window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions: each customer's first, last, and 2nd order
+    price over their full date-ordered history (first_value / last_value
+    with the explicit unbounded frame last_value needs / nth_value). One
+    window pass per customer; deterministic under date ties via the
+    orderkey tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            F.first_value("o_totalprice").over(wfull).alias("first_price"),
+            F.last_value("o_totalprice").over(wfull).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+            F.count(F.lit(1)).over(wfull).cast("bigint").alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_FIRST_LAST = """
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
+
+
+def q_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics conformance probe over a derived column with real
+    NULLs (non-'click' values nulled): GROUP BY keeps the NULL group,
+    count(col) skips NULLs while count(*) doesn't, null-safe equality
+    (<=> / IS NOT DISTINCT FROM) matches NULL to NULL, and coalesce
+    ordering is exercised — the semantics corner users trip on when
+    porting between engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "click", F.col("event_type")).alias("maybe_type"),
+        "value",
+    )
+    grouped = ev.groupBy("maybe_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("maybe_type").cast("bigint").alias("n_nonnull"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    # null-safe self-join: the NULL group must match itself (1 row each)
+    other = grouped.select(F.col("maybe_type").alias("t2"), F.col("n_rows").alias("n2"))
+    return (
+        grouped.join(other, grouped.maybe_type.eqNullSafe(other.t2))
+        .select(
+            F.coalesce("maybe_type", F.lit("<null>")).alias("type_or_null"),
+            "n_rows",
+            "n_nonnull",
+            "sum_value",
+            "n2",
+        )
+        .orderBy("type_or_null")
+    )
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH ev AS (
+    SELECT CASE WHEN event_type = 'click' THEN event_type END AS maybe_type, value
+    FROM events
+),
+grouped AS (
+    SELECT maybe_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(maybe_type) AS BIGINT) AS n_nonnull,
+           round(sum(value), 2) AS sum_value
+    FROM ev GROUP BY maybe_type
+)
+SELECT coalesce(g.maybe_type, '<null>') AS type_or_null,
+       g.n_rows, g.n_nonnull, g.sum_value, o.n_rows AS n2
+FROM grouped g JOIN grouped o ON g.maybe_type IS NOT DISTINCT FROM o.maybe_type
+ORDER BY type_or_null
+"""
+
+
+# --- graph traversal: BFS over the co-purchase graph ------------------------
+
+
+def q_graph_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (≤ 3) from the smallest part in the co-purchase
+    graph (parts sharing ≥ 2 orders) — iterative frontier expansion, the
+    DataFrame analogue of a recursive CTE (which Spark lacks; the DuckDB
+    oracle uses a real one, making this a rare oracle-checked iterative
+    graph algorithm). Each round joins only the NEW frontier against the
+    edge list (proper BFS — no path enumeration blow-up) with lineage cut
+    via localCheckpoint like connected_components. Integer hop counts make
+    the result bit-stable regardless of join order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed = edges.agg(F.min("src").alias("node")).withColumn("hops", F.lit(0))
+    dist = seed.localCheckpoint()
+    frontier = dist
+    for hop in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist.select(F.col("node").alias("p_partkey"), F.col("hops").cast("int").alias("hops")).orderBy(
+        "hops", "p_partkey"
+    )
+
+
+ORACLE_GRAPH_HOPS = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT p1 AS src, p2 AS dst FROM pairs UNION SELECT p2, p1 FROM pairs),
+walk AS (
+    SELECT (SELECT min(src) FROM edges) AS node, 0 AS d
+    UNION
+    SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < 3
+),
+best AS (SELECT node, min(d) AS hops FROM walk GROUP BY node)
+SELECT node AS p_partkey, CAST(hops AS INT) AS hops FROM best ORDER BY hops, p_partkey
+"""
+
+
 # --- incremental aggregate maintenance --------------------------------------
 
 
@@ -1913,6 +2068,9 @@ QUERIES = {
     "stats_chi2_type_dow": q_chi2_type_by_dow,
     "entity_resolution_parts": q_entity_resolution_parts,
     "incremental_agg_merge": q_incremental_agg_merge,
+    "graph_copurchase_hops": q_graph_copurchase_hops,
+    "window_first_last_orders": q_window_first_last_orders,
+    "null_semantics_probe": q_null_semantics_probe,
     "scd2_user_type_history": q_scd2_user_type_history,
     "quality_benford_prices": q_benford_prices,
     "zorder_part_keys": q_zorder_part_keys,
@@ -1975,6 +2133,9 @@ ORACLE = {
     "stats_chi2_type_dow": ORACLE_CHI2,
     "entity_resolution_parts": ORACLE_ENTITY_RESOLUTION,
     "incremental_agg_merge": ORACLE_INCREMENTAL_AGG,
+    "graph_copurchase_hops": ORACLE_GRAPH_HOPS,
+    "window_first_last_orders": ORACLE_FIRST_LAST,
+    "null_semantics_probe": ORACLE_NULL_SEMANTICS,
     "scd2_user_type_history": ORACLE_SCD2,
     "quality_benford_prices": ORACLE_BENFORD,
     "zorder_part_keys": ORACLE_ZORDER,
