@@ -390,3 +390,96 @@ def interval_self_overlaps(
         F.col(f"b.{id_col}").alias("j"),
         overlap.alias("overlap"),
     )
+
+
+def cusum_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    target_col: str,
+    out: str = "cusum",
+) -> DataFrame:
+    """One-sided CUSUM change detection per key: ``s_0 = 0``,
+    ``s_t = max(0, s_{t-1} + (x_t - target))`` over ``order_cols`` order —
+    the classic sequential drift detector (Page 1954) a log-analytics
+    engine runs over per-period counts.
+
+    Same execution shape as :func:`ewma_smooth`: the recursion is
+    inherently sequential per key, so it runs as ONE keyed shuffle +
+    ``applyInPandas`` fold with O(1) state per key. The fold is exactly
+    ``max(0.0, acc + (x - target))`` — IEEE max/add/sub are correctly
+    rounded, so an engine doing the same left fold (DuckDB ``list_reduce``
+    over a 0.0-prepended list) reproduces it bit-for-bit, no rounding
+    slack. ``target_col`` is a per-key constant column (e.g. the key's
+    long-run mean) computed upstream.
+    """
+    src = df.select(*key_cols, *order_cols, value_col, target_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + f", `{out}` double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        acc = 0.0
+        res = []
+        targets = pdf[target_col].astype(float)
+        for x, tgt in zip(pdf[value_col].astype(float), targets):
+            acc = max(0.0, acc + (x - tgt))
+            res.append(acc)
+        pdf[out] = res
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key with linear (trapezoidal) weighting —
+    the hypertable ``time_weight('Linear')`` aggregate: irregularly-spaced
+    samples contribute proportionally to how long they were "current",
+    ``twa = Σ (v_i + v_{i+1})/2 · Δt_i / (t_n - t_1)``.
+
+    Plan: one keyed window shuffle (lead over (ts, tiebreak)), then a
+    partial+final agg on the same key — no self-join, no spine. For
+    cross-engine exactness the trapezoid areas are floored to integer
+    micro-units before summing: integer-valued doubles < 2^53 sum exactly
+    in ANY order, so Spark's partition-order-dependent partial aggregation
+    and a sequential oracle cannot diverge (the same trick the Morton /
+    KMV operators use). Keys with a single sample have zero span and drop
+    out (no time interval to average over).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    nxt_t = F.lead(t).over(w)
+    nxt_v = F.lead(v).over(w)
+    # area of one trapezoid in value·second, floored to integer micro-units:
+    # ((v+v')/2) * (Δt_us/1e6) * 1e6 — every input is the same exact double in
+    # any engine, so the floor is deterministic.
+    dt_sec = (nxt_t - t).cast("double") / F.lit(1000000.0)
+    area_units = F.floor((v + nxt_v) / F.lit(2.0) * dt_sec * F.lit(1000000.0)).cast("long")
+    spans = df.select(*key_cols, t.alias("_t_us"), area_units.alias("_area"))
+    return (
+        spans.groupBy(*key_cols)
+        .agg(
+            F.sum("_area").alias("area_units"),
+            (F.max("_t_us") - F.min("_t_us")).alias("span_us"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .filter(F.col("span_us") > 0)
+        .withColumn(
+            "twa",
+            F.round(
+                F.col("area_units").cast("double")
+                / F.lit(1000000.0)
+                / (F.col("span_us").cast("double") / F.lit(1000000.0)),
+                6,
+            ),
+        )
+    )

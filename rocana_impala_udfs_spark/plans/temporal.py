@@ -1087,7 +1087,159 @@ FROM p GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per (event_type, day) with linear
+    (trapezoidal) weighting — the hypertable ``time_weight('Linear')``
+    aggregate for irregularly-sampled gauges, where a plain avg
+    over-weights bursts. One keyed window shuffle + partial/final agg
+    (operators/temporal.py:time_weighted_avg); trapezoid areas are floored
+    to integer micro-units so the sum is order-independent and
+    engine-exact."""
+    from rocana_impala_udfs_spark.operators.temporal import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    out = time_weighted_avg(ev, ["event_type", "day"], "ts", "event_id", "value")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        "area_units",
+        "span_us",
+        "n_samples",
+        "twa",
+    )
+
+
+ORACLE_TWA_DAILY = """
+WITH e AS (
+    SELECT event_type, date_trunc('day', ts) AS day, epoch_us(ts) AS t,
+           value AS v, event_id
+    FROM events
+),
+led AS (
+    SELECT event_type, day, t, v,
+           lead(t) OVER w AS t2, lead(v) OVER w AS v2
+    FROM e WINDOW w AS (PARTITION BY event_type, day ORDER BY t, event_id)
+),
+spans AS (
+    SELECT event_type, day, t,
+           CAST(floor((v + v2) / 2.0 * ((t2 - t) / 1000000.0) * 1000000.0) AS BIGINT) AS area
+    FROM led
+)
+SELECT event_type, epoch_us(day) AS day_us,
+       CAST(sum(area) AS BIGINT) AS area_units,
+       max(t) - min(t) AS span_us,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(CAST(sum(area) AS BIGINT) / 1000000.0
+             / ((max(t) - min(t)) / 1000000.0), 6) AS twa
+FROM spans
+GROUP BY event_type, day
+HAVING max(t) - min(t) > 0
+"""
+
+
+def q_events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over per-type daily event counts
+    (Page's sequential test — the ops-alerting companion to the EWMA
+    baseline): s_t = max(0, s_{t-1} + (count_t - target)) with the type's
+    period mean as target. The tiny daily aggregate (days x types) shuffles
+    once; the sequential fold runs in applyInPandas with O(1) state
+    (operators/temporal.py:cusum_fold), bit-identical to the oracle's
+    list_reduce left fold — integer inputs and IEEE max/add leave no
+    cross-engine slack."""
+    from rocana_impala_udfs_spark.operators.temporal import cusum_fold
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    target = daily.groupBy("event_type").agg(
+        (F.sum("n") / F.count(F.lit(1))).alias("target")
+    )
+    src = daily.join(F.broadcast(target), "event_type").withColumn(
+        "x", F.col("n").cast("double")
+    )
+    out = cusum_fold(src, ["event_type"], ["day"], "x", "target")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.col("x").cast("long").alias("n"),
+        "cusum",
+        (F.col("cusum") > F.lit(2.0) * F.col("target")).alias("alarm"),
+    )
+
+
+ORACLE_CUSUM_DAILY = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+tgt AS (
+    SELECT event_type, CAST(sum(n) AS BIGINT) / count(*) AS target
+    FROM daily GROUP BY event_type
+),
+per AS (
+    SELECT d.event_type, any_value(t.target) AS target,
+           list(d.day ORDER BY d.day) AS days,
+           list(CAST(d.n AS DOUBLE) ORDER BY d.day) AS xs
+    FROM daily d JOIN tgt t USING (event_type)
+    GROUP BY d.event_type
+),
+idx AS (
+    SELECT event_type, target, days, xs,
+           unnest(range(1, len(xs) + 1)) AS i
+    FROM per
+)
+SELECT event_type,
+       epoch_us(days[CAST(i AS INT)]) AS day_us,
+       CAST(xs[CAST(i AS INT)] AS BIGINT) AS n,
+       list_reduce(list_prepend(0.0, xs[1:CAST(i AS INT)]),
+                   (acc, x) -> greatest(0.0, acc + (x - target))) AS cusum,
+       list_reduce(list_prepend(0.0, xs[1:CAST(i AS INT)]),
+                   (acc, x) -> greatest(0.0, acc + (x - target))) > 2.0 * target AS alarm
+FROM idx
+"""
+
+
+def q_sampling_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling per stratum — the deterministic
+    audit-sample companion to the hash-gate samplers: rank events within
+    their type by (ts, event_id) and keep ranks 1, 51, 101, ... Exactly
+    reproducible in any engine (no RNG at all); one keyed window shuffle,
+    the sample gate applies before anything wide is carried."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") % 50) == 1)
+    )
+
+
+ORACLE_SYSTEMATIC = """
+WITH ranked AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS INT) AS rn
+    FROM events
+)
+SELECT event_type, event_id, ts_us, value, rn
+FROM ranked WHERE rn % 50 = 1
+"""
+
+
 TEMPORAL_QUERIES = {
+    "events_twa_daily": q_events_twa_daily,
+    "events_cusum_daily": q_events_cusum_daily,
+    "sampling_systematic_events": q_sampling_systematic,
     "interval_overlap_pairs": q_interval_overlaps,
     "asof_click_attribution": q_asof_click_attribution,
     "sessionize_events": q_sessionize_events,
@@ -1118,6 +1270,9 @@ TEMPORAL_QUERIES = {
 }
 
 TEMPORAL_ORACLE = {
+    "events_twa_daily": ORACLE_TWA_DAILY,
+    "events_cusum_daily": ORACLE_CUSUM_DAILY,
+    "sampling_systematic_events": ORACLE_SYSTEMATIC,
     "interval_overlap_pairs": ORACLE_INTERVAL_OVERLAPS,
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,
     "ewma_user_value": ORACLE_EWMA,

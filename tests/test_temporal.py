@@ -303,3 +303,50 @@ def test_r4_operators_on_empty_input(spark):
     empty = spark.createDataFrame([], "x double")
     rows = appx_percentile_bounded_agg(empty, "x", 0.9, 100, out="v").collect()
     assert len(rows) == 1 and rows[0].v is None
+
+
+def test_cusum_fold_hand_computed(spark):
+    from rocana_impala_udfs_spark.operators.temporal import cusum_fold
+
+    # target 10: x = 12, 8, 15 -> s = 2, 0, 5  (one-sided, clamped at 0)
+    df = spark.createDataFrame(
+        [("a", 1, 12.0, 10.0), ("a", 2, 8.0, 10.0), ("a", 3, 15.0, 10.0),
+         ("b", 1, 9.0, 10.0)],
+        "k string, seq long, x double, target double",
+    )
+    got = {
+        (r.k, r.seq): r.cusum
+        for r in cusum_fold(df, ["k"], ["seq"], "x", "target").collect()
+    }
+    assert got[("a", 1)] == 2.0
+    assert got[("a", 2)] == 0.0   # 2 + (8-10) clamps to 0
+    assert got[("a", 3)] == 5.0
+    assert got[("b", 1)] == 0.0   # below target from the start
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from rocana_impala_udfs_spark.operators.temporal import time_weighted_avg
+
+    # key a: value 10 for 10s, then linearly 10->30 over the next 10s:
+    # area = (10+10)/2*10 + (10+30)/2*10 = 100 + 200 = 300; span 20s; twa 15
+    df = spark.createDataFrame(
+        [("a", 0, 1, 10.0), ("a", 10, 2, 10.0), ("a", 20, 3, 30.0),
+         ("b", 0, 1, 7.0)],  # single-sample key: zero span, dropped
+        "k string, sec long, id long, v double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "id", "v")
+    rows = {r.k: r for r in time_weighted_avg(df, ["k"], "ts", "id", "v").collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"].span_us == 20_000_000
+    assert rows["a"].n_samples == 3
+    assert rows["a"].twa == 15.0
+
+
+def test_systematic_sample_every_kth(spark):
+    from rocana_impala_udfs_spark.plans.temporal import q_sampling_systematic
+
+    out = q_sampling_systematic(spark, "/root/testdata/sf0.001").collect()
+    assert all((r.rn - 1) % 50 == 0 for r in out)
+    # every type keeps its first-ranked event
+    assert {r.event_type for r in out if r.rn == 1} == {
+        "click", "error", "purchase", "signup", "view"
+    }
