@@ -2009,8 +2009,246 @@ FROM w ORDER BY d
 """
 
 
+def q_graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph — the classic graph
+    cohesion metric (community seeds, recommendation strength). Edges are
+    part pairs co-purchased in ≥ 2 orders (the support threshold is the
+    scale knob bounding the edge set); triangles enumerate as the standard
+    ordered two-hop join e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c, so every
+    triangle is found exactly once and every join is keyed (never
+    cartesian). Per-part participation counts come from exploding each
+    triangle's three corners."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
+        .select(
+            F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), F.col("part").asc())
+    )
+
+
+ORACLE_TRIANGLE_PARTS = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+    SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+    FROM e e1
+    JOIN e e2 ON e1.p2 = e2.p1
+    JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+corners AS (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY part
+ORDER BY n_triangles DESC, part ASC
+"""
+
+
+def q_stats_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all pairwise
+    slopes of daily counts, the outlier-resistant companion to
+    `stats_trend_by_event_type`'s OLS. The pairwise self-join runs over the
+    tiny daily AGGREGATE (days × types, never raw events), keyed by type;
+    the median uses the reference's upper-median rule (median.cc:301) via
+    exact_upper_median — an element pick, so no float summation crosses the
+    engine boundary at all."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("d_us")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d_us") < F.col("b.d_us")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        # try_divide: the strict a.d_us < b.d_us join condition guarantees a
+        # positive divisor on every OUTPUT row, but ANSI-mode codegen
+        # evaluates the projection alongside the join's residual filter and
+        # would raise on the candidate pairs the filter is about to drop.
+        F.try_divide(
+            (F.col("b.n") - F.col("a.n")).cast("double"),
+            (F.col("b.d_us") - F.col("a.d_us")).cast("double") / F.lit(86400000000.0),
+        ).alias("slope"),
+    )
+    return exact_upper_median(slopes, "slope", ["event_type"], out="ts_slope").orderBy(
+        "event_type"
+    )
+
+
+ORACLE_THEILSEN = """
+WITH daily AS (
+    SELECT event_type, epoch_us(date_trunc('day', ts)) AS d_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.event_type,
+           (b.n - a.n) / ((b.d_us - a.d_us) / 86400000000.0) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d_us < b.d_us
+),
+ranked AS (
+    SELECT event_type, slope,
+           row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM slopes
+)
+SELECT event_type, slope AS ts_slope
+FROM ranked WHERE rn = CAST(cnt // 2 AS BIGINT) + 1
+ORDER BY event_type
+"""
+
+
+def q_quality_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard model-monitoring drift
+    screen: bucket the current period's order totals by the REFERENCE
+    period's exact deciles and score Σ (p_cur − p_ref)·ln(p_cur/p_ref).
+    Boundaries come from the exact percentile aggregate (bit-identical to
+    DuckDB quantile_cont) broadcast as one row; counts are exact integers,
+    Laplace-smoothed before the ratio so empty bins can't produce ln(0);
+    the ln term is rounded to 9 decimals because libm ln differs by ulps
+    across engines (same guard as the deterministic samplers)."""
+    from rocana_impala_udfs_spark.functions.quantiles import quantile_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    ref = orders.filter(F.col("o_orderdate") < cut)
+    cur = orders.filter(F.col("o_orderdate") >= cut)
+    deciles = [i / 10 for i in range(1, 10)]
+    bounds = ref.agg(quantile_agg(spark, "o_totalprice", deciles).alias("bs"))
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                (1 + F.size(F.filter(F.col("bs"), lambda x: x < F.col("o_totalprice"))))
+                .cast("int")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = bucketed(ref, "n_ref")
+    c = bucketed(cur, "n_cur")
+    tot_r = ref.count()
+    tot_c = cur.count()
+    joined = r.join(c, "bucket", "full").fillna(0, ["n_ref", "n_cur"])
+    p_ref = (F.col("n_ref") + F.lit(1.0)) / F.lit(float(tot_r + 10))
+    p_cur = (F.col("n_cur") + F.lit(1.0)) / F.lit(float(tot_c + 10))
+    return joined.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+ORACLE_PSI_DRIFT = """
+WITH ref AS (SELECT o_totalprice FROM orders WHERE o_orderdate < '1998-01-01'),
+cur AS (SELECT o_totalprice FROM orders WHERE o_orderdate >= '1998-01-01'),
+b AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM ref),
+rbin AS (
+    SELECT CAST(1 + len(list_filter(b.bs, x -> x < o_totalprice)) AS INT) AS bucket,
+           count(*) AS n_ref
+    FROM ref CROSS JOIN b GROUP BY 1
+),
+cbin AS (
+    SELECT CAST(1 + len(list_filter(b.bs, x -> x < o_totalprice)) AS INT) AS bucket,
+           count(*) AS n_cur
+    FROM cur CROSS JOIN b GROUP BY 1
+),
+tot AS (SELECT (SELECT count(*) FROM ref) AS tr, (SELECT count(*) FROM cur) AS tc)
+SELECT coalesce(r.bucket, c.bucket) AS bucket,
+       CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref,
+       CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur,
+       round(((coalesce(c.n_cur, 0) + 1.0) / (tc + 10.0)
+              - (coalesce(r.n_ref, 0) + 1.0) / (tr + 10.0))
+             * ln(((coalesce(c.n_cur, 0) + 1.0) / (tc + 10.0))
+                  / ((coalesce(r.n_ref, 0) + 1.0) / (tr + 10.0))), 9) AS psi_term
+FROM rbin r FULL JOIN cbin c ON r.bucket = c.bucket CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers (segment,
+    nation, account-balance band) — the privacy screen a training-data
+    release runs before shipping: the group-size histogram shows how many
+    identity groups (and people) sit below the re-identification threshold
+    k=5. Two cheap keyed aggregations; violating rows never leave the
+    executors, only the histogram does."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("size"))
+    return (
+        groups.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "size",
+            "n_groups",
+            (F.col("size") * F.col("n_groups")).alias("n_customers"),
+            (F.col("size") < 5).alias("below_k5"),
+        )
+        .orderBy("size")
+    )
+
+
+ORACLE_K_ANONYMITY = """
+WITH g AS (
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS size
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(size * count(*) AS BIGINT) AS n_customers,
+       size < 5 AS below_k5
+FROM g GROUP BY size ORDER BY size
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "graph_triangle_parts": q_graph_triangle_parts,
+    "stats_theilsen_trend": q_stats_theilsen_trend,
+    "quality_psi_price_drift": q_quality_psi_price_drift,
+    "quality_k_anonymity": q_quality_k_anonymity,
     "join_q3_shipping_priority": q_shipping_priority,
     "q6_forecast_revenue": q_forecast_revenue,
     "join_q5_local_supplier_volume": q_local_supplier_volume,
@@ -2078,6 +2316,10 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": ORACLE_Q1,
+    "graph_triangle_parts": ORACLE_TRIANGLE_PARTS,
+    "stats_theilsen_trend": ORACLE_THEILSEN,
+    "quality_psi_price_drift": ORACLE_PSI_DRIFT,
+    "quality_k_anonymity": ORACLE_K_ANONYMITY,
     "join_q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "q6_forecast_revenue": ORACLE_FORECAST_REVENUE,
     "join_q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,

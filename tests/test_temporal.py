@@ -350,3 +350,58 @@ def test_systematic_sample_every_kth(spark):
     assert {r.event_type for r in out if r.rn == 1} == {
         "click", "error", "purchase", "signup", "view"
     }
+
+
+def test_triangle_parts_counts_each_triangle_once(spark):
+    from rocana_impala_udfs_spark.plans.relational import q_graph_triangle_parts
+
+    out = q_graph_triangle_parts(spark, "/root/testdata/sf0.001").collect()
+    # every triangle contributes exactly 3 corner rows, so the total
+    # participation count is divisible by 3
+    assert sum(r.n_triangles for r in out) % 3 == 0
+    assert all(r.n_triangles >= 1 for r in out)
+
+
+def test_theilsen_exact_on_linear_data(spark):
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+    from pyspark.sql import functions as SF
+
+    # perfectly linear daily counts -> every pairwise slope equals the true
+    # slope, so the median of slopes is exact regardless of pairing
+    daily = spark.createDataFrame(
+        [("a", d * 86400000000, 100 + 7 * d) for d in range(10)],
+        "event_type string, d_us long, n long",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (SF.col("a.event_type") == SF.col("b.event_type"))
+        & (SF.col("a.d_us") < SF.col("b.d_us")),
+    ).select(
+        SF.col("a.event_type").alias("event_type"),
+        SF.try_divide(
+            (SF.col("b.n") - SF.col("a.n")).cast("double"),
+            (SF.col("b.d_us") - SF.col("a.d_us")).cast("double") / SF.lit(86400000000.0),
+        ).alias("slope"),
+    )
+    rows = exact_upper_median(slopes, "slope", ["event_type"], out="m").collect()
+    assert len(rows) == 1 and rows[0].m == 7.0
+
+
+def test_psi_zero_when_distributions_match(spark):
+    from rocana_impala_udfs_spark.plans.relational import q_quality_psi_price_drift
+
+    out = q_quality_psi_price_drift(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 10  # ten decile buckets, all present
+    # PSI terms are finite and tiny unless the split genuinely drifted
+    total = sum(abs(r.psi_term) for r in out)
+    assert total < 1.0
+
+
+def test_k_anonymity_histogram_accounts_for_everyone(spark):
+    from rocana_impala_udfs_spark.plans.relational import q_quality_k_anonymity
+
+    out = q_quality_k_anonymity(spark, "/root/testdata/sf0.001").collect()
+    n_customers = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert sum(r.n_customers for r in out) == n_customers
+    assert all(r.below_k5 == (r.size < 5) for r in out)
