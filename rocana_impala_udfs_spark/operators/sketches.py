@@ -147,3 +147,76 @@ SELECT {g},
                   ELSE {float(k - 1)} / max(h) END, 4) AS est_distinct
 FROM kept GROUP BY {g}
 """
+
+
+# --- Count-Min sketch (point-frequency estimation) --------------------------
+#
+# The same bounded-state mergeable-aggregate contract as KMV, applied to
+# frequency estimation: state is a depth × width grid of counters; update
+# adds each item's count to one counter per row (salted hash), merge is
+# element-wise addition (counters are plain sums, so Spark's partial+final
+# aggregation IS the merge), and the point estimate is the minimum across
+# rows — an upper bound on the true count that tightens with width.  Like
+# KMV, the hash is a shared md5 derivation, so the estimate is deterministic
+# and oracle-checkable in any engine (unlike seeded murmur sketches).
+
+
+def cm_bucket_sql(value_sql: str, salt_sql: str, width: int) -> str:
+    """Portable bucket index: first 15 hex chars of md5(value + '#' + salt)
+    parsed as a 60-bit integer, mod ``width`` — identical in Spark
+    (conv hex) and DuckDB (0x-prefix cast)."""
+    return (
+        f"cast(conv(substring(md5(concat({value_sql}, '#', cast({salt_sql} as string))), 1, 15),"
+        f" 16, 10) as bigint) % {width}"
+    )
+
+
+def countmin_counters(
+    df: DataFrame,
+    value_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the counter grid from a pre-aggregated (value, count) relation.
+
+    Input should be the *distinct-value* count table (one shuffle over the
+    corpus), so the explode-by-depth fan-out is vocabulary-sized, never
+    corpus-sized; the grid itself is at most depth × width rows regardless
+    of input scale — the whole point of the sketch.
+    """
+    salts = F.array([F.lit(r) for r in range(depth)])
+    salted = df.select(
+        F.col(value_col).alias("v"), F.col(count_col).alias("c")
+    ).select("v", "c", F.explode(salts).alias("r"))
+    return (
+        salted.select(
+            "r", F.expr(cm_bucket_sql("v", "r", width)).alias("bucket"), "c"
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("counter"))
+    )
+
+
+def countmin_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]``: min over the
+    ``depth`` counters each probe hashes to.  The counter grid is tiny
+    (≤ depth × width rows) and broadcasts; a probe whose bucket has no
+    counter row reads 0."""
+    salts = F.array([F.lit(r) for r in range(depth)])
+    p = probes.select(F.col(value_col).alias("v")).distinct()
+    salted = p.select("v", F.explode(salts).alias("r")).select(
+        "v", "r", F.expr(cm_bucket_sql("v", "r", width)).alias("bucket")
+    )
+    joined = salted.join(F.broadcast(counters), ["r", "bucket"], "left").fillna(
+        0, ["counter"]
+    )
+    return joined.groupBy("v").agg(F.min("counter").alias("cm_est")).select(
+        F.col("v").alias(value_col), "cm_est"
+    )

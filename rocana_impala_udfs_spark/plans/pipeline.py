@@ -1914,7 +1914,173 @@ WHERE both_cnt * 1.0 / least(si.n, sj.n) >= 0.9
 """
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the transform companion to `text_pii_flags`' screen:
+    email-, URL-, and long-digit-run-shaped spans are replaced with typed
+    placeholder tokens, in a fixed order (emails first: they would
+    otherwise be partially eaten by the digit rule). Pure JVM
+    regexp_replace, zero shuffle; only the doc id, redaction count, and an
+    md5 of the redacted text leave the executors — the redacted corpus
+    itself would be written columnar in production."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_redactions = (
+        F.regexp_count("text", F.lit(_PII_EMAIL))
+        + F.regexp_count("text", F.lit(_PII_URL))
+        + F.regexp_count("text", F.lit(_PII_LONGNUM))
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_URL,
+            "<URL>",
+        ),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        n_redactions.cast("int").alias("n_redactions"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_URL}'))
+            + len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS INT) AS n_redactions,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(
+            text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_URL}', '<URL>', 'g'),
+                  '{_PII_LONGNUM}', '<NUM>', 'g')) AS INT) AS redacted_len,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+            text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_URL}', '<URL>', 'g'),
+                  '{_PII_LONGNUM}', '<NUM>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+def q_index_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine core structure: for the 50
+    highest-document-frequency tokens, the sorted posting list of documents
+    containing them. One token-keyed shuffle over DISTINCT (doc, token)
+    pairs; posting arrays stay distributed (collect_list inside the
+    aggregate), only the 50 head rows — with the full list verified via an
+    md5 — reach the result. Deterministic head via (df DESC, token ASC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.split(T.normalize_text("text"), " ")).alias("tok")
+    ).distinct()
+    postings = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("plist"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    return (
+        postings.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "rank",
+            "tok",
+            "df",
+            F.substring("plist", 1, 60).alias("postings_head"),
+            F.md5("plist").alias("postings_md5"),
+        )
+    )
+
+
+ORACLE_TOKEN_POSTINGS = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+pairs AS (
+    SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+),
+postings AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS plist
+    FROM pairs GROUP BY tok
+),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY df DESC, tok ASC) AS INT) AS rank,
+           tok, df, plist
+    FROM postings
+)
+SELECT rank, tok, df,
+       substring(plist, 1, 60) AS postings_head,
+       md5(plist) AS postings_md5
+FROM ranked WHERE rank <= 50
+"""
+
+
+def q_sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over the corpus vocabulary —
+    bounded-state point-frequency lookup (4 × 1024 counters regardless of
+    corpus size), probed with the 20 highest-frequency tokens so the
+    oracle can compare estimate vs exact. Estimates use the portable md5
+    bucket derivation (operators/sketches.py), so they are deterministic
+    and hash-checkable, collisions included; est ≥ exact always."""
+    from rocana_impala_udfs_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(T.normalize_text("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = countmin_counters(counts, "tok", "cnt", depth=4, width=1024)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    probes = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 20
+    )
+    est = countmin_estimate(counters, probes, "tok", depth=4, width=1024)
+    return (
+        probes.join(est, "tok")
+        .select("rank", "tok", F.col("cnt").alias("exact_cnt"), "cm_est")
+        .orderBy("rank")
+    )
+
+
+ORACLE_COUNTMIN = f"""
+WITH norm AS (SELECT {_NORM} AS t FROM documents),
+counts AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm)
+    GROUP BY tok
+),
+salted AS (
+    SELECT c.tok, c.cnt, r.r,
+           CAST(concat('0x', substring(md5(c.tok || '#' || CAST(r.r AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM counts c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+),
+grid AS (
+    SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS counter
+    FROM salted GROUP BY r, bucket
+),
+probes AS (
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS INT) AS rank,
+           tok, cnt
+    FROM counts QUALIFY rank <= 20
+),
+est AS (
+    SELECT s.tok, min(g.counter) AS cm_est
+    FROM salted s JOIN grid g ON s.r = g.r AND s.bucket = g.bucket
+    WHERE s.tok IN (SELECT tok FROM probes)
+    GROUP BY s.tok
+)
+SELECT p.rank, p.tok, p.cnt AS exact_cnt, e.cm_est
+FROM probes p JOIN est e ON p.tok = e.tok
+ORDER BY p.rank
+"""
+
+
 PIPELINE_QUERIES = {
+    "text_pii_redact": q_text_pii_redact,
+    "index_token_postings": q_index_token_postings,
+    "sketch_countmin_tokens": q_sketch_countmin_tokens,
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -1977,6 +2143,9 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLE = {
+    "text_pii_redact": ORACLE_PII_REDACT,
+    "index_token_postings": ORACLE_TOKEN_POSTINGS,
+    "sketch_countmin_tokens": ORACLE_COUNTMIN,
     "llm_corpus_pipeline": ORACLE_LLM_PIPELINE,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,

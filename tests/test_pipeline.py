@@ -1041,3 +1041,47 @@ def test_progressive_jpeg_roundtrip_and_format_guards():
     with pytest.raises(ValueError):
         bad = np.arange(64, dtype=np.uint8).reshape(8, 8)
         multimodal.encode_jpeg_gray_progressive(bad)
+
+
+def test_pii_redact_replaces_all_patterns(spark):
+    from rocana_impala_udfs_spark.plans.pipeline import q_text_pii_redact
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com and 12345678 via https://x.org/p now")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("_pii_probe")
+    # run the same transform the query applies, on a controlled row
+    from rocana_impala_udfs_spark.plans.pipeline import (
+        _PII_EMAIL,
+        _PII_LONGNUM,
+        _PII_URL,
+    )
+
+    red = docs.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+                _PII_URL,
+                "<URL>",
+            ),
+            _PII_LONGNUM,
+            "<NUM>",
+        ).alias("r")
+    ).collect()[0].r
+    assert red == "mail <EMAIL> and <NUM> via <URL> now"
+
+
+def test_token_postings_list_is_sorted_and_complete(spark):
+    from rocana_impala_udfs_spark.plans.pipeline import q_index_token_postings
+
+    rows = q_index_token_postings(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected a non-empty head of the index"
+    for r in rows:
+        # the head is a fixed 60-char prefix, so the final element may be
+        # truncated mid-number — drop it before checking order
+        head_ids = [int(x) for x in r.postings_head.split(",") if x][:-1]
+        assert head_ids == sorted(head_ids)
+        # df counts DISTINCT documents, so the head can't exceed df entries
+        assert len(head_ids) <= r.df

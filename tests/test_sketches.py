@@ -115,3 +115,49 @@ def test_prefix_filter_matches_full_join(spark):
     }
     assert pf == full
     assert len(full) > 0  # the corpus plants near-dups; the test must see them
+
+
+def test_countmin_estimate_upper_bounds_truth(spark):
+    from pyspark.sql import functions as F
+    from rocana_impala_udfs_spark.operators.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    counts = spark.createDataFrame(
+        [(f"tok{i}", (i % 7) + 1) for i in range(500)], "v string, c long"
+    )
+    counters = countmin_counters(counts, "v", "c", depth=4, width=64)
+    # the grid never exceeds depth x width rows, whatever the vocabulary
+    assert counters.count() <= 4 * 64
+    est = countmin_estimate(counters, counts, "v", depth=4, width=64)
+    joined = counts.join(est, "v").select("v", "c", "cm_est").collect()
+    assert len(joined) == 500
+    # count-min never underestimates
+    assert all(r.cm_est >= r.c for r in joined)
+    # with 500 keys in 64 buckets, collisions force some overestimates,
+    # but a wide-enough grid keeps the estimate bounded by the total mass
+    total = sum((i % 7) + 1 for i in range(500))
+    assert all(r.cm_est <= total for r in joined)
+
+
+def test_countmin_counters_merge_by_addition(spark):
+    from rocana_impala_udfs_spark.operators.sketches import countmin_counters
+
+    a = spark.createDataFrame([("x", 3), ("y", 2)], "v string, c long")
+    b = spark.createDataFrame([("x", 1), ("z", 5)], "v string, c long")
+    both = a.union(b)
+    merged = {
+        (r.r, r.bucket): r.counter
+        for r in countmin_counters(both, "v", "c", depth=2, width=16).collect()
+    }
+    ga = {
+        (r.r, r.bucket): r.counter
+        for r in countmin_counters(a, "v", "c", depth=2, width=16).collect()
+    }
+    gb = {
+        (r.r, r.bucket): r.counter
+        for r in countmin_counters(b, "v", "c", depth=2, width=16).collect()
+    }
+    summed = {k: ga.get(k, 0) + gb.get(k, 0) for k in set(ga) | set(gb)}
+    assert merged == summed  # element-wise addition IS the sketch merge
