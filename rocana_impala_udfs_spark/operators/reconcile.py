@@ -68,3 +68,43 @@ def snapshot_diff_summary(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+def cdc_latest(
+    ops: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+) -> DataFrame:
+    """Collapse a change-data-capture batch to its latest row per key
+    (latest-wins by ``seq_cols``), KEEPING tombstones — retaining the op
+    column is what makes the state closed under composition:
+    ``cdc_latest(latest(A) ∪ latest(B)) == cdc_latest(A ∪ B)`` whenever B's
+    sequence numbers follow A's, so a persisted base state merges with each
+    delta batch by union + re-collapse, no history rescan.  One keyed
+    window shuffle; at scale the base state is the compacted table and only
+    the delta pays the window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in seq_cols])
+    return (
+        ops.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply(
+    base_state: DataFrame,
+    delta_ops: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC delta batch to a persisted base state: collapse the
+    delta, union with the base, re-collapse, then drop tombstones — the
+    MERGE-INTO/compaction step of a lakehouse ingest pipeline.  The result
+    equals a full recompute over the entire history (the maintenance
+    identity the oracle checks)."""
+    merged = cdc_latest(base_state.unionByName(cdc_latest(delta_ops, key_cols, seq_cols)), key_cols, seq_cols)
+    return merged.filter(F.col(op_col) != F.lit(delete_op))

@@ -2243,8 +2243,86 @@ FROM g GROUP BY size ORDER BY size
 """
 
 
+def q_linkage_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by best Jaro-Winkler match — the probabilistic
+    companion to the edit-distance SymSpell joins: every part keeps its
+    single most-similar other part (≥ 0.9) within a first-character
+    blocking group. The Python JW kernel is verified bit-identical to
+    DuckDB's jaro_winkler_similarity, so even the float scores
+    hash-match; blocking bounds the pair expansion (the block key is the
+    scale knob), and the argmax is a per-id window with a deterministic
+    (score DESC, id ASC) tiebreak."""
+    from rocana_impala_udfs_spark.operators.fuzzy import best_fuzzy_match
+
+    part = load_table(spark, sf_dir, "part")
+    return best_fuzzy_match(
+        part, "p_partkey", "p_name", F.substring("p_name", 1, 1), min_sim=0.9
+    )
+
+
+ORACLE_LINKAGE_BEST = """
+WITH b AS (SELECT p_partkey, p_name, substring(p_name, 1, 1) AS blk FROM part),
+scored AS (
+    SELECT a.p_partkey, c.p_partkey AS match_id,
+           jaro_winkler_similarity(a.p_name, c.p_name) AS jw
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_partkey <> c.p_partkey
+)
+SELECT p_partkey, match_id, jw FROM scored
+WHERE jw >= 0.9
+QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY jw DESC, match_id ASC) = 1
+"""
+
+
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins apply — the lakehouse MERGE/compaction step: events
+    replay as an op stream keyed by user (signup=insert, error=delete,
+    rest=update). A base state persisted from the first half of the month
+    merges with the second half's delta by union + re-collapse — no
+    history rescan (operators/reconcile.py:cdc_apply keeps tombstones so
+    states compose). The oracle recomputes from the FULL history in one
+    window; equality is the incremental-maintenance proof."""
+    from rocana_impala_udfs_spark.operators.reconcile import cdc_apply, cdc_latest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cut_us = F.unix_micros(cut)
+    base = cdc_latest(
+        ev.filter(F.col("ts_us") < cut_us), ["user_id"], ["ts_us", "event_id"]
+    )
+    delta = ev.filter(F.col("ts_us") >= cut_us)
+    out = cdc_apply(base, delta, ["user_id"], ["ts_us", "event_id"])
+    return out.select("user_id", "op", "value", "ts_us", "event_id")
+
+
+ORACLE_CDC_APPLY = """
+WITH ops AS (
+    SELECT user_id,
+           CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+           value, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+latest AS (
+    SELECT user_id, op, value, ts_us, event_id
+    FROM ops
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) = 1
+)
+SELECT user_id, op, value, ts_us, event_id FROM latest WHERE op <> 'D'
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "linkage_best_match": q_linkage_best_match,
+    "cdc_apply_latest": q_cdc_apply_latest,
     "graph_triangle_parts": q_graph_triangle_parts,
     "stats_theilsen_trend": q_stats_theilsen_trend,
     "quality_psi_price_drift": q_quality_psi_price_drift,
@@ -2316,6 +2394,8 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": ORACLE_Q1,
+    "linkage_best_match": ORACLE_LINKAGE_BEST,
+    "cdc_apply_latest": ORACLE_CDC_APPLY,
     "graph_triangle_parts": ORACLE_TRIANGLE_PARTS,
     "stats_theilsen_trend": ORACLE_THEILSEN,
     "quality_psi_price_drift": ORACLE_PSI_DRIFT,

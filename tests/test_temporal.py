@@ -405,3 +405,57 @@ def test_k_anonymity_histogram_accounts_for_everyone(spark):
     n_customers = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
     assert sum(r.n_customers for r in out) == n_customers
     assert all(r.below_k5 == (r.size < 5) for r in out)
+
+
+def test_jaro_winkler_textbook_values():
+    from rocana_impala_udfs_spark.operators.fuzzy import _jaro_winkler_py
+
+    # Winkler's classic examples
+    assert abs(_jaro_winkler_py("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12
+    assert abs(_jaro_winkler_py("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-9
+    assert _jaro_winkler_py("same", "same") == 1.0
+    assert _jaro_winkler_py("", "x") == 0.0
+    assert _jaro_winkler_py("abc", "xyz") == 0.0
+
+
+def test_best_fuzzy_match_deterministic_tiebreak(spark):
+    from pyspark.sql import functions as SF
+    from rocana_impala_udfs_spark.operators.fuzzy import best_fuzzy_match
+
+    # ids 2 and 3 have the identical name: both score 1.0 against each
+    # other, and id 1 ties between them -> tiebreak keeps the smaller id
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widgets"), (3, "red widgets")],
+        "id long, name string",
+    )
+    out = {
+        r.id: (r.match_id, r.jw)
+        for r in best_fuzzy_match(df, "id", "name", SF.substring("name", 1, 1)).collect()
+    }
+    assert out[2] == (3, 1.0)
+    assert out[3] == (2, 1.0)
+    assert out[1][0] == 2  # tie between 2 and 3 resolved to the smaller id
+
+
+def test_cdc_apply_equals_full_recompute(spark):
+    from rocana_impala_udfs_spark.operators.reconcile import cdc_apply, cdc_latest
+
+    ops = spark.createDataFrame(
+        [
+            (1, "I", 10.0, 1), (1, "U", 11.0, 2),          # survives as U/11
+            (2, "I", 20.0, 1), (2, "D", 0.0, 3),           # deleted
+            (3, "I", 30.0, 4),                              # delta-only insert
+            (2, "U", 21.0, 2),                              # out-of-order update < delete
+        ],
+        "k long, op string, v double, seq long",
+    )
+    base = cdc_latest(ops.filter(ops.seq <= 2), ["k"], ["seq"])
+    delta = ops.filter(ops.seq > 2)
+    incremental = {
+        r.k: (r.op, r.v) for r in cdc_apply(base, delta, ["k"], ["seq"]).collect()
+    }
+    full = {
+        r.k: (r.op, r.v)
+        for r in cdc_latest(ops, ["k"], ["seq"]).filter("op <> 'D'").collect()
+    }
+    assert incremental == full == {1: ("U", 11.0), 3: ("I", 30.0)}
