@@ -102,6 +102,20 @@ _NEVER_DRIVER_CHECKED = [
     "graph_copurchase_hops",
     "window_first_last_orders",
     "null_semantics_probe",
+    # round-5 additions (session 3) — after the longer-waiting keys above,
+    # so a 50-key driver truncation still clears the backlog first
+    "events_twa_daily",
+    "events_cusum_daily",
+    "sampling_systematic_events",
+    "graph_triangle_parts",
+    "stats_theilsen_trend",
+    "quality_psi_price_drift",
+    "quality_k_anonymity",
+    "text_pii_redact",
+    "index_token_postings",
+    "sketch_countmin_tokens",
+    "linkage_best_match",
+    "cdc_apply_latest",
 ]
 
 

@@ -275,3 +275,42 @@ def test_zorder_write_skips_on_both_dimensions(spark, tmpdir):
         # a narrow band on either axis must skip at least a third of files
         assert overlapping <= len(ranges) * 2 / 3, (col, overlapping, len(ranges))
     assert spark.read.parquet(out).count() == p.count()
+
+
+def test_binaryfile_source_feeds_real_decoders(spark, tmp_path):
+    """Media ingestion path: raw image files on disk -> spark.read.format
+    ("binaryFile") -> the real PPM/PNG decoders. This is how a production
+    corpus enters the engine (one row per object, content as a binary
+    column + path/length metadata), so the source must compose with the
+    codec operators directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        decode_image_auto,
+        encode_png,
+        encode_ppm,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(3):
+        img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+        imgs[f"img{i}.ppm"] = img
+        (d / f"img{i}.ppm").write_bytes(encode_ppm(img))
+    png_img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    imgs["img3.png"] = png_img
+    (d / "img3.png").write_bytes(encode_png(png_img))
+
+    df = spark.read.format("binaryFile").load(str(d))
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "content", "length"
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        decoded = decode_image_auto(bytes(r.content))
+        assert decoded.shape == imgs[r.name].shape
+        assert (decoded == imgs[r.name]).all()
+        assert r.length == len(bytes(r.content))

@@ -302,3 +302,20 @@ def test_benford_single_scan(spark):
     9-row histogram, not a second scan or driver count)."""
     plan = _plan(spark, "quality_benford_prices")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_triangle_and_linkage_joins_are_keyed(spark):
+    # triangle enumeration and blocked linkage are the two newest
+    # self-join-shaped operators: both must stay equi-joins, never cartesian
+    for name in ["graph_triangle_parts", "linkage_best_match"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_countmin_grid_broadcasts_to_probes(spark):
+    # the counter grid is <= depth x width rows — the probe join must
+    # broadcast it, never shuffle the probe side on (r, bucket)
+    plan = _plan(spark, "sketch_countmin_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
