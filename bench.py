@@ -82,6 +82,15 @@ HEADLINE = [
     "entity_resolution_parts",
     # Real progressive (SOF2) JPEG decode.
     "multimodal_jpeg_progressive_stats",
+    # r5 session 3: trapezoidal time-weighted average, co-purchase triangle
+    # counting, Count-Min sketch probe, distinct-value Jaro-Winkler linkage,
+    # CDC latest-wins apply, PSI drift screen.
+    "events_twa_daily",
+    "graph_triangle_parts",
+    "sketch_countmin_tokens",
+    "linkage_best_match",
+    "cdc_apply_latest",
+    "quality_psi_price_drift",
 ]
 
 
