@@ -116,6 +116,8 @@ _NEVER_DRIVER_CHECKED = [
     "sketch_countmin_tokens",
     "linkage_best_match",
     "cdc_apply_latest",
+    "bloom_semi_orders",
+    "stats_rolling_corr_click_view",
 ]
 
 

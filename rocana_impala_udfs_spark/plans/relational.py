@@ -2319,8 +2319,115 @@ SELECT user_id, op, value, ts_us, event_id FROM latest WHERE op <> 'D'
 """
 
 
+def q_bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pruned semi-join: orders of BUILDING-segment customers,
+    pre-filtered map-side by a 2048-bit filter built from the segment's
+    customer keys (bit_or aggregates — bounded state, partial+final), then
+    exactly verified so the output EQUALS the plain semi-join the oracle
+    runs. At scale the bloom probe drops non-matching facts at the scan
+    for a few md5 probes per row, before any join machinery — the explicit
+    form of Spark's runtime row-level filtering."""
+    from rocana_impala_udfs_spark.operators.bloom import bloom_pruned_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    kept = bloom_pruned_semi_join(orders, dim, "o_custkey", "c_custkey")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BLOOM_SEMI = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_stats_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between hourly click and view volumes
+    over a trailing 24-observed-hour window — the co-movement monitor of
+    two operational series. All six window sums are INTEGERS (counts and
+    their products), which sum exactly in any order; the correlation is
+    assembled from them with one IEEE multiply/sqrt/divide chain on
+    identical inputs, so the result is engine-exact with no rounding. The
+    window runs over the tiny hourly aggregate, never raw events (at scale:
+    partition by series key; here one global series of ~hours rows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("c").over(w)
+    sy = F.sum("v").over(w)
+    sxy = F.sum(F.col("c") * F.col("v")).over(w)
+    sxx = F.sum(F.col("c") * F.col("c")).over(w)
+    syy = F.sum(F.col("v") * F.col("v")).over(w)
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        (n * sxy - sx * sy).cast("double")
+        / F.sqrt(d1.cast("double") * d2.cast("double")),
+    )
+    return hourly.select(
+        F.unix_micros(F.col("hour").cast("timestamp")).alias("hour_us"),
+        "c",
+        "v",
+        n.alias("n_window"),
+        corr.alias("rolling_corr"),
+    )
+
+
+ORACLE_ROLLING_CORR = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY date_trunc('hour', ts)
+),
+rolled AS (
+    SELECT hour, c, v,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(c) OVER w AS BIGINT) AS sx,
+           CAST(sum(v) OVER w AS BIGINT) AS sy,
+           CAST(sum(c * v) OVER w AS BIGINT) AS sxy,
+           CAST(sum(c * c) OVER w AS BIGINT) AS sxx,
+           CAST(sum(v * v) OVER w AS BIGINT) AS syy
+    FROM hourly
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT epoch_us(hour) AS hour_us, c, v, n AS n_window,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS rolling_corr
+FROM rolled
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "bloom_semi_orders": q_bloom_semi_orders,
+    "stats_rolling_corr_click_view": q_stats_rolling_corr,
     "linkage_best_match": q_linkage_best_match,
     "cdc_apply_latest": q_cdc_apply_latest,
     "graph_triangle_parts": q_graph_triangle_parts,
@@ -2394,6 +2501,8 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": ORACLE_Q1,
+    "bloom_semi_orders": ORACLE_BLOOM_SEMI,
+    "stats_rolling_corr_click_view": ORACLE_ROLLING_CORR,
     "linkage_best_match": ORACLE_LINKAGE_BEST,
     "cdc_apply_latest": ORACLE_CDC_APPLY,
     "graph_triangle_parts": ORACLE_TRIANGLE_PARTS,

@@ -161,3 +161,31 @@ def test_countmin_counters_merge_by_addition(spark):
     }
     summed = {k: ga.get(k, 0) + gb.get(k, 0) for k in set(ga) | set(gb)}
     assert merged == summed  # element-wise addition IS the sketch merge
+
+
+def test_bloom_never_false_negative_and_actually_prunes(spark):
+    from pyspark.sql import functions as F
+    from rocana_impala_udfs_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe_cond,
+        bloom_pruned_semi_join,
+    )
+
+    dim = spark.createDataFrame([(i * 3,) for i in range(200)], "k long")
+    facts = spark.createDataFrame([(i,) for i in range(3000)], "fk long")
+
+    bloom = bloom_build(dim, "k", m_bits=2048, k=3)
+    arr = F.array(*[F.col(f"w{i}") for i in range(2048 // 64)])
+    pruned = facts.crossJoin(F.broadcast(bloom)).filter(
+        bloom_probe_cond("fk", arr, m_bits=2048, k=3)
+    )
+    kept = {r.fk for r in pruned.select("fk").collect()}
+    members = {i * 3 for i in range(200)}
+    # no false negatives: every true member survives the probe
+    assert members <= kept
+    # real pruning: the probe rejects the vast majority of non-members
+    assert len(kept) < 3000 * 0.25
+
+    # the composed operator is EXACTLY the semi-join
+    exact = {r.fk for r in bloom_pruned_semi_join(facts, dim, "fk", "k").collect()}
+    assert exact == members & set(range(3000))
