@@ -118,6 +118,9 @@ _NEVER_DRIVER_CHECKED = [
     "cdc_apply_latest",
     "bloom_semi_orders",
     "stats_rolling_corr_click_view",
+    "events_holt_daily",
+    "basket_rules_lift",
+    "graph_clustering_coeff",
 ]
 
 

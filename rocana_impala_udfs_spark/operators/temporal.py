@@ -483,3 +483,49 @@ def time_weighted_avg(
             ),
         )
     )
+
+
+def holt_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing per key — the
+    forecasting step up from :func:`ewma_smooth`'s level-only EWMA:
+
+        level_1 = x_1,  trend_1 = 0
+        level_t = α·x_t + (1-α)·(level_{t-1} + trend_{t-1})
+        trend_t = β·(level_t - level_{t-1}) + (1-β)·trend_{t-1}
+
+    Same execution shape as the other sequential folds: one keyed shuffle +
+    ``applyInPandas`` with O(1) state. Every step is a fixed IEEE
+    mul/add chain on identical inputs, so an engine folding the same
+    recurrence (DuckDB ``list_reduce`` over ``[x, 0]`` pairs with the
+    level expression inlined twice — recomputing it is the *same* double)
+    reproduces level and trend bit-for-bit."""
+    src = df.select(*key_cols, *order_cols, value_col)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+    ) + ", `level` double, `trend` double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        level = trend = None
+        levels, trends = [], []
+        for x in pdf[value_col].astype(float):
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = alpha * x + (1 - alpha) * (level + trend)
+                trend = beta * (new_level - level) + (1 - beta) * trend
+                level = new_level
+            levels.append(level)
+            trends.append(trend)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)

@@ -2072,6 +2072,152 @@ ORDER BY n_triangles DESC, part ASC
 """
 
 
+def q_basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased part pairs: support, directional
+    confidence, and lift — the classic market-basket trio. Item and pair
+    counts are the same bounded within-order self-join as
+    `basket_part_pairs`; every metric is a single division of exact
+    integer counts (numerators multiplied as BIGINTs first), so the float
+    columns are engine-exact without rounding."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n_tx"))
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_tx").cast("double")).alias("support"),
+            (F.col("n_pair").cast("double") / F.col("n1").cast("double")).alias("conf_1_to_2"),
+            (F.col("n_pair").cast("double") / F.col("n2").cast("double")).alias("conf_2_to_1"),
+            (
+                (F.col("n_pair") * F.col("n_tx")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_BASKET_LIFT = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tx AS (SELECT count(DISTINCT l_orderkey) AS n_tx FROM li),
+item AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+pair AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_pair
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p1, p2, n_pair,
+       CAST(n_pair AS DOUBLE) / CAST(n_tx AS DOUBLE) AS support,
+       CAST(n_pair AS DOUBLE) / CAST(i1.n_item AS DOUBLE) AS conf_1_to_2,
+       CAST(n_pair AS DOUBLE) / CAST(i2.n_item AS DOUBLE) AS conf_2_to_1,
+       CAST(n_pair * n_tx AS DOUBLE) / CAST(i1.n_item * i2.n_item AS DOUBLE) AS lift
+FROM pair
+JOIN item i1 ON pair.p1 = i1.p
+JOIN item i2 ON pair.p2 = i2.p
+CROSS JOIN tx
+"""
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the co-purchase graph:
+    2·T / (deg·(deg−1)) — how tightly each part's neighborhood
+    interconnects (community cohesion). Shares the triangle plan's edge
+    set (support ≥ 2); degree comes from exploding edge endpoints, the
+    coefficient is one division of exact integers. Nodes below degree 2
+    have no defined coefficient and drop out."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("p1", "p2")
+    )
+    deg = (
+        edges.select(F.explode(F.array("p1", "p2")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri_nodes = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(e3, (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")))
+        .select(
+            F.explode(
+                F.array(F.col("e1.p1"), F.col("e1.p2"), F.col("e2.p2"))
+            ).alias("part")
+        )
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_nodes, "part", "left")
+        .fillna(0, ["n_tri"])
+        .select(
+            "part",
+            "deg",
+            "n_tri",
+            (
+                (F.lit(2) * F.col("n_tri")).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+ORACLE_CLUSTERING_COEFF = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+    SELECT part, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT p1 AS part FROM e UNION ALL SELECT p2 FROM e)
+    GROUP BY part
+),
+tri AS (
+    SELECT part, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (
+        SELECT unnest([e1.p1, e1.p2, e2.p2]) AS part
+        FROM e e1
+        JOIN e e2 ON e1.p2 = e2.p1
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    GROUP BY part
+)
+SELECT d.part, d.deg, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE) / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+           AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.part = t.part
+WHERE d.deg >= 2
+"""
+
+
 def q_stats_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend per event type — the median of all pairwise
     slopes of daily counts, the outlier-resistant companion to
@@ -2431,6 +2577,8 @@ QUERIES = {
     "linkage_best_match": q_linkage_best_match,
     "cdc_apply_latest": q_cdc_apply_latest,
     "graph_triangle_parts": q_graph_triangle_parts,
+    "basket_rules_lift": q_basket_rules_lift,
+    "graph_clustering_coeff": q_graph_clustering_coeff,
     "stats_theilsen_trend": q_stats_theilsen_trend,
     "quality_psi_price_drift": q_quality_psi_price_drift,
     "quality_k_anonymity": q_quality_k_anonymity,
@@ -2506,6 +2654,8 @@ ORACLE = {
     "linkage_best_match": ORACLE_LINKAGE_BEST,
     "cdc_apply_latest": ORACLE_CDC_APPLY,
     "graph_triangle_parts": ORACLE_TRIANGLE_PARTS,
+    "basket_rules_lift": ORACLE_BASKET_LIFT,
+    "graph_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "stats_theilsen_trend": ORACLE_THEILSEN,
     "quality_psi_price_drift": ORACLE_PSI_DRIFT,
     "quality_k_anonymity": ORACLE_K_ANONYMITY,

@@ -1203,6 +1203,62 @@ FROM idx
 """
 
 
+def q_events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of per-type daily volumes — the
+    one-step-ahead forecaster on top of the fold family (EWMA for level,
+    CUSUM for drift, Holt for level+trend). Runs over the tiny daily
+    aggregate; the two-state recursion folds in applyInPandas
+    (operators/temporal.py:holt_fold) and the oracle replays it with
+    list_reduce over [x, 0] pairs — every step one IEEE chain, level and
+    trend bit-exact across engines."""
+    from rocana_impala_udfs_spark.operators.temporal import holt_fold
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    out = holt_fold(daily, ["event_type"], ["day"], "x", alpha=0.5, beta=0.3)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        F.col("x").cast("long").alias("n"),
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_next"),
+    )
+
+
+ORACLE_HOLT_DAILY = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS DOUBLE) AS x
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+per AS (
+    SELECT event_type,
+           list(day ORDER BY day) AS days,
+           list([x, 0.0] ORDER BY day) AS xs
+    FROM daily GROUP BY event_type
+),
+idx AS (
+    SELECT event_type, days, xs, unnest(range(1, len(xs) + 1)) AS i FROM per
+),
+folded AS (
+    SELECT event_type,
+           days[CAST(i AS INT)] AS day,
+           xs[CAST(i AS INT)][1] AS x,
+           list_reduce(xs[1:CAST(i AS INT)], (acc, e) -> [
+               0.5*e[1] + 0.5*(acc[1] + acc[2]),
+               0.3*((0.5*e[1] + 0.5*(acc[1] + acc[2])) - acc[1]) + 0.7*acc[2]
+           ]) AS st
+    FROM idx
+)
+SELECT event_type, epoch_us(day) AS day_us, CAST(x AS BIGINT) AS n,
+       st[1] AS level, st[2] AS trend, st[1] + st[2] AS forecast_next
+FROM folded
+"""
+
+
 def q_sampling_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic (every k-th) sampling per stratum — the deterministic
     audit-sample companion to the hash-gate samplers: rank events within
@@ -1239,6 +1295,7 @@ FROM ranked WHERE rn % 50 = 1
 TEMPORAL_QUERIES = {
     "events_twa_daily": q_events_twa_daily,
     "events_cusum_daily": q_events_cusum_daily,
+    "events_holt_daily": q_events_holt_daily,
     "sampling_systematic_events": q_sampling_systematic,
     "interval_overlap_pairs": q_interval_overlaps,
     "asof_click_attribution": q_asof_click_attribution,
@@ -1272,6 +1329,7 @@ TEMPORAL_QUERIES = {
 TEMPORAL_ORACLE = {
     "events_twa_daily": ORACLE_TWA_DAILY,
     "events_cusum_daily": ORACLE_CUSUM_DAILY,
+    "events_holt_daily": ORACLE_HOLT_DAILY,
     "sampling_systematic_events": ORACLE_SYSTEMATIC,
     "interval_overlap_pairs": ORACLE_INTERVAL_OVERLAPS,
     "sliding_window_event_rates": ORACLE_SLIDING_WINDOWS,

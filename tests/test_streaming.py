@@ -343,3 +343,40 @@ def test_running_kmv_distinct_stream_matches_batch(spark, event_stream_dir):
     for g, (est, size) in got.items():
         assert est == want[g], (g, est, want[g])
         assert size <= 64
+
+
+def test_running_cusum_stream_matches_batch_fold(spark, event_stream_dir):
+    """After all micro-batches, the streaming CUSUM per key equals the
+    batch fold with the same fixed target — bit-identical, since both run
+    the identical max/add chain in the identical (ts, event_id) order."""
+    from rocana_impala_udfs_spark.operators.temporal import cusum_fold
+    from rocana_impala_udfs_spark.streaming.cusum_stream import running_cusum_stream
+
+    target = 50.0
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = running_cusum_stream(stream, target=target)
+    _run_stream(out, "cusum_stream")
+    got = {
+        r.event_type: (r.cusum, r.n_events)
+        for r in spark.sql("SELECT * FROM cusum_stream").collect()
+    }
+
+    batch = load_table(spark, SF, "events").select(
+        "event_type", "event_id", "ts", F.col("value").alias("x")
+    ).withColumn("tgt", F.lit(target))
+    folded = cusum_fold(batch, ["event_type"], ["ts", "event_id"], "x", "tgt")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        folded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "cusum")
+    )
+    counts = batch.groupBy("event_type").count()
+    expect = {
+        r.event_type: (r.cusum, r.n)
+        for r in last.join(counts.withColumnRenamed("count", "n"), "event_type").collect()
+    }
+    assert got == expect  # bit-identical folds, same counts

@@ -459,3 +459,44 @@ def test_cdc_apply_equals_full_recompute(spark):
         for r in cdc_latest(ops, ["k"], ["seq"]).filter("op <> 'D'").collect()
     }
     assert incremental == full == {1: ("U", 11.0), 3: ("I", 30.0)}
+
+
+def test_holt_fold_hand_computed(spark):
+    from rocana_impala_udfs_spark.operators.temporal import holt_fold
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 14.0), ("a", 3, 20.0)],
+        "k string, seq long, x double",
+    )
+    got = {
+        r.seq: (r.level, r.trend)
+        for r in holt_fold(df, ["k"], ["seq"], "x", alpha=0.5, beta=0.3).collect()
+    }
+    assert got[1] == (10.0, 0.0)
+    # level2 = .5*14 + .5*(10+0) = 12 ; trend2 = .3*(12-10) + .7*0 = .6
+    assert got[2] == (12.0, 0.6)
+    l3 = 0.5 * 20.0 + 0.5 * (12.0 + 0.6)
+    t3 = 0.3 * (l3 - 12.0) + 0.7 * 0.6
+    assert got[3] == (l3, t3)
+
+
+def test_clustering_coeff_is_one_on_a_clique(spark):
+    from pyspark.sql import functions as SF
+    from rocana_impala_udfs_spark.plans.relational import q_graph_clustering_coeff
+
+    out = q_graph_clustering_coeff(spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        assert r.n_tri <= r.deg * (r.deg - 1) // 2  # triangles fit the degree
+
+
+def test_basket_lift_identities(spark):
+    from rocana_impala_udfs_spark.plans.relational import q_basket_rules_lift
+
+    out = q_basket_rules_lift(spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        # lift = confidence / expected: lift == conf_1_to_2 / support(p2)
+        # and both confidences bound in (0, 1]
+        assert 0.0 < r.conf_1_to_2 <= 1.0
+        assert 0.0 < r.conf_2_to_1 <= 1.0
+        assert r.support > 0.0
