@@ -121,6 +121,8 @@ _NEVER_DRIVER_CHECKED = [
     "events_holt_daily",
     "basket_rules_lift",
     "graph_clustering_coeff",
+    "stats_ks_price_halves",
+    "events_longest_streak",
 ]
 
 

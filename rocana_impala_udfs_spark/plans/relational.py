@@ -2349,6 +2349,126 @@ ORDER BY bucket
 """
 
 
+def q_stats_ks_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between early- and
+    late-period order totals — the exact distribution-shift test
+    complementing the binned PSI screen: D = max |F_ref(v) − F_cur(v)|
+    over the merged support. Counts aggregate per distinct price first
+    (the scale knob: quantize prices before the CDF when the support is
+    unbounded), then two running integer sums over ONE ordered window give
+    both CDFs; every division is exact-int / exact-int, so D and its
+    argmax price are engine-exact. Output is a single row."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    pts = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < cut, 1).otherwise(0).alias("is_ref"),
+    )
+    per_v = pts.groupBy("v").agg(
+        F.sum("is_ref").alias("r"), F.sum(1 - F.col("is_ref")).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    cdf = (
+        per_v.crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_ref",
+            "n_cur",
+            F.sum("r").over(w).alias("cr"),
+            F.sum("c").over(w).alias("cc"),
+        )
+        .select(
+            "v",
+            "n_ref",
+            "n_cur",
+            F.abs(
+                F.col("cr").cast("double") / F.col("n_ref").cast("double")
+                - F.col("cc").cast("double") / F.col("n_cur").cast("double")
+            ).alias("d"),
+        )
+    )
+    best = cdf.orderBy(F.col("d").desc(), F.col("v").asc()).limit(1)
+    return best.select(
+        "n_ref", "n_cur", F.col("d").alias("ks_d"), F.col("v").alias("at_price")
+    )
+
+
+ORACLE_KS_HALVES = """
+WITH pts AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderdate < '1998-01-01' THEN 1 ELSE 0 END AS is_ref
+    FROM orders
+),
+per_v AS (
+    SELECT v, CAST(sum(is_ref) AS BIGINT) AS r, CAST(sum(1 - is_ref) AS BIGINT) AS c
+    FROM pts GROUP BY v
+),
+tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_ref, CAST(sum(c) AS BIGINT) AS n_cur FROM per_v),
+cdf AS (
+    SELECT v, n_ref, n_cur,
+           abs(CAST(sum(r) OVER w AS DOUBLE) / CAST(n_ref AS DOUBLE)
+               - CAST(sum(c) OVER w AS DOUBLE) / CAST(n_cur AS DOUBLE)) AS d
+    FROM per_v CROSS JOIN tot
+    WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_ref, n_cur, d AS ks_d, v AS at_price
+FROM cdf ORDER BY d DESC, v ASC LIMIT 1
+"""
+
+
+def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands engagement metric: distinct active days collapse to
+    islands via (epoch_day − row_number), island lengths aggregate to a
+    per-user max. All-integer arithmetic over the deduped (user, day)
+    table; two keyed shuffles (window + groupBy) on the same user key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_LONGEST_STREAK = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT) AS d
+    FROM events
+),
+islands AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id, max(len) AS longest_streak, CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over customer quasi-identifiers (segment,
     nation, account-balance band) — the privacy screen a training-data
@@ -2582,6 +2702,8 @@ QUERIES = {
     "stats_theilsen_trend": q_stats_theilsen_trend,
     "quality_psi_price_drift": q_quality_psi_price_drift,
     "quality_k_anonymity": q_quality_k_anonymity,
+    "stats_ks_price_halves": q_stats_ks_price_halves,
+    "events_longest_streak": q_events_longest_streak,
     "join_q3_shipping_priority": q_shipping_priority,
     "q6_forecast_revenue": q_forecast_revenue,
     "join_q5_local_supplier_volume": q_local_supplier_volume,
@@ -2659,6 +2781,8 @@ ORACLE = {
     "stats_theilsen_trend": ORACLE_THEILSEN,
     "quality_psi_price_drift": ORACLE_PSI_DRIFT,
     "quality_k_anonymity": ORACLE_K_ANONYMITY,
+    "stats_ks_price_halves": ORACLE_KS_HALVES,
+    "events_longest_streak": ORACLE_LONGEST_STREAK,
     "join_q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "q6_forecast_revenue": ORACLE_FORECAST_REVENUE,
     "join_q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,

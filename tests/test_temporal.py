@@ -500,3 +500,56 @@ def test_basket_lift_identities(spark):
         assert 0.0 < r.conf_1_to_2 <= 1.0
         assert 0.0 < r.conf_2_to_1 <= 1.0
         assert r.support > 0.0
+
+
+def test_ks_statistic_detects_identical_and_disjoint(spark):
+    from pyspark.sql import functions as SF, Window
+
+    def ks(df):
+        per_v = df.groupBy("v").agg(
+            SF.sum("is_ref").alias("r"), SF.sum(1 - SF.col("is_ref")).alias("c")
+        )
+        tot = per_v.agg(SF.sum("r").alias("nr"), SF.sum("c").alias("nc"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            per_v.crossJoin(SF.broadcast(tot))
+            .select(
+                SF.abs(
+                    SF.sum("r").over(w).cast("double") / SF.col("nr").cast("double")
+                    - SF.sum("c").over(w).cast("double") / SF.col("nc").cast("double")
+                ).alias("d")
+            )
+            .agg(SF.max("d"))
+            .collect()[0][0]
+        )
+
+    same = spark.createDataFrame(
+        [(float(i % 10), s) for i in range(40) for s in (0, 1)], "v double, is_ref int"
+    )
+    assert ks(same) == 0.0  # identical samples: D = 0
+    disjoint = spark.createDataFrame(
+        [(float(i), 1) for i in range(10)] + [(float(i + 100), 0) for i in range(10)],
+        "v double, is_ref int",
+    )
+    assert ks(disjoint) == 1.0  # fully separated samples: D = 1
+
+
+def test_longest_streak_hand_computed(spark):
+    from rocana_impala_udfs_spark.plans.relational import q_events_longest_streak
+    from pyspark.sql import functions as SF, Window
+
+    # replicate the island logic on a hand-built day table
+    days = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 14), (2, 5)], "user_id long, d long"
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("island", SF.col("d") - SF.row_number().over(w))
+    got = {
+        r.user_id: r.longest
+        for r in islands.groupBy("user_id", "island")
+        .count()
+        .groupBy("user_id")
+        .agg(SF.max("count").alias("longest"))
+        .collect()
+    }
+    assert got == {1: 3, 2: 1}  # days 10-12 form the 3-day streak
