@@ -123,6 +123,8 @@ _NEVER_DRIVER_CHECKED = [
     "graph_clustering_coeff",
     "stats_ks_price_halves",
     "events_longest_streak",
+    # round-5 additions (session 4)
+    "sketch_hll_users_by_type",
 ]
 
 

@@ -198,6 +198,131 @@ def countmin_counters(
     )
 
 
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HyperLogLog register state on an engine-portable hash.
+
+    Spark's ``approx_count_distinct`` is HLL too, but its murmur hash and
+    sparse/dense encodings are engine-private, so it can only ever earn a
+    weak bounded-error check.  This sketch is the same public algorithm
+    (Flajolet et al. 2007, with the small-range linear-counting correction)
+    on the shared 60-bit md5 derivation, making the estimate deterministic
+    and oracle-exact — the same portability move as :func:`kmv_sketch`, at
+    HLL's O(m) state instead of KMV's O(k) but with register-max merge.
+
+    State = one row per (group, register) with the max rho; ``max`` is the
+    merge, so Spark's partial+final aggregation IS the UDA merge phase
+    (cf. ``ReservoirSampleMerge``, ``median.cc:228`` — same lifecycle,
+    different monoid).  Shuffle volume is bounded by groups × m rows no
+    matter the input scale; zeroed registers are carried as a count, not
+    rows.
+
+    Integer discipline: rho ≤ 61-p (60-bit hash, p index bits leaves 60-p
+    value bits), so ``2^((61-p)-rho)`` sums exactly in BIGINT (≤ 2^60) —
+    the harmonic denominator is an integer in both engines, never an
+    order-dependent float summation.
+    """
+    m = 1 << p
+    rmax = 61 - p  # leading-zero run of the (60-p)-bit value word, + 1
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = F.shiftright(h, p)
+    blen = F.length(F.bin(w))
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(F.lit(rmax) - blen)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, (h % m).alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Finalize HLL register states into per-group distinct estimates.
+
+    Harmonic mean over all ``m`` registers (absent register rows are rho=0
+    zeros, folded in as ``V * 2^51`` integer terms), bias-corrected by
+    alpha_m, with the standard small-range fallback ``m * ln(m/V)`` when
+    the raw estimate ≤ 2.5m and zeros remain.  Every float op is a single
+    fixed-order expression shared with the oracle; round(4) guards the one
+    libm call (ln)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    shift = 61 - p  # rho ∈ [1, shift]; term 2^(shift-rho) ∈ [1, 2^(shift-1)]
+    agg = registers.groupBy(*group_cols).agg(
+        # shiftleft with a column bit count only exists in SQL form; the
+        # Python helper pins numBits to a Python int.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - rho)")).alias("int_sum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    denom = (F.col("int_sum") + zeros * F.lit(1 << shift)).cast("double") / F.lit(
+        float(1 << shift)
+    )
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 10
+) -> DataFrame:
+    """End-to-end per-group HLL distinct estimate (registers → finalize)."""
+    return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
+
+
+def hll_oracle_sql(table: str, group_cols: list[str], value_col: str, p: int = 10) -> str:
+    """DuckDB SQL reproducing :func:`hll_distinct` exactly: same 60-bit md5
+    hash, same integer register/rho derivation (`format('{{:b}}', w)` is
+    DuckDB's spelling of Spark's `bin`), same integer harmonic sum and the
+    identical fixed-order float finalization."""
+    m = 1 << p
+    shift = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = ", ".join(group_cols)
+    return f"""
+WITH hashed AS (
+    SELECT {g},
+           CAST(('0x' || substring(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM {table} WHERE {value_col} IS NOT NULL
+),
+regs AS (
+    SELECT {g}, h % {m} AS register,
+           CASE WHEN h // {m} = 0 THEN {shift}
+                ELSE {shift} - length(format('{{:b}}', h // {m})) END AS rho
+    FROM hashed
+),
+state AS (
+    SELECT {g}, register, max(rho) AS rho FROM regs GROUP BY {g}, register
+),
+agg AS (
+    SELECT {g},
+           sum(CAST(1 AS BIGINT) << ({shift} - rho)) AS int_sum,
+           count(*) AS n_regs
+    FROM state GROUP BY {g}
+)
+SELECT {g},
+       round(CASE WHEN CAST({alpha * m * m!r} AS DOUBLE)
+                       / ((int_sum + ({m} - n_regs) * CAST({1 << shift} AS BIGINT))
+                          / CAST({float(1 << shift)!r} AS DOUBLE)) <= CAST({2.5 * m!r} AS DOUBLE)
+                  AND {m} - n_regs > 0
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_regs AS DOUBLE))
+             ELSE CAST({alpha * m * m!r} AS DOUBLE)
+                  / ((int_sum + ({m} - n_regs) * CAST({1 << shift} AS BIGINT))
+                     / CAST({float(1 << shift)!r} AS DOUBLE))
+             END, 4) AS hll_distinct
+FROM agg
+"""
+
+
 def countmin_estimate(
     counters: DataFrame,
     probes: DataFrame,

@@ -1581,6 +1581,27 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a PORTABLE HyperLogLog — the same
+    public algorithm behind ``approx_count_distinct``, rebuilt on the shared
+    md5 hash so the estimate is deterministic and oracle-exact (the HLL
+    counterpart of the KMV sketch above; register-max is the merge monoid,
+    so Spark's partial+final aggregation is the UDA merge phase)."""
+    from rocana_impala_udfs_spark.operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id", p=10).orderBy("event_type")
+
+
+def _oracle_hll_users() -> str:
+    from rocana_impala_udfs_spark.operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("events", ["event_type"], "user_id", p=10)
+
+
+ORACLE_HLL_USERS = _oracle_hll_users()
+
+
 # --- window value functions + NULL-semantics probes -------------------------
 
 
@@ -2755,6 +2776,7 @@ QUERIES = {
     "events_value_outliers": q_event_value_outliers,
     "skyline_parts": q_skyline_parts,
     "kmv_distinct_users_by_type": q_kmv_distinct_users,
+    "sketch_hll_users_by_type": q_hll_distinct_users,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -2832,6 +2854,7 @@ ORACLE = {
     "events_value_outliers": ORACLE_EVENT_OUTLIERS,
     "skyline_parts": ORACLE_SKYLINE_PARTS,
     "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
+    "sketch_hll_users_by_type": ORACLE_HLL_USERS,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,

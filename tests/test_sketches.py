@@ -189,3 +189,61 @@ def test_bloom_never_false_negative_and_actually_prunes(spark):
     # the composed operator is EXACTLY the semi-join
     exact = {r.fk for r in bloom_pruned_semi_join(facts, dim, "fk", "k").collect()}
     assert exact == members & set(range(3000))
+
+
+def test_hll_error_bound_and_small_exact(spark, ids_df):
+    """Portable HLL: relative error within 4 standard errors (4·1.04/sqrt(m))
+    for the big groups; the linear-counting small-range path keeps tiny
+    cardinalities near-exact."""
+    from rocana_impala_udfs_spark.operators.sketches import hll_distinct
+
+    out = {
+        r["g"]: r["hll_distinct"]
+        for r in hll_distinct(ids_df, ["g"], "v", p=10).collect()
+    }
+    bound = 4.0 * 1.04 / math.sqrt(1024)
+    assert abs(out["small"] - 40) / 40 < bound
+    assert abs(out["mid"] - 1000) / 1000 < bound
+    assert abs(out["big"] - 5000) / 5000 < bound
+
+
+def test_hll_register_max_is_the_merge(spark, ids_df):
+    """HLL's merge monoid: registers(A ∪ B) == element-wise max of
+    registers(A), registers(B) — so partial+final aggregation IS the UDA
+    merge phase, and split/merge finalizes to the single-pass estimate."""
+    from rocana_impala_udfs_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    a = ids_df.filter(F.col("v") % 2 == 0)
+    b = ids_df.filter(F.col("v") % 2 == 1)
+    merged = (
+        hll_registers(a, ["g"], "v", p=10)
+        .unionByName(hll_registers(b, ["g"], "v", p=10))
+        .groupBy("g", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    via_merge = {
+        (r["g"],): r["hll_distinct"]
+        for r in hll_estimate(merged, ["g"], p=10).collect()
+    }
+    direct = {
+        (r["g"],): r["hll_distinct"]
+        for r in hll_estimate(hll_registers(ids_df, ["g"], "v", p=10), ["g"], p=10).collect()
+    }
+    assert via_merge == direct
+
+
+def test_hll_state_is_bounded(spark, ids_df):
+    """State never exceeds m = 2^p rows per group regardless of input size
+    — the reference's bounded-state contract (median.h:42-50)."""
+    from rocana_impala_udfs_spark.operators.sketches import hll_registers
+
+    sizes = (
+        hll_registers(ids_df, ["g"], "v", p=6)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= 64 for r in sizes)
