@@ -125,6 +125,10 @@ _NEVER_DRIVER_CHECKED = [
     "events_longest_streak",
     # round-5 additions (session 4)
     "sketch_hll_users_by_type",
+    "quality_model_scores",
+    "mix_sources_budget",
+    "dedup_survivors_best_quality",
+    "events_seasonal_decompose",
 ]
 
 

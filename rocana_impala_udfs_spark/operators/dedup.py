@@ -430,6 +430,38 @@ def near_dedup_survivors(
     )
 
 
+def near_dedup_best_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection by QUALITY instead of min-id: per duplicate
+    cluster keep the highest-``score`` member (ties break to the smallest
+    id).  This is the production near-dedup policy — when a cluster holds
+    a clean original and a boilerplate-wrapped mirror, min-id keeps
+    whichever crawled first; score-argmax keeps the better document.
+
+    Same scale shape as :func:`near_dedup_survivors`: component labels
+    from the banded pair graph, one window shuffle on the component key
+    for the argmax.  Returns ``(id_col, component, score)``.
+    """
+    comp = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("id"), score.alias("score"))
+        .join(comp, "id", "left")
+        .select("id", "score", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias(id_col), "component", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -21,6 +21,8 @@ from rocana_impala_udfs_spark.sources.io import load_table
 # DuckDB expression for the engine's text normalization.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+_SW = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by']"
+
 
 # --- dedup ------------------------------------------------------------------
 
@@ -109,6 +111,62 @@ comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
 SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 WHERE d.doc_id = coalesce(c.component, d.doc_id)
+"""
+
+
+def q_dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup survivor selection by QUALITY argmax (tie → min id)
+    instead of min-id — keep the best document of each duplicate cluster,
+    the production dedup policy. The score is the deterministic heuristic
+    quality (rounded 6dp, no libm), so argmax ordering is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup.near_dedup_best_survivors(
+        docs, pairs, T.quality_score("text"), id_col="doc_id"
+    ).withColumnRenamed("score", "quality")
+
+
+ORACLE_DEDUP_SURVIVORS_BEST = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+    SELECT i AS a, j AS b FROM jac_pairs
+    UNION
+    SELECT j AS a, i AS b FROM jac_pairs
+),
+reach AS (
+    SELECT a AS id, b AS r FROM edges
+    UNION
+    SELECT e.a AS id, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+qbase AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents
+),
+qfeats AS (
+    SELECT doc_id,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr
+    FROM qbase
+),
+scored AS (
+    SELECT doc_id,
+           round((least(nc / 500.0, 1.0)
+                  + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE n_punct * 1.0 / nc END) * 4.0)
+                 ) / 3.0, 6) AS quality
+    FROM qfeats
+),
+labeled AS (
+    SELECT s.doc_id, s.quality, coalesce(c.component, s.doc_id) AS component
+    FROM scored s LEFT JOIN comp c ON c.id = s.doc_id
+)
+SELECT doc_id, component, quality
+FROM labeled
+QUALIFY row_number() OVER (PARTITION BY component
+                           ORDER BY quality DESC, doc_id ASC) = 1
 """
 
 
@@ -392,8 +450,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score("text").alias("quality"),
     )
 
-
-_SW = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by']"
 
 ORACLE_TEXT_QUALITY = f"""
 WITH base AS (
@@ -2077,6 +2133,158 @@ ORDER BY p.rank
 """
 
 
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: a fixed-weight logistic regression over
+    deterministic text features (token count, stopword ratio, punctuation
+    ratio, mean word length) — the shape of a fastText/classifier quality
+    filter in a training-data pipeline, with the model reduced to public
+    weights so the score is reproducible in ANSI SQL.  Pure JVM column
+    expressions, zero shuffle; the one libm call (exp) is guarded by
+    round(6) and the kept flag reads the ROUNDED score so an ulp can't
+    flip it."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.normalize_text("text")
+    nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    nc = F.length("text")
+    sr = T.stopword_ratio("text")
+    pr = T.punct_ratio("text")
+    mwl = nc / F.greatest(nt, F.lit(1))
+    z = (
+        F.lit(-1.2)
+        + F.lit(0.004) * nt
+        + F.lit(3.0) * sr
+        - F.lit(6.0) * pr
+        - F.lit(0.08) * mwl
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("model_score"),
+        (score >= F.lit(0.5)).alias("kept"),
+    )
+
+
+ORACLE_QUALITY_MODEL = f"""
+WITH base AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS nt,
+           length(text) AS nc,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0
+                     / length(text) END AS pr
+    FROM base
+),
+scored AS (
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.2 + 0.004 * nt + 3.0 * sr - 6.0 * pr
+                                    - 0.08 * (nc / greatest(nt, 1))))), 6) AS model_score
+    FROM feats
+)
+SELECT doc_id, model_score, model_score >= 0.5 AS kept FROM scored
+"""
+
+
+def q_mix_sources_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing planner: given a token budget (here 50% of the corpus)
+    split UNIFORMLY across sources, compute each source's deterministic
+    sampling rate and apply it with the content-addressed md5 gate — the
+    standard way training mixes re-weight heterogeneous sources (webtext
+    vs code vs wiki) to hit per-source token targets.
+
+    Integer discipline end to end: the rate is floor(budget_src * 10000 /
+    src_tokens) BASIS POINTS (never a float), the gate compares md5 %
+    10000 < rate_bp, and every reported column is BIGINT — bit-exact in
+    any engine.  Scale shape: pass 1 is a sources-sized aggregate
+    (broadcast back), pass 2 a map-side gate; no shuffle of the corpus
+    ever happens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.normalize_text("text")
+    toks = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, " ")))
+        .cast("bigint")
+    )
+    per_doc = docs.select("doc_id", "source", toks.alias("n_tok"))
+    per_src = per_doc.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("budget_src", F.expr("div(div(total_tokens, 2), n_sources)"))
+        .withColumn(
+            "rate_bp",
+            F.least(F.lit(10000).cast("bigint"), F.expr("div(budget_src * 10000, src_tokens)")),
+        )
+        .select("source", "src_tokens", "rate_bp")
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % 10000
+    )
+    gated = per_doc.join(F.broadcast(rates), "source").withColumn(
+        "kept", draw < F.col("rate_bp")
+    )
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.max("src_tokens").alias("src_tokens"),
+            F.max("rate_bp").alias("rate_bp"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("kept_docs"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIX_SOURCES = f"""
+WITH base AS (
+    SELECT doc_id, source, {_NORM} AS t FROM documents
+),
+per_doc AS (
+    SELECT doc_id, source,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tok
+    FROM base
+),
+per_src AS (
+    SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens FROM per_doc GROUP BY source
+),
+totals AS (
+    SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM per_src
+),
+rates AS (
+    SELECT source, src_tokens,
+           least(CAST(10000 AS BIGINT),
+                 (total_tokens // 2 // n_sources) * 10000 // src_tokens) AS rate_bp
+    FROM per_src CROSS JOIN totals
+),
+gated AS (
+    SELECT d.source, d.n_tok, r.src_tokens, r.rate_bp,
+           (CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+            % 10000) < r.rate_bp AS kept
+    FROM per_doc d JOIN rates r ON d.source = r.source
+)
+SELECT source,
+       CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+       CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM gated GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "index_token_postings": q_index_token_postings,
@@ -2089,6 +2297,7 @@ PIPELINE_QUERIES = {
     "dedup_containment_pairs": q_dedup_containment,
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_survivors_best_quality": q_dedup_survivors_best,
     "ann_cosine_top5": q_ann_cosine_top5,
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
@@ -2096,6 +2305,8 @@ PIPELINE_QUERIES = {
     "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
     "text_quality_scores": q_text_quality,
+    "quality_model_scores": q_quality_model_scores,
+    "mix_sources_budget": q_mix_sources_budget,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "text_top_bigrams": q_top_bigrams,
@@ -2154,10 +2365,13 @@ PIPELINE_ORACLE = {
     "dedup_containment_pairs": ORACLE_CONTAINMENT,
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+    "dedup_survivors_best_quality": ORACLE_DEDUP_SURVIVORS_BEST,
     "ann_cosine_top5": ORACLE_ANN_TOP5,
     "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
     "emb_decontaminate_hits": ORACLE_EMB_DECONTAMINATE,
     "text_quality_scores": ORACLE_TEXT_QUALITY,
+    "quality_model_scores": ORACLE_QUALITY_MODEL,
+    "mix_sources_budget": ORACLE_MIX_SOURCES,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": _text_fingerprints_oracle(),
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,

@@ -1042,6 +1042,83 @@ WINDOW w AS (PARTITION BY event_type ORDER BY wk)
 """
 
 
+def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal decomposition (moving-average flavor) of the
+    daily event-count series per type: trend = centered 7-day moving
+    average, seasonal = day-of-week mean of the detrended residual —
+    the classic additive decomposition behind seasonal anomaly baselines.
+
+    Integer-core trick for cross-engine exactness: instead of averaging
+    float residuals (order-dependent summation), carry the residual
+    NUMERATOR ``7·count − window_sum`` (exact BIGINT), sum it per
+    day-of-week stratum, and divide once at the end — the only float ops
+    are one division per output row, identical in any engine.  Two tiny
+    shuffles over the days×types aggregate; only the daily count touches
+    the corpus."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    with_ma = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("w_sum"),
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+    ).filter(F.col("w_cnt") == 7)
+    resid = with_ma.select(
+        "event_type",
+        F.dayofweek("day").cast("int").alias("dow"),
+        (F.lit(7) * F.col("n") - F.col("w_sum")).alias("r_num"),
+    )
+    return (
+        resid.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("r_num").cast("bigint").alias("sum_r_num"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            "sum_r_num",
+            F.round(
+                F.col("sum_r_num").cast("double") / (F.lit(7.0) * F.col("n_days")), 6
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ma AS (
+    SELECT event_type, day, n,
+           sum(n) OVER w AS w_sum,
+           count(*) OVER w AS w_cnt
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+resid AS (
+    SELECT event_type, CAST(dayofweek(day) + 1 AS INT) AS dow,
+           7 * n - w_sum AS r_num
+    FROM ma WHERE w_cnt = 7
+)
+SELECT event_type, dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(r_num) AS BIGINT) AS sum_r_num,
+       round(CAST(sum(r_num) AS BIGINT) / (7.0 * CAST(count(*) AS BIGINT)), 6) AS seasonal
+FROM resid GROUP BY event_type, dow ORDER BY event_type, dow
+"""
+
+
 def q_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent-activity detection: treat each event as a live interval
     [ts, ts + value seconds] and count, per user, the pairs of their own
@@ -1321,6 +1398,7 @@ TEMPORAL_QUERIES = {
     "ewma_user_value": q_ewma_user_value,
     "interpolated_minute_values": q_interpolated_minute_values,
     "events_wow_seasonality": q_events_wow_seasonality,
+    "events_seasonal_decompose": q_events_seasonal_decompose,
     "asof_click_attribution_30m": q_asof_click_attribution_30m,
     "events_seasonal_anomalies": q_events_seasonal_anomalies,
     "ops_daily_digest": q_ops_daily_digest,
@@ -1336,6 +1414,7 @@ TEMPORAL_ORACLE = {
     "ewma_user_value": ORACLE_EWMA,
     "interpolated_minute_values": ORACLE_INTERPOLATE,
     "events_wow_seasonality": ORACLE_WOW,
+    "events_seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
     "asof_click_attribution_30m": ORACLE_ASOF_CLICK_30M,
     "events_seasonal_anomalies": ORACLE_SEASONAL_ANOMALIES,
     "ops_daily_digest": ORACLE_OPS_DIGEST,
