@@ -129,6 +129,8 @@ _NEVER_DRIVER_CHECKED = [
     "mix_sources_budget",
     "dedup_survivors_best_quality",
     "events_seasonal_decompose",
+    "multimodal_wav_downsample",
+    "multimodal_y4m_scene_cuts",
 ]
 
 

@@ -1576,6 +1576,58 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def wav_downsample_stats(media: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL audio resample (integer decimation): decode each PCM WAV, keep
+    every ``factor``-th sample (no anti-alias filter — plain decimation,
+    the deterministic baseline a resampler library would refine), and emit
+    the decimated stream's geometry and amplitude statistics.  The
+    round-trip is real — decimated samples re-encode through
+    :func:`encode_wav` and re-decode before measuring, so the container
+    write path is exercised too.  Int sums are exact in float64; sqrt is
+    IEEE-identical; rounding happens in Spark."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_wav(bytes(r.payload))
+                dec = samples[::factor]
+                # real write→read round-trip of the decimated stream
+                dec2, rate2 = decode_wav(encode_wav(dec.astype(np.int16), rate // factor))
+                assert np.array_equal(dec, dec2)
+                s = dec2.astype(np.float64)
+                rows.append(
+                    (
+                        r.media_id,
+                        int(samples.size),
+                        int(dec2.size),
+                        int(rate2),
+                        float(s.mean()),
+                        float(np.sqrt((s * s).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_in", "n_out", "out_rate", "mean_amp", "rms"],
+            )
+
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, n_in int, n_out int, out_rate int, "
+            "mean_amp double, rms double"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "n_in",
+        "n_out",
+        "out_rate",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
 # --- REAL video path: Y4M / YUV4MPEG2 (pure-stdlib container) --------------
 #
 # YUV4MPEG2 is the standard uncompressed video interchange format (what
@@ -1716,4 +1768,41 @@ def y4m_frame_sample(media: DataFrame, num_frames: int = 2) -> DataFrame:
         F.round("mean_y", 4).alias("mean_y"),
         F.round("mean_u", 4).alias("mean_u"),
         F.round("mean_v", 4).alias("mean_v"),
+    )
+
+
+def y4m_scene_cuts(media: DataFrame, threshold: float = 32.0) -> DataFrame:
+    """REAL scene-change detection: decode every frame of each Y4M stream
+    and emit, per consecutive frame pair, the mean absolute Y-plane
+    difference and a cut flag (diff > threshold) — the standard
+    shot-boundary heuristic video pipelines run before sampling keyframes.
+    The per-pair diff is a mean of integer absolute differences, exact in
+    float64 and engine-reproducible; rounding happens in Spark."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, _fps = decode_y4m(bytes(r.payload))
+                n = frames.shape[0]
+                y = frames[..., 0].astype(np.int64)
+                for f in range(n - 1):
+                    diff = float(np.abs(y[f + 1] - y[f]).mean())
+                    rows.append((r.media_id, f, f + 1, n, diff))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_a", "frame_b", "n_frames", "y_diff"],
+            )
+
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
+        run,
+        schema="media_id bigint, frame_a int, frame_b int, n_frames int, y_diff double",
+    )
+    return out.select(
+        "media_id",
+        "frame_a",
+        "frame_b",
+        "n_frames",
+        F.round("y_diff", 4).alias("y_diff"),
+        (F.col("y_diff") > F.lit(threshold)).alias("is_cut"),
     )

@@ -1839,6 +1839,70 @@ FROM lvl
 """
 
 
+def q_wav_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio transform, oracle-checked: decimate each PCM WAV by 4
+    (8 kHz → 2 kHz) with a genuine re-encode→re-decode round-trip of the
+    output stream; the oracle recomputes the decimated sample statistics
+    from the SQL sample formula (every 4th index — stream lengths are
+    multiples of 4 by construction)."""
+    media = multimodal.synthetic_wav_audio(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.wav_downsample_stats(media, factor=4)
+
+
+ORACLE_WAV_DOWNSAMPLE = f"""
+WITH au AS (
+    SELECT doc_id AS media_id,
+           CAST(64 + 32 * (doc_id % 5) AS INT) AS n,
+           {_WAV_CHARS} AS chars
+    FROM documents
+),
+smp AS (
+    SELECT media_id, n,
+           ascii(substring(chars, CAST(i AS INT) + 1, 1)) * 256 - 16384 AS v
+    FROM au, unnest(range(n)) AS t(i)
+    WHERE CAST(i AS INT) % 4 = 0
+)
+SELECT media_id,
+       n AS n_in,
+       CAST(n // 4 AS INT) AS n_out,
+       2000 AS out_rate,
+       round(avg(v), 4) AS mean_amp,
+       round(sqrt(avg(v * v)), 4) AS rms
+FROM smp GROUP BY media_id, n
+"""
+
+
+def q_y4m_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL scene-change detection, oracle-checked: mean absolute Y-plane
+    difference between every consecutive decoded frame pair of each Y4M
+    stream, flagged as a cut above threshold 32 — the shot-boundary pass a
+    video pipeline runs before keyframe sampling. Flat synthetic frames
+    make each pair's diff the exact |ΔY| of the SQL frame formula."""
+    media = multimodal.synthetic_y4m_videos(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.y4m_scene_cuts(media, threshold=32.0)
+
+
+ORACLE_Y4M_SCENE_CUTS = f"""
+WITH vids AS (
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           {_Y4M_CHARS} AS chars
+    FROM documents
+),
+pairs AS (
+    SELECT media_id, n_frames,
+           CAST(i AS INT) AS frame_a, CAST(i AS INT) + 1 AS frame_b,
+           abs(ascii(substring(chars, CAST(i AS INT) + 2, 1))
+               - ascii(substring(chars, CAST(i AS INT) + 1, 1))) AS d
+    FROM vids, unnest(range(n_frames - 1)) AS t(i)
+)
+SELECT media_id, frame_a, CAST(frame_b AS INT) AS frame_b, n_frames,
+       round(CAST(d AS DOUBLE), 4) AS y_diff,
+       CAST(d AS DOUBLE) > 32.0 AS is_cut
+FROM pairs
+"""
+
+
 def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenizer (train + apply): one distributed word-count
     shuffle, merge training on the bounded top-2000 vocab driver-side (the
@@ -2324,7 +2388,9 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_progressive_stats": q_jpeg_progressive_stats,
     "multimodal_jpeg_color_stats": q_jpeg_color_stats,
     "multimodal_wav_decode_stats": q_wav_decode_stats,
+    "multimodal_wav_downsample": q_wav_downsample_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
+    "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
@@ -2389,7 +2455,9 @@ PIPELINE_ORACLE = {
     "multimodal_jpeg_color_stats": ORACLE_JPEG_COLOR,
     "multimodal_feature_extract": ORACLE_MEDIA_FEATURES,
     "multimodal_wav_decode_stats": ORACLE_WAV_DECODE,
+    "multimodal_wav_downsample": ORACLE_WAV_DOWNSAMPLE,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
+    "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,
     "decontaminate_docs": ORACLE_DECONTAMINATE,
     "tfidf_top_terms": ORACLE_TFIDF,

@@ -948,6 +948,38 @@ def test_wav_and_y4m_spark_plumbing(spark):
         assert 32 <= r.mean_y <= 126  # flat frames carry printable ASCII
 
 
+def test_wav_downsample_decimates_exactly(spark):
+    docs = load_table(spark, SF, "documents").limit(12)
+    media = multimodal.synthetic_wav_audio(spark, docs)
+    rows = {r.media_id: r for r in multimodal.wav_downsample_stats(media, factor=4).collect()}
+    raw = {r.media_id: r for r in media.collect()}
+    assert rows.keys() == raw.keys()
+    for mid, r in rows.items():
+        samples, rate = multimodal.decode_wav(bytes(raw[mid].payload))
+        dec = samples[::4].astype(np.float64)
+        assert r.n_in == samples.size and r.n_out == dec.size
+        assert r.out_rate == rate // 4
+        assert r.mean_amp == round(float(dec.mean()), 4)
+        assert r.rms == round(float(np.sqrt((dec * dec).mean())), 4)
+
+
+def test_y4m_scene_cuts_match_numpy(spark):
+    docs = load_table(spark, SF, "documents").limit(12)
+    media = multimodal.synthetic_y4m_videos(spark, docs)
+    rows = multimodal.y4m_scene_cuts(media, threshold=32.0).collect()
+    raw = {r.media_id: r for r in media.collect()}
+    by_media: dict[int, int] = {}
+    for r in rows:
+        frames, _ = multimodal.decode_y4m(bytes(raw[r.media_id].payload))
+        y = frames[..., 0].astype(np.int64)
+        want = float(np.abs(y[r.frame_b] - y[r.frame_a]).mean())
+        assert r.y_diff == round(want, 4)
+        assert r.is_cut == (want > 32.0)
+        by_media[r.media_id] = by_media.get(r.media_id, 0) + 1
+    for mid, npairs in by_media.items():
+        assert npairs == raw[mid].meta_frames - 1
+
+
 # --- BPE tokenizer ---------------------------------------------------------
 
 
