@@ -91,6 +91,12 @@ HEADLINE = [
     "linkage_best_match",
     "cdc_apply_latest",
     "quality_psi_price_drift",
+    # r5 session 4: portable HLL sketch, logistic quality gate,
+    # quality-argmax survivor selection, real Y4M scene-cut detection.
+    "sketch_hll_users_by_type",
+    "quality_model_scores",
+    "dedup_survivors_best_quality",
+    "multimodal_y4m_scene_cuts",
 ]
 
 
