@@ -131,6 +131,8 @@ _NEVER_DRIVER_CHECKED = [
     "events_seasonal_decompose",
     "multimodal_wav_downsample",
     "multimodal_y4m_scene_cuts",
+    "graph_pagerank_parts",
+    "funnel_time_to_convert",
 ]
 
 

@@ -2093,6 +2093,116 @@ ORDER BY n_triangles DESC, part ASC
 """
 
 
+_PR_SCALE = 10**12
+_PR_ITERS = 4
+
+
+def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph — INTEGER-EXACT: rank mass is
+    carried in BIGINT pico-units (10^12 scale) with damping 0.85 = 17/20
+    applied as exact integer division, so per-node contribution sums are
+    order-independent and the iterate is bit-identical in any engine (a
+    float PageRank could never hash-match across engines — summation
+    order).  4 fixed iterations; the oracle replays them as an UNROLLED
+    CTE chain (Spark lacks recursive CTEs; the loop builds the same plan).
+
+    Scale shape: the edge list is the support-thresholded co-purchase
+    aggregate (bounded, like the triangle/CC queries), localCheckpoint
+    cuts lineage per round exactly as connected_components does, and each
+    iteration is one keyed join + one aggregation on the edge key — the
+    standard distributed PageRank step."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    # every node keeps (node, d, n, pr); undirected edges mean indegree ≥ 1
+    # everywhere, so the per-iteration groupBy(dst) covers every node.
+    pr = (
+        deg.crossJoin(F.broadcast(nn))
+        .select("node", "d", "n", F.expr(f"div({_PR_SCALE}, n)").alias("pr"))
+        .localCheckpoint()
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            pr.join(edges, pr.node == edges.src)
+            .select(F.col("dst").alias("node"), F.expr("div(17 * pr, 20 * d)").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            contrib.join(deg, "node")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "d",
+                "n",
+                (F.expr(f"div(3 * {_PR_SCALE}, 20 * n)") + F.col("s")).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        F.col("node").alias("p_partkey"), F.col("pr").alias("pr_scaled")
+    ).orderBy(F.col("pr_scaled").desc(), F.col("p_partkey").asc())
+
+
+def _oracle_pagerank() -> str:
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        """edges AS (
+    SELECT p1 AS src, p2 AS dst FROM pairs
+    UNION
+    SELECT p2 AS src, p1 AS dst FROM pairs
+)""",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)",
+        f"pr0 AS (SELECT node, d, n, {_PR_SCALE} // n AS pr FROM deg CROSS JOIN nn)",
+    ]
+    for k in range(_PR_ITERS):
+        ctes.append(
+            f"""pr{k + 1} AS (
+    SELECT s.node, dd.d, s.n,
+           CAST((3 * {_PR_SCALE}) // (20 * s.n) + s.contrib AS BIGINT) AS pr
+    FROM (SELECT e.dst AS node, max(p.n) AS n,
+                 CAST(sum((17 * p.pr) // (20 * p.d)) AS BIGINT) AS contrib
+          FROM pr{k} p JOIN edges e ON e.src = p.node GROUP BY e.dst) s
+    JOIN deg dd ON dd.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS p_partkey, pr AS pr_scaled FROM pr{_PR_ITERS}
+ORDER BY pr_scaled DESC, p_partkey ASC
+"""
+    )
+
+
+ORACLE_PAGERANK_PARTS = _oracle_pagerank()
+
+
 def q_basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over co-purchased part pairs: support, directional
     confidence, and lift — the classic market-basket trio. Item and pair
@@ -2718,6 +2828,7 @@ QUERIES = {
     "linkage_best_match": q_linkage_best_match,
     "cdc_apply_latest": q_cdc_apply_latest,
     "graph_triangle_parts": q_graph_triangle_parts,
+    "graph_pagerank_parts": q_graph_pagerank_parts,
     "basket_rules_lift": q_basket_rules_lift,
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "stats_theilsen_trend": q_stats_theilsen_trend,
@@ -2798,6 +2909,7 @@ ORACLE = {
     "linkage_best_match": ORACLE_LINKAGE_BEST,
     "cdc_apply_latest": ORACLE_CDC_APPLY,
     "graph_triangle_parts": ORACLE_TRIANGLE_PARTS,
+    "graph_pagerank_parts": ORACLE_PAGERANK_PARTS,
     "basket_rules_lift": ORACLE_BASKET_LIFT,
     "graph_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "stats_theilsen_trend": ORACLE_THEILSEN,

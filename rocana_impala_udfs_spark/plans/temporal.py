@@ -429,6 +429,77 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→click→purchase funnel:
+    among users completing all three ordered steps (first-touch rule,
+    same step semantics as `funnel_view_click_purchase`), the elapsed time
+    from first view to the converting purchase — count, min/max, mean, and
+    the exact upper median (`median.cc:301`) in integer MICROSECONDS, so
+    every statistic is engine-exact (the mean is one division of an exact
+    BIGINT sum)."""
+    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+
+    ev = load_table(spark, sf_dir, "events")
+    s0 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.max("t0").alias("t0"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.max("t0").alias("t0"))
+    )
+    conv = s2.select(
+        "user_id", (F.unix_micros("t2") - F.unix_micros("t0")).alias("dt_us")
+    )
+    med = exact_upper_median(conv, "dt_us", out="median_us")
+    stats = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("dt_us").alias("min_us"),
+        F.max("dt_us").alias("max_us"),
+        F.round(F.sum("dt_us").cast("double") / F.count(F.lit(1)), 4).alias("mean_us"),
+    )
+    return stats.crossJoin(F.broadcast(med))
+
+
+ORACLE_FUNNEL_TTC = """
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT e.user_id, min(e.ts) AS t1, max(s0.t0) AS t0
+    FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+    WHERE e.event_type = 'click' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2, max(s1.t0) AS t0
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = 'purchase' GROUP BY 1
+),
+conv AS (
+    SELECT user_id, epoch_us(t2) - epoch_us(t0) AS dt_us FROM s2
+),
+ranked AS (
+    SELECT dt_us,
+           row_number() OVER (ORDER BY dt_us) AS rn,
+           count(*) OVER () AS n
+    FROM conv
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(dt_us) AS BIGINT) AS min_us,
+       CAST(max(dt_us) AS BIGINT) AS max_us,
+       round(CAST(sum(dt_us) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS mean_us,
+       (SELECT dt_us FROM ranked WHERE rn = n // 2 + 1) AS median_us
+FROM conv
+"""
+
+
 def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured VARIANT type (Spark 4): parse the JSON props column
     once into a variant, extract a typed path, aggregate. Unlike
@@ -1379,6 +1450,7 @@ TEMPORAL_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
+    "funnel_time_to_convert": q_funnel_time_to_convert,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
     "variant_props_stats": q_variant_props_stats,
@@ -1422,6 +1494,7 @@ TEMPORAL_ORACLE = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,
+    "funnel_time_to_convert": ORACLE_FUNNEL_TTC,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
     "variant_props_stats": ORACLE_VARIANT_PROPS,

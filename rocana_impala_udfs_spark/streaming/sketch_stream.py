@@ -62,3 +62,74 @@ def running_kmv_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT_SCHEMA = "group string, hll_distinct double, n_zero_regs int"
+HLL_STATE_SCHEMA = "rhos array<int>"
+
+
+def running_hll_distinct_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+    p: int = 10,
+) -> DataFrame:
+    """Running HLL distinct-count per group across micro-batches — the
+    portable HyperLogLog (``operators/sketches.py:hll_registers``) with
+    its register array persisted in the state store.  State is a dense
+    ``m = 2^p`` int array per group, updated by element-wise max (the HLL
+    merge monoid), so like the KMV stream the estimate after any number
+    of micro-batches is a deterministic function of the SET of values
+    seen — pinned equal to the batch sketch in tests/test_streaming.py.
+
+    The register/rho derivation runs Spark-side (same md5 expressions as
+    the batch operator) so the stateful kernel only takes elementwise
+    maxima — vectorized per Arrow batch, never per row.
+    """
+    m = 1 << p
+    rmax = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    shift = rmax
+
+    def update_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            grouped = pdf.groupby("register")["rho"].max()
+            for reg, rho in grouped.items():
+                r = int(reg)
+                if int(rho) > regs[r]:
+                    regs[r] = int(rho)
+        state.update((regs,))
+        zeros = sum(1 for r in regs if r == 0)
+        int_sum = sum(1 << (shift - r) for r in regs)
+        raw = (alpha * m * m) / (int_sum / float(1 << shift))
+        if raw <= 2.5 * m and zeros > 0:
+            est = float(m) * math.log(float(m) / zeros)
+        else:
+            est = raw
+        yield pd.DataFrame(
+            [{"group": key[0], "hll_distinct": round(est, 4), "n_zero_regs": zeros}]
+        )
+
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = F.shiftright(h, p)
+    blen = F.length(F.bin(w))
+    rho = F.when(w == 0, F.lit(rmax)).otherwise(F.lit(rmax) - blen)
+    derived = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias(group_col),
+        (h % m).cast("int").alias("register"),
+        rho.cast("int").alias("rho"),
+    )
+    return derived.groupBy(group_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

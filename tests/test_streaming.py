@@ -345,6 +345,43 @@ def test_running_kmv_distinct_stream_matches_batch(spark, event_stream_dir):
         assert size <= 64
 
 
+def test_running_hll_distinct_stream_matches_batch(spark, event_stream_dir):
+    """After all micro-batches, the streaming HLL estimate per group equals
+    the batch portable-HLL sketch over the whole table — register-max is
+    the merge monoid, so incremental == one-shot regardless of batch
+    boundaries."""
+    from rocana_impala_udfs_spark.operators.sketches import hll_distinct
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_hll_distinct_stream,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        event_stream_dir
+    )
+    out = running_hll_distinct_stream(stream, p=8)
+    q = out.writeStream.format("memory").queryName("hll_stream").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["group"]: r["hll_distinct"]
+        for r in spark.sql(
+            "SELECT group, hll_distinct FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY group ORDER BY rn DESC) AS rk "
+            " FROM (SELECT *, monotonically_increasing_id() AS rn FROM hll_stream)) "
+            "WHERE rk = 1"
+        ).collect()
+    }
+    batch = load_table(spark, SF, "events")
+    want = {
+        r["event_type"]: r["hll_distinct"]
+        for r in hll_distinct(batch, ["event_type"], "user_id", p=8).collect()
+    }
+    assert set(got) == set(want)
+    for g, est in got.items():
+        assert est == want[g], (g, est, want[g])
+
+
 def test_running_cusum_stream_matches_batch_fold(spark, event_stream_dir):
     """After all micro-batches, the streaming CUSUM per key equals the
     batch fold with the same fixed target — bit-identical, since both run
