@@ -133,6 +133,9 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_y4m_scene_cuts",
     "graph_pagerank_parts",
     "funnel_time_to_convert",
+    "shard_manifest_stats",
+    "curriculum_budget_selection",
+    "corpus_source_dashboard",
 ]
 
 

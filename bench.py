@@ -97,6 +97,10 @@ HEADLINE = [
     "quality_model_scores",
     "dedup_survivors_best_quality",
     "multimodal_y4m_scene_cuts",
+    # Flagship composition: per-source corpus-health dashboard.
+    "corpus_source_dashboard",
+    # Integer-exact PageRank (iterative graph benchmark).
+    "graph_pagerank_parts",
 ]
 
 

@@ -2349,6 +2349,236 @@ FROM gated GROUP BY source ORDER BY source
 """
 
 
+def q_shard_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-sharding manifest: deterministic hash assignment of docs to
+    16 shards (content-addressed md5 — reprocessing-stable, the property
+    training dataloaders need) with per-shard doc/token totals and a skew
+    report vs the ideal uniform share.  Map-side assignment, one
+    shard-keyed aggregation; skew = shard_tokens*16/total is one exact
+    division per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.normalize_text("text")
+    toks = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, " ")))
+        .cast("bigint")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % 16
+    )
+    per_shard = (
+        docs.select(shard.alias("shard"), toks.alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+    )
+    total = per_shard.agg(F.sum("shard_tokens").alias("total_tokens"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.round(
+                F.col("shard_tokens").cast("double") * 16 / F.col("total_tokens"), 6
+            ).alias("skew_vs_uniform"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH base AS (
+    SELECT doc_id, {_NORM} AS t FROM documents
+),
+per_doc AS (
+    SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 16 AS shard,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tok
+    FROM base
+),
+per_shard AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM per_doc GROUP BY shard
+),
+total AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens FROM per_shard)
+SELECT shard, n_docs, shard_tokens,
+       round(CAST(shard_tokens AS DOUBLE) * 16 / total_tokens, 6) AS skew_vs_uniform
+FROM per_shard CROSS JOIN total ORDER BY shard
+"""
+
+
+def q_curriculum_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum selection under a token budget: rank docs by quality
+    (desc, doc_id tiebreak) and keep the prefix whose RUNNING token total
+    stays within 40% of the corpus — 'train on the best N tokens',
+    the selection step of quality-ranked data curricula.  The running sum
+    and budget are exact BIGINTs; quality is the deterministic rounded
+    heuristic, so the kept set is engine-exact.  One global sort over
+    (quality, id) — at 100 TB swap the exact rank for quality-decile
+    bucketing (the histogram_price_equidepth trade, same plan shape
+    otherwise)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.normalize_text("text")
+    toks = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, " ")))
+        .cast("bigint")
+    )
+    scored = docs.select(
+        "doc_id", T.quality_score("text").alias("quality"), toks.alias("n_tok")
+    )
+    budget = scored.agg(
+        F.expr("div(2 * sum(n_tok), 5)").cast("bigint").alias("budget_tokens")
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    running = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        running.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tok") <= F.col("budget_tokens"))
+        .select("doc_id", "quality", "n_tok", "cum_tok")
+        .orderBy("cum_tok")
+    )
+
+
+ORACLE_CURRICULUM = f"""
+WITH base AS (
+    SELECT doc_id, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tok,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr
+    FROM base
+),
+scored AS (
+    SELECT doc_id, n_tok,
+           round((least(nc / 500.0, 1.0)
+                  + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE n_punct * 1.0 / nc END) * 4.0)
+                 ) / 3.0, 6) AS quality
+    FROM feats
+),
+budget AS (SELECT (2 * CAST(sum(n_tok) AS BIGINT)) // 5 AS budget_tokens FROM scored),
+running AS (
+    SELECT doc_id, quality, n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+    FROM scored
+)
+SELECT doc_id, quality, n_tok, cum_tok
+FROM running CROSS JOIN budget
+WHERE cum_tok <= budget_tokens
+ORDER BY cum_tok
+"""
+
+
+def q_corpus_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition #3 — the corpus-health dashboard a data team
+    reviews per SOURCE before a training run: doc/token volume, English
+    share, exact-duplicate rate, PII incidence, and mean quality.  One
+    scan computes every per-doc signal (all JVM expressions), one
+    source-keyed aggregation rolls them up; the duplicate rate reuses the
+    exact-dedup fingerprint (first-occurrence-keeps rule via a window on
+    the fingerprint key — the llm_corpus_pipeline gate).
+
+    Float discipline: mean quality is summed in exact integer MICRO-UNITS
+    (quality is already rounded to 6dp, so round(q*1e6) is lossless) and
+    divided once — no order-dependent float summation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.normalize_text("text")
+    toks = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, " ")))
+        .cast("bigint")
+    )
+    n_email = F.regexp_count("text", F.lit(_PII_EMAIL))
+    n_url = F.regexp_count("text", F.lit(_PII_URL))
+    n_num = F.regexp_count("text", F.lit(_PII_LONGNUM))
+    fp_w = Window.partitionBy("fp").orderBy("doc_id")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        toks.alias("n_tok"),
+        F.round(T.quality_score("text") * 1000000).cast("bigint").alias("q_micro"),
+        ((n_email + n_url + n_num) > 0).cast("int").alias("pii"),
+        T.doc_fingerprint("text").alias("fp"),
+    ).withColumn("is_dup", (F.row_number().over(fp_w) > 1).cast("int"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_english"),
+            F.sum("is_dup").cast("bigint").alias("n_dups"),
+            F.sum("pii").cast("bigint").alias("n_pii"),
+            F.sum("q_micro").alias("q_micro_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_english").cast("double") / F.col("n_docs"), 6).alias("english_share"),
+            F.round(F.col("n_dups").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
+            F.round(F.col("n_pii").cast("double") / F.col("n_docs"), 6).alias("pii_rate"),
+            F.round(F.col("q_micro_sum").cast("double") / F.col("n_docs") / 1000000.0, 6).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_DASHBOARD = f"""
+WITH base AS (
+    SELECT doc_id, source, lang, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id, source, lang,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tok,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr,
+           CASE WHEN (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                      + len(regexp_extract_all(text, '{_PII_URL}'))
+                      + len(regexp_extract_all(text, '{_PII_LONGNUM}'))) > 0 THEN 1 ELSE 0 END AS pii,
+           md5(t) AS fp
+    FROM base
+),
+scored AS (
+    SELECT *,
+           round((least(nc / 500.0, 1.0)
+                  + least(sr * 4.0, 1.0)
+                  + greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE n_punct * 1.0 / nc END) * 4.0)
+                 ) / 3.0, 6) AS quality,
+           CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM feats
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS english_share,
+       round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       round(sum(pii) / CAST(count(*) AS DOUBLE), 6) AS pii_rate,
+       round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_quality
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "index_token_postings": q_index_token_postings,
@@ -2371,6 +2601,9 @@ PIPELINE_QUERIES = {
     "text_quality_scores": q_text_quality,
     "quality_model_scores": q_quality_model_scores,
     "mix_sources_budget": q_mix_sources_budget,
+    "shard_manifest_stats": q_shard_manifest_stats,
+    "curriculum_budget_selection": q_curriculum_budget_selection,
+    "corpus_source_dashboard": q_corpus_source_dashboard,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "text_top_bigrams": q_top_bigrams,
@@ -2438,6 +2671,9 @@ PIPELINE_ORACLE = {
     "text_quality_scores": ORACLE_TEXT_QUALITY,
     "quality_model_scores": ORACLE_QUALITY_MODEL,
     "mix_sources_budget": ORACLE_MIX_SOURCES,
+    "shard_manifest_stats": ORACLE_SHARD_MANIFEST,
+    "curriculum_budget_selection": ORACLE_CURRICULUM,
+    "corpus_source_dashboard": ORACLE_CORPUS_DASHBOARD,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": _text_fingerprints_oracle(),
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,
