@@ -136,6 +136,9 @@ _NEVER_DRIVER_CHECKED = [
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",
+    "exact_weighted_median_price",
+    "stats_acf_daily",
+    "events_changepoint_daily",
 ]
 
 

@@ -324,6 +324,49 @@ def truncate_bytes(col: Column | str, n: int = 10) -> Column:
     return F.substring(c.cast("binary"), 1, n).cast("string")
 
 
+def exact_weighted_upper_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    out: str = "wmedian",
+) -> DataFrame:
+    """Weighted generalization of the reference's upper-median rule: with
+    positive integer weights, pick the smallest value whose CUMULATIVE
+    weight reaches ``W//2 + 1`` — at unit weights this is exactly the
+    element at sorted position ``n//2`` (``median.cc:301``), so the
+    unweighted operator is the w≡1 special case.
+
+    The cumulative weight is strictly increasing, so exactly one row per
+    group satisfies ``cw - w < thr <= cw``; value ties don't affect the
+    output (tied rows share the value).  Integer weights keep the
+    threshold arithmetic exact in any engine.  Same scale shape as
+    :func:`exact_upper_median`: one per-group sort window.
+    """
+    group_cols = group_cols or []
+    part = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    w_cum = part.orderBy(F.col(value_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filtered = df.filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    ranked = filtered.select(
+        *group_cols,
+        F.col(value_col),
+        F.col(weight_col).cast("bigint").alias("_w"),
+        F.sum(F.col(weight_col).cast("bigint")).over(w_cum).alias("_cw"),
+        F.sum(F.col(weight_col).cast("bigint")).over(part).alias("_tw"),
+    )
+    thr = F.expr("div(_tw, 2)") + 1
+    picked = ranked.filter((F.col("_cw") >= thr) & (F.col("_cw") - F.col("_w") < thr))
+    return picked.select(*group_cols, F.col(value_col).alias(out))
+
+
 def exact_upper_median(
     df: DataFrame,
     value_col: str,

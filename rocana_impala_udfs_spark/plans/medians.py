@@ -258,6 +258,42 @@ FROM lineitem WHERE l_quantity IS NOT NULL
 """
 
 
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted upper median: per return flag, the price at which half the
+    total QUANTITY (not half the rows) is reached — the weighted
+    generalization of the reference's upper-median rule (unit weights
+    recover ``median.cc:301`` exactly; see
+    ``functions/median.py:exact_weighted_upper_median``)."""
+    from rocana_impala_udfs_spark.functions.median import exact_weighted_upper_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("qty_w"),
+    )
+    return exact_weighted_upper_median(
+        li, "l_extendedprice", "qty_w", ["l_returnflag"], out="wmedian_price"
+    ).orderBy("l_returnflag")
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           CAST(l_quantity AS BIGINT) AS w,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+)
+SELECT l_returnflag, l_extendedprice AS wmedian_price
+FROM ranked
+WHERE cw >= tw // 2 + 1 AND cw - w < tw // 2 + 1
+ORDER BY l_returnflag
+"""
+
+
 MEDIAN_QUERIES = {
     "appx_median_price_global": q_median_price_global,
     "appx_median_price_by_returnflag": q_median_price_by_returnflag,
@@ -271,6 +307,7 @@ MEDIAN_QUERIES = {
     "exact_median_name_by_segment": q_median_name_by_segment,
     "exact_median_name_truncated10": q_median_name_truncated10,
     "exact_median_price_decimal": q_median_price_decimal,
+    "exact_weighted_median_price": q_weighted_median_price,
     "reservoir_sample_quantity": q_reservoir_sample_quantity,
     "window_median_quantity": q_window_median_quantity,
 }
@@ -307,6 +344,7 @@ MEDIAN_ORACLE = {
     ),
     "exact_median_name_truncated10": ORACLE_MEDIAN_NAME_TRUNCATED,
     "exact_median_price_decimal": ORACLE_MEDIAN_DECIMAL,
+    "exact_weighted_median_price": ORACLE_WEIGHTED_MEDIAN,
     "reservoir_sample_quantity": ORACLE_RESERVOIR_SAMPLE,
     "window_median_quantity": ORACLE_WINDOW_MEDIAN,
 }

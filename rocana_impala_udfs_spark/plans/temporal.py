@@ -429,6 +429,170 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_stats_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series per type,
+    lags 1–3 — the seasonality probe behind ARIMA-style diagnostics.
+    Each lag's Pearson correlation is assembled from SIX INTEGER window
+    sums (counts and their products, exact BIGINTs in any order), so the
+    only float ops are the final mul/sqrt/divide chain — engine-exact,
+    the rolling-correlation discipline applied to the ACF."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lag"), F.col("n").alias("x"), F.col(f"l{k}").alias("y"))
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").cast("bigint").alias("n_pairs"),
+        (num / den).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+ORACLE_ACF_DAILY = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, n,
+           lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+pairs AS (
+    SELECT event_type, 1 AS lag, n AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 2 AS lag, n AS x, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+    UNION ALL
+    SELECT event_type, 3 AS lag, n AS x, l3 AS y FROM lagged WHERE l3 IS NOT NULL
+),
+agg AS (
+    SELECT event_type, lag,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, k AS n_pairs,
+       CAST(k * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(k * syy - sy * sy AS DOUBLE))) AS acf
+FROM agg ORDER BY event_type, lag
+"""
+
+
+def q_events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection (binary segmentation, one split) on the
+    daily count series per type: the split day maximizing the
+    between-segment variance score ((S1·n2 − S2·n1)² / (n1·n2), the CUSUM
+    square).  Candidate scores are BIGINT numerators over BIGINT
+    denominators with ONE float division each — identical IEEE values in
+    any engine, so the argmax (float desc, day asc tiebreak) is
+    engine-exact.  Two windows over the tiny daily aggregate; the corpus
+    is touched once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    part = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("s1"),
+        F.row_number().over(w).alias("n1"),
+        F.sum("n").over(part).alias("st"),
+        F.count(F.lit(1)).over(part).alias("nt"),
+    ).filter(F.col("n1") < F.col("nt"))
+    scored = cum.select(
+        "event_type",
+        "day",
+        "n1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        (
+            (F.col("s1") * (F.col("nt") - F.col("n1")) - (F.col("st") - F.col("s1")) * F.col("n1"))
+            * (F.col("s1") * (F.col("nt") - F.col("n1")) - (F.col("st") - F.col("s1")) * F.col("n1"))
+        ).alias("num"),
+        (F.col("n1") * (F.col("nt") - F.col("n1"))).alias("den"),
+    ).withColumn("score", F.col("num").cast("double") / F.col("den"))
+    rk = Window.partitionBy("event_type").orderBy(F.col("score").desc(), F.col("day").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("n1").cast("bigint").alias("days_before"),
+            F.col("n2").cast("bigint").alias("days_after"),
+            F.round("score", 4).alias("cusum_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CHANGEPOINT = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, day,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS n1,
+           CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+    FROM daily
+),
+scored AS (
+    SELECT event_type, day, n1, nt - n1 AS n2,
+           CAST((s1 * (nt - n1) - (st - s1) * n1) * (s1 * (nt - n1) - (st - s1) * n1) AS DOUBLE)
+           / (n1 * (nt - n1)) AS score
+    FROM cum WHERE n1 < nt
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS split_day,
+       n1 AS days_before,
+       n2 AS days_after,
+       round(score, 4) AS cusum_score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY score DESC, day ASC) = 1
+ORDER BY event_type
+"""
+
+
 def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution for the view→click→purchase funnel:
     among users completing all three ordered steps (first-touch rule,
@@ -1451,6 +1615,8 @@ TEMPORAL_QUERIES = {
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "funnel_time_to_convert": q_funnel_time_to_convert,
+    "stats_acf_daily": q_stats_acf_daily,
+    "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
     "variant_props_stats": q_variant_props_stats,
@@ -1495,6 +1661,8 @@ TEMPORAL_ORACLE = {
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,
     "funnel_time_to_convert": ORACLE_FUNNEL_TTC,
+    "stats_acf_daily": ORACLE_ACF_DAILY,
+    "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
     "variant_props_stats": ORACLE_VARIANT_PROPS,

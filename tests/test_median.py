@@ -338,3 +338,35 @@ def test_percentile_sql_udaf_route(spark):
     spark.range(0, 101).selectExpr("CAST(id AS DOUBLE) AS x").createOrReplaceTempView("_pct_n")
     row = spark.sql("SELECT appx_percentile_bounded(x, 0.75, 1000) AS v FROM _pct_n").collect()[0]
     assert row.v == 75.0
+
+
+def test_weighted_median_unit_weights_recover_upper_median(spark):
+    """With w ≡ 1 the weighted rule must pick exactly the element at
+    sorted position n//2 — the reference's upper median (median.cc:301)."""
+    from rocana_impala_udfs_spark.functions.median import exact_weighted_upper_median
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1) for v in [5, 1, 4, 2, 3]], "g string, x double, w int"
+    )
+    got = exact_weighted_upper_median(df, "x", "w", ["g"], out="m").collect()
+    want = exact_upper_median(df, "x", ["g"], out="m").collect()
+    assert got[0]["m"] == want[0]["m"] == 3.0
+    # even n: upper median rule picks element n//2 (0-based)
+    df6 = spark.createDataFrame(
+        [("g", float(v), 1) for v in [1, 2, 3, 4]], "g string, x double, w int"
+    )
+    assert exact_weighted_upper_median(df6, "x", "w", ["g"], out="m").collect()[0]["m"] == 3.0
+
+
+def test_weighted_median_hand_example(spark):
+    """values 1,2,3 with weights 1,1,4: W=6, threshold 4 → cumulative
+    weights 1,2,6 → first value reaching 4 is 3. Also check the weight
+    concentrated on a small value drags the median down."""
+    from rocana_impala_udfs_spark.functions.median import exact_weighted_upper_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 4), ("b", 1.0, 10), ("b", 2.0, 1), ("b", 3.0, 1)],
+        "g string, x double, w int",
+    )
+    out = {r["g"]: r["m"] for r in exact_weighted_upper_median(df, "x", "w", ["g"], out="m").collect()}
+    assert out == {"a": 3.0, "b": 1.0}
