@@ -139,6 +139,8 @@ _NEVER_DRIVER_CHECKED = [
     "exact_weighted_median_price",
     "stats_acf_daily",
     "events_changepoint_daily",
+    "bitmap_intersect_users",
+    "events_peak_concurrency",
 ]
 
 

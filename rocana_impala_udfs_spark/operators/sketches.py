@@ -345,3 +345,47 @@ def countmin_estimate(
     return joined.groupBy("v").agg(F.min("counter").alias("cm_est")).select(
         F.col("v").alias(value_col), "cm_est"
     )
+
+
+# --- Bitmap (bitset) distinct-set algebra -----------------------------------
+#
+# The exact counterpart of the sketches above: integer key sets packed into
+# 64-bit words (word = id // 64, bit = id % 64) and combined with bitwise
+# aggregates.  bit_or is the merge (same partial+final contract), AND +
+# popcount computes intersections WITHOUT materializing either side — the
+# roaring-bitmap trick OLAP engines use for audience/set analytics.  Unlike
+# KMV/HLL this is exact, at O(universe/64) state per group.
+
+
+def bitmap_words(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """Per-group bitmap state: one row per (group, word) with the OR of
+    member bits.  Shuffle volume is bounded by groups × universe/64 words
+    regardless of row count; bit_or partials combine map-side."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.expr(f"div({id_col}, 64)").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))").alias("bits"),
+        )
+        .groupBy("g", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bitmap_cardinality(words: DataFrame) -> DataFrame:
+    """Exact distinct count per group: popcount over the word bitmap."""
+    return words.groupBy("g").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )
+
+
+def bitmap_intersect_count(words_a: DataFrame, words_b: DataFrame) -> DataFrame:
+    """Exact |A ∩ B| via word-aligned AND + popcount — one equi-join on
+    the word index, never a join on the members themselves."""
+    a = words_a.select(F.col("word"), F.col("bits").alias("ba"))
+    b = words_b.select(F.col("word"), F.col("bits").alias("bb"))
+    return a.join(b, "word").agg(
+        F.coalesce(
+            F.sum(F.bit_count(F.expr("ba & bb"))), F.lit(0)
+        ).cast("bigint").alias("n_both")
+    )

@@ -1581,6 +1581,58 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_bitmap_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience set algebra via 64-bit bitmap words — the
+    roaring-bitmap pattern: user sets packed as (word=id//64, bit_or of
+    bits), intersected by word-aligned AND + popcount, never joining on
+    members. bit_or partials merge map-side (the same mergeable-state
+    contract as the sketches); the oracle is plain COUNT(DISTINCT ...) set
+    algebra, proving the bitmap path exact. State is groups × universe/64
+    words — the exact/compact middle ground between raw distinct and
+    KMV/HLL estimates."""
+    from rocana_impala_udfs_spark.operators.sketches import (
+        bitmap_cardinality,
+        bitmap_intersect_count,
+        bitmap_words,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    words = bitmap_words(ev, "event_type", "user_id").localCheckpoint()
+    card = bitmap_cardinality(words)
+    click_w = words.filter(F.col("g") == "click")
+    buy_w = words.filter(F.col("g") == "purchase")
+    both = bitmap_intersect_count(click_w, buy_w)
+
+    def pick(tag: str):
+        return F.max(F.when(F.col("g") == tag, F.col("n_distinct")))
+
+    counts = card.agg(
+        pick("click").cast("bigint").alias("n_click"),
+        pick("purchase").cast("bigint").alias("n_purchase"),
+    )
+    return counts.crossJoin(F.broadcast(both)).select(
+        "n_click",
+        "n_purchase",
+        "n_both",
+        (F.col("n_click") + F.col("n_purchase") - F.col("n_both")).alias("n_either"),
+    )
+
+
+ORACLE_BITMAP_INTERSECT = """
+SELECT
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'click') AS n_click,
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events WHERE event_type = 'purchase') AS n_purchase,
+    (SELECT CAST(count(*) AS BIGINT) FROM
+        (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t) AS n_both,
+    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+     WHERE event_type IN ('click', 'purchase')) AS n_either
+"""
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users via a PORTABLE HyperLogLog — the same
     public algorithm behind ``approx_count_distinct``, rebuilt on the shared
@@ -2888,6 +2940,7 @@ QUERIES = {
     "skyline_parts": q_skyline_parts,
     "kmv_distinct_users_by_type": q_kmv_distinct_users,
     "sketch_hll_users_by_type": q_hll_distinct_users,
+    "bitmap_intersect_users": q_bitmap_intersect_users,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -2967,6 +3020,7 @@ ORACLE = {
     "skyline_parts": ORACLE_SKYLINE_PARTS,
     "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
     "sketch_hll_users_by_type": ORACLE_HLL_USERS,
+    "bitmap_intersect_users": ORACLE_BITMAP_INTERSECT,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,

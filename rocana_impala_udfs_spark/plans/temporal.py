@@ -429,6 +429,70 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: treat each event as a live
+    interval [ts, ts + value seconds) and find the maximum number
+    simultaneously open, plus when it is first reached — the classic
+    sweep-line (+1 at start, −1 at end, running sum), i.e. the ops
+    'max concurrent sessions' metric.  Epoch-microsecond BIGINTs, end
+    markers sort before starts at the same instant (half-open
+    intervals), so the running sum and its argmax are engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("e"),
+    ).filter(F.col("e") > F.col("s"))
+    marks = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t").asc(), F.col("d").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = marks.select(
+        "event_type", "t", F.sum("d").over(w).alias("open_now")
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("open_now").desc(), F.col("t").asc()
+    )
+    return (
+        run.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("open_now").cast("bigint").alias("peak_concurrency"),
+            F.col("t").alias("first_peak_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH iv AS (
+    SELECT event_type, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+    FROM events
+),
+marks AS (
+    SELECT event_type, s AS t, 1 AS d FROM iv WHERE e > s
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS d FROM iv WHERE e > s
+),
+run AS (
+    SELECT event_type, t,
+           CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t ASC, d ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_now
+    FROM marks
+)
+SELECT event_type, open_now AS peak_concurrency, t AS first_peak_us
+FROM run
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY open_now DESC, t ASC) = 1
+ORDER BY event_type
+"""
+
+
 def q_stats_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the daily event-count series per type,
     lags 1–3 — the seasonality probe behind ARIMA-style diagnostics.
@@ -1616,6 +1680,7 @@ TEMPORAL_QUERIES = {
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
     "funnel_time_to_convert": q_funnel_time_to_convert,
     "stats_acf_daily": q_stats_acf_daily,
+    "events_peak_concurrency": q_events_peak_concurrency,
     "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
@@ -1662,6 +1727,7 @@ TEMPORAL_ORACLE = {
     "funnel_view_click_purchase": ORACLE_FUNNEL,
     "funnel_time_to_convert": ORACLE_FUNNEL_TTC,
     "stats_acf_daily": ORACLE_ACF_DAILY,
+    "events_peak_concurrency": ORACLE_PEAK_CONCURRENCY,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
