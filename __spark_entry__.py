@@ -141,6 +141,8 @@ _NEVER_DRIVER_CHECKED = [
     "events_changepoint_daily",
     "bitmap_intersect_users",
     "events_peak_concurrency",
+    "events_duration_log2_buckets",
+    "source_vocab_overlap",
 ]
 
 

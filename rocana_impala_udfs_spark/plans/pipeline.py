@@ -2484,6 +2484,70 @@ ORDER BY cum_tok
 """
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary comparison: pairwise Jaccard similarity of
+    the token VOCABULARIES (distinct-token sets) of every source pair —
+    the corpus-drift probe for 'is this new source lexically novel?'.
+    One token-keyed shuffle builds per-source vocabularies; intersection
+    sizes come from a self-join on the token key (never all-pairs on
+    docs); Jaccard is one exact-integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(F.split(T.normalize_text("text"), " ")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("source").alias("s1"), F.col("v").alias("v1"))
+    s2 = sizes.select(F.col("source").alias("s2"), F.col("v").alias("v2"))
+    return (
+        inter.join(F.broadcast(s1), "s1")
+        .join(F.broadcast(s2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("v1") + F.col("v2") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+ORACLE_VOCAB_OVERLAP = f"""
+WITH vocab AS (
+    SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ) WHERE length(tok) > 0
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY source),
+inter AS (
+    SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_common
+    FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.s1, i.s2, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (x.v + y.v - i.n_common), 6) AS vocab_jaccard
+FROM inter i JOIN sizes x ON x.source = i.s1 JOIN sizes y ON y.source = i.s2
+ORDER BY i.s1, i.s2
+"""
+
+
 def q_corpus_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition #3 — the corpus-health dashboard a data team
     reviews per SOURCE before a training run: doc/token volume, English
@@ -2604,6 +2668,7 @@ PIPELINE_QUERIES = {
     "shard_manifest_stats": q_shard_manifest_stats,
     "curriculum_budget_selection": q_curriculum_budget_selection,
     "corpus_source_dashboard": q_corpus_source_dashboard,
+    "source_vocab_overlap": q_source_vocab_overlap,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "text_top_bigrams": q_top_bigrams,
@@ -2674,6 +2739,7 @@ PIPELINE_ORACLE = {
     "shard_manifest_stats": ORACLE_SHARD_MANIFEST,
     "curriculum_budget_selection": ORACLE_CURRICULUM,
     "corpus_source_dashboard": ORACLE_CORPUS_DASHBOARD,
+    "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": _text_fingerprints_oracle(),
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,

@@ -429,6 +429,35 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_events_duration_log2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency histogram on a log2 scale (the SLO-dashboard bucketing:
+    1-2ms, 2-4ms, ...): bucket = bit length of the integer microsecond
+    duration — an INTEGER log2 floor, no libm, so bucketing is
+    engine-exact even at bucket boundaries (where floor(log2(x)) in
+    floating point famously misbuckets powers of two).  One scan, one
+    (type, bucket)-keyed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.floor(F.col("value") * 1000000.0).cast("bigint")
+    bucket = F.when(us <= 0, F.lit(0)).otherwise(F.length(F.bin(us)))
+    return (
+        ev.select("event_type", bucket.cast("int").alias("log2_bucket"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type", "log2_bucket")
+    )
+
+
+ORACLE_LOG2_BUCKETS = """
+WITH us AS (
+    SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS d FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN d <= 0 THEN 0 ELSE length(format('{:b}', d)) END AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM us GROUP BY 1, 2 ORDER BY event_type, log2_bucket
+"""
+
+
 def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency per event type: treat each event as a live
     interval [ts, ts + value seconds) and find the maximum number
@@ -1681,6 +1710,7 @@ TEMPORAL_QUERIES = {
     "funnel_time_to_convert": q_funnel_time_to_convert,
     "stats_acf_daily": q_stats_acf_daily,
     "events_peak_concurrency": q_events_peak_concurrency,
+    "events_duration_log2_buckets": q_events_duration_log2_buckets,
     "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
@@ -1728,6 +1758,7 @@ TEMPORAL_ORACLE = {
     "funnel_time_to_convert": ORACLE_FUNNEL_TTC,
     "stats_acf_daily": ORACLE_ACF_DAILY,
     "events_peak_concurrency": ORACLE_PEAK_CONCURRENCY,
+    "events_duration_log2_buckets": ORACLE_LOG2_BUCKETS,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
