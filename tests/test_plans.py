@@ -319,3 +319,56 @@ def test_countmin_grid_broadcasts_to_probes(spark):
     plan = _plan(spark, "sketch_countmin_tokens")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_dashboard_single_scan_one_keyed_agg(spark):
+    """Flagship #3: one parquet scan of documents, no join of the corpus
+    to itself, partial+final aggregation on the source key."""
+    plan = _plan(spark, "corpus_source_dashboard")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_curriculum_budget_is_broadcast(spark):
+    """The token budget (a 1-row aggregate) must broadcast — the corpus
+    never shuffles to meet it."""
+    plan = _plan(spark, "curriculum_budget_selection")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_intersect_joins_on_word_only(spark):
+    """Bitmap intersection equi-joins on the word index — never on the
+    member ids themselves (SortMergeJoin/ShuffledHashJoin/BHJ on word)."""
+    plan = _plan(spark, "bitmap_intersect_users")
+    assert "CartesianProduct" not in plan
+    assert "word" in plan
+    # popcount over the word-aligned AND; the bit_or build side sits behind
+    # the localCheckpoint lineage cut, so assert the probe side only.
+    assert "bit_count" in plan and "&" in plan
+
+
+def test_hll_partial_final_agg_no_python(spark):
+    """Portable HLL: register max under partial+final HashAggregate, all
+    JVM expressions (no BatchEvalPython / ArrowEvalPython)."""
+    plan = _plan(spark, "sketch_hll_users_by_type")
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_vocab_overlap_joins_on_token_key(spark):
+    """Vocabulary Jaccard: the self-join is keyed on tok — no cartesian,
+    and the per-source size tables broadcast."""
+    plan = _plan(spark, "source_vocab_overlap")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_seasonal_decompose_two_window_shuffles_max(spark):
+    """The decomposition windows run over the tiny daily aggregate — the
+    corpus is aggregated once (exactly one Exchange carries the raw rows;
+    the rest operate on days × types)."""
+    plan = _plan(spark, "events_seasonal_decompose")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
