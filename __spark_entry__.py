@@ -143,6 +143,8 @@ _NEVER_DRIVER_CHECKED = [
     "events_peak_concurrency",
     "events_duration_log2_buckets",
     "source_vocab_overlap",
+    "events_conversion_wilson_ci",
+    "emb_centroid_microunits",
 ]
 
 

@@ -2484,6 +2484,51 @@ ORDER BY cum_tok
 """
 
 
+def q_emb_centroid_microunits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, ENGINE-EXACT: float sums are order
+    dependent (a distributed mean of float32 components can never
+    hash-match another engine), so each component is quantized to integer
+    MICRO-UNITS (floor(x·1e6) — float→double widening and the multiply
+    are exact IEEE ops) and summed as BIGINTs; the centroid is the exact
+    integer division of exact sums.  First 4 dimensions reported.  One
+    posexplode + one (label, dim)-keyed aggregation; at scale this is the
+    vector-average shuffle every k-means/mean-pooling job pays, with map
+    side partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, 4)).alias("dim0", "v"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000.0).cast("bigint").alias("v_micro"),
+    )
+    return (
+        parts.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("v_micro").alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            F.expr("div(sum_micro, n_vecs)").alias("centroid_micro"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_EMB_CENTROID = """
+SELECT label, CAST(d.dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+           // count(*) AS centroid_micro
+FROM embeddings t, (SELECT unnest([1, 2, 3, 4]) AS dim) d
+GROUP BY 1, 2 ORDER BY label, dim
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary comparison: pairwise Jaccard similarity of
     the token VOCABULARIES (distinct-token sets) of every source pair —
@@ -2669,6 +2714,7 @@ PIPELINE_QUERIES = {
     "curriculum_budget_selection": q_curriculum_budget_selection,
     "corpus_source_dashboard": q_corpus_source_dashboard,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "emb_centroid_microunits": q_emb_centroid_microunits,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "text_top_bigrams": q_top_bigrams,
@@ -2740,6 +2786,7 @@ PIPELINE_ORACLE = {
     "curriculum_budget_selection": ORACLE_CURRICULUM,
     "corpus_source_dashboard": ORACLE_CORPUS_DASHBOARD,
     "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
+    "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": _text_fingerprints_oracle(),
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,

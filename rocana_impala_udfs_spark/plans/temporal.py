@@ -429,6 +429,63 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily conversion rate (purchase share of all events) with the 95%
+    Wilson score interval — the statistically honest rate report (the
+    normal approximation misbehaves at small n / extreme p; Wilson is
+    what A/B dashboards should use).  s and n are exact integers; the
+    interval is one fixed-order float chain shared verbatim with the
+    oracle, rounded 6dp against the sqrt libm call."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("bigint").alias("s"),
+    )
+    n = F.col("n").cast("double")
+    ph = F.col("s").cast("double") / n
+    z2 = F.lit(3.8416)
+    denom = F.lit(1.0) + z2 / n
+    center = (ph + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(ph * (F.lit(1.0) - ph) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        "s",
+        F.round(ph, 6).alias("p_hat"),
+        F.round(F.greatest(F.lit(0.0), center - half), 6).alias("wilson_lo"),
+        F.round(F.least(F.lit(1.0), center + half), 6).alias("wilson_hi"),
+    ).orderBy("day")
+
+
+ORACLE_WILSON_CI = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+    FROM events GROUP BY 1
+),
+calc AS (
+    SELECT day, n, s,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+           1.0 + 3.8416 / CAST(n AS DOUBLE) AS denom
+    FROM daily
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, s,
+       round(ph, 6) AS p_hat,
+       round(greatest(0.0, ((ph + 3.8416 / (2.0 * CAST(n AS DOUBLE))) / denom)
+             - (1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom)), 6) AS wilson_lo,
+       round(least(1.0, ((ph + 3.8416 / (2.0 * CAST(n AS DOUBLE))) / denom)
+             + (1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE)
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom)), 6) AS wilson_hi
+FROM calc ORDER BY day
+"""
+
+
 def q_events_duration_log2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latency histogram on a log2 scale (the SLO-dashboard bucketing:
     1-2ms, 2-4ms, ...): bucket = bit length of the integer microsecond
@@ -1711,6 +1768,7 @@ TEMPORAL_QUERIES = {
     "stats_acf_daily": q_stats_acf_daily,
     "events_peak_concurrency": q_events_peak_concurrency,
     "events_duration_log2_buckets": q_events_duration_log2_buckets,
+    "events_conversion_wilson_ci": q_events_conversion_wilson_ci,
     "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
@@ -1759,6 +1817,7 @@ TEMPORAL_ORACLE = {
     "stats_acf_daily": ORACLE_ACF_DAILY,
     "events_peak_concurrency": ORACLE_PEAK_CONCURRENCY,
     "events_duration_log2_buckets": ORACLE_LOG2_BUCKETS,
+    "events_conversion_wilson_ci": ORACLE_WILSON_CI,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
