@@ -145,6 +145,7 @@ _NEVER_DRIVER_CHECKED = [
     "source_vocab_overlap",
     "events_conversion_wilson_ci",
     "emb_centroid_microunits",
+    "sql_text_monthly_nation_rank",
 ]
 
 

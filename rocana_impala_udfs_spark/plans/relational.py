@@ -1581,6 +1581,57 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_sql_text_monthly_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL TEXT interface end-to-end: a CTE + 3-table join + window
+    query submitted as one ``spark.sql`` string over registered views —
+    what a reference user migrating SQL workloads runs verbatim.  Top-3
+    nations by monthly order revenue; revenue summed in DECIMAL(18,2)
+    per-row casts so the aggregate is exact in any summation order (the
+    `_sum_rev_exact` discipline), rank ties broken by name."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_sqlt_{t}")
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT n.n_name,
+                   date_format(date_trunc('month', o.o_orderdate), 'yyyy-MM') AS month,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM _sqlt_orders o
+            JOIN _sqlt_customer c ON o.o_custkey = c.c_custkey
+            JOIN _sqlt_nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+        )
+        SELECT month, n_name, revenue, rk FROM (
+            SELECT month, n_name, revenue,
+                   CAST(rank() OVER (PARTITION BY month
+                                     ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
+            FROM monthly
+        ) ranked
+        WHERE rk <= 3
+        ORDER BY month, rk, n_name
+        """
+    )
+
+
+ORACLE_SQL_TEXT_RANK = """
+WITH monthly AS (
+    SELECT n.n_name,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
+)
+SELECT month, n_name, CAST(revenue AS DECIMAL(18,2)) AS revenue,
+       CAST(rank() OVER (PARTITION BY month
+                         ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
+FROM monthly
+QUALIFY rk <= 3
+ORDER BY month, rk, n_name
+"""
+
+
 def q_bitmap_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT audience set algebra via 64-bit bitmap words — the
     roaring-bitmap pattern: user sets packed as (word=id//64, bit_or of
@@ -2941,6 +2992,7 @@ QUERIES = {
     "kmv_distinct_users_by_type": q_kmv_distinct_users,
     "sketch_hll_users_by_type": q_hll_distinct_users,
     "bitmap_intersect_users": q_bitmap_intersect_users,
+    "sql_text_monthly_nation_rank": q_sql_text_monthly_nation_rank,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3021,6 +3073,7 @@ ORACLE = {
     "kmv_distinct_users_by_type": ORACLE_KMV_USERS,
     "sketch_hll_users_by_type": ORACLE_HLL_USERS,
     "bitmap_intersect_users": ORACLE_BITMAP_INTERSECT,
+    "sql_text_monthly_nation_rank": ORACLE_SQL_TEXT_RANK,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
