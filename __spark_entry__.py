@@ -146,6 +146,7 @@ _NEVER_DRIVER_CHECKED = [
     "events_conversion_wilson_ci",
     "emb_centroid_microunits",
     "sql_text_monthly_nation_rank",
+    "emb_int8_quantized_topk",
 ]
 
 

@@ -2529,6 +2529,72 @@ GROUP BY 1, 2 ORDER BY label, dim
 """
 
 
+def q_emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search — the int8 scale path production ANN
+    systems ship (4x memory, SIMD dot products): per-vector max-abs
+    scaling to int8 via the engine-portable floor(x·scale + 0.5) rounding
+    rule, then EXACT INTEGER dot products for ranking.  Quantization is
+    per-vector float ops with one fixed-order chain; every pairwise score
+    is an integer sum (order-independent), so the top-5 per query
+    (tiebreak vec_id) is engine-exact — the rare ANN variant that can be
+    hash-checked rather than recall-tested.  3 query vectors broadcast
+    against the corpus; all pure JVM HOFs (zip_with / aggregate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            " * (127.0 / array_max(transform(embedding, y -> abs(cast(y as double)))))"
+            " + 0.5) as long))"
+        ).alias("q"),
+    )
+    queries = quant.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    pairs = quant.filter(F.col("vec_id") >= 3).crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (a, e) -> a + e)").alias(
+            "dot_i8"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_i8").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("rk").cast("int").alias("rk"), "vec_id", "dot_i8")
+        .orderBy("query_id", "rk")
+    )
+
+
+ORACLE_EMB_INT8_TOPK = """
+WITH scales AS (
+    SELECT vec_id, embedding,
+           127.0 / (SELECT max(abs(CAST(u.v AS DOUBLE))) FROM unnest(embedding) AS u(v)) AS s
+    FROM embeddings
+),
+quant AS (
+    SELECT vec_id,
+           d.dim AS dim,
+           CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * s + 0.5) AS BIGINT) AS q
+    FROM scales, (SELECT unnest(range(1, 65)) AS dim) d
+),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           CAST(sum(a.q * b.q) AS BIGINT) AS dot_i8
+    FROM quant a JOIN quant b ON a.dim = b.dim
+    WHERE a.vec_id < 3 AND b.vec_id >= 3
+    GROUP BY 1, 2
+)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_i8 DESC, vec_id ASC) AS INT) AS rk,
+       vec_id, dot_i8
+FROM dots
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary comparison: pairwise Jaccard similarity of
     the token VOCABULARIES (distinct-token sets) of every source pair —
@@ -2715,6 +2781,7 @@ PIPELINE_QUERIES = {
     "corpus_source_dashboard": q_corpus_source_dashboard,
     "source_vocab_overlap": q_source_vocab_overlap,
     "emb_centroid_microunits": q_emb_centroid_microunits,
+    "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
     "text_fingerprints": q_text_fingerprints,
     "text_top_bigrams": q_top_bigrams,
@@ -2787,6 +2854,7 @@ PIPELINE_ORACLE = {
     "corpus_source_dashboard": ORACLE_CORPUS_DASHBOARD,
     "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
+    "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,
     "text_fingerprints": _text_fingerprints_oracle(),
     "text_top_bigrams": ORACLE_TOP_BIGRAMS,
