@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -130,6 +131,61 @@ def running_hll_distinct_stream(
         update_fn,
         outputStructType=HLL_OUTPUT_SCHEMA,
         stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BITMAP_OUTPUT_SCHEMA = "group string, n_distinct bigint, n_words int"
+BITMAP_STATE_SCHEMA = "words array<bigint>, bits array<bigint>"
+
+
+def running_bitmap_distinct_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Running EXACT distinct count per group via 64-bit bitmap state —
+    the streaming face of ``operators/sketches.py:bitmap_words``.  State
+    is a sparse (word → bits) map persisted across micro-batches and
+    merged by bitwise OR (the same monoid as the batch bit_or aggregate),
+    so the running count is exact at O(universe/64) state per group —
+    pinned equal to batch ``bitmap_cardinality`` in tests/test_streaming.py.
+
+    Word/bit derivation runs Spark-side; the stateful kernel ORs
+    per-batch word masks (one pass over a pre-aggregated pandas frame)."""
+
+    def update_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        words: dict[int, int] = {}
+        if state.exists:
+            ws, bs = state.get
+            words = {int(w): int(b) for w, b in zip(ws, bs)}
+        for pdf in pdfs:
+            # pre-OR the batch per word, vectorized, then merge into state
+            batch = pdf.groupby("word")["bits"].apply(
+                lambda s: int(np.bitwise_or.reduce(s.to_numpy(dtype=np.int64)))
+            )
+            for w, b in batch.items():
+                words[int(w)] = words.get(int(w), 0) | int(b)
+        state.update((list(words.keys()), list(words.values())))
+        n = sum(int(v & ((1 << 64) - 1)).bit_count() for v in words.values())
+        yield pd.DataFrame(
+            [{"group": key[0], "n_distinct": n, "n_words": len(words)}]
+        )
+
+    derived = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.expr(f"div({value_col}, 64)").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({value_col} % 64 AS INT))"
+        ).alias("bits"),
+    )
+    return derived.groupBy(group_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=BITMAP_OUTPUT_SCHEMA,
+        stateStructType=BITMAP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -382,6 +382,41 @@ def test_running_hll_distinct_stream_matches_batch(spark, event_stream_dir):
         assert est == want[g], (g, est, want[g])
 
 
+def test_running_bitmap_distinct_stream_is_exact(spark, event_stream_dir):
+    """After all micro-batches, the streaming bitmap distinct count per
+    group EQUALS the exact COUNT(DISTINCT) over the whole table — bitwise
+    OR is the merge monoid, and unlike KMV/HLL the answer is exact."""
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_bitmap_distinct_stream,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        event_stream_dir
+    )
+    out = running_bitmap_distinct_stream(stream)
+    q = out.writeStream.format("memory").queryName("bm_stream").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["group"]: r["n_distinct"]
+        for r in spark.sql(
+            "SELECT group, n_distinct FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY group ORDER BY rn DESC) AS rk "
+            " FROM (SELECT *, monotonically_increasing_id() AS rn FROM bm_stream)) "
+            "WHERE rk = 1"
+        ).collect()
+    }
+    batch = load_table(spark, SF, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_running_cusum_stream_matches_batch_fold(spark, event_stream_dir):
     """After all micro-batches, the streaming CUSUM per key equals the
     batch fold with the same fixed target — bit-identical, since both run
