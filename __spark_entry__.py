@@ -147,6 +147,7 @@ _NEVER_DRIVER_CHECKED = [
     "emb_centroid_microunits",
     "sql_text_monthly_nation_rank",
     "emb_int8_quantized_topk",
+    "multimodal_histogram_similarity",
 ]
 
 

@@ -522,6 +522,63 @@ def ppm_feature_histogram(media: DataFrame, bins: int = 32) -> DataFrame:
     return out.select("media_id", "bin", F.round("frac", 6).alias("frac"))
 
 
+def ppm_histogram_counts(media: DataFrame, bins: int = 32) -> DataFrame:
+    """Integer byte-histogram per decoded P6 image — the un-normalized
+    companion of :func:`ppm_feature_histogram`, kept in exact BIGINT
+    counts so downstream similarity scores (histogram intersection) are
+    order-independent integers."""
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_ppm(bytes(r.payload))
+                flat = img.reshape(-1)
+                hist = np.bincount(flat // width, minlength=bins)
+                for b in np.nonzero(hist)[0]:
+                    rows.append((r.media_id, int(b), int(hist[b])))
+            yield pd.DataFrame(rows, columns=["media_id", "bin", "cnt"])
+
+    return _spread(media.select("media_id", "payload")).mapInPandas(
+        run, schema="media_id bigint, bin int, cnt bigint"
+    )
+
+
+def ppm_histogram_similarity(
+    media: DataFrame, n_probes: int = 3, top_k: int = 5, bins: int = 32
+) -> DataFrame:
+    """Content-based image retrieval over REAL decodes: histogram
+    intersection Σ min(cA, cB) between each probe image (the ``n_probes``
+    smallest ids) and every other image, top-``top_k`` per probe.  The
+    score is an exact integer (absent bins contribute 0, so the inner
+    join on bin loses nothing), making ranking engine-exact.  Probe
+    histograms broadcast (bins × probes rows); the corpus side is one
+    decode pass + one bin-keyed join — no image-pair blowup beyond
+    probes × corpus."""
+    hist = ppm_histogram_counts(media, bins)
+    probes = hist.filter(F.col("media_id") < n_probes).select(
+        F.col("media_id").alias("probe_id"), "bin", F.col("cnt").alias("pcnt")
+    )
+    cand = hist.filter(F.col("media_id") >= n_probes)
+    scored = (
+        cand.join(F.broadcast(probes), "bin")
+        .groupBy("probe_id", "media_id")
+        .agg(F.sum(F.least("cnt", "pcnt")).alias("overlap"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("overlap").desc(), F.col("media_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("probe_id", F.col("rk").cast("int").alias("rk"), "media_id", "overlap")
+        .orderBy("probe_id", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL image path 3: baseline JPEG, grayscale (pure numpy + stdlib — Huffman
 # entropy coding, DCT, marker framing all implemented here)

@@ -1839,6 +1839,43 @@ FROM lvl
 """
 
 
+def q_ppm_histogram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based image retrieval over REAL decodes, oracle-checked:
+    histogram-intersection top-5 per probe image — every score an exact
+    integer recomputed by the oracle from the SQL pixel formula."""
+    media = multimodal.synthetic_ppm_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.ppm_histogram_similarity(media, n_probes=3, top_k=5)
+
+
+ORACLE_PPM_SIMILARITY = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id, {_PPM_PIX} AS pix FROM documents
+),
+px AS (
+    SELECT media_id,
+           ascii(substring(pix, CAST(i AS INT) + 1, 1)) // 8 AS bin
+    FROM imgs, unnest(range(length(pix))) AS t(i)
+),
+hist AS (
+    SELECT media_id, bin, CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.media_id AS probe_id, h.media_id AS media_id,
+           CAST(sum(least(p.cnt, h.cnt)) AS BIGINT) AS overlap
+    FROM hist p JOIN hist h ON p.bin = h.bin
+    WHERE p.media_id < 3 AND h.media_id >= 3
+    GROUP BY 1, 2
+)
+SELECT probe_id,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY overlap DESC, media_id ASC) AS INT) AS rk,
+       media_id, overlap
+FROM scored
+QUALIFY rk <= 5
+ORDER BY probe_id, rk
+"""
+
+
 def q_wav_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio transform, oracle-checked: decimate each PCM WAV by 4
     (8 kHz → 2 kHz) with a genuine re-encode→re-decode round-trip of the
@@ -2795,6 +2832,7 @@ PIPELINE_QUERIES = {
     "multimodal_ppm_resize": q_ppm_resize,
     "multimodal_png_decode_stats": q_png_decode_stats,
     "multimodal_ppm_feature_histogram": q_ppm_feature_histogram,
+    "multimodal_histogram_similarity": q_ppm_histogram_similarity,
     "multimodal_jpeg_decode_stats": q_jpeg_decode_stats,
     "multimodal_jpeg_progressive_stats": q_jpeg_progressive_stats,
     "multimodal_jpeg_color_stats": q_jpeg_color_stats,
@@ -2867,6 +2905,7 @@ PIPELINE_ORACLE = {
     "multimodal_ppm_resize": ORACLE_PPM_RESIZE,
     "multimodal_png_decode_stats": ORACLE_PNG_DECODE,
     "multimodal_ppm_feature_histogram": ORACLE_PPM_FEATURES,
+    "multimodal_histogram_similarity": ORACLE_PPM_SIMILARITY,
     "multimodal_jpeg_decode_stats": ORACLE_JPEG_DECODE,
     "multimodal_jpeg_progressive_stats": ORACLE_JPEG_DECODE,
     "multimodal_jpeg_color_stats": ORACLE_JPEG_COLOR,
