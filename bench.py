@@ -101,6 +101,14 @@ HEADLINE = [
     "corpus_source_dashboard",
     # Integer-exact PageRank (iterative graph benchmark).
     "graph_pagerank_parts",
+    # Weighted median (the reference's rule generalized), exact bitmap set
+    # algebra, int8-quantized ANN, real-decode image retrieval, funnel
+    # latency with exact median.
+    "exact_weighted_median_price",
+    "bitmap_intersect_users",
+    "emb_int8_quantized_topk",
+    "multimodal_histogram_similarity",
+    "funnel_time_to_convert",
 ]
 
 
