@@ -550,12 +550,14 @@ def ppm_histogram_similarity(
 ) -> DataFrame:
     """Content-based image retrieval over REAL decodes: histogram
     intersection Σ min(cA, cB) between each probe image (the ``n_probes``
-    smallest ids) and every other image, top-``top_k`` per probe.  The
-    score is an exact integer (absent bins contribute 0, so the inner
-    join on bin loses nothing), making ranking engine-exact.  Probe
-    histograms broadcast (bins × probes rows); the corpus side is one
-    decode pass + one bin-keyed join — no image-pair blowup beyond
-    probes × corpus."""
+    smallest ids) and every candidate sharing at least one populated bin,
+    top-``top_k`` per probe.  Candidates with ZERO overlap are absent
+    from the ranking entirely (the bin-keyed inner join never produces
+    their pair — by construction they could only rank last), so a probe
+    with < top_k overlapping candidates returns fewer rows.  Scores are
+    exact integers, making the ranking engine-exact.  Probe histograms
+    broadcast (bins × probes rows); the corpus side is one decode pass +
+    one bin-keyed join — no image-pair blowup beyond probes × corpus."""
     hist = ppm_histogram_counts(media, bins)
     probes = hist.filter(F.col("media_id") < n_probes).select(
         F.col("media_id").alias("probe_id"), "bin", F.col("cnt").alias("pcnt")

@@ -2244,8 +2244,7 @@ def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6) and the kept flag reads the ROUNDED score so an ulp can't
     flip it."""
     docs = load_table(spark, sf_dir, "documents")
-    t = T.normalize_text("text")
-    nt = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    nt = T.token_count("text")
     nc = F.length("text")
     sr = T.stopword_ratio("text")
     pr = T.punct_ratio("text")
@@ -2306,12 +2305,7 @@ def q_mix_sources_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever happens.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = T.normalize_text("text")
-    toks = (
-        F.when(F.length(t) == 0, F.lit(0))
-        .otherwise(F.size(F.split(t, " ")))
-        .cast("bigint")
-    )
+    toks = T.token_count("text").cast("bigint")
     per_doc = docs.select("doc_id", "source", toks.alias("n_tok"))
     per_src = per_doc.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
     totals = per_src.agg(
@@ -2323,7 +2317,14 @@ def q_mix_sources_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("budget_src", F.expr("div(div(total_tokens, 2), n_sources)"))
         .withColumn(
             "rate_bp",
-            F.least(F.lit(10000).cast("bigint"), F.expr("div(budget_src * 10000, src_tokens)")),
+            # a zero-token source keeps nothing (and must not hit the ANSI
+            # integer-division-by-zero path)
+            F.when(F.col("src_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.least(
+                    F.lit(10000).cast("bigint"),
+                    F.expr("div(budget_src * 10000, src_tokens)"),
+                )
+            ),
         )
         .select("source", "src_tokens", "rate_bp")
     )
@@ -2367,8 +2368,10 @@ totals AS (
 ),
 rates AS (
     SELECT source, src_tokens,
-           least(CAST(10000 AS BIGINT),
-                 (total_tokens // 2 // n_sources) * 10000 // src_tokens) AS rate_bp
+           CASE WHEN src_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE least(CAST(10000 AS BIGINT),
+                           (total_tokens // 2 // n_sources) * 10000 // src_tokens)
+           END AS rate_bp
     FROM per_src CROSS JOIN totals
 ),
 gated AS (
@@ -2394,12 +2397,7 @@ def q_shard_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-keyed aggregation; skew = shard_tokens*16/total is one exact
     division per row."""
     docs = load_table(spark, sf_dir, "documents")
-    t = T.normalize_text("text")
-    toks = (
-        F.when(F.length(t) == 0, F.lit(0))
-        .otherwise(F.size(F.split(t, " ")))
-        .cast("bigint")
-    )
+    toks = T.token_count("text").cast("bigint")
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
             "bigint"
@@ -2422,7 +2420,8 @@ def q_shard_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "shard_tokens",
             F.round(
-                F.col("shard_tokens").cast("double") * 16 / F.col("total_tokens"), 6
+                F.try_divide(F.col("shard_tokens").cast("double") * 16, F.col("total_tokens")),
+                6,
             ).alias("skew_vs_uniform"),
         )
         .orderBy("shard")
@@ -2445,7 +2444,8 @@ per_shard AS (
 ),
 total AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens FROM per_shard)
 SELECT shard, n_docs, shard_tokens,
-       round(CAST(shard_tokens AS DOUBLE) * 16 / total_tokens, 6) AS skew_vs_uniform
+       round(CASE WHEN total_tokens = 0 THEN NULL
+                  ELSE CAST(shard_tokens AS DOUBLE) * 16 / total_tokens END, 6) AS skew_vs_uniform
 FROM per_shard CROSS JOIN total ORDER BY shard
 """
 
@@ -2463,12 +2463,7 @@ def q_curriculum_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    t = T.normalize_text("text")
-    toks = (
-        F.when(F.length(t) == 0, F.lit(0))
-        .otherwise(F.size(F.split(t, " ")))
-        .cast("bigint")
-    )
+    toks = T.token_count("text").cast("bigint")
     scored = docs.select(
         "doc_id", T.quality_score("text").alias("quality"), toks.alias("n_tok")
     )
@@ -2577,12 +2572,22 @@ def q_emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked rather than recall-tested.  3 query vectors broadcast
     against the corpus; all pure JVM HOFs (zip_with / aggregate)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select(
+    # scale computed ONCE per vector in a prior projection (inside the
+    # transform lambda Catalyst would re-evaluate the array_max per
+    # element — O(d^2)); zero vectors have no scale and are excluded in
+    # both engines.
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr("array_max(transform(embedding, y -> abs(cast(y as double))))").alias(
+            "maxabs"
+        ),
+    ).filter(F.col("maxabs") > 0)
+    quant = scaled.select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> cast(floor(cast(x as double)"
-            " * (127.0 / array_max(transform(embedding, y -> abs(cast(y as double)))))"
-            " + 0.5) as long))"
+            " * (127.0 / maxabs) + 0.5) as long))"
         ).alias("q"),
     )
     queries = quant.filter(F.col("vec_id") < 3).select(
@@ -2606,10 +2611,14 @@ def q_emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMB_INT8_TOPK = """
-WITH scales AS (
+WITH maxima AS (
     SELECT vec_id, embedding,
-           127.0 / (SELECT max(abs(CAST(u.v AS DOUBLE))) FROM unnest(embedding) AS u(v)) AS s
+           (SELECT max(abs(CAST(u.v AS DOUBLE))) FROM unnest(embedding) AS u(v)) AS maxabs
     FROM embeddings
+),
+scales AS (
+    SELECT vec_id, embedding, 127.0 / maxabs AS s
+    FROM maxima WHERE maxabs > 0
 ),
 quant AS (
     SELECT vec_id,
@@ -2711,12 +2720,7 @@ def q_corpus_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    t = T.normalize_text("text")
-    toks = (
-        F.when(F.length(t) == 0, F.lit(0))
-        .otherwise(F.size(F.split(t, " ")))
-        .cast("bigint")
-    )
+    toks = T.token_count("text").cast("bigint")
     n_email = F.regexp_count("text", F.lit(_PII_EMAIL))
     n_url = F.regexp_count("text", F.lit(_PII_URL))
     n_num = F.regexp_count("text", F.lit(_PII_LONGNUM))

@@ -621,11 +621,14 @@ def q_stats_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt((F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
         (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
+    # try_divide: a zero-variance side (constant series or k=1 pairs) has
+    # den = 0 — NULL acf, matching DuckDB's /0 semantics instead of an
+    # ANSI-mode crash.
     return agg.select(
         "event_type",
         F.col("lag").cast("int").alias("lag"),
         F.col("k").cast("bigint").alias("n_pairs"),
-        (num / den).alias("acf"),
+        F.try_divide(num, den).alias("acf"),
     ).orderBy("event_type", "lag")
 
 
@@ -777,9 +780,13 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
         F.min("dt_us").alias("min_us"),
         F.max("dt_us").alias("max_us"),
-        F.round(F.sum("dt_us").cast("double") / F.count(F.lit(1)), 4).alias("mean_us"),
+        F.round(
+            F.try_divide(F.sum("dt_us").cast("double"), F.count(F.lit(1))), 4
+        ).alias("mean_us"),
     )
-    return stats.crossJoin(F.broadcast(med))
+    # LEFT join on true: an empty funnel still yields the oracle's one
+    # (n_converted=0, NULL stats) row instead of an empty cross product.
+    return stats.join(F.broadcast(med), F.lit(True), "left")
 
 
 ORACLE_FUNNEL_TTC = """
