@@ -121,3 +121,105 @@ def test_kmv_merge_identity_and_error_bound(values):
     # published bound: relative standard error ~ 1/sqrt(k-2); allow 5 sigma
     est = _kmv_est(values, k)
     assert abs(est - len(values)) / len(values) < 5.0 / math.sqrt(k - 2)
+
+
+# --- weighted upper median -------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(-1e6, 1e6, allow_nan=False), st.integers(1, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_weighted_median_threshold_rule_matches_expansion(pairs):
+    """The cumulative-weight rule (first value whose running weight reaches
+    W//2 + 1) must equal the plain upper median of the weight-EXPANDED
+    multiset — the defining identity tying the weighted operator back to
+    the reference's element-at-n//2 rule (median.cc:301)."""
+    expanded = sorted(v for v, w in pairs for _ in range(w))
+    want = expanded[len(expanded) // 2]
+    total = sum(w for _, w in pairs)
+    thr = total // 2 + 1
+    cw = 0
+    got = None
+    for v, w in sorted(pairs):
+        cw += w
+        if cw >= thr:
+            got = v
+            break
+    assert got == want
+
+
+# --- portable HLL ----------------------------------------------------------
+
+
+def _hll_estimate_py(values, p=10):
+    m = 1 << p
+    shift = 61 - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % m, h >> p
+        rho = shift if w == 0 else shift - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    zeros = m - len(regs)
+    int_sum = sum(1 << (shift - r) for r in regs.values()) + zeros * (1 << shift)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (alpha * m * m) / (int_sum / float(1 << shift))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+@given(st.sets(st.integers(0, 10**9), min_size=1, max_size=4000))
+@settings(max_examples=30, deadline=None)
+def test_hll_python_twin_matches_oracle_sql_and_bounds_error(values):
+    """The oracle-SQL arithmetic (run in DuckDB) equals an independent
+    Python twin of the HLL derivation, and the estimate meets a generous
+    published error bound (6 standard errors, 1.04/sqrt(m)) on random
+    sets."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    from rocana_impala_udfs_spark.operators.sketches import hll_oracle_sql
+
+    sql = hll_oracle_sql("t", ["'all'"], "v", p=10).replace("'all',", "'all' AS g,", 1)
+    # hll_oracle_sql groups by the literal; rewrite minimally for a global run
+    est_sql = con.execute(
+        f"SELECT hll_distinct FROM ({sql.replace(chr(10), ' ')}) s"
+    ).fetchone()[0]
+    est_py = round(_hll_estimate_py(values, p=10), 4)
+    assert est_sql == est_py
+    bound = 6 * 1.04 / math.sqrt(1024)
+    assert abs(est_sql - len(values)) / len(values) < max(bound, 0.2)
+
+
+# --- bitmap set algebra ----------------------------------------------------
+
+
+@given(
+    st.sets(st.integers(0, 5000), max_size=300),
+    st.sets(st.integers(0, 5000), max_size=300),
+)
+@settings(max_examples=300, deadline=None)
+def test_bitmap_word_packing_is_exact_set_algebra(a, b):
+    """Packing ids into 64-bit words and AND/OR-ing word-aligned masks
+    must reproduce exact set intersection/union cardinalities — including
+    ids on word boundaries and bit 63 (the signed-long edge)."""
+
+    def pack(s):
+        words: dict[int, int] = {}
+        for x in s:
+            words[x // 64] = words.get(x // 64, 0) | (1 << (x % 64))
+        return words
+
+    wa, wb = pack(a), pack(b)
+    n_and = sum((wa[w] & wb[w]).bit_count() for w in wa.keys() & wb.keys())
+    n_or = sum(
+        (wa.get(w, 0) | wb.get(w, 0)).bit_count() for w in wa.keys() | wb.keys()
+    )
+    assert n_and == len(a & b)
+    assert n_or == len(a | b)
