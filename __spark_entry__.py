@@ -148,6 +148,7 @@ _NEVER_DRIVER_CHECKED = [
     "sql_text_monthly_nation_rank",
     "emb_int8_quantized_topk",
     "multimodal_histogram_similarity",
+    "exact_weighted_p90_quantity",
 ]
 
 

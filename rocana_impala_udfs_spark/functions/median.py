@@ -343,6 +343,26 @@ def exact_weighted_upper_median(
     threshold arithmetic exact in any engine.  Same scale shape as
     :func:`exact_upper_median`: one per-group sort window.
     """
+    return exact_weighted_quantile(df, value_col, weight_col, 1, 2, group_cols, out)
+
+
+def exact_weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    p_num: int,
+    p_den: int,
+    group_cols: list[str] | None = None,
+    out: str = "wquantile",
+) -> DataFrame:
+    """Weighted quantile at the RATIONAL probability ``p_num/p_den`` with
+    the upper-pick rule: smallest value whose cumulative integer weight
+    reaches ``(p_num·W)//p_den + 1``.  At 1/2 this is
+    :func:`exact_weighted_upper_median`; a rational p keeps the threshold
+    in exact BIGINT arithmetic (a float p would put an ulp on the pick
+    boundary)."""
+    if not (0 < p_num < p_den):
+        raise ValueError(f"need 0 < p_num/p_den < 1, got {p_num}/{p_den}")
     group_cols = group_cols or []
     part = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
@@ -362,7 +382,7 @@ def exact_weighted_upper_median(
         F.sum(F.col(weight_col).cast("bigint")).over(w_cum).alias("_cw"),
         F.sum(F.col(weight_col).cast("bigint")).over(part).alias("_tw"),
     )
-    thr = F.expr("div(_tw, 2)") + 1
+    thr = F.expr(f"div({p_num} * _tw, {p_den})") + 1
     picked = ranked.filter((F.col("_cw") >= thr) & (F.col("_cw") - F.col("_w") < thr))
     return picked.select(*group_cols, F.col(value_col).alias(out))
 

@@ -294,6 +294,42 @@ ORDER BY l_returnflag
 """
 
 
+def q_weighted_p90_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted p90: per return flag, the quantity below which 90% of
+    total extended-price VALUE sits (price-weighted quantity p90; weights
+    floored to integer cents for exact thresholds). Generalizes the
+    weighted-median rule to any rational p (`exact_weighted_quantile`,
+    p = 9/10)."""
+    from rocana_impala_udfs_spark.functions.median import exact_weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    return exact_weighted_quantile(
+        li, "qty", "price_cents", 9, 10, ["l_returnflag"], out="p90_qty_by_value"
+    ).orderBy("l_returnflag")
+
+
+ORACLE_WEIGHTED_P90 = """
+WITH ranked AS (
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS w,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND floor(l_extendedprice * 100) > 0
+)
+SELECT l_returnflag, qty AS p90_qty_by_value
+FROM ranked
+WHERE cw >= (9 * tw) // 10 + 1 AND cw - w < (9 * tw) // 10 + 1
+ORDER BY l_returnflag
+"""
+
+
 MEDIAN_QUERIES = {
     "appx_median_price_global": q_median_price_global,
     "appx_median_price_by_returnflag": q_median_price_by_returnflag,
@@ -308,6 +344,7 @@ MEDIAN_QUERIES = {
     "exact_median_name_truncated10": q_median_name_truncated10,
     "exact_median_price_decimal": q_median_price_decimal,
     "exact_weighted_median_price": q_weighted_median_price,
+    "exact_weighted_p90_quantity": q_weighted_p90_quantity,
     "reservoir_sample_quantity": q_reservoir_sample_quantity,
     "window_median_quantity": q_window_median_quantity,
 }
@@ -345,6 +382,7 @@ MEDIAN_ORACLE = {
     "exact_median_name_truncated10": ORACLE_MEDIAN_NAME_TRUNCATED,
     "exact_median_price_decimal": ORACLE_MEDIAN_DECIMAL,
     "exact_weighted_median_price": ORACLE_WEIGHTED_MEDIAN,
+    "exact_weighted_p90_quantity": ORACLE_WEIGHTED_P90,
     "reservoir_sample_quantity": ORACLE_RESERVOIR_SAMPLE,
     "window_median_quantity": ORACLE_WINDOW_MEDIAN,
 }
