@@ -149,6 +149,8 @@ _NEVER_DRIVER_CHECKED = [
     "emb_int8_quantized_topk",
     "multimodal_histogram_similarity",
     "exact_weighted_p90_quantity",
+    "stats_gini_order_values",
+    "notin_null_semantics_probe",
 ]
 
 

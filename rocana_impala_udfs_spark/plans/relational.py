@@ -1581,6 +1581,103 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per order status —
+    the revenue-inequality metric: G = (2·Σ(i·x_i) − (n+1)·Σx_i) /
+    (n·Σx_i) over rank-sorted values.  Values are floored to integer
+    CENTS and ranks are integers, so numerator and denominator are exact
+    BIGINTs (Σ(i·x_i) ≤ n²·x_max — fits BIGINT through sf100; swap to
+    DECIMAL(38) beyond) and the coefficient is ONE float division.
+    Rank ties (row_number over equal values) don't change Σ(i·x_i)
+    because tied values are interchangeable under any tie order."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    ranked = o.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    gini_num = (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+    gini_den = (F.col("n") * F.col("sx")).cast("double")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        "sx",
+        F.round(F.try_divide(gini_num, gini_den), 6).alias("gini"),
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_GINI = """
+WITH cents AS (
+    SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderstatus, cents,
+           CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS BIGINT) AS i
+    FROM cents
+),
+agg AS (
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sx,
+           CAST(sum(i * cents) AS BIGINT) AS six
+    FROM ranked GROUP BY 1
+)
+SELECT o_orderstatus, n, sx,
+       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM agg ORDER BY o_orderstatus
+"""
+
+
+def q_notin_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN + NULL trap, pinned as a conformance probe: a NOT IN
+    whose subquery can produce NULL yields NO rows (three-valued logic),
+    while the NULL-rejecting variant behaves like the anti-join — both
+    engines must agree on all three counts.  This is the classic
+    migration bug the `data_quality_report` advisor note was about."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_nin_orders")
+    c = load_table(spark, sf_dir, "customer")
+    # keys with an injected NULL: every o_custkey of build side + NULL
+    c.select(F.col("c_custkey").alias("k")).unionByName(
+        spark.range(1).select(F.lit(None).cast("long").alias("k"))
+    ).createOrReplaceTempView("_nin_keys")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM _nin_orders
+           WHERE o_custkey NOT IN (SELECT k FROM _nin_keys)) AS n_notin_with_null,
+          (SELECT count(*) FROM _nin_orders
+           WHERE o_custkey NOT IN (SELECT k FROM _nin_keys WHERE k IS NOT NULL)) AS n_notin_nonnull,
+          (SELECT count(*) FROM _nin_orders o LEFT ANTI JOIN _nin_keys s
+           ON o.o_custkey = s.k) AS n_anti_join
+        """
+    )
+
+
+ORACLE_NOTIN_NULL = """
+WITH keys AS (
+    SELECT c_custkey AS k FROM customer
+    UNION ALL SELECT NULL
+)
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT k FROM keys)) AS n_notin_with_null,
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)) AS n_notin_nonnull,
+  (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM keys s WHERE o.o_custkey = s.k)) AS n_anti_join
+"""
+
+
 def q_sql_text_monthly_nation_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL TEXT interface end-to-end: a CTE + 3-table join + window
     query submitted as one ``spark.sql`` string over registered views —
@@ -2993,6 +3090,8 @@ QUERIES = {
     "sketch_hll_users_by_type": q_hll_distinct_users,
     "bitmap_intersect_users": q_bitmap_intersect_users,
     "sql_text_monthly_nation_rank": q_sql_text_monthly_nation_rank,
+    "stats_gini_order_values": q_stats_gini_order_values,
+    "notin_null_semantics_probe": q_notin_null_semantics_probe,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3074,6 +3173,8 @@ ORACLE = {
     "sketch_hll_users_by_type": ORACLE_HLL_USERS,
     "bitmap_intersect_users": ORACLE_BITMAP_INTERSECT,
     "sql_text_monthly_nation_rank": ORACLE_SQL_TEXT_RANK,
+    "stats_gini_order_values": ORACLE_GINI,
+    "notin_null_semantics_probe": ORACLE_NOTIN_NULL,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
