@@ -151,6 +151,8 @@ _NEVER_DRIVER_CHECKED = [
     "exact_weighted_p90_quantity",
     "stats_gini_order_values",
     "notin_null_semantics_probe",
+    "events_iqr_outliers",
+    "window_rank_semantics_probe",
 ]
 
 

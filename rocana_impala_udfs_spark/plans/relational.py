@@ -1581,6 +1581,127 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (boxplot) outlier counts per event type: q1/q3 picked
+    as EXACT order statistics (rank floor(n/4)+1 and floor(3n/4)+1 — the
+    element-pick discipline of the median family, no interpolation), the
+    1.5·IQR fences one fixed-order float chain; the robust-outlier
+    counterpart of the MAD screen.  Two tiny broadcasts; the corpus is
+    scanned twice (quartiles, then fence test) — at scale fuse via the
+    percentile_approx swap documented for the equidepth histogram."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    part = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(part.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    q1 = ranked.filter(
+        F.col("rn") == F.expr("div(n, 4)") + 1
+    ).select("event_type", F.col("value").alias("q1"))
+    q3 = ranked.filter(
+        F.col("rn") == F.expr("div(3 * n, 4)") + 1
+    ).select("event_type", F.col("value").alias("q3"))
+    fences = q1.join(q3, "event_type").select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(F.round("q1", 6)).alias("q1"),
+            F.max(F.round("q3", 6)).alias("q3"),
+            F.sum(F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_IQR_OUTLIERS = """
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+),
+q1 AS (SELECT event_type, value AS q1 FROM ranked WHERE rn = n // 4 + 1),
+q3 AS (SELECT event_type, value AS q3 FROM ranked WHERE rn = (3 * n) // 4 + 1),
+fences AS (
+    SELECT q1.event_type, q1.q1, q3.q3,
+           q1.q1 - 1.5 * (q3.q3 - q1.q1) AS lo,
+           q3.q3 + 1.5 * (q3.q3 - q1.q1) AS hi
+    FROM q1 JOIN q3 ON q1.event_type = q3.event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(round(f.q1, 6)) AS q1,
+       max(round(f.q3, 6)) AS q3,
+       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN fences f ON e.event_type = f.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def q_window_rank_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank vs row_number tie semantics pinned in one
+    window pass (ties on o_totalprice are common): for each status, the
+    aggregate fingerprint of all three numbering schemes — gap behavior
+    after ties is the classic cross-engine porting trap."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderstatus",
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("rk").alias("max_rank"),
+            F.max("drk").alias("max_dense_rank"),
+            F.max("rn").alias("max_row_number"),
+            F.sum("rk").alias("sum_rank"),
+            F.sum("drk").alias("sum_dense_rank"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_RANK_SEMANTICS = """
+WITH ranked AS (
+    SELECT o_orderstatus,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(rk) AS BIGINT) AS max_rank,
+       CAST(max(drk) AS BIGINT) AS max_dense_rank,
+       CAST(max(rn) AS BIGINT) AS max_row_number,
+       CAST(sum(rk) AS BIGINT) AS sum_rank,
+       CAST(sum(drk) AS BIGINT) AS sum_dense_rank
+FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value concentration per order status —
     the revenue-inequality metric: G = (2·Σ(i·x_i) − (n+1)·Σx_i) /
@@ -3092,6 +3213,8 @@ QUERIES = {
     "sql_text_monthly_nation_rank": q_sql_text_monthly_nation_rank,
     "stats_gini_order_values": q_stats_gini_order_values,
     "notin_null_semantics_probe": q_notin_null_semantics_probe,
+    "events_iqr_outliers": q_events_iqr_outliers,
+    "window_rank_semantics_probe": q_window_rank_semantics_probe,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3175,6 +3298,8 @@ ORACLE = {
     "sql_text_monthly_nation_rank": ORACLE_SQL_TEXT_RANK,
     "stats_gini_order_values": ORACLE_GINI,
     "notin_null_semantics_probe": ORACLE_NOTIN_NULL,
+    "events_iqr_outliers": ORACLE_IQR_OUTLIERS,
+    "window_rank_semantics_probe": ORACLE_RANK_SEMANTICS,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
