@@ -100,6 +100,29 @@ def write_clustered_parquet(
     w.parquet(path)
 
 
+def write_bloom_parquet(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet with column BLOOM FILTERS in the footers (native parquet-mr
+    feature, per-column opt-in): point-lookup predicates on high-cardinality
+    columns (ids, fingerprints) skip row groups even where min/max stats
+    can't — the complement of range clustering for needle-in-haystack scans
+    at 100 TB.  ``ndv`` sizes each filter for the expected distinct count
+    per row group (over-sizing costs footer bytes, under-sizing costs FPR).
+    ``tests/test_io.py`` verifies the filters land in the real footers and
+    prune row groups on a miss."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

@@ -314,3 +314,38 @@ def test_binaryfile_source_feeds_real_decoders(spark, tmp_path):
         assert decoded.shape == imgs[r.name].shape
         assert (decoded == imgs[r.name]).all()
         assert r.length == len(bytes(r.content))
+
+
+def test_bloom_parquet_writes_real_footers_and_prunes(spark, tmp_path):
+    """write_bloom_parquet must put real bloom filters in the files:
+    neither pyarrow nor duckdb in this container exposes bloom offsets,
+    so the evidence is byte-level — the SAME rows written with the bloom
+    options produce materially larger files (the serialized filter,
+    ~ndv bytes), repartition(1) on both sides so layout is identical."""
+    import os
+
+    from rocana_impala_udfs_spark.sources.io import write_bloom_parquet, write_parquet
+
+    o = load_table(spark, SF, "orders").repartition(1)
+    plain_out = str(tmp_path / "plain")
+    bloom_out = str(tmp_path / "bloomed")
+    write_parquet(o, plain_out)
+    write_bloom_parquet(o, bloom_out, ["o_orderkey"], ndv=50_000)
+
+    def pq_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, n))
+            for n in os.listdir(d)
+            if n.endswith(".parquet")
+        )
+
+    plain_b, bloom_b = pq_bytes(plain_out), pq_bytes(bloom_out)
+    # a 50k-ndv filter serializes to tens of KB; same data otherwise
+    assert bloom_b > plain_b + 8_000, (plain_b, bloom_b)
+
+    # behavioral check: reading back with a point predicate on an absent
+    # key returns nothing and the plan pushes the filter to the scan
+    df = spark.read.parquet(bloom_out).filter(F.col("o_orderkey") == -12345)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+    assert df.count() == 0
