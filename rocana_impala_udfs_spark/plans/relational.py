@@ -1586,8 +1586,10 @@ def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     as EXACT order statistics (rank floor(n/4)+1 and floor(3n/4)+1 — the
     element-pick discipline of the median family, no interpolation), the
     1.5·IQR fences one fixed-order float chain; the robust-outlier
-    counterpart of the MAD screen.  Two tiny broadcasts; the corpus is
-    scanned twice (quartiles, then fence test) — at scale fuse via the
+    counterpart of the MAD screen.  ONE sort window feeds a conditional
+    aggregation that picks both quartiles (no per-quartile re-scan), then
+    the tiny fence table broadcasts back for the fence test — two scans
+    of the corpus total, one sort; at scale fuse via the
     percentile_approx swap documented for the equidepth histogram."""
     from pyspark.sql import Window
 
@@ -1599,13 +1601,11 @@ def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(part.orderBy("value")).alias("rn"),
         F.count(F.lit(1)).over(part).alias("n"),
     )
-    q1 = ranked.filter(
-        F.col("rn") == F.expr("div(n, 4)") + 1
-    ).select("event_type", F.col("value").alias("q1"))
-    q3 = ranked.filter(
-        F.col("rn") == F.expr("div(3 * n, 4)") + 1
-    ).select("event_type", F.col("value").alias("q3"))
-    fences = q1.join(q3, "event_type").select(
+    quartiles = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("div(n, 4)") + 1, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.expr("div(3 * n, 4)") + 1, F.col("value"))).alias("q3"),
+    )
+    fences = quartiles.select(
         "event_type",
         "q1",
         "q3",
@@ -1706,11 +1706,12 @@ def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value concentration per order status —
     the revenue-inequality metric: G = (2·Σ(i·x_i) − (n+1)·Σx_i) /
     (n·Σx_i) over rank-sorted values.  Values are floored to integer
-    CENTS and ranks are integers, so numerator and denominator are exact
-    BIGINTs (Σ(i·x_i) ≤ n²·x_max — fits BIGINT through sf100; swap to
-    DECIMAL(38) beyond) and the coefficient is ONE float division.
-    Rank ties (row_number over equal values) don't change Σ(i·x_i)
-    because tied values are interchangeable under any tie order."""
+    CENTS; Σ(i·x_i) grows as n²·x̄ and leaves BIGINT around sf1.5, so the
+    rank·cents products and their sums are carried in DECIMAL(38,0)
+    (DuckDB: HUGEINT) — exact at any SF — and the coefficient is ONE
+    float division of exactly-representable integers.  Rank ties
+    (row_number over equal values) don't change Σ(i·x_i) because tied
+    values are interchangeable under any tie order."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -1722,10 +1723,17 @@ def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").alias("sx"),
-        F.sum(F.col("i") * F.col("cents")).alias("six"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("six"),
     )
-    gini_num = (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
-    gini_den = (F.col("n") * F.col("sx")).cast("double")
+    gini_num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n") + 1).cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    ).cast("double")
+    gini_den = (F.col("n").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")).cast(
+        "double"
+    )
     return agg.select(
         "o_orderstatus",
         "n",
@@ -1748,12 +1756,12 @@ agg AS (
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(cents) AS BIGINT) AS sx,
-           CAST(sum(i * cents) AS BIGINT) AS six
+           sum(CAST(i AS HUGEINT) * cents) AS six
     FROM ranked GROUP BY 1
 )
 SELECT o_orderstatus, n, sx,
-       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-             / CAST(n * sx AS DOUBLE), 6) AS gini
+       round(CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 6) AS gini
 FROM agg ORDER BY o_orderstatus
 """
 
@@ -1767,8 +1775,12 @@ def q_notin_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("_nin_orders")
     c = load_table(spark, sf_dir, "customer")
-    # keys with an injected NULL: every o_custkey of build side + NULL
-    c.select(F.col("c_custkey").alias("k")).unionByName(
+    # a PROPER subset of order keys (one nation's customers) + an injected
+    # NULL — so the NULL-rejecting variant and the anti-join agree on a
+    # count > 0 while the NULL-polluted NOT IN must return 0: the three
+    # counts genuinely discriminate (a full superset would make all three
+    # 0 under any semantics).
+    c.filter(F.col("c_nationkey") == 0).select(F.col("c_custkey").alias("k")).unionByName(
         spark.range(1).select(F.lit(None).cast("long").alias("k"))
     ).createOrReplaceTempView("_nin_keys")
     return spark.sql(
@@ -1786,7 +1798,7 @@ def q_notin_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NOTIN_NULL = """
 WITH keys AS (
-    SELECT c_custkey AS k FROM customer
+    SELECT c_custkey AS k FROM customer WHERE c_nationkey = 0
     UNION ALL SELECT NULL
 )
 SELECT

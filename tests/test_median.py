@@ -370,3 +370,24 @@ def test_weighted_median_hand_example(spark):
     )
     out = {r["g"]: r["m"] for r in exact_weighted_upper_median(df, "x", "w", ["g"], out="m").collect()}
     assert out == {"a": 3.0, "b": 1.0}
+
+
+def test_weighted_quantile_library_matches_expansion(spark):
+    """Exercise the LIBRARY code path (not a re-derivation) at several
+    rational p: exact_weighted_quantile on a weighted frame must return
+    the element at index (p_num*N)//p_den of the weight-expanded sorted
+    multiset."""
+    from rocana_impala_udfs_spark.functions.median import exact_weighted_quantile
+
+    pairs = [(5.0, 3), (1.0, 2), (4.0, 1), (2.0, 6), (3.0, 4)]
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in pairs], "g string, x double, w int"
+    )
+    expanded = sorted(v for v, w in pairs for _ in range(w))
+    for p_num, p_den in [(1, 4), (1, 2), (3, 4), (9, 10)]:
+        got = exact_weighted_quantile(df, "x", "w", p_num, p_den, ["g"], out="q").collect()
+        assert got[0]["q"] == expanded[(p_num * len(expanded)) // p_den], (p_num, p_den)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        exact_weighted_quantile(df, "x", "w", 5, 4, ["g"])

@@ -131,18 +131,23 @@ def test_kmv_merge_identity_and_error_bound(values):
         st.tuples(st.floats(-1e6, 1e6, allow_nan=False), st.integers(1, 50)),
         min_size=1,
         max_size=60,
-    )
+    ),
+    st.integers(1, 19),
+    st.integers(2, 20),
 )
 @settings(max_examples=500, deadline=None)
-def test_weighted_median_threshold_rule_matches_expansion(pairs):
-    """The cumulative-weight rule (first value whose running weight reaches
-    W//2 + 1) must equal the plain upper median of the weight-EXPANDED
-    multiset — the defining identity tying the weighted operator back to
-    the reference's element-at-n//2 rule (median.cc:301)."""
+def test_weighted_quantile_threshold_rule_matches_expansion(pairs, p_num, p_den):
+    """The cumulative-weight rule (first value whose running weight
+    reaches (p_num·W)//p_den + 1 — the exact threshold
+    exact_weighted_quantile computes) must equal the element at 0-based
+    index (p_num·N)//p_den of the weight-EXPANDED multiset; at p = 1/2
+    this is the reference's element-at-n//2 rule (median.cc:301)."""
+    if p_num >= p_den:
+        return
     expanded = sorted(v for v, w in pairs for _ in range(w))
-    want = expanded[len(expanded) // 2]
+    want = expanded[(p_num * len(expanded)) // p_den]
     total = sum(w for _, w in pairs)
-    thr = total // 2 + 1
+    thr = (p_num * total) // p_den + 1
     cw = 0
     got = None
     for v, w in sorted(pairs):
@@ -192,7 +197,11 @@ def test_hll_python_twin_matches_oracle_sql_and_bounds_error(values):
         f"SELECT hll_distinct FROM ({sql.replace(chr(10), ' ')}) s"
     ).fetchone()[0]
     est_py = round(_hll_estimate_py(values, p=10), 4)
-    assert est_sql == est_py
+    # DuckDB's round() (scale-multiply + half-away) and Python's round()
+    # (correctly-rounded half-even) can disagree by 1e-4 at a midpoint —
+    # compare with tolerance; the driver-facing exactness claim is
+    # Spark-vs-DuckDB (both use the SQL rounding), not Python.
+    assert abs(est_sql - est_py) < 1e-3
     bound = 6 * 1.04 / math.sqrt(1024)
     assert abs(est_sql - len(values)) / len(values) < max(bound, 0.2)
 
