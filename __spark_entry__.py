@@ -153,6 +153,7 @@ _NEVER_DRIVER_CHECKED = [
     "notin_null_semantics_probe",
     "events_iqr_outliers",
     "window_rank_semantics_probe",
+    "join_cardinality_estimate",
 ]
 
 

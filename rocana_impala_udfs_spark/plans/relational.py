@@ -1581,6 +1581,71 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-grade JOIN CARDINALITY ESTIMATION from key samples — what
+    a cost-based planner does before picking a join strategy: sample the
+    join-key domain with a FIXED hash threshold (keys whose 48-bit md5
+    falls in the lowest 1/64 of the hash space — deterministic, so both
+    engines draw the identical sample), take per-key frequencies on each
+    side for sampled keys only, and scale Σ cntA·cntB by the inverse
+    sampling rate.  Reported next to the exact join count so the estimate
+    quality is visible.  The sample pass shuffles only sampled keys
+    (1/64 of the key domain); the exact count is the plain keyed join."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    thr = (1 << 48) // 64
+
+    def sampled_counts(df: DataFrame, out: str) -> DataFrame:
+        h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        return (
+            df.withColumn("h", h)
+            .filter(F.col("h") < thr)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    a = sampled_counts(o, "ca")
+    b = sampled_counts(c, "cb")
+    est = a.join(b, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).cast("bigint").alias("sampled_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("sampled_keys"),
+    )
+    exact = o.join(c, "k").agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        (F.col("sampled_pairs") * 64).alias("est_join_rows"),
+        "sampled_keys",
+        "exact_join_rows",
+    )
+
+
+ORACLE_JOIN_CARD_EST = """
+WITH a AS (
+    SELECT o_custkey AS k,
+           CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+    FROM orders
+),
+b AS (
+    SELECT c_custkey AS k,
+           CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+    FROM customer
+),
+sa AS (SELECT k, CAST(count(*) AS BIGINT) AS ca FROM a WHERE h < 4398046511104 GROUP BY k),
+sb AS (SELECT k, CAST(count(*) AS BIGINT) AS cb FROM b WHERE h < 4398046511104 GROUP BY k),
+est AS (
+    SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS sampled_pairs,
+           CAST(count(*) AS BIGINT) AS sampled_keys
+    FROM sa JOIN sb ON sa.k = sb.k
+),
+exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT CAST(sampled_pairs * 64 AS BIGINT) AS est_join_rows, sampled_keys, exact_join_rows
+FROM est CROSS JOIN exact
+"""
+
+
 def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence (boxplot) outlier counts per event type: q1/q3 picked
     as EXACT order statistics (rank floor(n/4)+1 and floor(3n/4)+1 — the
@@ -3227,6 +3292,7 @@ QUERIES = {
     "notin_null_semantics_probe": q_notin_null_semantics_probe,
     "events_iqr_outliers": q_events_iqr_outliers,
     "window_rank_semantics_probe": q_window_rank_semantics_probe,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3312,6 +3378,7 @@ ORACLE = {
     "notin_null_semantics_probe": ORACLE_NOTIN_NULL,
     "events_iqr_outliers": ORACLE_IQR_OUTLIERS,
     "window_rank_semantics_probe": ORACLE_RANK_SEMANTICS,
+    "join_cardinality_estimate": ORACLE_JOIN_CARD_EST,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
