@@ -154,6 +154,8 @@ _NEVER_DRIVER_CHECKED = [
     "events_iqr_outliers",
     "window_rank_semantics_probe",
     "join_cardinality_estimate",
+    "label_churn_features",
+    "pit_feature_join",
 ]
 
 

@@ -429,6 +429,135 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_label_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set builder for churn prediction — the label/feature
+    engineering step of an ML data platform: the corpus window's last 7
+    days are the LABEL period (churned = silent there), everything before
+    is the FEATURE period (event count, active days, value total in
+    integer micro-units).  The cutoff is computed in epoch microseconds
+    (integer arithmetic — no engine interval semantics in the hash path);
+    users with no feature-period activity are excluded (no features to
+    train on).  One scan + one user-keyed aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v_micro"),
+    )
+    cutoff = ev.agg(
+        (F.max("t_us") - F.lit(7 * 86400 * 1000000)).alias("cutoff_us")
+    )
+    feat = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("t_us") < F.col("cutoff_us"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_events_before"),
+            F.countDistinct(
+                F.when(
+                    F.col("t_us") < F.col("cutoff_us"),
+                    F.expr("div(t_us, 86400000000)"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_active_days"),
+            F.sum(F.when(F.col("t_us") < F.col("cutoff_us"), F.col("v_micro")).otherwise(0))
+            .cast("bigint")
+            .alias("value_micro_before"),
+            F.max(F.when(F.col("t_us") >= F.col("cutoff_us"), 1).otherwise(0)).alias(
+                "active_in_label_window"
+            ),
+        )
+        .filter(F.col("n_events_before") > 0)
+    )
+    return feat.select(
+        "user_id",
+        "n_events_before",
+        "n_active_days",
+        "value_micro_before",
+        (F.col("active_in_label_window") == 0).alias("churned"),
+    ).orderBy("user_id")
+
+
+ORACLE_CHURN_LABELS = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t_us,
+           CAST(floor(value * 1000000.0) AS BIGINT) AS v_micro
+    FROM events
+),
+cutoff AS (SELECT max(t_us) - 604800000000 AS cutoff_us FROM ev),
+feat AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN t_us < cutoff_us THEN 1 ELSE 0 END) AS BIGINT) AS n_events_before,
+           CAST(count(DISTINCT CASE WHEN t_us < cutoff_us THEN t_us // 86400000000 END) AS BIGINT) AS n_active_days,
+           CAST(sum(CASE WHEN t_us < cutoff_us THEN v_micro ELSE 0 END) AS BIGINT) AS value_micro_before,
+           max(CASE WHEN t_us >= cutoff_us THEN 1 ELSE 0 END) AS active_late
+    FROM ev CROSS JOIN cutoff
+    GROUP BY user_id
+)
+SELECT user_id, n_events_before, n_active_days, value_micro_before,
+       active_late = 0 AS churned
+FROM feat WHERE n_events_before > 0 ORDER BY user_id
+"""
+
+
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store primitive
+    that prevents label leakage: for every purchase (the label event),
+    the user's click count and click-value total in the strictly
+    PRECEDING 24 hours, [t−24h, t).  A user-keyed join with time-range
+    residuals (never cross-user), epoch-microsecond integers end to end;
+    purchases with no preceding clicks keep a 0 row via the left join.
+    At 100 TB band the time axis (day buckets) to bound the per-user
+    pair work — same plan as the interval overlap join."""
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("u"), F.unix_micros("ts").alias("t_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.unix_micros("ts").alias("c_us"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v_micro"),
+    )
+    day_us = 86400 * 1000000
+    joined = buys.join(
+        clicks,
+        (buys.u == clicks.u)
+        & (clicks.c_us >= buys.t_us - day_us)
+        & (clicks.c_us < buys.t_us),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", buys.u.alias("user_id"), "t_us")
+        .agg(
+            F.count("c_us").cast("bigint").alias("clicks_24h"),
+            F.coalesce(F.sum("v_micro"), F.lit(0)).cast("bigint").alias("click_value_micro_24h"),
+        )
+        .select("event_id", "user_id", "clicks_24h", "click_value_micro_24h")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_PIT_FEATURES = """
+WITH buys AS (
+    SELECT event_id, user_id AS u, epoch_us(ts) AS t_us
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id AS u, epoch_us(ts) AS c_us,
+           CAST(floor(value * 1000000.0) AS BIGINT) AS v_micro
+    FROM events WHERE event_type = 'click'
+)
+SELECT b.event_id, b.u AS user_id,
+       CAST(count(c.c_us) AS BIGINT) AS clicks_24h,
+       CAST(coalesce(sum(c.v_micro), 0) AS BIGINT) AS click_value_micro_24h
+FROM buys b LEFT JOIN clicks c
+  ON b.u = c.u AND c.c_us >= b.t_us - 86400000000 AND c.c_us < b.t_us
+GROUP BY b.event_id, b.u
+ORDER BY b.event_id
+"""
+
+
 def q_events_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily conversion rate (purchase share of all events) with the 95%
     Wilson score interval — the statistically honest rate report (the
@@ -1776,6 +1905,8 @@ TEMPORAL_QUERIES = {
     "events_peak_concurrency": q_events_peak_concurrency,
     "events_duration_log2_buckets": q_events_duration_log2_buckets,
     "events_conversion_wilson_ci": q_events_conversion_wilson_ci,
+    "label_churn_features": q_label_churn_features,
+    "pit_feature_join": q_pit_feature_join,
     "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
     "window_trailing_7d_user_value": q_trailing_7d_user_value,
@@ -1825,6 +1956,8 @@ TEMPORAL_ORACLE = {
     "events_peak_concurrency": ORACLE_PEAK_CONCURRENCY,
     "events_duration_log2_buckets": ORACLE_LOG2_BUCKETS,
     "events_conversion_wilson_ci": ORACLE_WILSON_CI,
+    "label_churn_features": ORACLE_CHURN_LABELS,
+    "pit_feature_join": ORACLE_PIT_FEATURES,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
     "window_trailing_7d_user_value": ORACLE_TRAILING_7D,
