@@ -156,6 +156,8 @@ _NEVER_DRIVER_CHECKED = [
     "join_cardinality_estimate",
     "label_churn_features",
     "pit_feature_join",
+    "split_leakage_audit",
+    "resample_class_balance",
 ]
 
 

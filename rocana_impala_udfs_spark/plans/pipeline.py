@@ -2705,6 +2705,143 @@ ORDER BY i.s1, i.s2
 """
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit — the check every split pipeline should
+    ship: after the content-stable md5 split, which DOCUMENT-OPENING
+    fingerprints (md5 of the first 8 normalized words — the templated-
+    content signal; whole-document fingerprints only catch byte-exact
+    dups) appear in more than one split, i.e. train text leaking into
+    val/test?  Reports per split-pair the leaking fingerprint groups and
+    documents involved; only 32-byte hashes shuffle.  Composes the
+    `split_train_val_test` gate with the fingerprint discipline of
+    `dedup_exact_docs`."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    opening = F.concat_ws(
+        " ", F.slice(F.split(T.normalize_text("text"), " "), 1, 8)
+    )
+    tagged = docs.select(
+        "doc_id", split.alias("split"), F.md5(opening).alias("fp")
+    )
+    per_fp = tagged.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sort_array(F.collect_set("split")).alias("splits"),
+    )
+    return (
+        per_fp.filter(F.col("n_splits") > 1)
+        .groupBy(F.concat_ws("+", "splits").alias("split_pair"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("leaking_fingerprints"),
+            F.sum("n_docs").cast("bigint").alias("docs_involved"),
+        )
+        .orderBy("split_pair")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH tagged AS (
+    SELECT doc_id,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10 < 8 THEN 'train'
+                WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           md5(array_to_string((string_split({_NORM}, ' '))[1:8], ' ')) AS fp
+    FROM documents
+),
+per_fp AS (
+    SELECT fp, count(DISTINCT split) AS n_splits,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(DISTINCT split)), '+') AS split_pair
+    FROM tagged GROUP BY fp
+)
+SELECT split_pair,
+       CAST(count(*) AS BIGINT) AS leaking_fingerprints,
+       CAST(sum(n_docs) AS BIGINT) AS docs_involved
+FROM per_fp WHERE n_splits > 1
+GROUP BY split_pair ORDER BY split_pair
+"""
+
+
+def q_resample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balance resampling (oversample minority
+    classes toward the majority): each doc of language L replicates
+    floor(r) times plus one more when its content-addressed md5 draw
+    falls below frac(r)·10^6, where r = max_class_count / count(L) —
+    integer/md5 arithmetic only, so the resampled cardinalities are
+    engine-exact.  Reports per language before/after counts and the
+    achieved ratio.  Map-side explode; no corpus shuffle beyond the
+    per-language aggregate broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mx = per_lang.agg(F.max("n").alias("n_max"))
+    rates = (
+        per_lang.crossJoin(F.broadcast(mx))
+        .withColumn("whole", F.expr("div(n_max, n)"))
+        .withColumn("frac_ppm", F.expr("div((n_max % n) * 1000000, n)"))
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        % 1000000
+    )
+    tagged = docs.select("doc_id", "lang").join(F.broadcast(rates), "lang")
+    expanded = tagged.withColumn(
+        "copies",
+        F.col("whole") + F.when(draw < F.col("frac_ppm"), 1).otherwise(0),
+    )
+    return (
+        expanded.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_before"),
+            F.sum("copies").cast("bigint").alias("n_after"),
+        )
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            F.round(F.col("n_after").cast("double") / F.col("n_before"), 6).alias(
+                "achieved_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CLASS_BALANCE = """
+WITH per_lang AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+mx AS (SELECT max(n) AS n_max FROM per_lang),
+rates AS (
+    SELECT lang, n, n_max // n AS whole,
+           ((n_max % n) * 1000000) // n AS frac_ppm
+    FROM per_lang CROSS JOIN mx
+),
+expanded AS (
+    SELECT d.lang, r.n,
+           r.whole + CASE WHEN (CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                                % 1000000) < r.frac_ppm THEN 1 ELSE 0 END AS copies
+    FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_before,
+       CAST(sum(copies) AS BIGINT) AS n_after,
+       round(CAST(sum(copies) AS BIGINT) / CAST(max(n) AS DOUBLE), 6) AS achieved_ratio
+FROM expanded GROUP BY lang ORDER BY lang
+"""
+
+
 def q_corpus_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition #3 — the corpus-health dashboard a data team
     reviews per SOURCE before a training run: doc/token volume, English
@@ -2821,6 +2958,8 @@ PIPELINE_QUERIES = {
     "curriculum_budget_selection": q_curriculum_budget_selection,
     "corpus_source_dashboard": q_corpus_source_dashboard,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "split_leakage_audit": q_split_leakage_audit,
+    "resample_class_balance": q_resample_class_balance,
     "emb_centroid_microunits": q_emb_centroid_microunits,
     "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
@@ -2895,6 +3034,8 @@ PIPELINE_ORACLE = {
     "curriculum_budget_selection": ORACLE_CURRICULUM,
     "corpus_source_dashboard": ORACLE_CORPUS_DASHBOARD,
     "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
+    "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
+    "resample_class_balance": ORACLE_CLASS_BALANCE,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,
