@@ -158,6 +158,7 @@ _NEVER_DRIVER_CHECKED = [
     "pit_feature_join",
     "split_leakage_audit",
     "resample_class_balance",
+    "negative_sampling_pairs",
 ]
 
 

@@ -2705,6 +2705,101 @@ ORDER BY i.s1, i.s2
 """
 
 
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for recommender training — the
+    (user, item⁻) pair generator: for each of the 20 highest-volume
+    customers, 24 content-addressed candidate items (part key =
+    md5(customer#i) mod max part id), anti-filtered against the
+    customer's actual purchases, first 5 survivors by candidate index.
+    Everything is md5/integer arithmetic, so the sampled negatives are
+    reproducible in any engine and across reruns — the property batch
+    trainers need for resumable dataset builds.  The purchase sets join
+    user-keyed; candidates are a 20×24 literal-range explode."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+        .limit(20)
+        .select(F.col("o_custkey").alias("cust"))
+    )
+    bought = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    maxp = part.agg(F.max("p_partkey").alias("mp"))
+    cand = (
+        top.crossJoin(F.broadcast(maxp))
+        .select("cust", "mp", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i"))
+        .select(
+            "cust",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("cust"), F.col("i"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("mp")
+                + 1
+            ).alias("neg_pk"),
+        )
+    )
+    survivors = cand.join(
+        bought,
+        (cand.cust == bought.cust) & (cand.neg_pk == bought.pk),
+        "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust").orderBy("i")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("cust").alias("c_custkey"),
+            F.col("rk").cast("int").alias("rk"),
+            F.col("neg_pk").alias("negative_partkey"),
+        )
+        .orderBy("c_custkey", "rk")
+    )
+
+
+ORACLE_NEGATIVE_SAMPLING = """
+WITH top AS (
+    SELECT o_custkey AS cust FROM orders
+    GROUP BY 1 ORDER BY count(*) DESC, o_custkey ASC LIMIT 20
+),
+bought AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS pk
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+mp AS (SELECT max(p_partkey) AS mp FROM part),
+cand AS (
+    SELECT t.cust, d.i,
+           CAST(concat('0x', substring(md5(concat(CAST(t.cust AS VARCHAR), '#', CAST(d.i AS VARCHAR))), 1, 12)) AS BIGINT)
+               % mp.mp + 1 AS neg_pk
+    FROM top t CROSS JOIN mp CROSS JOIN (SELECT unnest(range(24)) AS i) d
+),
+survivors AS (
+    SELECT c.cust, c.i, c.neg_pk FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM bought b WHERE b.cust = c.cust AND b.pk = c.neg_pk)
+)
+SELECT cust AS c_custkey,
+       CAST(row_number() OVER (PARTITION BY cust ORDER BY i) AS INT) AS rk,
+       neg_pk AS negative_partkey
+FROM survivors
+QUALIFY rk <= 5
+ORDER BY c_custkey, rk
+"""
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage audit — the check every split pipeline should
     ship: after the content-stable md5 split, which DOCUMENT-OPENING
@@ -2960,6 +3055,7 @@ PIPELINE_QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "split_leakage_audit": q_split_leakage_audit,
     "resample_class_balance": q_resample_class_balance,
+    "negative_sampling_pairs": q_negative_sampling_pairs,
     "emb_centroid_microunits": q_emb_centroid_microunits,
     "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
@@ -3036,6 +3132,7 @@ PIPELINE_ORACLE = {
     "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
+    "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,
