@@ -159,6 +159,8 @@ _NEVER_DRIVER_CHECKED = [
     "split_leakage_audit",
     "resample_class_balance",
     "negative_sampling_pairs",
+    "stats_median_ci_price",
+    "stats_mannwhitney_price_halves",
 ]
 
 

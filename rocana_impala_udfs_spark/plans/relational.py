@@ -1581,6 +1581,156 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_stats_median_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free (order-statistic) 95% confidence interval for the
+    median: ranks floor(n/2 ± 0.98·sqrt(n)) pick the bound ELEMENTS — the
+    binomial-rank CI that needs no normality assumption and, being
+    element picks at integer ranks, is engine-exact except for the one
+    sqrt chain that computes the ranks (floored identically).  Per return
+    flag: n, the upper median (the reference's rule), and the CI bound
+    values.  One sort window, same shape as the exact-median family."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    part = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(part.orderBy("l_extendedprice")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    half = F.expr("div(n, 2)")
+    delta = F.floor(F.lit(0.98) * F.sqrt(F.col("n").cast("double"))).cast("bigint")
+    lo_rank = F.greatest(F.lit(1).cast("bigint"), half - delta)
+    hi_rank = F.least(F.col("n").cast("bigint"), half + delta + 1)
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max(F.when(F.col("rn") == half + 1, F.col("x"))).alias("median_price"),
+            F.max(F.when(F.col("rn") == lo_rank, F.col("x"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == hi_rank, F.col("x"))).alias("ci_hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MEDIAN_CI = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice AS x,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = n // 2 + 1 THEN x END) AS median_price,
+       max(CASE WHEN rn = greatest(1, n // 2 - CAST(floor(0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)) THEN x END) AS ci_lo,
+       max(CASE WHEN rn = least(n, n // 2 + CAST(floor(0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1) THEN x END) AS ci_hi
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_stats_mannwhitney_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test between early and late ship-date
+    halves of lineitem prices — the nonparametric two-sample test (the
+    KS screen's rank-based sibling).  Tie-averaged ranks are carried
+    DOUBLED (2·rank sums are exact integers — fractional .5 ranks never
+    touch float summation), U is assembled from the integer rank sum, and
+    only the final z normalization is a float chain.  One combined sort
+    window + one aggregation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_shipdate").isNotNull()
+    )
+    # the split point is the upper-median ship date picked by the SAME
+    # explicit rank rule in both engines (percentile_approx/quantile_disc
+    # boundary conventions differ at even n)
+    mid_w = Window.orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+    mid = (
+        li.select(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t"),
+            F.row_number().over(mid_w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("div(n, 2)") + 1)
+        .select(F.col("t").alias("m"))
+    )
+    tagged = li.crossJoin(F.broadcast(mid)).select(
+        F.when(F.unix_micros(F.col("l_shipdate").cast("timestamp")) <= F.col("m"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    w = Window.orderBy("x")
+    # tie-averaged rank r = (min_rank + max_rank)/2; carry 2r = min+max
+    ranked = tagged.select(
+        "grp",
+        "x",
+        (F.rank().over(w) * 2 + F.count(F.lit(1)).over(
+            Window.partitionBy("x")
+        ) - 1).alias("r2"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum(F.when(F.col("grp") == "early", F.col("r2"))).cast("bigint").alias("r2_early"),
+        F.sum(F.when(F.col("grp") == "early", 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == "late", 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = F.col("r2_early").cast("double") / F.lit(2.0) - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    sigma = F.sqrt(n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0))
+    return agg.select(
+        "n1",
+        "n2",
+        "r2_early",
+        F.round(u1, 4).alias("u_early"),
+        F.round(F.try_divide(u1 - mu, sigma), 6).alias("z"),
+    )
+
+
+ORACLE_MANNWHITNEY = """
+WITH mid AS (
+    SELECT t AS m FROM (
+        SELECT epoch_us(l_shipdate) AS t,
+               row_number() OVER (ORDER BY epoch_us(l_shipdate)) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+    ) WHERE rn = n // 2 + 1
+),
+tagged AS (
+    SELECT CASE WHEN epoch_us(l_shipdate) <= mid.m THEN 'early' ELSE 'late' END AS grp,
+           l_extendedprice AS x
+    FROM lineitem CROSS JOIN mid
+    WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+),
+ranked AS (
+    SELECT grp, x,
+           rank() OVER (ORDER BY x) * 2 + count(*) OVER (PARTITION BY x) - 1 AS r2
+    FROM tagged
+),
+agg AS (
+    SELECT CAST(sum(CASE WHEN grp = 'early' THEN r2 END) AS BIGINT) AS r2_early,
+           CAST(sum(CASE WHEN grp = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN grp = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM ranked
+)
+SELECT n1, n2, r2_early,
+       round(CAST(r2_early AS DOUBLE) / 2.0
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 4) AS u_early,
+       round(((CAST(r2_early AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0), 6) AS z
+FROM agg
+"""
+
+
 def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimizer-grade JOIN CARDINALITY ESTIMATION from key samples — what
     a cost-based planner does before picking a join strategy: sample the
@@ -3293,6 +3443,8 @@ QUERIES = {
     "events_iqr_outliers": q_events_iqr_outliers,
     "window_rank_semantics_probe": q_window_rank_semantics_probe,
     "join_cardinality_estimate": q_join_cardinality_estimate,
+    "stats_median_ci_price": q_stats_median_ci_price,
+    "stats_mannwhitney_price_halves": q_stats_mannwhitney_price_halves,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3379,6 +3531,8 @@ ORACLE = {
     "events_iqr_outliers": ORACLE_IQR_OUTLIERS,
     "window_rank_semantics_probe": ORACLE_RANK_SEMANTICS,
     "join_cardinality_estimate": ORACLE_JOIN_CARD_EST,
+    "stats_median_ci_price": ORACLE_MEDIAN_CI,
+    "stats_mannwhitney_price_halves": ORACLE_MANNWHITNEY,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
