@@ -161,6 +161,8 @@ _NEVER_DRIVER_CHECKED = [
     "negative_sampling_pairs",
     "stats_median_ci_price",
     "stats_mannwhitney_price_halves",
+    "forecast_mase_seasonal_naive",
+    "text_readability_scores",
 ]
 
 

@@ -2705,6 +2705,52 @@ ORDER BY i.s1, i.s2
 """
 
 
+def q_text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gate:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    sentences counted by terminal punctuation runs and syllables by the
+    standard vowel-group heuristic.  All three counts are JVM
+    regexp_count integers (RE2-compatible patterns shared with the
+    oracle); the score is one fixed-order float chain, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+    sentences = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(F.regexp_count("text", F.lit(r"[aeiouyAEIOUY]+")), words)
+    wd = F.greatest(words, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / wd)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        F.round(score, 4).alias("flesch_score"),
+    )
+
+
+ORACLE_READABILITY = """
+WITH counts AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+           greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')),
+                    len(regexp_extract_all(text, '[A-Za-z]+'))) AS syllables
+    FROM documents
+)
+SELECT doc_id,
+       CAST(words AS INT) AS n_words,
+       CAST(sentences AS INT) AS n_sentences,
+       CAST(syllables AS INT) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(greatest(words, 1) AS DOUBLE) / CAST(sentences AS DOUBLE))
+             - 84.6 * (CAST(syllables AS DOUBLE) / CAST(greatest(words, 1) AS DOUBLE)), 4) AS flesch_score
+FROM counts
+"""
+
+
 def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic NEGATIVE SAMPLING for recommender training — the
     (user, item⁻) pair generator: for each of the 20 highest-volume
@@ -3056,6 +3102,7 @@ PIPELINE_QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
+    "text_readability_scores": q_text_readability_scores,
     "emb_centroid_microunits": q_emb_centroid_microunits,
     "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
@@ -3133,6 +3180,7 @@ PIPELINE_ORACLE = {
     "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
+    "text_readability_scores": ORACLE_READABILITY,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,

@@ -429,6 +429,70 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality evaluation (the metric side of the Holt/CUSUM
+    forecasting family): per event type, the seasonal-naive forecast
+    (ŷ_t = y_{t−7}) scored by MAE and by MASE (MAE scaled by the
+    one-step-naive in-sample MAE — Hyndman's scale-free standard).
+    Absolute errors of integer daily counts are exact integers; the two
+    MAEs and their ratio are the only float ops, in one fixed-order
+    chain.  Two lag windows over the tiny daily aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("l7"),
+        F.lag("n", 1).over(w).alias("l1"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.col("l7")).cast("bigint").alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("l7"))).cast("bigint").alias("sae7"),
+        F.count(F.col("l1")).cast("bigint").alias("n_naive"),
+        F.sum(F.abs(F.col("n") - F.col("l1"))).cast("bigint").alias("sae1"),
+    )
+    mae7 = F.col("sae7").cast("double") / F.col("n_scored")
+    mae1 = F.col("sae1").cast("double") / F.col("n_naive")
+    return agg.select(
+        "event_type",
+        "n_scored",
+        F.round(mae7, 6).alias("mae_seasonal_naive"),
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(F.try_divide(mae7, mae1), 6).alias("mase"),
+    ).orderBy("event_type")
+
+
+ORACLE_MASE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, n,
+           lag(n, 7) OVER w AS l7, lag(n, 1) OVER w AS l1
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(l7) AS BIGINT) AS n_scored,
+           CAST(sum(abs(n - l7)) AS BIGINT) AS sae7,
+           CAST(count(l1) AS BIGINT) AS n_naive,
+           CAST(sum(abs(n - l1)) AS BIGINT) AS sae1
+    FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_scored,
+       round(CAST(sae7 AS DOUBLE) / n_scored, 6) AS mae_seasonal_naive,
+       round(CAST(sae1 AS DOUBLE) / n_naive, 6) AS mae_naive,
+       round((CAST(sae7 AS DOUBLE) / n_scored) / (CAST(sae1 AS DOUBLE) / n_naive), 6) AS mase
+FROM agg ORDER BY event_type
+"""
+
+
 def q_label_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set builder for churn prediction — the label/feature
     engineering step of an ML data platform: the corpus window's last 7
@@ -1906,6 +1970,7 @@ TEMPORAL_QUERIES = {
     "events_duration_log2_buckets": q_events_duration_log2_buckets,
     "events_conversion_wilson_ci": q_events_conversion_wilson_ci,
     "label_churn_features": q_label_churn_features,
+    "forecast_mase_seasonal_naive": q_forecast_mase_seasonal_naive,
     "pit_feature_join": q_pit_feature_join,
     "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
@@ -1957,6 +2022,7 @@ TEMPORAL_ORACLE = {
     "events_duration_log2_buckets": ORACLE_LOG2_BUCKETS,
     "events_conversion_wilson_ci": ORACLE_WILSON_CI,
     "label_churn_features": ORACLE_CHURN_LABELS,
+    "forecast_mase_seasonal_naive": ORACLE_MASE,
     "pit_feature_join": ORACLE_PIT_FEATURES,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
