@@ -163,6 +163,7 @@ _NEVER_DRIVER_CHECKED = [
     "stats_mannwhitney_price_halves",
     "forecast_mase_seasonal_naive",
     "text_readability_scores",
+    "pack_nextfit_stats",
 ]
 
 

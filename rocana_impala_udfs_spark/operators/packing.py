@@ -70,3 +70,66 @@ def pack_sequences(
 
     schema = f"{id_col} long, n_tokens int, bin_id long, bin_fill long"
     return with_counts.mapInPandas(pack, schema=schema)
+
+
+def next_fit_pack_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    capacity: int = 512,
+) -> DataFrame:
+    """DETERMINISTIC sequence packing — NEXT-FIT in doc_id order per
+    group: walk documents in id order keeping one open bin; when the next
+    doc's tokens don't fit, close the bin and open a new one.  Unlike the
+    partition-order-dependent first-fit-decreasing of
+    :func:`pack_sequences` (throughput-optimal, weak-checkable), next-fit
+    is a pure left fold over a deterministic order — O(1) state, exactly
+    reproducible, and therefore ORACLE-CHECKABLE via the same
+    list_reduce replay as the EWMA/Holt/CUSUM folds.  The classic
+    next-fit guarantee (≤ 2× optimal bins) is the price of determinism.
+
+    One group-keyed ``applyInPandas`` fold; all arithmetic integer.
+    Returns per group: docs, total tokens, bins used, fill of the last
+    open bin.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.col("doc_id"),
+        token_count("text").cast("bigint").alias("t"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, fill = 0, 0
+        for t in pdf["t"].tolist():
+            t = int(t)
+            if bins == 0 or fill + t > capacity:
+                bins += 1
+                fill = t
+            else:
+                fill += t
+        return pd.DataFrame(
+            [
+                {
+                    "g": pdf["g"].iloc[0],
+                    "n_docs": len(pdf),
+                    "total_tokens": int(pdf["t"].sum()),
+                    "n_bins": bins,
+                    "last_fill": fill,
+                }
+            ]
+        )
+
+    return (
+        toks.groupBy("g")
+        .applyInPandas(
+            fold,
+            schema="g string, n_docs bigint, total_tokens bigint, n_bins bigint, last_fill bigint",
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            "n_bins",
+            "last_fill",
+        )
+    )

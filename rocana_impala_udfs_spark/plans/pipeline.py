@@ -2705,6 +2705,44 @@ ORDER BY i.s1, i.s2
 """
 
 
+def q_pack_nextfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEXT-FIT sequence packing per source, oracle-checked
+    via the list_reduce fold-replay trick (the EWMA/Holt discipline
+    applied to bin packing) — the companion that promotes the packing
+    family from weak-only (first-fit-decreasing is partition-order
+    dependent) to a hash-green row.  All-integer state."""
+    from rocana_impala_udfs_spark.operators.packing import next_fit_pack_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return next_fit_pack_stats(docs, group_col="source", capacity=512).orderBy("source")
+
+
+ORACLE_PACK_NEXTFIT = f"""
+WITH toks AS (
+    SELECT source, doc_id,
+           CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS tok
+    FROM (SELECT source, doc_id, {_NORM} AS t FROM documents)
+),
+per AS (
+    SELECT source,
+           list([tok, CAST(0 AS BIGINT)] ORDER BY doc_id) AS ts,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY source
+),
+folded AS (
+    SELECT source, n_docs, total_tokens,
+           list_reduce([[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]] || ts, (acc, e) -> CASE
+               WHEN acc[1] = 0 OR acc[2] + e[1] > 512 THEN [acc[1] + 1, e[1]]
+               ELSE [acc[1], acc[2] + e[1]] END) AS st
+    FROM per
+)
+SELECT source, n_docs, total_tokens,
+       CAST(st[1] AS BIGINT) AS n_bins, CAST(st[2] AS BIGINT) AS last_fill
+FROM folded ORDER BY source
+"""
+
+
 def q_text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document — the classic readability gate:
     206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
@@ -3103,6 +3141,7 @@ PIPELINE_QUERIES = {
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
+    "pack_nextfit_stats": q_pack_nextfit_stats,
     "emb_centroid_microunits": q_emb_centroid_microunits,
     "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
@@ -3181,6 +3220,7 @@ PIPELINE_ORACLE = {
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,
+    "pack_nextfit_stats": ORACLE_PACK_NEXTFIT,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,
