@@ -164,6 +164,8 @@ _NEVER_DRIVER_CHECKED = [
     "forecast_mase_seasonal_naive",
     "text_readability_scores",
     "pack_nextfit_stats",
+    "events_user_drawdown",
+    "ops_rate_limiter_sim",
 ]
 
 

@@ -529,3 +529,94 @@ def holt_fold(
         return pdf
 
     return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
+
+
+def drawdown_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown per key over a cumulative integer series — the
+    finance-classic risk metric as a sequential fold: walk values in
+    order, track running total, running peak, and the largest peak-to-
+    trough drop.  ALL-INTEGER state (pass the value pre-scaled to
+    micro-units), so the DuckDB ``list_reduce`` replay is exact with no
+    rounding slack — same execution shape as :func:`cusum_fold`: one
+    keyed shuffle + O(1)-state ``applyInPandas`` fold.
+
+    Returns one row per key: ``final_total, peak, max_drawdown``.
+    """
+    src = df.select(*key_cols, *order_cols, value_col)
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in key_cols
+    )
+    out_schema = key_schema + ", final_total bigint, peak bigint, max_drawdown bigint"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        total = peak = mdd = 0
+        for v in pdf[value_col].tolist():
+            total += int(v)
+            if total > peak:
+                peak = total
+            if peak - total > mdd:
+                mdd = peak - total
+        row = {c: pdf[c].iloc[0] for c in key_cols}
+        row.update(final_total=total, peak=peak, max_drawdown=mdd)
+        return pd.DataFrame([row])
+
+    return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
+
+
+def rate_limiter_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_us_col: str,
+    t_us: int = 1_000_000,
+    burst: int = 5,
+) -> DataFrame:
+    """Token-bucket rate-limiter SIMULATION per key — the ops what-if:
+    how many of this key's events would a limiter (one token per
+    ``t_us`` microseconds, burst capacity ``burst``) have dropped?
+
+    Implemented as the GCRA (generic cell rate algorithm), the
+    single-state formulation equivalent to a token bucket: with emission
+    interval ``T = t_us`` microseconds and limit ``(burst-1)·T``, an
+    event CONFORMS iff ``ts ≥ TAT − limit`` (then ``TAT = max(ts, TAT) +
+    T``); non-conforming events drop without advancing TAT.  One BIGINT
+    of state makes the DuckDB ``list_reduce`` replay a two-element fold
+    instead of a four-field bucket walk — exactly reproducible, no float
+    anywhere.
+
+    Returns per key: ``n_events, n_dropped, final_tat_us``.
+    """
+    src = df.select(*key_cols, F.col(ts_us_col).alias("_ts"))
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in key_cols
+    )
+    out_schema = key_schema + ", n_events bigint, n_dropped bigint, final_tat_us bigint"
+    limit = (burst - 1) * t_us
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        pdf = pdf.sort_values("_ts", kind="mergesort").reset_index(drop=True)
+        tat, dropped = None, 0
+        for ts in pdf["_ts"].tolist():
+            ts = int(ts)
+            if tat is None or ts >= tat - limit:
+                tat = max(ts, tat if tat is not None else ts) + t_us
+            else:
+                dropped += 1
+        row = {c: pdf[c].iloc[0] for c in key_cols}
+        row.update(n_events=len(pdf), n_dropped=dropped, final_tat_us=tat)
+        return pd.DataFrame([row])
+
+    return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)

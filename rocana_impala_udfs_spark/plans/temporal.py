@@ -429,6 +429,100 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_events_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the signed engagement balance
+    (+value on click/purchase, −value otherwise), in integer micro-units
+    — the finance risk metric as an all-integer sequential fold
+    (`operators/temporal.py:drawdown_fold`), oracle-replayed with
+    list_reduce.  Users below id 300 keep the result set bounded."""
+    from rocana_impala_udfs_spark.operators.temporal import drawdown_fold
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    signed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("click", "purchase"),
+            F.floor(F.col("value") * 1000000.0).cast("bigint"),
+        )
+        .otherwise(-F.floor(F.col("value") * 1000000.0).cast("bigint"))
+        .alias("delta_micro"),
+    )
+    return drawdown_fold(
+        signed, ["user_id"], ["ts_us", "event_id"], "delta_micro"
+    ).orderBy("user_id")
+
+
+ORACLE_USER_DRAWDOWN = """
+WITH signed AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CASE WHEN event_type IN ('click', 'purchase')
+                THEN CAST(floor(value * 1000000.0) AS BIGINT)
+                ELSE -CAST(floor(value * 1000000.0) AS BIGINT) END AS d
+    FROM events WHERE user_id < 300
+),
+per AS (
+    SELECT user_id,
+           list([d, CAST(0 AS BIGINT), CAST(0 AS BIGINT)] ORDER BY ts_us, event_id) AS ds
+    FROM signed GROUP BY user_id
+),
+folded AS (
+    SELECT user_id,
+           list_reduce(
+               [[CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]] || ds,
+               (acc, e) -> [
+                   acc[1] + e[1],
+                   greatest(acc[2], acc[1] + e[1]),
+                   greatest(acc[3], greatest(acc[2], acc[1] + e[1]) - (acc[1] + e[1]))
+               ]) AS st
+    FROM per
+)
+SELECT user_id,
+       st[1] AS final_total, st[2] AS peak, st[3] AS max_drawdown
+FROM folded ORDER BY user_id
+"""
+
+
+def q_ops_rate_limiter_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter what-if per user (1 token/hour, burst 3)
+    via the GCRA single-state fold — how much traffic a proposed limit
+    would have dropped, per user, all-integer and oracle-replayed.
+    Users below id 300 bound the result set."""
+    from rocana_impala_udfs_spark.operators.temporal import rate_limiter_fold
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    src = ev.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    return rate_limiter_fold(
+        src, ["user_id"], "ts_us", t_us=3600 * 1000000, burst=3
+    ).orderBy("user_id")
+
+
+ORACLE_RATE_LIMITER = """
+WITH src AS (
+    SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < 300
+),
+per AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list([ts_us, CAST(0 AS BIGINT)] ORDER BY ts_us) AS ts
+    FROM src GROUP BY user_id
+),
+folded AS (
+    SELECT user_id, n_events,
+           list_reduce(
+               [[CAST(-4611686018427387904 AS BIGINT), CAST(0 AS BIGINT)]] || ts,
+               (acc, e) -> CASE
+                   WHEN e[1] >= acc[1] - 7200000000
+                   THEN [greatest(e[1], acc[1]) + 3600000000, acc[2]]
+                   ELSE [acc[1], acc[2] + 1] END) AS st
+    FROM per
+)
+SELECT user_id, n_events, st[2] AS n_dropped, st[1] AS final_tat_us
+FROM folded ORDER BY user_id
+"""
+
+
 def q_forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-quality evaluation (the metric side of the Holt/CUSUM
     forecasting family): per event type, the seasonal-naive forecast
@@ -1971,6 +2065,8 @@ TEMPORAL_QUERIES = {
     "events_conversion_wilson_ci": q_events_conversion_wilson_ci,
     "label_churn_features": q_label_churn_features,
     "forecast_mase_seasonal_naive": q_forecast_mase_seasonal_naive,
+    "events_user_drawdown": q_events_user_drawdown,
+    "ops_rate_limiter_sim": q_ops_rate_limiter_sim,
     "pit_feature_join": q_pit_feature_join,
     "events_changepoint_daily": q_events_changepoint_daily,
     "retention_weekly_cohorts": q_retention_weekly,
@@ -2023,6 +2119,8 @@ TEMPORAL_ORACLE = {
     "events_conversion_wilson_ci": ORACLE_WILSON_CI,
     "label_churn_features": ORACLE_CHURN_LABELS,
     "forecast_mase_seasonal_naive": ORACLE_MASE,
+    "events_user_drawdown": ORACLE_USER_DRAWDOWN,
+    "ops_rate_limiter_sim": ORACLE_RATE_LIMITER,
     "pit_feature_join": ORACLE_PIT_FEATURES,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
     "retention_weekly_cohorts": ORACLE_RETENTION,
