@@ -166,6 +166,8 @@ _NEVER_DRIVER_CHECKED = [
     "pack_nextfit_stats",
     "events_user_drawdown",
     "ops_rate_limiter_sim",
+    "sample_exact_k_per_type",
+    "stats_quantile_bands_price",
 ]
 
 

@@ -1581,6 +1581,102 @@ FROM est
 ORACLE_KMV_OVERLAP = _oracle_kmv_overlap()
 
 
+def q_sample_exact_k_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling: the 10 events per
+    type with the smallest content-addressed md5 draw — the complement of
+    the RATE-based hash gates when downstream needs a fixed-size sample
+    per group (eval panels, spot-check queues).  Content-addressed means
+    the panel is stable across reruns and engines; one keyed window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    draw = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(draw.asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+        .select("event_type", F.col("rk").cast("int").alias("rk"), "event_id", "user_id")
+        .orderBy("event_type", "rk")
+    )
+
+
+ORACLE_EXACT_K_SAMPLE = """
+WITH ranked AS (
+    SELECT event_type, event_id, user_id,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) ASC,
+                        event_id ASC) AS rk
+    FROM events
+)
+SELECT event_type, CAST(rk AS INT) AS rk, event_id, user_id
+FROM ranked WHERE rk <= 10 ORDER BY event_type, rk
+"""
+
+
+def q_stats_quantile_bands_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-point quantile band (p10/p25/p50/p75/p90) per return flag in
+    ONE ranked pass — exact order-statistic element picks at integer
+    ranks floor(q·n)+1 (the upper-pick rule of the median family
+    generalized to a band), gathered by conditional aggregation so the
+    sort window runs once, not per quantile."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    part = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(part.orderBy("l_extendedprice")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+
+    def pick(num: int, den: int, out: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"div({num} * n, {den})") + 1, F.col("x"))
+        ).alias(out)
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            pick(1, 10, "p10"),
+            pick(1, 4, "p25"),
+            pick(1, 2, "p50"),
+            pick(3, 4, "p75"),
+            pick(9, 10, "p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_QUANTILE_BANDS = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice AS x,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (1 * n) // 10 + 1 THEN x END) AS p10,
+       max(CASE WHEN rn = (1 * n) // 4 + 1 THEN x END) AS p25,
+       max(CASE WHEN rn = (1 * n) // 2 + 1 THEN x END) AS p50,
+       max(CASE WHEN rn = (3 * n) // 4 + 1 THEN x END) AS p75,
+       max(CASE WHEN rn = (9 * n) // 10 + 1 THEN x END) AS p90
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_stats_median_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-free (order-statistic) 95% confidence interval for the
     median: ranks floor(n/2 ± 0.98·sqrt(n)) pick the bound ELEMENTS — the
@@ -3445,6 +3541,8 @@ QUERIES = {
     "join_cardinality_estimate": q_join_cardinality_estimate,
     "stats_median_ci_price": q_stats_median_ci_price,
     "stats_mannwhitney_price_halves": q_stats_mannwhitney_price_halves,
+    "sample_exact_k_per_type": q_sample_exact_k_per_type,
+    "stats_quantile_bands_price": q_stats_quantile_bands_price,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3533,6 +3631,8 @@ ORACLE = {
     "join_cardinality_estimate": ORACLE_JOIN_CARD_EST,
     "stats_median_ci_price": ORACLE_MEDIAN_CI,
     "stats_mannwhitney_price_halves": ORACLE_MANNWHITNEY,
+    "sample_exact_k_per_type": ORACLE_EXACT_K_SAMPLE,
+    "stats_quantile_bands_price": ORACLE_QUANTILE_BANDS,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
