@@ -531,6 +531,16 @@ def holt_fold(
     return src.groupBy(*key_cols).applyInPandas(fold, schema=out_schema)
 
 
+def _key_schema(src: DataFrame, key_cols: list[str]) -> str:
+    """Schema fragment (`name` type, ...) for the key columns of a keyed
+    fold's output — shared by the applyInPandas folds below."""
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in key_cols
+    )
+
+
 def drawdown_fold(
     df: DataFrame,
     key_cols: list[str],
@@ -548,11 +558,7 @@ def drawdown_fold(
     Returns one row per key: ``final_total, peak, max_drawdown``.
     """
     src = df.select(*key_cols, *order_cols, value_col)
-    key_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name in key_cols
-    )
+    key_schema = _key_schema(src, key_cols)
     out_schema = key_schema + ", final_total bigint, peak bigint, max_drawdown bigint"
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -596,11 +602,7 @@ def rate_limiter_fold(
     Returns per key: ``n_events, n_dropped, final_tat_us``.
     """
     src = df.select(*key_cols, F.col(ts_us_col).alias("_ts"))
-    key_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name in key_cols
-    )
+    key_schema = _key_schema(src, key_cols)
     out_schema = key_schema + ", n_events bigint, n_dropped bigint, final_tat_us bigint"
     limit = (burst - 1) * t_us
 

@@ -530,19 +530,23 @@ def q_forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
     one-step-naive in-sample MAE — Hyndman's scale-free standard).
     Absolute errors of integer daily counts are exact integers; the two
     MAEs and their ratio are the only float ops, in one fixed-order
-    chain.  Two lag windows over the tiny daily aggregate."""
-    from pyspark.sql import Window
-
+    chain.  Lags are pinned to CALENDAR days via self-joins on day−7 /
+    day−1 (a row-offset lag would silently misalign across zero-event
+    gap days); joins run over the tiny daily aggregate."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    lagged = daily.select(
-        "event_type",
-        "n",
-        F.lag("n", 7).over(w).alias("l7"),
-        F.lag("n", 1).over(w).alias("l1"),
+    s7 = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("n").alias("l7")
+    )
+    s1 = daily.select(
+        "event_type", F.date_add("day", 1).alias("day"), F.col("n").alias("l1")
+    )
+    lagged = (
+        daily.join(s7, ["event_type", "day"], "left")
+        .join(s1, ["event_type", "day"], "left")
+        .select("event_type", "n", "l7", "l1")
     )
     agg = lagged.groupBy("event_type").agg(
         F.count(F.col("l7")).cast("bigint").alias("n_scored"),
@@ -567,9 +571,10 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 ),
 lagged AS (
-    SELECT event_type, n,
-           lag(n, 7) OVER w AS l7, lag(n, 1) OVER w AS l1
-    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    SELECT d.event_type, d.n, s7.n AS l7, s1.n AS l1
+    FROM daily d
+    LEFT JOIN daily s7 ON s7.event_type = d.event_type AND s7.day = d.day - INTERVAL 7 DAY
+    LEFT JOIN daily s1 ON s1.event_type = d.event_type AND s1.day = d.day - INTERVAL 1 DAY
 ),
 agg AS (
     SELECT event_type,
