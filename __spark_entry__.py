@@ -168,6 +168,7 @@ _NEVER_DRIVER_CHECKED = [
     "ops_rate_limiter_sim",
     "sample_exact_k_per_type",
     "stats_quantile_bands_price",
+    "graph_components_parts",
 ]
 
 

@@ -2847,6 +2847,64 @@ ORDER BY pr_scaled DESC, p_partkey ASC
 ORACLE_PAGERANK_PARTS = _oracle_pagerank()
 
 
+def q_graph_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size distribution of the co-purchase graph —
+    the community-structure overview (is the catalog one giant component
+    or many islands?).  Reuses the distributed min-label propagation from
+    the dedup stack (`operators/dedup.py:connected_components`) on the
+    support-≥3 edge set; the oracle is a recursive-CTE transitive
+    closure.  Output: component size → number of components."""
+    from rocana_impala_udfs_spark.operators.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 3)
+        .select("i", "j")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(F.col("size").cast("bigint").alias("size"), "n_components")
+        .orderBy("size")
+    )
+
+
+ORACLE_GRAPH_COMPONENTS = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+    SELECT a.l_partkey AS i, b.l_partkey AS j
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 3
+),
+edges AS (
+    SELECT i AS a, j AS b FROM e0
+    UNION
+    SELECT j AS a, i AS b FROM e0
+),
+reach AS (
+    SELECT a AS id, b AS r FROM edges
+    UNION
+    SELECT e.a AS id, r.r FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY component)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 def q_basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over co-purchased part pairs: support, directional
     confidence, and lift — the classic market-basket trio. Item and pair
@@ -3473,6 +3531,7 @@ QUERIES = {
     "cdc_apply_latest": q_cdc_apply_latest,
     "graph_triangle_parts": q_graph_triangle_parts,
     "graph_pagerank_parts": q_graph_pagerank_parts,
+    "graph_components_parts": q_graph_components_parts,
     "basket_rules_lift": q_basket_rules_lift,
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "stats_theilsen_trend": q_stats_theilsen_trend,
@@ -3565,6 +3624,7 @@ ORACLE = {
     "cdc_apply_latest": ORACLE_CDC_APPLY,
     "graph_triangle_parts": ORACLE_TRIANGLE_PARTS,
     "graph_pagerank_parts": ORACLE_PAGERANK_PARTS,
+    "graph_components_parts": ORACLE_GRAPH_COMPONENTS,
     "basket_rules_lift": ORACLE_BASKET_LIFT,
     "graph_clustering_coeff": ORACLE_CLUSTERING_COEFF,
     "stats_theilsen_trend": ORACLE_THEILSEN,
