@@ -169,6 +169,8 @@ _NEVER_DRIVER_CHECKED = [
     "sample_exact_k_per_type",
     "stats_quantile_bands_price",
     "graph_components_parts",
+    "events_cumulative_distinct_users",
+    "search_bm25_top10",
 ]
 
 

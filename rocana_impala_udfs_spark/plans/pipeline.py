@@ -2705,6 +2705,98 @@ ORDER BY i.s1, i.s2
 """
 
 
+def q_search_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking — the canonical IR scoring function,
+    completing the retrieval stack (inverted index → TF-IDF → BM25):
+    score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)) with
+    k1=1.2, b=0.75 and the standard Robertson idf ln((N−df+0.5)/(df+0.5)
+    + 1).  The query is the corpus's 3 most frequent tokens
+    (deterministic), tf/df/len are exact integers, avgdl is one division,
+    and each score is a fixed-order float chain rounded 6dp.  Plan:
+    token-keyed tf aggregation, broadcast query terms + corpus constants,
+    top-10 via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(T.normalize_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    consts = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tok_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    qw = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    qterms = tok_freq.withColumn("qrk", F.row_number().over(qw)).filter(
+        F.col("qrk") <= 3
+    ).select("tok")
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored_terms = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(consts))
+    )
+    ndocs = F.col("n_docs").cast("double")
+    idf = F.log(
+        (ndocs - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+    )
+    avgdl = F.col("total_len").cast("double") / ndocs
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(1.2) * (
+        F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * (tfd * F.lit(2.2) / denom)
+    per_doc = scored_terms.groupBy("doc_id").agg(
+        F.round(F.sum(term_score), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ) WHERE length(tok) > 0
+),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+consts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+    FROM doclen
+),
+tok_freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+qterms AS (
+    SELECT tok FROM tok_freq ORDER BY cnt DESC, tok ASC LIMIT 3
+),
+tf AS (
+    SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+    FROM toks t JOIN qterms q ON t.tok = q.tok
+    GROUP BY 1, 2
+),
+df_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id,
+           ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+                 * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
+    FROM tf
+    JOIN df_t ON df_t.tok = tf.tok
+    JOIN doclen ON doclen.doc_id = tf.doc_id
+    CROSS JOIN consts
+)
+SELECT doc_id, round(sum(s), 6) AS bm25, CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_pack_nextfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic NEXT-FIT sequence packing per source, oracle-checked
     via the list_reduce fold-replay trick (the EWMA/Holt discipline
@@ -3142,6 +3234,7 @@ PIPELINE_QUERIES = {
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
     "pack_nextfit_stats": q_pack_nextfit_stats,
+    "search_bm25_top10": q_search_bm25_top10,
     "emb_centroid_microunits": q_emb_centroid_microunits,
     "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
@@ -3221,6 +3314,7 @@ PIPELINE_ORACLE = {
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,
     "pack_nextfit_stats": ORACLE_PACK_NEXTFIT,
+    "search_bm25_top10": ORACLE_BM25,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,

@@ -429,6 +429,45 @@ SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
 """
 
 
+def q_events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day (users-to-date) — the classic
+    'cumulative uniques' curve that naive window functions can't express
+    (COUNT(DISTINCT) OVER a running frame is unsupported/quadratic).
+    The scalable identity: a user contributes exactly once, on their
+    FIRST day — so first-seen-day counts + one cumulative sum give the
+    exact curve.  Two tiny aggregations, all integers."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("users_to_date"),
+    ).orderBy("day")
+
+
+ORACLE_CUMULATIVE_DISTINCT = """
+WITH first_day AS (
+    SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day
+    FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_day GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_to_date
+FROM per_day ORDER BY day
+"""
+
+
 def q_events_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per user over the signed engagement balance
     (+value on click/purchase, −value otherwise), in integer micro-units
@@ -2071,6 +2110,7 @@ TEMPORAL_QUERIES = {
     "label_churn_features": q_label_churn_features,
     "forecast_mase_seasonal_naive": q_forecast_mase_seasonal_naive,
     "events_user_drawdown": q_events_user_drawdown,
+    "events_cumulative_distinct_users": q_events_cumulative_distinct_users,
     "ops_rate_limiter_sim": q_ops_rate_limiter_sim,
     "pit_feature_join": q_pit_feature_join,
     "events_changepoint_daily": q_events_changepoint_daily,
@@ -2125,6 +2165,7 @@ TEMPORAL_ORACLE = {
     "label_churn_features": ORACLE_CHURN_LABELS,
     "forecast_mase_seasonal_naive": ORACLE_MASE,
     "events_user_drawdown": ORACLE_USER_DRAWDOWN,
+    "events_cumulative_distinct_users": ORACLE_CUMULATIVE_DISTINCT,
     "ops_rate_limiter_sim": ORACLE_RATE_LIMITER,
     "pit_feature_join": ORACLE_PIT_FEATURES,
     "events_changepoint_daily": ORACLE_CHANGEPOINT,
