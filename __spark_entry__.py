@@ -171,6 +171,8 @@ _NEVER_DRIVER_CHECKED = [
     "graph_components_parts",
     "events_cumulative_distinct_users",
     "search_bm25_top10",
+    "quantile_normalize_price",
+    "histogram_price_qty_2d",
 ]
 
 

@@ -2013,6 +2013,131 @@ FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_quantile_normalize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — the ML-preprocessing classic (map one
+    sample's distribution onto a reference's, rank for rank): late-half
+    ship-date prices are replaced by the early-half value at the same
+    quantile position, target rank = floor((rn−1)·n_ref/n_cur)+1 in
+    exact integer arithmetic.  Element picks, never interpolation, so
+    the mapping is engine-exact; two sort windows + one equi-join on the
+    mapped rank.  Output keyed by (orderkey, linenumber)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_shipdate").isNotNull()
+    )
+    mid_w = Window.orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+    mid = (
+        li.select(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t"),
+            F.row_number().over(mid_w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("div(n, 2)") + 1)
+        .select(F.col("t").alias("m"))
+    )
+    tagged = li.crossJoin(F.broadcast(mid)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("x"),
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp")) <= F.col("m")).alias("is_ref"),
+    )
+    ref = tagged.filter(F.col("is_ref"))
+    cur = tagged.filter(~F.col("is_ref"))
+    ref_ranked = ref.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x"), F.col("l_orderkey"), F.col("l_linenumber")))
+        .alias("ref_rn"),
+    )
+    n_ref = ref.agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+    cur_ranked = cur.crossJoin(F.broadcast(n_ref)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "n_ref",
+        F.row_number()
+        .over(Window.orderBy(F.col("x"), F.col("l_orderkey"), F.col("l_linenumber")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_cur"),
+    )
+    mapped = cur_ranked.withColumn(
+        "ref_rn", F.expr("div((rn - 1) * n_ref, n_cur)") + 1
+    )
+    return (
+        mapped.join(ref_ranked.select("ref_rn", F.col("x").alias("x_norm")), "ref_rn")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("price"),
+            F.col("x_norm").alias("price_normalized"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice AS x,
+           epoch_us(l_shipdate) AS t
+    FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+),
+mid AS (
+    SELECT t AS m FROM (
+        SELECT t, row_number() OVER (ORDER BY t) AS rn, count(*) OVER () AS n
+        FROM base
+    ) WHERE rn = n // 2 + 1
+),
+tagged AS (
+    SELECT b.*, b.t <= mid.m AS is_ref FROM base b CROSS JOIN mid
+),
+ref_ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS ref_rn
+    FROM tagged WHERE is_ref
+),
+n_ref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM tagged WHERE is_ref),
+cur_ranked AS (
+    SELECT l_orderkey, l_linenumber, x,
+           row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER () AS n_cur
+    FROM tagged WHERE NOT is_ref
+),
+mapped AS (
+    SELECT c.l_orderkey, c.l_linenumber, c.x,
+           (c.rn - 1) * r.n_ref // c.n_cur + 1 AS ref_rn
+    FROM cur_ranked c CROSS JOIN n_ref r
+)
+SELECT m.l_orderkey, m.l_linenumber, m.x AS price, rr.x AS price_normalized
+FROM mapped m JOIN ref_ranked rr ON rr.ref_rn = m.ref_rn
+ORDER BY m.l_orderkey, m.l_linenumber
+"""
+
+
+def q_histogram_price_qty_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equi-width histogram (price × quantity heat grid) — the
+    joint-distribution overview dataviz layers need: integer bucket
+    indices (price // 10000 cents-bands, quantity as-is), one scan + one
+    (bx, by)-keyed aggregation; empty cells are simply absent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("price_band"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("price_band", "qty")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("price_band", "qty")
+    )
+
+
+ORACLE_HIST_2D = """
+SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY price_band, qty
+"""
+
+
 def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value concentration per order status —
     the revenue-inequality metric: G = (2·Σ(i·x_i) − (n+1)·Σx_i) /
@@ -3602,6 +3727,8 @@ QUERIES = {
     "stats_mannwhitney_price_halves": q_stats_mannwhitney_price_halves,
     "sample_exact_k_per_type": q_sample_exact_k_per_type,
     "stats_quantile_bands_price": q_stats_quantile_bands_price,
+    "quantile_normalize_price": q_quantile_normalize_price,
+    "histogram_price_qty_2d": q_histogram_price_qty_2d,
     "kmv_merged_weekly_users": q_kmv_merged_weekly,
     "kmv_user_overlap_estimate": q_kmv_user_overlap,
     "stats_trend_by_event_type": q_trend_by_event_type,
@@ -3693,6 +3820,8 @@ ORACLE = {
     "stats_mannwhitney_price_halves": ORACLE_MANNWHITNEY,
     "sample_exact_k_per_type": ORACLE_EXACT_K_SAMPLE,
     "stats_quantile_bands_price": ORACLE_QUANTILE_BANDS,
+    "quantile_normalize_price": ORACLE_QUANTILE_NORMALIZE,
+    "histogram_price_qty_2d": ORACLE_HIST_2D,
     "kmv_merged_weekly_users": ORACLE_KMV_USERS,
     "kmv_user_overlap_estimate": ORACLE_KMV_OVERLAP,
     "stats_trend_by_event_type": ORACLE_TREND,
