@@ -289,6 +289,80 @@ def make_appx_percentile_bounded_udf():
     return appx_percentile_bounded_udf
 
 
+def serialize_reservoir_state(state: ReservoirState) -> list:
+    """Flat ARRAY<DOUBLE> encoding of the aggregation state — the analog of
+    the reference's serialize-to-StringVal at the shuffle boundary
+    (``median.cc:165-194``): ``[max_samples, source_size, n, v1..vn,
+    key1..keyn]``. Weight keys are assigned before encoding, exactly as the
+    reference keys unkeyed samples at serialize time."""
+    state.assign_keys()
+    vals = state.sample_values()
+    return (
+        [float(state.max_samples), float(state.source_size), float(vals.size)]
+        + vals.tolist()
+        + state.keys.tolist()
+    )
+
+
+def deserialize_reservoir_state(flat) -> ReservoirState:
+    """Inverse of :func:`serialize_reservoir_state`."""
+    arr = np.asarray(flat, dtype=np.float64)
+    max_samples, source_size, n = int(arr[0]), int(arr[1]), int(arr[2])
+    st = ReservoirState(max_samples)
+    st.vals = arr[3 : 3 + n].copy()
+    st.keys = arr[3 + n : 3 + 2 * n].copy()
+    st.source_size = source_size
+    return st
+
+
+def make_reservoir_partial_udf():
+    """``reservoir_partial(x, k) -> ARRAY<DOUBLE>`` — the UPDATE+SERIALIZE
+    half of the reference's five-phase protocol (``median.cc:128-194``)
+    exposed to SQL, so the documented DDL surface gets a genuinely scalable
+    two-statement form (see :func:`make_reservoir_merge_median_udf`).
+
+    Spark's grouped-agg pandas UDFs ship whole groups to one worker; the
+    scalable SQL idiom bounds every such group by salting the first GROUP BY
+    (``GROUP BY grp, pmod(hash(id), S)``), then merging the ≤ S bounded
+    states per group in a second aggregate — the same
+    partial/serialize/merge shape as ``operators/reservoir.py``, with
+    intermediate state ≤ S × max_samples values per group regardless of
+    input row count."""
+
+    @pandas_udf("array<double>")
+    def reservoir_partial_udf(x: pd.Series, k: pd.Series) -> list:
+        ks = np.asarray(k, dtype=np.float64)
+        ks = ks[~np.isnan(ks)]
+        max_samples = int(ks.max()) if ks.size else 100
+        state = ReservoirState(max_samples)
+        state.update(np.asarray(x, dtype=np.float64))
+        return serialize_reservoir_state(state)
+
+    return reservoir_partial_udf
+
+
+def make_reservoir_merge_median_udf():
+    """``reservoir_merge_median(state) -> DOUBLE`` — the MERGE+FINALIZE half
+    (``median.cc:228-304``): key-weighted combine of serialized partials from
+    :func:`make_reservoir_partial_udf`, then the reference's upper-median
+    finalize (empty ⇒ NULL, no interpolation)."""
+
+    @pandas_udf("double")
+    def reservoir_merge_median_udf(states: pd.Series) -> float:
+        merged: ReservoirState | None = None
+        for flat in states:
+            if flat is None:
+                continue
+            st = deserialize_reservoir_state(flat)
+            if merged is None:
+                merged = st
+            else:
+                merged.merge(st)
+        return None if merged is None else merged.finalize()
+
+    return reservoir_merge_median_udf
+
+
 def make_reservoir_sample_udf():
     """The underlying primitive exposed directly:
     ``reservoir_sample(x, k) -> ARRAY<DOUBLE>`` — a bounded uniform sample of

@@ -327,42 +327,47 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def encode_png(img: np.ndarray) -> bytes:
     """(h, w, 3) uint8 → 8-bit RGB PNG. Scanline filters cycle 0..4 by row
-    index, so a round-trip covers every filter reconstruction path."""
+    index, so a round-trip covers every filter reconstruction path.
+
+    Unlike *decode*, every encode filter reads only ORIGINAL pixel values
+    (left / up / up-left of the unfiltered image), so all five filtered
+    variants vectorize over the whole image at once — no per-byte Python
+    loop (the old Paeth row loop dominated the sf0.1 bench)."""
     import struct
     import zlib as _z
 
     h, w, _ = img.shape
     bpp = 3
-    raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int32)
-    for y in range(h):
-        line = img[y].reshape(-1).astype(np.int32)
-        f = y % 5
-        raw.append(f)
-        if f == 0:
-            filt = line
-        elif f == 1:  # Sub
-            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
-            filt = (line - left) % 256
-        elif f == 2:  # Up
-            filt = (line - prev) % 256
-        elif f == 3:  # Average
-            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
-            filt = (line - (left + prev) // 2) % 256
-        else:  # Paeth
-            filt = np.empty_like(line)
-            for i in range(line.size):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                filt[i] = (int(line[i]) - _paeth(a, b, c)) % 256
-        raw.extend(filt.astype(np.uint8).tobytes())
-        prev = line
+    x = img.reshape(h, w * bpp).astype(np.int32)
+    left = np.zeros_like(x)
+    left[:, bpp:] = x[:, :-bpp]
+    up = np.zeros_like(x)
+    up[1:] = x[:-1]
+    ul = np.zeros_like(x)
+    ul[1:, bpp:] = x[:-1, :-bpp]
+    # Paeth predictor, vectorized: pick a/b/c minimizing |p - ·|, ties a>b>c.
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    variants = (
+        x,  # 0 None
+        (x - left) % 256,  # 1 Sub
+        (x - up) % 256,  # 2 Up
+        (x - (left + up) // 2) % 256,  # 3 Average
+        (x - paeth) % 256,  # 4 Paeth
+    )
+    raw = np.empty((h, w * bpp + 1), dtype=np.uint8)
+    rows = np.arange(h)
+    raw[:, 0] = (rows % 5).astype(np.uint8)
+    for f in range(5):
+        sel = rows % 5 == f
+        if sel.any():
+            raw[sel, 1:] = variants[f][sel].astype(np.uint8)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IDAT", _z.compress(raw.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -400,34 +405,44 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     raw = _z.decompress(bytes(idat))
     bpp, stride = 3, w * 3
+    # One reshape exposes (filter byte, scanline) per row with no per-row
+    # frombuffer calls; the sequential Average/Paeth reconstructions run on
+    # plain Python lists — at these strides list indexing beats numpy
+    # scalar indexing several-fold, and rows with filters 0-2 stay numpy.
+    grid = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    filters = grid[:, 0]
+    lines = grid[:, 1:].astype(np.int32)
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev: list[int] = [0] * stride
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        f = int(filters[y])
         if f == 0:
-            recon = line
+            recon = lines[y].tolist()
         elif f == 1:  # Sub: prefix-sum per pixel-channel stride
-            recon = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
+            recon = lines[y].reshape(-1, bpp).cumsum(axis=0).reshape(-1).__mod__(256).tolist()
         elif f == 2:  # Up
-            recon = (line + prev) % 256
+            line = lines[y]
+            recon = [(int(v) + p) % 256 for v, p in zip(line.tolist(), prev)]
         elif f == 3:  # Average — sequential in x
-            recon = np.empty_like(line)
+            line = lines[y].tolist()
+            recon = [0] * stride
             for i in range(stride):
-                left = int(recon[i - bpp]) if i >= bpp else 0
-                recon[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
+                left = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (line[i] + (left + prev[i]) // 2) % 256
         elif f == 4:  # Paeth — sequential in x
-            recon = np.empty_like(line)
+            line = lines[y].tolist()
+            recon = [0] * stride
             for i in range(stride):
-                a = int(recon[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                recon[i] = (int(line[i]) + _paeth(a, b, c)) % 256
+                a = recon[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (line[i] + pred) % 256
         else:
             raise ValueError(f"invalid PNG filter type {f}")
-        out[y] = recon.astype(np.uint8)
+        out[y] = recon
         prev = recon
     return out.reshape(h, w, 3)
 

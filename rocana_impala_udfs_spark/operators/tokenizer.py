@@ -157,3 +157,137 @@ def bpe_encode_stats(
         "n_words",
         F.round("chars_per_token", 4).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed pretrained tokenizer + rank-order apply (the oracle-checkable form)
+# ---------------------------------------------------------------------------
+
+# A frozen merge table — train_merges() over this pinned common-English
+# vocabulary (deterministic; regenerate with the snippet in the docstring of
+# bpe_apply_fixed_stats). Production pipelines tokenize with a FIXED
+# pretrained artifact, so applying a frozen table to the corpus is the
+# realistic shape — and it makes the apply step engine-independent, hence
+# oracle-checkable, unlike corpus-trained merges.
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "</w>"), ("a", "n"),
+    ("r", "</w>"), ("an", "d"), ("and", "</w>"), ("th", "i"), ("s", "</w>"),
+    ("r", "e</w>"), ("t", "</w>"), ("m", "</w>"), ("a", "t</w>"),
+    ("th", "at</w>"), ("e", "r</w>"), ("thi", "s</w>"), ("i", "th"),
+    ("ith", "</w>"), ("w", "ith</w>"), ("thi", "n"), ("f", "r"),
+    ("fr", "o"), ("fro", "m</w>"),
+]
+
+_SEP = "\x1f"  # symbol delimiter (unit separator — never in [a-z] or </w>)
+_KV = "\x1e"  # pattern/replacement delimiter inside one encoded merge
+
+
+def apply_merges_rank_order(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Rank-order BPE apply (Sennrich et al. 2016 §3.2, 'apply the learned
+    operations in the order they were learned'): for each merge in rank
+    order, fuse all left-to-right non-overlapping adjacent occurrences.
+
+    Equivalent to the greedy lowest-rank loop (:func:`encode_word`) because
+    a merge can only create a symbol that is an OUTPUT of rank r, and every
+    pair of rank q references symbols already present when q was learned —
+    so later merges cannot manufacture occurrences of earlier pairs (pinned
+    against encode_word over the test corpus in tests/test_tokenizer.py).
+    This formulation is a pure fold, which is what makes the Spark side
+    expressible in JVM built-ins and the oracle in list_reduce."""
+    sym = list(word) + [END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _merge_elems(merges: list[tuple[str, str]]) -> list[str]:
+    """Each merge encoded as 'a␟b␟␞ab␟' — pattern and replacement over the
+    ␟-terminated symbol-string representation, so one string replace() IS a
+    left-to-right non-overlapping pair fusion."""
+    return [f"{a}{_SEP}{b}{_SEP}{_KV}{a}{b}{_SEP}" for a, b in merges]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def fold_tokens_sql(word_expr: str, merges: list[tuple[str, str]], dialect: str) -> str:
+    """The shared fold body: split ``word_expr`` into ␟-terminated symbols,
+    fold the encoded merge list with string replace, in either engine's
+    higher-order-function dialect ('spark' | 'duckdb'). Returns an
+    expression for the folded symbol string; token count = number of ␟."""
+    elems = ", ".join(_sql_str(e) for e in _merge_elems(merges))
+    if dialect == "spark":
+        init = f"regexp_replace({word_expr}, '(.)', '$1{_SEP}') || '{END}{_SEP}'"
+        return (
+            f"aggregate(array({elems}), {init}, "
+            f"(acc, m) -> replace(acc, split_part(m, '{_KV}', 1), split_part(m, '{_KV}', 2)))"
+        )
+    if dialect == "duckdb":
+        init = f"regexp_replace({word_expr}, '(.)', '\\1{_SEP}', 'g') || '{END}{_SEP}'"
+        return (
+            f"list_reduce([{init}] || [{elems}], "
+            f"(acc, m) -> replace(acc, split_part(m, chr(30), 1), split_part(m, chr(30), 2)))"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def bpe_apply_fixed_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Apply the FROZEN pretrained merge table to every document — per-doc
+    word / token / char counts and chars-per-token compression, computed
+    entirely in JVM built-ins (regexp_extract_all + nested transform/
+    aggregate folds + replace): zero Python, zero shuffle, whole-stage
+    codegen-eligible, and exactly mirrored by the DuckDB list_reduce oracle.
+
+    Words are lowercase [a-z]+ runs (both engines' regex dialects agree on
+    this class); each word folds through FIXED_MERGES in rank order."""
+    folded = fold_tokens_sql("w", FIXED_MERGES, "spark")
+    words = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    per_word_tokens = (
+        f"transform({words}, w -> CAST(length({folded}) - "
+        f"length(replace({folded}, '{_SEP}', '')) AS BIGINT))"
+    )
+    return docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"CAST(size({words}) AS BIGINT) AS n_words",
+        f"aggregate({per_word_tokens}, CAST(0 AS BIGINT), (a, x) -> a + x) AS bpe_tokens",
+        f"CAST(aggregate({words}, 0, (a, w) -> a + length(w)) AS BIGINT) AS n_chars",
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "bpe_tokens",
+        "n_chars",
+        "CASE WHEN bpe_tokens > 0 THEN round(CAST(n_chars AS DOUBLE) / bpe_tokens, 4) END AS chars_per_token",
+    )
+
+
+def oracle_bpe_apply_sql() -> str:
+    """DuckDB twin of :func:`bpe_apply_fixed_stats`."""
+    folded = fold_tokens_sql("w", FIXED_MERGES, "duckdb")
+    words = "regexp_extract_all(lower(text), '[a-z]+')"
+    return f"""
+WITH per AS (
+    SELECT doc_id,
+           CAST(len({words}) AS BIGINT) AS n_words,
+           list_transform({words}, w -> CAST(length({folded}) -
+               length(replace({folded}, chr(31), '')) AS BIGINT)) AS tok,
+           CAST(coalesce(list_sum(list_transform({words}, w -> length(w))), 0) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(coalesce(list_sum(tok), 0) AS BIGINT) AS bpe_tokens,
+       n_chars,
+       CASE WHEN coalesce(list_sum(tok), 0) > 0
+            THEN round(CAST(n_chars AS DOUBLE) / list_sum(tok), 4) END AS chars_per_token
+FROM per
+"""

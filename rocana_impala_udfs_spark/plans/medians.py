@@ -92,6 +92,32 @@ def q_median_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_median_sql_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE SQL form of the reference's protocol: the grouped-agg
+    convenience UDAF (q_median_sql_udaf) ships whole groups to one worker,
+    so here the first GROUP BY is salted — every shipped group is bounded to
+    ~1/16 of its rows — and ``reservoir_partial`` (update+serialize,
+    median.cc:128-194) emits bounded serialized states that
+    ``reservoir_merge_median`` (merge+finalize, median.cc:228-304) combines
+    per real group. Intermediate state is ≤ 16 × max_samples values per
+    group no matter the input size: the reference's own answer to large
+    groups, expressed in two SQL aggregates. Exact here because BIG_K keeps
+    every reservoir unsaturated (median-test.cc:66-82 semantics)."""
+    register_all(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_twophase")
+    return spark.sql(
+        f"""WITH partials AS (
+                SELECT l_linestatus,
+                       reservoir_partial(l_extendedprice, {BIG_K}) AS state
+                FROM _li_twophase
+                GROUP BY l_linestatus, pmod(hash(l_orderkey), 16)
+            )
+            SELECT l_linestatus,
+                   reservoir_merge_median(state) AS median_price
+            FROM partials GROUP BY l_linestatus"""
+    )
+
+
 def q_p90_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded reservoir generalized to p90 (same five-phase protocol,
     finalize at sorted[min(floor(n*0.9), n-1)]); exact at this SF because
@@ -337,6 +363,7 @@ MEDIAN_QUERIES = {
     "appx_median_value_by_event_type": q_median_value_by_event_type,
     "appx_median_value_by_day": q_median_value_by_day,
     "appx_median_sql_udaf": q_median_sql_udaf,
+    "appx_median_sql_twophase": q_median_sql_twophase,
     "appx_p90_value_by_event_type": q_p90_value_by_event_type,
     "appx_percentile_sql_udaf": q_percentile_sql_udaf,
     "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
@@ -365,6 +392,9 @@ MEDIAN_ORACLE = {
     ),
     "appx_median_sql_udaf": _upper_median_oracle(
         "lineitem", "l_quantity", "median_qty", group="l_linestatus"
+    ),
+    "appx_median_sql_twophase": _upper_median_oracle(
+        "lineitem", "l_extendedprice", "median_price", group="l_linestatus"
     ),
     "appx_p90_value_by_event_type": ORACLE_P90_VALUE,
     "appx_percentile_sql_udaf": ORACLE_P25_QTY,

@@ -1954,6 +1954,29 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, merges)
 
 
+def q_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY with a frozen pretrained merge table — the production
+    tokenization shape (tokenizer = fixed artifact), and the fold-replay
+    promotion of the BPE family to a hash-green oracle row: rank-order
+    merge application is a pure fold per word, expressed in JVM built-ins
+    (nested transform/aggregate + replace on a ␟-joined symbol string) and
+    replayed verbatim by the DuckDB list_reduce oracle. Zero Python, zero
+    shuffle. Train-side determinism stays pinned in pytest
+    (bpe_tokenize_stats remains the corpus-trained, weak-by-design key)."""
+    from rocana_impala_udfs_spark.operators.tokenizer import bpe_apply_fixed_stats
+
+    return bpe_apply_fixed_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_bpe_apply() -> str:
+    from rocana_impala_udfs_spark.operators.tokenizer import oracle_bpe_apply_sql
+
+    return oracle_bpe_apply_sql()
+
+
+ORACLE_BPE_APPLY = _oracle_bpe_apply()
+
+
 def q_snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation report (operators/reconcile.py): the current
     documents table vs a deterministically mutated next version (drop
@@ -3259,6 +3282,7 @@ PIPELINE_QUERIES = {
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
+    "bpe_apply_stats": q_bpe_apply_stats,
     "split_train_val_test": q_train_val_test_split,
     "stratified_sample_counts": q_stratified_sample_counts,
     "stratified_hash_counts": q_stratified_hash_counts,
@@ -3314,6 +3338,7 @@ PIPELINE_ORACLE = {
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,
     "pack_nextfit_stats": ORACLE_PACK_NEXTFIT,
+    "bpe_apply_stats": ORACLE_BPE_APPLY,
     "search_bm25_top10": ORACLE_BM25,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,

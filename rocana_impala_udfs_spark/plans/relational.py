@@ -2616,7 +2616,7 @@ flagged AS (
     FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
 runs AS (
-    SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS run_id
+    SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS run_id
     FROM flagged
 )
 SELECT user_id, run_id, min(event_type) AS event_type,

@@ -21,6 +21,8 @@ from rocana_impala_udfs_spark.functions.median import (
     make_appx_median_bounded_str_udf,
     make_appx_median_bounded_udf,
     make_appx_percentile_bounded_udf,
+    make_reservoir_merge_median_udf,
+    make_reservoir_partial_udf,
     make_reservoir_sample_udf,
 )
 
@@ -38,6 +40,16 @@ def register_all(spark: SparkSession) -> SparkSession:
     spark.udf.register("appx_median_bounded_double", make_appx_median_bounded_udf())
     spark.udf.register("appx_percentile_bounded", make_appx_percentile_bounded_udf())
     spark.udf.register("reservoir_sample", make_reservoir_sample_udf())
+    # Scalable SQL form of the five-phase protocol: a grouped-agg pandas UDF
+    # ships WHOLE groups to one worker (no partial aggregation), so plain
+    # `appx_median_bounded(x, k)` is the convenience path only. The 100 TB
+    # SQL idiom salts the first GROUP BY to bound every shipped group, then
+    # merges the serialized partials:
+    #   WITH p AS (SELECT grp, reservoir_partial(x, k) AS s
+    #              FROM t GROUP BY grp, pmod(hash(id), 16))
+    #   SELECT grp, reservoir_merge_median(s) FROM p GROUP BY grp
+    spark.udf.register("reservoir_partial", make_reservoir_partial_udf())
+    spark.udf.register("reservoir_merge_median", make_reservoir_merge_median_udf())
     text_fns.register(spark)
 
     from rocana_impala_udfs_spark.functions import udtfs

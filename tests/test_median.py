@@ -391,3 +391,53 @@ def test_weighted_quantile_library_matches_expansion(spark):
 
     with _pt.raises(ValueError):
         exact_weighted_quantile(df, "x", "w", 5, 4, ["g"])
+
+
+def test_twophase_sql_unsaturated_exact(spark):
+    """Salted partial + merge recovers the exact upper median when every
+    reservoir is unsaturated — the scalable SQL idiom from register.py."""
+    spark.range(0, 1001).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "id AS rid"
+    ).createOrReplaceTempView("_tp_n")
+    row = spark.sql(
+        """WITH p AS (
+               SELECT reservoir_partial(x, 10000) AS s
+               FROM _tp_n GROUP BY pmod(hash(rid), 8)
+           )
+           SELECT reservoir_merge_median(s) AS v FROM p"""
+    ).collect()[0]
+    assert row.v == 500.0  # median-test.cc:75-78: 0..1000 => 500
+
+
+def test_twophase_merge_bounds_state(spark):
+    """Saturated case: merged state stays bounded at max_samples and the
+    result lands near the true median (statistical, seeded)."""
+    from rocana_impala_udfs_spark.functions.median import (
+        ReservoirState,
+        deserialize_reservoir_state,
+        serialize_reservoir_state,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    partials = []
+    for pid in range(8):
+        st = ReservoirState(200, seed=100 + pid)
+        st.update(rng.permutation(100_000).astype(np.float64))
+        partials.append(serialize_reservoir_state(st))
+    merged = deserialize_reservoir_state(partials[0])
+    for flat in partials[1:]:
+        merged.merge(deserialize_reservoir_state(flat))
+    assert merged.vals.size <= 200
+    assert merged.source_size == 8 * 100_000
+    assert 40_000 <= merged.finalize() <= 60_000
+
+
+def test_twophase_empty_group_is_null(spark):
+    spark.sql("SELECT CAST(NULL AS DOUBLE) AS x, 1 AS rid WHERE 1=0").createOrReplaceTempView("_tp_e")
+    row = spark.sql(
+        """WITH p AS (SELECT reservoir_partial(x, 100) AS s FROM _tp_e GROUP BY rid)
+           SELECT reservoir_merge_median(s) AS v FROM p"""
+    ).collect()
+    assert row == [] or row[0].v is None

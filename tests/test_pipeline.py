@@ -1117,3 +1117,51 @@ def test_token_postings_list_is_sorted_and_complete(spark):
         assert head_ids == sorted(head_ids)
         # df counts DISTINCT documents, so the head can't exceed df entries
         assert len(head_ids) <= r.df
+
+
+def test_bpe_rank_order_equals_greedy():
+    """Rank-order fold application (the oracle-checkable formulation) must
+    agree with the greedy lowest-rank loop — on the classic trained table,
+    the frozen FIXED_MERGES table, and a brute sample of words."""
+    from rocana_impala_udfs_spark.operators.tokenizer import (
+        FIXED_MERGES,
+        END,
+        apply_merges_rank_order,
+        encode_word,
+        train_merges,
+    )
+
+    tables = [
+        train_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 10),
+        FIXED_MERGES,
+    ]
+    words = ["lowest", "newest", "the", "then", "that", "with", "from",
+             "weather", "thinking", "froth", "a", "zzzq", "mississippi"]
+    for merges in tables:
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in words:
+            assert apply_merges_rank_order(w, merges) == encode_word(w, ranks), (w, merges)
+            assert "".join(apply_merges_rank_order(w, merges)).replace(END, "") == w
+
+
+def test_bpe_apply_fixed_spark_matches_python(spark):
+    """The JVM fold expression reproduces the python reference on real
+    corpus docs — token counts, word counts, char counts."""
+    import re
+
+    from rocana_impala_udfs_spark.operators.tokenizer import (
+        FIXED_MERGES,
+        apply_merges_rank_order,
+        bpe_apply_fixed_stats,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(60)
+    rows = {r.doc_id: r for r in bpe_apply_fixed_stats(docs).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(rows) == 60
+    for doc_id, r in rows.items():
+        words = re.findall(r"[a-z]+", (texts[doc_id] or "").lower())
+        want_tokens = sum(len(apply_merges_rank_order(w, FIXED_MERGES)) for w in words)
+        assert r.n_words == len(words)
+        assert r.bpe_tokens == want_tokens
+        assert r.n_chars == sum(len(w) for w in words)

@@ -48,7 +48,20 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[list[str], list[str]]
     a, b = canon(sdf.copy()), canon(odf.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        a_int = np.issubdtype(av.dtype, np.integer)
+        b_int = np.issubdtype(bv.dtype, np.integer)
+        a_flt = np.issubdtype(av.dtype, np.floating)
+        b_flt = np.issubdtype(bv.dtype, np.floating)
+        if (a_int and b_flt) or (a_flt and b_int):
+            # Equal values with different dtypes (1 == 1.0) pass isclose but
+            # FAIL the driver's exact value-hash — this is the DuckDB-HUGEINT
+            # (window sum widened to float64) class that caused three driver
+            # hash failures.  Surface it loudly instead of absorbing it.
+            near.append(
+                f"col {c}: dtype mismatch spark={av.dtype} vs oracle={bv.dtype} "
+                f"— driver exact-hash risk (cast the oracle aggregate)"
+            )
+        if a_flt or b_flt:
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")
             close = np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True)
