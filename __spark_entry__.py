@@ -38,75 +38,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. After round 4
-# the unproven set is: the 2 keys whose r4 hash mismatch was fixed this
-# round (un-cast oracle sums — DuckDB HUGEINT vs Spark BIGINT), the 2 keys
-# whose latest driver row is a stale round-1 error (pre-NTZ-fix; an `err`
-# row counts as unchecked), the 17 keys past round 4's 50-key truncation,
-# and the 2 round-4 additions that were missing from this list, then every
-# round-5 addition. The ~46 keys CORRECTNESS_r04 confirmed green moved to
-# the tail.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-6 order:
+# (1) this round's fix-confirm + new keys (scd2 oracle CAST fix; the
+# two-phase SQL median; BPE apply and LSH, both newly promoted from
+# weak to oracle-bearing; the five keys whose plans changed this round),
+# (2) every key still lacking a driver hash-green row across r01-r05
+# (all re-verified green on the local DuckDB harness this session),
+# (3) the weak-by-design keys (rows-only is their best possible row),
+# then everything already driver-confirmed.
 _NEVER_DRIVER_CHECKED = [
-    # r4 hash mismatches, oracle CAST fixed this round
-    "case_q12_priority_shipping",
-    "pivot_daily_event_counts",
-    # stale round-1 `err` rows (TIMESTAMP_NTZ read, fixed r4, never re-run)
-    "window_lag_lead_events",
-    "events_value_outliers",
-    # never driver-checked (past r4's truncation point)
-    "events_transition_matrix",
-    "ops_error_burn_rate",
-    "events_dau_wau",
-    "stats_spearman_price_quantity",
-    "window_revenue_share_by_nation",
-    "window_rolling_p90_totalprice",
-    "events_mad_outliers",
-    "winsorized_stats_price",
-    "basket_part_pairs",
-    "profile_lineitem_columns",
-    "events_path_patterns",
-    "customer_rfm_segments",
-    "revenue_share_of_region",
-    "skyline_parts",
-    "emb_kmeans_assign",
-    "emb_kmeans_clusters",
-    "resample_by_quality",
-    # r4 additions that were missing from this rotation entirely
-    "dedup_containment_pairs",
-    "ops_daily_digest",
-    # round-5 additions
-    "fuzzy_join_part_names_d2",
-    "multimodal_jpeg_color_stats",
-    # promoted from rows-only (fake decoder) to oracle-checked (real codecs)
-    "multimodal_feature_extract",
-    "multimodal_wav_decode_stats",
-    "multimodal_y4m_frame_sample",
-    "bpe_tokenize_stats",
-    # round-5 additions (session 2): KMV sketch family, Benford DQ screen,
-    # prefix-filter exact-Jaccard join
-    "kmv_distinct_users_by_type",
-    "kmv_merged_weekly_users",
-    "quality_benford_prices",
-    "dedup_prefix_filter_pairs",
-    "emb_decontaminate_hits",
-    "zorder_part_keys",
-    "interval_overlap_pairs",
-    "zipf_token_fit",
-    "kmv_user_overlap_estimate",
-    "stats_trend_by_event_type",
-    "stats_chi2_type_dow",
-    "entity_resolution_parts",
-    "multimodal_jpeg_progressive_stats",
-    "incremental_agg_merge",
     "scd2_user_type_history",
-    "graph_copurchase_hops",
-    "window_first_last_orders",
-    "null_semantics_probe",
-    # round-5 additions (session 3) — after the longer-waiting keys above,
-    # so a 50-key driver truncation still clears the backlog first
-    "events_twa_daily",
-    "events_cusum_daily",
-    "sampling_systematic_events",
+    "appx_median_sql_twophase",
+    "bpe_apply_stats",
+    "ann_lsh_top5",
+    "stats_mannwhitney_price_halves",
+    "multimodal_wav_downsample",
+    "bitmap_intersect_users",
+    "skyline_parts",
+    "multimodal_png_decode_stats",
     "graph_triangle_parts",
     "stats_theilsen_trend",
     "quality_psi_price_drift",
@@ -123,13 +72,11 @@ _NEVER_DRIVER_CHECKED = [
     "graph_clustering_coeff",
     "stats_ks_price_halves",
     "events_longest_streak",
-    # round-5 additions (session 4)
     "sketch_hll_users_by_type",
     "quality_model_scores",
     "mix_sources_budget",
     "dedup_survivors_best_quality",
     "events_seasonal_decompose",
-    "multimodal_wav_downsample",
     "multimodal_y4m_scene_cuts",
     "graph_pagerank_parts",
     "funnel_time_to_convert",
@@ -139,7 +86,6 @@ _NEVER_DRIVER_CHECKED = [
     "exact_weighted_median_price",
     "stats_acf_daily",
     "events_changepoint_daily",
-    "bitmap_intersect_users",
     "events_peak_concurrency",
     "events_duration_log2_buckets",
     "source_vocab_overlap",
@@ -160,7 +106,6 @@ _NEVER_DRIVER_CHECKED = [
     "resample_class_balance",
     "negative_sampling_pairs",
     "stats_median_ci_price",
-    "stats_mannwhitney_price_halves",
     "forecast_mase_seasonal_naive",
     "text_readability_scores",
     "pack_nextfit_stats",
@@ -173,6 +118,15 @@ _NEVER_DRIVER_CHECKED = [
     "search_bm25_top10",
     "quantile_normalize_price",
     "histogram_price_qty_2d",
+    "ann_ivf_top5",
+    "semantic_dedup_pairs",
+    "stratified_sample_counts",
+    "weighted_sample_docs",
+    "pack_training_sequences",
+    "agg_approx_distinct",
+    "appx_percentiles_price",
+    "emb_kmeans_clusters",
+    "bpe_tokenize_stats",
 ]
 
 

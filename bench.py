@@ -109,6 +109,11 @@ HEADLINE = [
     "emb_int8_quantized_topk",
     "multimodal_histogram_similarity",
     "funnel_time_to_convert",
+    # r6: scalable two-phase SQL median, frozen-table BPE apply (pure JVM
+    # fold), literal-hyperplane LSH (now oracle-exact).
+    "appx_median_sql_twophase",
+    "bpe_apply_stats",
+    "ann_lsh_top5",
 ]
 
 

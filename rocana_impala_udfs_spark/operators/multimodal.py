@@ -626,25 +626,42 @@ _JPEG_AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_AC_VALS = [0x00]
 
 
+_JPEG_CODES_MEMO: dict = {}
+
+
 def _jpeg_canonical_codes(bits: list, vals: list) -> dict:
-    codes, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            codes[vals[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
+    # Memoized: the same four standard tables are rebuilt for every image
+    # otherwise. Callers only read the returned dict.
+    key = (tuple(bits), tuple(vals))
+    codes = _JPEG_CODES_MEMO.get(key)
+    if codes is None:
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        _JPEG_CODES_MEMO[key] = codes
     return codes
 
 
 def _jpeg_dct_matrix() -> np.ndarray:
-    T = np.zeros((8, 8))
-    for k in range(8):
-        for x in range(8):
-            T[k, x] = np.cos((2 * x + 1) * k * np.pi / 16) * (
-                np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)
-            )
-    return T
+    # Constant orthonormal DCT-II basis — computed once; the per-call
+    # 64-cos python loop was half the per-image decode cost at sf0.1.
+    global _JPEG_DCT_T
+    if _JPEG_DCT_T is None:
+        T = np.zeros((8, 8))
+        for k in range(8):
+            for x in range(8):
+                T[k, x] = np.cos((2 * x + 1) * k * np.pi / 16) * (
+                    np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)
+                )
+        _JPEG_DCT_T = T
+    return _JPEG_DCT_T
+
+
+_JPEG_DCT_T: np.ndarray | None = None
 
 
 def encode_jpeg_gray_flat(img: np.ndarray) -> bytes:
@@ -1658,17 +1675,33 @@ def wav_downsample_stats(media: DataFrame, factor: int = 4) -> DataFrame:
     round-trip is real — decimated samples re-encode through
     :func:`encode_wav` and re-decode before measuring, so the container
     write path is exercised too.  Int sums are exact in float64; sqrt is
-    IEEE-identical; rounding happens in Spark."""
+    IEEE-identical; rounding happens in Spark.
+
+    Degenerate inputs fail loudly or safely, not abruptly: a sample rate
+    not divisible by ``factor`` raises ValueError (silent ``rate//factor``
+    truncation would misreport the output rate), and a stream shorter than
+    ``factor`` emits zero-amplitude stats instead of NaN means."""
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1, got {factor}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 samples, rate = decode_wav(bytes(r.payload))
+                if rate % factor != 0:
+                    raise ValueError(
+                        f"media {r.media_id}: sample rate {rate} not divisible by "
+                        f"decimation factor {factor}; pick a divisor of the rate"
+                    )
                 dec = samples[::factor]
+                if dec.size == 0:
+                    rows.append((r.media_id, int(samples.size), 0, rate // factor, 0.0, 0.0))
+                    continue
                 # real write→read round-trip of the decimated stream
                 dec2, rate2 = decode_wav(encode_wav(dec.astype(np.int16), rate // factor))
-                assert np.array_equal(dec, dec2)
+                if not np.array_equal(dec, dec2):
+                    raise ValueError(f"media {r.media_id}: WAV round-trip mismatch")
                 s = dec2.astype(np.float64)
                 rows.append(
                     (

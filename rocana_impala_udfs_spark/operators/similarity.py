@@ -520,3 +520,57 @@ def contamination_screen(
         .filter(F.col("n_hits") > 0)
         .select(id_col, F.round("max_cos", 4).alias("max_cos"), "n_hits")
     )
+
+
+def lsh_oracle_sql(
+    k: int = 5,
+    dim: int = 64,
+    num_tables: int = 16,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    query_pred: str = "vec_id < 20",
+) -> str:
+    """DuckDB twin of :func:`lsh_bucket_topk` — EXACT, not statistical: the
+    seeded hyperplanes are deterministic constants, so the oracle embeds the
+    same plane weights as SQL literals and replays bucketing bit-for-bit.
+
+    Float parity: Spark computes each plane dot as a left-to-right fold of
+    double products; the oracle writes the same dot as an explicit
+    left-associative sum chain over ``embedding::DOUBLE[]``, which is the
+    identical IEEE operation sequence — so every sign bit (hence every
+    bucket, hence the candidate set) matches exactly. Buckets are encoded
+    as table-qualified tokens (t*2^bits + bucket) and candidacy is
+    ``list_has_any``, mirroring the Spark explode+equi-join. The re-rank
+    uses the same scoring SQL as the brute-force oracle key."""
+    planes = random_hyperplanes(dim, num_tables, bits_per_table, seed)
+    toks = []
+    for t in range(num_tables):
+        bits = []
+        for b in range(bits_per_table):
+            dot = " + ".join(f"v[{i + 1}]*{planes[t, b, i]!r}" for i in range(dim))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+        toks.append(f"{t * (1 << bits_per_table)} + " + " + ".join(bits))
+    tok_list = ",\n        ".join(toks)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+    SELECT vec_id, v, [
+        {tok_list}
+    ] AS toks FROM emb
+),
+cand AS (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.v AS qv, n.v AS nv
+    FROM (SELECT * FROM b WHERE {query_pred}) q, b n
+    WHERE n.vec_id <> q.vec_id AND list_has_any(q.toks, n.toks)
+),
+scored AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS c FROM cand
+),
+ranked AS (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {k}
+"""

@@ -381,11 +381,44 @@ def bitmap_cardinality(words: DataFrame) -> DataFrame:
 
 def bitmap_intersect_count(words_a: DataFrame, words_b: DataFrame) -> DataFrame:
     """Exact |A ∩ B| via word-aligned AND + popcount — one equi-join on
-    the word index, never a join on the members themselves."""
-    a = words_a.select(F.col("word"), F.col("bits").alias("ba"))
-    b = words_b.select(F.col("word"), F.col("bits").alias("bb"))
-    return a.join(b, "word").agg(
-        F.coalesce(
-            F.sum(F.bit_count(F.expr("ba & bb"))), F.lit(0)
-        ).cast("bigint").alias("n_both")
+    the word index, never a join on the members themselves.
+
+    Each input must hold ONE group's words: the join is on ``word`` alone,
+    so a frame containing several groups would silently cross-multiply
+    bitmaps across groups. Multi-group frames fail loudly instead — the
+    per-word ``bit_or`` collapse below is a correctness error for them
+    (use a (g, word)-keyed join for grouped intersection)."""
+
+    def one_group(words: DataFrame, side: str) -> DataFrame:
+        # count_distinct(g) folds into the same aggregation; asserting via
+        # a runtime-checked column keeps this one distributed pass with no
+        # driver collect.
+        return words.groupBy("word").agg(
+            F.first("bits").alias(f"b{side}"),
+            F.count_distinct("g").alias(f"ng{side}"),
+        )
+
+    a = one_group(words_a, "a")
+    b = one_group(words_b, "b")
+    out = a.join(b, "word").agg(
+        F.coalesce(F.sum(F.bit_count(F.expr("ba & bb"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.coalesce(F.max("nga"), F.lit(0)).alias("_nga"),
+        F.coalesce(F.max("ngb"), F.lit(0)).alias("_ngb"),
+    )
+    return out.select(
+        F.when(
+            (F.col("_nga") > 1) | (F.col("_ngb") > 1),
+            F.raise_error(
+                F.format_string(
+                    "bitmap_intersect_count expects single-group inputs, got "
+                    "%d / %d distinct groups per word",
+                    "_nga",
+                    "_ngb",
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("n_both"))
+        .alias("n_both")
     )

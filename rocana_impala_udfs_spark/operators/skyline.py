@@ -62,5 +62,14 @@ def skyline(df: DataFrame, criteria: list[tuple[str, str]]) -> DataFrame:
         yield pdf[_skyline_mask(M)]
 
     thinned = df.mapInPandas(local, schema=out_schema)
-    # Global phase: local skylines are small; one partition finishes the job.
+    # Global phase as a TWO-LEVEL tree reduction: the sum of local skylines
+    # can still be large when criteria dimensionality grows (survivor count
+    # rises steeply with dimensions), so instead of coalescing everything
+    # onto one task, first thin again at ~√P fan-in, then once more on the
+    # doubly-thinned remainder. Each level applies the same distributive
+    # identity skyline(P) = skyline(∪ skyline(Pᵢ)); coalesce moves no data
+    # between executors beyond task grouping (no shuffle exchange).
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    mid = max(int(parts**0.5), 2)
+    thinned = thinned.coalesce(mid).mapInPandas(local, schema=out_schema)
     return thinned.coalesce(1).mapInPandas(local, schema=out_schema)

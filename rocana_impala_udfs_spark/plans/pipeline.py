@@ -372,11 +372,16 @@ FROM ranked WHERE rk <= 5
 
 
 def q_ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No oracle: LSH recall < 1 by construction; pytest measures recall
-    # against brute force instead.
+    """Hyperplane-LSH top-5 — oracle-EXACT despite being an ANN method:
+    the seeded hyperplanes are deterministic, so the oracle embeds them as
+    SQL literals and replays bucketing bit-for-bit (lsh_oracle_sql); recall
+    vs brute force stays measured in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.lsh_bucket_topk(emb, queries, k=5)
+
+
+ORACLE_ANN_LSH = similarity.lsh_oracle_sql(k=5)
 
 
 def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3339,6 +3344,7 @@ PIPELINE_ORACLE = {
     "text_readability_scores": ORACLE_READABILITY,
     "pack_nextfit_stats": ORACLE_PACK_NEXTFIT,
     "bpe_apply_stats": ORACLE_BPE_APPLY,
+    "ann_lsh_top5": ORACLE_ANN_LSH,
     "search_bm25_top10": ORACLE_BM25,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,

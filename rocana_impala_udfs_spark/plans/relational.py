@@ -1775,15 +1775,30 @@ def q_stats_mannwhitney_price_halves(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.when(F.col("grp") == "early", 1).otherwise(0)).cast("bigint").alias("n1"),
         F.sum(F.when(F.col("grp") == "late", 1).otherwise(0)).cast("bigint").alias("n2"),
     )
+    # Tie correction: TPC-H prices tie heavily and ranks are tie-averaged,
+    # so the no-tie variance n1·n2·(N+1)/12 overstates sigma. Standard
+    # corrected form: sigma² = n1·n2/12 · [(N+1) − Σ(t³−t)/(N(N−1))],
+    # t = tie-group sizes — an exact integer carried alongside.
+    ties = (
+        tagged.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie_sum"))
+    )
+    agg = agg.crossJoin(F.broadcast(ties))
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
     u1 = F.col("r2_early").cast("double") / F.lit(2.0) - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
     mu = n1d * n2d / F.lit(2.0)
-    sigma = F.sqrt(n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0))
+    sigma = F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie_sum").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
     return agg.select(
         "n1",
         "n2",
         "r2_early",
+        "tie_sum",
         F.round(u1, 4).alias("u_early"),
         F.round(F.try_divide(u1 - mu, sigma), 6).alias("z"),
     )
@@ -1814,16 +1829,23 @@ agg AS (
            CAST(sum(CASE WHEN grp = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
            CAST(sum(CASE WHEN grp = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n2
     FROM ranked
+),
+ties AS (
+    SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie_sum
+    FROM (SELECT count(*) AS t FROM tagged GROUP BY x)
 )
-SELECT n1, n2, r2_early,
+SELECT n1, n2, r2_early, tie_sum,
        round(CAST(r2_early AS DOUBLE) / 2.0
              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 4) AS u_early,
        round(((CAST(r2_early AS DOUBLE) / 2.0
                - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0), 6) AS z
-FROM agg
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                       - CAST(tie_sum AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6) AS z
+FROM agg CROSS JOIN ties
 """
 
 

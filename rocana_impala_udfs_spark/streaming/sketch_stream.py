@@ -112,8 +112,11 @@ def running_hll_distinct_stream(
             est = float(m) * math.log(float(m) / zeros)
         else:
             est = raw
+        # HALF_UP to match batch F.round / the oracle's round(): Python's
+        # round() is banker's and can diverge on exact 5e-5 midpoints.
+        est4 = math.floor(est * 1e4 + 0.5) / 1e4
         yield pd.DataFrame(
-            [{"group": key[0], "hll_distinct": round(est, 4), "n_zero_regs": zeros}]
+            [{"group": key[0], "hll_distinct": est4, "n_zero_regs": zeros}]
         )
 
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(

@@ -247,3 +247,45 @@ def test_hll_state_is_bounded(spark, ids_df):
         .collect()
     )
     assert all(r["n"] <= 64 for r in sizes)
+
+
+def test_bitmap_intersect_rejects_multigroup(spark):
+    """A word frame holding >1 group must fail loudly — joining on word
+    alone would silently cross-multiply bitmaps across groups."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.operators.sketches import (
+        bitmap_intersect_count,
+        bitmap_words,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], ["g", "uid"]
+    )
+    words = bitmap_words(df, "g", "uid")
+    one = words.filter(F.col("g") == "a")
+    with pytest.raises(Exception, match="single-group"):
+        bitmap_intersect_count(words, one).collect()
+    # the valid shape still works and is exact
+    other = words.filter(F.col("g") == "b")
+    assert bitmap_intersect_count(one, other).collect()[0].n_both == 1  # {2}
+
+
+def test_wav_downsample_guards(spark):
+    """Non-divisible decimation factor fails with a descriptive error."""
+    import pytest
+
+    from rocana_impala_udfs_spark.operators.multimodal import wav_downsample_stats
+
+    with pytest.raises(ValueError, match="factor"):
+        wav_downsample_stats(None, factor=0)
+
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import encode_wav
+
+    payload = encode_wav(np.arange(10, dtype=np.int16), 8001)  # 8001 % 4 != 0
+    media = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="not divisible"):
+        wav_downsample_stats(media, factor=4).collect()
