@@ -51,6 +51,7 @@ _NEVER_DRIVER_CHECKED = [
     "appx_median_sql_twophase",
     "bpe_apply_stats",
     "ann_lsh_top5",
+    "multimodal_adpcm_decode_stats",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

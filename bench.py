@@ -114,6 +114,8 @@ HEADLINE = [
     "appx_median_sql_twophase",
     "bpe_apply_stats",
     "ann_lsh_top5",
+    # r6: first hash-green COMPRESSED codec (IMA-ADPCM, fold-replay oracle).
+    "multimodal_adpcm_decode_stats",
 ]
 
 

@@ -1913,3 +1913,285 @@ def y4m_scene_cuts(media: DataFrame, threshold: float = 32.0) -> DataFrame:
         F.round("y_diff", 4).alias("y_diff"),
         (F.col("y_diff") > F.lit(threshold)).alias("is_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM — a REAL compressed audio codec (4 bits/sample), oracle-checked
+# ---------------------------------------------------------------------------
+# Retires part of the "compressed media all stubbed" gap honestly: IMA/DVI
+# ADPCM (the standard WAV wFormatTag=0x11 codec) is a pure integer state
+# machine — adaptive step-size quantization with a (predictor, step-index)
+# state folded over the sample stream. Both the encoder and the decoder
+# are exact integer folds, and in IMA the encoder's reconstructed predictor
+# IS the decoded value — so encode→decode is replayable as ONE fold in SQL
+# (the list_reduce discipline that oracles EWMA/Holt/next-fit), making this
+# the rare compressed codec with a hash-green oracle. MP3/AAC/H.264 remain
+# honestly stubbed (frequency-domain codecs; no such fold exists).
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_fold(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA quantize+reconstruct step: returns (nibble, pred', idx').
+    ``pred'`` is both the encoder's new predictor and the decoded sample."""
+    step = _ADPCM_STEPS[idx]
+    diff = sample - pred
+    nibble = 8 if diff < 0 else 0
+    a = -diff if diff < 0 else diff
+    if a >= step:
+        nibble |= 4
+        a -= step
+    if a >= step >> 1:
+        nibble |= 2
+        a -= step >> 1
+    if a >= step >> 2:
+        nibble |= 1
+    delta = step >> 3
+    if nibble & 4:
+        delta += step
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 1:
+        delta += step >> 2
+    pred = pred - delta if nibble & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[nibble & 7]))
+    return nibble, pred, idx
+
+
+def encode_adpcm_ima(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """(n,) int16 mono PCM → RIFF/WAVE wFormatTag=0x11 (IMA ADPCM), one
+    block spanning the stream: 4-byte block header (initial predictor =
+    sample 0, initial step index 0) + one 4-bit nibble per remaining
+    sample, low nibble first, zero-padded to a byte; a ``fact`` chunk
+    carries the true sample count as the WAV spec requires for compressed
+    formats."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.size == 0:
+        raise ValueError("cannot encode an empty stream")
+    pred, idx = int(samples[0]), 0
+    nibbles = []
+    for s in samples[1:]:
+        nib, pred, idx = _adpcm_fold(int(s), pred, idx)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)  # byte padding; fact chunk holds the true count
+    block = bytearray(struct.pack("<hBB", int(samples[0]), 0, 0))
+    for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+        block.append(lo | (hi << 4))
+    n = int(samples.size)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, sample_rate // 2, len(block), 4, 2, n
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(block))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(block)) + bytes(block)
+    )
+
+
+def decode_adpcm_ima(payload: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV → ((n,) int16 decoded samples, sample_rate). Real
+    decompression: adaptive step reconstruction from 4-bit codes."""
+    samples, rate, _ = decode_adpcm_ima_ex(payload)
+    return samples, rate
+
+
+def decode_adpcm_ima_ex(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Like :func:`decode_adpcm_ima` but also returns the maximum step
+    index the adapter reached — an exact integer statistic of how hard the
+    quantizer had to adapt."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data, n_samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"fact":
+            n_samples = struct.unpack_from("<I", body, 0)[0]
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or n_samples is None:
+        raise ValueError("truncated ADPCM WAV: missing fmt, fact, or data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 0x11:
+        raise NotImplementedError("only IMA ADPCM (format 0x11) supported here")
+    if channels != 1 or bits != 4:
+        raise NotImplementedError("only 4-bit mono IMA ADPCM supported")
+    pred, idx = struct.unpack_from("<hB", data, 0)
+    out = [pred]
+    max_idx = idx
+    need = n_samples - 1
+    for byte in data[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            if len(out) - 1 >= need:
+                break
+            step = _ADPCM_STEPS[idx]
+            delta = step >> 3
+            if nib & 4:
+                delta += step
+            if nib & 2:
+                delta += step >> 1
+            if nib & 1:
+                delta += step >> 2
+            pred = pred - delta if nib & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _ADPCM_INDEX[nib & 7]))
+            max_idx = max(max_idx, idx)
+            out.append(pred)
+    return np.asarray(out, dtype=np.int16), rate, max_idx
+
+
+def synthetic_adpcm_audio(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real IMA-ADPCM WAVs compressed from the same SQL-reconstructable PCM
+    formula as synthetic_wav_audio (n = 64 + 32·(id%5) samples; sample i =
+    ascii(char i of the sanitized rpad text)·256 − 16384), so the lossy
+    decoded stream is reproducible by replaying the integer fold in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                n = 64 + 32 * (doc_id % 5)
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                chars = (body * (n // len(body) + 1))[:n].encode("ascii")
+                samples = np.frombuffer(chars, dtype=np.uint8).astype(np.int64) * 256 - 16384
+                rows.append((doc_id, n, encode_adpcm_ima(samples.astype(np.int16))))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_samples", "payload"])
+
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
+        run, schema="media_id bigint, meta_samples int, payload binary"
+    )
+
+
+def adpcm_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode: IMA-ADPCM reconstruction per payload,
+    emitting decoded-stream geometry and amplitude statistics plus the
+    maximum step index the adapter reached (an integer that exercises the
+    whole adaptation path). Int sums exact in float64; rounding in Spark."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dec, rate, max_idx = decode_adpcm_ima_ex(bytes(r.payload))
+                s = dec.astype(np.float64)
+                rows.append(
+                    (
+                        r.media_id,
+                        int(dec.size),
+                        int(rate),
+                        float(s.mean()),
+                        float(np.sqrt((s * s).mean())),
+                        int(max_idx),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "mean_dec", "rms_dec", "max_step_idx"],
+            )
+
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, n_samples int, sample_rate int, "
+            "mean_dec double, rms_dec double, max_step_idx int"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.round("mean_dec", 4).alias("mean_dec"),
+        F.round("rms_dec", 4).alias("rms_dec"),
+        "max_step_idx",
+    )
+
+
+def oracle_adpcm_sql(chars_expr: str) -> str:
+    """DuckDB twin of encode→decode IMA-ADPCM over the synthetic PCM
+    formula: ONE integer list_reduce fold with state
+    [pred, idx, sum, sumsq, max_idx] — the encoder's reconstructed
+    predictor IS the decoded sample, so a single fold replays the whole
+    lossy round-trip exactly. ``chars_expr`` is the rpad text formula the
+    fixture shares with synthetic_wav_audio."""
+    steps = "[" + ", ".join(str(v) for v in _ADPCM_STEPS) + "]"
+    STEP = "st[CAST(acc[2] AS INT)+1]"
+    D = "(e[1] - acc[1])"
+    A = f"abs({D})"
+    B2 = f"({A} >= {STEP})"
+    T1 = f"({A} - CASE WHEN {B2} THEN {STEP} ELSE 0 END)"
+    B1 = f"({T1} >= {STEP}//2)"
+    T2 = f"({T1} - CASE WHEN {B1} THEN {STEP}//2 ELSE 0 END)"
+    B0 = f"({T2} >= {STEP}//4)"
+    DELTA = (
+        f"({STEP}//8 + CASE WHEN {B2} THEN {STEP} ELSE 0 END"
+        f" + CASE WHEN {B1} THEN {STEP}//2 ELSE 0 END"
+        f" + CASE WHEN {B0} THEN {STEP}//4 ELSE 0 END)"
+    )
+    PRED = (
+        f"greatest(-32768, least(32767, acc[1] + "
+        f"CASE WHEN {D} < 0 THEN -{DELTA} ELSE {DELTA} END))"
+    )
+    IDX = (
+        f"greatest(0, least(88, acc[2] + CASE WHEN {B2} THEN "
+        f"2 + 2*(2*(CASE WHEN {B1} THEN 1 ELSE 0 END) + CASE WHEN {B0} THEN 1 ELSE 0 END) "
+        f"ELSE -1 END))"
+    )
+    lam = (
+        f"(acc, e) -> [{PRED}, {IDX}, acc[3] + {PRED}, "
+        f"acc[4] + {PRED}*{PRED}, greatest(acc[5], {IDX})]"
+    )
+    return f"""
+WITH au AS (
+    SELECT doc_id AS media_id,
+           CAST(64 + 32 * (doc_id % 5) AS INT) AS n,
+           {chars_expr} AS chars,
+           {steps} AS st
+    FROM documents
+),
+smp AS (
+    SELECT media_id, n, st,
+           list_transform(range(n), i ->
+               CAST(ascii(substring(chars, CAST(i AS INT) + 1, 1)) * 256 - 16384 AS BIGINT)) AS s
+    FROM au
+),
+folded AS (
+    SELECT media_id, n,
+           list_reduce(
+               [[s[1], CAST(0 AS BIGINT), s[1], s[1]*s[1], 0]] ||
+               list_transform(s[2:], x -> [x, CAST(0 AS BIGINT), 0, 0, 0]),
+               {lam}) AS st_out
+    FROM smp
+)
+SELECT media_id, n AS n_samples, 8000 AS sample_rate,
+       round(CAST(st_out[3] AS DOUBLE) / n, 4) AS mean_dec,
+       round(sqrt(CAST(st_out[4] AS DOUBLE) / n), 4) AS rms_dec,
+       CAST(st_out[5] AS INT) AS max_step_idx
+FROM folded
+"""

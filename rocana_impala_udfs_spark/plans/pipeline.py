@@ -1798,6 +1798,21 @@ FROM smp GROUP BY media_id, n
 """
 
 
+def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED audio decode, oracle-checked: IMA-ADPCM (WAV format
+    0x11, 4 bits/sample adaptive quantization) payloads compressed from the
+    shared PCM formula, decoded by the real adaptive-step reconstruction,
+    with the lossy round-trip replayed EXACTLY by a single integer
+    list_reduce fold in the oracle (the encoder's predictor IS the decoded
+    sample). First hash-green compressed codec; MP3/AAC/H.264 stay honestly
+    stubbed (frequency-domain: no fold replay exists)."""
+    media = multimodal.synthetic_adpcm_audio(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.adpcm_decode_stats(media)
+
+
+ORACLE_ADPCM_DECODE = multimodal.oracle_adpcm_sql(_WAV_CHARS)
+
+
 def q_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling, oracle-checked: YUV4MPEG2 streams (the
     standard uncompressed interchange container) parsed frame by frame, 2
@@ -3284,6 +3299,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_color_stats": q_jpeg_color_stats,
     "multimodal_wav_decode_stats": q_wav_decode_stats,
     "multimodal_wav_downsample": q_wav_downsample_stats,
+    "multimodal_adpcm_decode_stats": q_adpcm_decode_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
@@ -3367,6 +3383,7 @@ PIPELINE_ORACLE = {
     "multimodal_feature_extract": ORACLE_MEDIA_FEATURES,
     "multimodal_wav_decode_stats": ORACLE_WAV_DECODE,
     "multimodal_wav_downsample": ORACLE_WAV_DOWNSAMPLE,
+    "multimodal_adpcm_decode_stats": ORACLE_ADPCM_DECODE,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,

@@ -1165,3 +1165,65 @@ def test_bpe_apply_fixed_spark_matches_python(spark):
         assert r.n_words == len(words)
         assert r.bpe_tokens == want_tokens
         assert r.n_chars == sum(len(w) for w in words)
+
+
+def test_adpcm_codec_roundtrip_matches_reference():
+    """Decoder output must equal the encoder's predictor chain exactly —
+    the property the fold-replay oracle relies on — across random int16
+    streams, including clamp-edge values."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        _adpcm_fold,
+        decode_adpcm_ima_ex,
+        encode_adpcm_ima,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(2, 250))
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        dec, rate, mx = decode_adpcm_ima_ex(encode_adpcm_ima(s, 8000))
+        assert rate == 8000 and dec.size == n
+        pred, idx, ref, maxi = int(s[0]), 0, [int(s[0])], 0
+        for x in s[1:]:
+            _, pred, idx = _adpcm_fold(int(x), pred, idx)
+            ref.append(pred)
+            maxi = max(maxi, idx)
+        assert np.array_equal(dec, np.asarray(ref, dtype=np.int16))
+        assert mx == maxi
+
+
+def test_adpcm_compresses_and_tracks_smooth_signals():
+    """4 bits/sample => ~4x smaller than PCM; reconstruction error on a
+    smooth signal stays far below full scale."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        decode_adpcm_ima,
+        encode_adpcm_ima,
+        encode_wav,
+    )
+
+    s = (np.sin(np.linspace(0, 40, 2000)) * 12000).astype(np.int16)
+    p = encode_adpcm_ima(s)
+    assert len(p) < len(encode_wav(s)) / 3
+    dec, _ = decode_adpcm_ima(p)
+    rms_err = float(np.sqrt(np.mean((dec.astype(np.float64) - s) ** 2)))
+    assert rms_err < 500  # < ~4% of amplitude
+
+
+def test_adpcm_rejects_bad_containers():
+    import pytest
+
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        decode_adpcm_ima,
+        encode_adpcm_ima,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_adpcm_ima(b"not a riff")
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        encode_adpcm_ima(np.array([], dtype=np.int16))
