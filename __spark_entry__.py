@@ -52,6 +52,7 @@ _NEVER_DRIVER_CHECKED = [
     "bpe_apply_stats",
     "ann_lsh_top5",
     "multimodal_adpcm_decode_stats",
+    "ann_ivf_fixed_top5",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -116,6 +116,7 @@ HEADLINE = [
     "ann_lsh_top5",
     # r6: first hash-green COMPRESSED codec (IMA-ADPCM, fold-replay oracle).
     "multimodal_adpcm_decode_stats",
+    "ann_ivf_fixed_top5",
 ]
 
 

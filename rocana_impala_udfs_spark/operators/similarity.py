@@ -591,3 +591,120 @@ ranked AS (
 SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF with a FROZEN pretrained codebook — the oracle-exact variant
+# ---------------------------------------------------------------------------
+
+def fixed_ivf_centroids(nlist: int = 16, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic pretrained codebook: seeded Gaussian directions,
+    unit-normalized, then ROUNDED to 6 decimals — the rounding makes every
+    coordinate an exact decimal literal both engines parse to the same
+    double, which is what lets the oracle replay assignment bit-for-bit.
+    Production IVF indexes load a trained codebook exactly like this;
+    ann_ivf_top5 keeps the corpus-trained (recall-tested) path."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((nlist, dim))
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return np.round(C, 6)
+
+
+def ivf_fixed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against the frozen codebook, oracle-EXACT: centroid
+    similarities accumulate with the explicit per-dimension sequential loop
+    (same IEEE order as the oracle's literal sum chains), probes rank by
+    (sim desc, centroid id) with a stable sort, candidates join on the
+    bucket, and the re-rank is the exact cosine. Same plan shape as
+    :func:`ivf_topk`; only the codebook source and the order-exact
+    assignment differ."""
+    C = fixed_ivf_centroids(nlist, dim)
+    CT = C.T.copy()  # (dim, nlist)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def make_assign(np_probe: int):
+        @pandas_udf("array<int>")
+        def assign(vecs: pd.Series) -> pd.Series:
+            X = np.asarray(vecs.tolist(), dtype=np.float64)
+            if X.ndim != 2 or X.shape[0] == 0:
+                return pd.Series([], dtype=object)
+            s = np.zeros((X.shape[0], CT.shape[1]), dtype=np.float64)
+            for d in range(CT.shape[0]):  # sequential: oracle-order-exact
+                s += X[:, d : d + 1] * CT[d][None, :]
+            order = np.argsort(-s, axis=1, kind="stable")  # ties -> lower id
+            return pd.Series(order[:, :np_probe].astype(np.int32).tolist())
+
+        return assign
+
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    v_assigned = v.withColumn("cluster", F.element_at(make_assign(1)(F.col("n_vec")), 1))
+    q_assigned = q.withColumn("cluster", F.explode(make_assign(nprobe)(F.col("q_vec"))))
+    candidates = (
+        v_assigned.join(F.broadcast(q_assigned), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "n_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        candidates.select(
+            "query_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos")
+        )
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def ivf_fixed_oracle_sql(
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    query_pred: str = "vec_id < 20",
+) -> str:
+    """DuckDB twin of :func:`ivf_fixed_topk`: centroid similarities as
+    explicit left-associative literal sum chains (IEEE-order-identical to
+    the kernel's sequential accumulation), probe ranking by
+    (sim DESC, centroid id), bucket equi-join, exact-cosine re-rank."""
+    C = fixed_ivf_centroids(nlist, dim)
+    sims = ",\n        ".join(
+        " + ".join(f"v[{d + 1}]*{C[c, d]!r}" for d in range(dim)) for c in range(nlist)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+    SELECT vec_id, v, [
+        {sims}
+    ] AS s FROM emb
+),
+ranked AS (
+    SELECT vec_id, v, CAST(ci - 1 AS INT) AS cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s[CAST(ci AS INT)] DESC, ci) AS prb
+    FROM sims, unnest(generate_series(1, {nlist})) AS t(ci)
+),
+vv AS (SELECT vec_id AS neighbor_id, v AS nv, cluster FROM ranked WHERE prb = 1),
+qq AS (SELECT vec_id AS query_id, v AS qv, cluster FROM ranked
+       WHERE prb <= {nprobe} AND {query_pred}),
+scored AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS c
+    FROM vv JOIN qq USING (cluster)
+    WHERE query_id <> neighbor_id
+),
+rk AS (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= {k}
+"""

@@ -385,11 +385,25 @@ ORACLE_ANN_LSH = similarity.lsh_oracle_sql(k=5)
 
 
 def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No oracle: IVF recall < 1 by construction; pytest measures recall
-    # against brute force.
+    # No oracle: corpus-trained IVF (iterative Lloyd); pytest measures
+    # recall against brute force. The frozen-codebook variant below is the
+    # oracle-exact sibling.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.ivf_topk(emb, queries, k=5)
+
+
+def q_ann_ivf_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF against a FROZEN pretrained codebook (the production shape:
+    indexes load trained centroids as an artifact) — oracle-EXACT because
+    the codebook is decimal literals and assignment sums replay in the
+    same IEEE order in SQL (ivf_fixed_oracle_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_fixed_topk(emb, queries, k=5)
+
+
+ORACLE_ANN_IVF_FIXED = similarity.ivf_fixed_oracle_sql(k=5)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3262,6 +3276,7 @@ PIPELINE_QUERIES = {
     "ann_cosine_top5": q_ann_cosine_top5,
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
+    "ann_ivf_fixed_top5": q_ann_ivf_fixed_top5,
     "emb_neardup_pairs": q_emb_neardup,
     "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
@@ -3361,6 +3376,7 @@ PIPELINE_ORACLE = {
     "pack_nextfit_stats": ORACLE_PACK_NEXTFIT,
     "bpe_apply_stats": ORACLE_BPE_APPLY,
     "ann_lsh_top5": ORACLE_ANN_LSH,
+    "ann_ivf_fixed_top5": ORACLE_ANN_IVF_FIXED,
     "search_bm25_top10": ORACLE_BM25,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,

@@ -1227,3 +1227,20 @@ def test_adpcm_rejects_bad_containers():
 
     with pytest.raises(ValueError):
         encode_adpcm_ima(np.array([], dtype=np.int16))
+
+
+def test_ivf_fixed_topk_recall_and_determinism(spark):
+    """Frozen-codebook IVF: useful recall vs brute force, and identical
+    output across partitionings (the property the exact oracle rests on)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    a = similarity.ivf_fixed_topk(emb, queries, k=5).collect()
+    b = similarity.ivf_fixed_topk(emb.repartition(7), queries, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {(r.query_id, r.neighbor_id) for r in a}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.5, f"fixed-IVF recall {recall} too low"
