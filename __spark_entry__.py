@@ -53,6 +53,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_lsh_top5",
     "multimodal_adpcm_decode_stats",
     "ann_ivf_fixed_top5",
+    "attribution_multitouch",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

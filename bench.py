@@ -117,6 +117,7 @@ HEADLINE = [
     # r6: first hash-green COMPRESSED codec (IMA-ADPCM, fold-replay oracle).
     "multimodal_adpcm_decode_stats",
     "ann_ivf_fixed_top5",
+    "attribution_multitouch",
 ]
 
 

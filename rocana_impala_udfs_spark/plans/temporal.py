@@ -7,7 +7,7 @@ BIGINTs — exact, format-free comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rocana_impala_udfs_spark.operators.skew import salted_agg
@@ -383,6 +383,92 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) MULTI-TOUCH attribution — the marketing
+    sibling of the last-touch as-of join: every click in the 7 days before
+    a purchase shares the credit (1 touch → 1.0; 2 → 0.5/0.5; n≥3 → 0.4
+    first, 0.4 last, 0.2 split across middles). One user-keyed equi-join
+    with the time window as a residual range predicate (never a cross
+    join), then one purchase-keyed window pass for position and touch
+    count. Purchases with no touch in the window drop (inner semantics —
+    the unattributable pool is last-touch's NULL row instead).
+    Deterministic under ties via (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    ranked = touches.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).alias("n_touches"),
+    )
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_touches"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touches").cast("double") - F.lit(2.0)))
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "purchase_ts_us",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+    )
+
+
+ORACLE_ATTRIBUTION_MULTITOUCH = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+),
+touches AS (
+    SELECT purchase_id, user_id, click_id, p_ts, c_ts
+    FROM p JOIN c ON c.c_user = p.user_id
+      AND c.c_ts <= p.p_ts
+      AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+),
+ranked AS (
+    SELECT purchase_id, user_id, click_id,
+           epoch_us(p_ts) AS purchase_ts_us,
+           CAST(row_number() OVER (PARTITION BY purchase_id ORDER BY c_ts, click_id) AS INT) AS pos,
+           CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+    FROM touches
+)
+SELECT purchase_id, user_id, click_id, purchase_ts_us, pos, n_touches,
+       round(CASE WHEN n_touches = 1 THEN 1.0
+                  WHEN n_touches = 2 THEN 0.5
+                  WHEN pos = 1 THEN 0.4
+                  WHEN pos = n_touches THEN 0.4
+                  ELSE 0.2 / (CAST(n_touches AS DOUBLE) - 2.0) END, 6) AS credit
+FROM ranked
+"""
 
 
 def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2099,6 +2185,7 @@ TEMPORAL_QUERIES = {
     "sampling_systematic_events": q_sampling_systematic,
     "interval_overlap_pairs": q_interval_overlaps,
     "asof_click_attribution": q_asof_click_attribution,
+    "attribution_multitouch": q_attribution_multitouch,
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
@@ -2154,6 +2241,7 @@ TEMPORAL_ORACLE = {
     "events_seasonal_anomalies": ORACLE_SEASONAL_ANOMALIES,
     "ops_daily_digest": ORACLE_OPS_DIGEST,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
+    "attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,

@@ -553,3 +553,25 @@ def test_longest_streak_hand_computed(spark):
         .collect()
     }
     assert got == {1: 3, 2: 1}  # days 10-12 form the 3-day streak
+
+
+def test_multitouch_credit_sums_to_one(spark):
+    """Position-based attribution invariant: per purchase, credits sum to
+    1.0 (within rounding), first/last get 0.4 when n>=3, and positions are
+    1..n without gaps."""
+    from rocana_impala_udfs_spark.plans.temporal import q_attribution_multitouch
+
+    rows = q_attribution_multitouch(spark, SF).collect()
+    assert rows
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.purchase_id, []).append(r)
+    for pid, touches in by_p.items():
+        n = touches[0].n_touches
+        assert len(touches) == n
+        assert sorted(t.pos for t in touches) == list(range(1, n + 1))
+        assert abs(sum(t.credit for t in touches) - 1.0) < 1e-4, pid
+        if n >= 3:
+            first = next(t for t in touches if t.pos == 1)
+            last = next(t for t in touches if t.pos == n)
+            assert first.credit == 0.4 and last.credit == 0.4
