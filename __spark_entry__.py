@@ -54,6 +54,8 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_adpcm_decode_stats",
     "ann_ivf_fixed_top5",
     "attribution_multitouch",
+    "stream_daily_event_stats",
+    "stream_dedup_event_counts",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -118,6 +118,9 @@ HEADLINE = [
     "multimodal_adpcm_decode_stats",
     "ann_ivf_fixed_top5",
     "attribution_multitouch",
+    # r6: driver-checked Structured Streaming replay (multi-micro-batch
+    # complete-mode sink == batch oracle).
+    "stream_daily_event_stats",
 ]
 
 

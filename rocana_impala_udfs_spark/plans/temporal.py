@@ -471,6 +471,89 @@ FROM ranked
 """
 
 
+def q_stream_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING, driver-checked: daily windowed aggregation run
+    as a real multi-micro-batch stream (one file per trigger, state carried
+    between batches) into a complete-mode memory sink — after the final
+    batch, complete mode's result table IS the batch aggregation, so the
+    stream carries the batch oracle. Sums accumulate in DECIMAL so the
+    micro-batch accumulation order cannot flip the value hash (float sums
+    are order-sensitive; decimal sums are exact)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        cleanup,
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, d = replay_events_stream(spark, sf_dir)
+    try:
+        agg = (
+            stream.withColumn("v", F.col("value").cast("decimal(18,6)"))
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sv"),
+            )
+        )
+        out = run_to_table(agg, mode="complete")
+    finally:
+        cleanup(d)
+    return out.select(
+        F.unix_micros("w.start").alias("window_start_us"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_DAILY = """
+SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE dedup, driver-checked: the replay plants a
+    full duplicate copy of every event (copies=2), the stream keys state by
+    event_id (per-key count in complete mode = the dedup table), and the
+    closed sink rolls up to per-type distinct-event counts — which must
+    equal the single-copy batch counts. The arrival-order-independence of
+    keyed streaming state is exactly what the oracle hash certifies."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        cleanup,
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, d = replay_events_stream(spark, sf_dir, copies=2)
+    try:
+        per_event = stream.groupBy("event_type", "event_id").agg(
+            F.count(F.lit(1)).alias("seen")
+        )
+        sink = run_to_table(per_event, mode="complete")
+    finally:
+        cleanup(d)
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("seen").cast("bigint").alias("max_seen"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(2 AS BIGINT) AS max_seen
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocana_impala_udfs_spark.operators.funnel import retention_cohorts
 
@@ -2186,6 +2269,8 @@ TEMPORAL_QUERIES = {
     "interval_overlap_pairs": q_interval_overlaps,
     "asof_click_attribution": q_asof_click_attribution,
     "attribution_multitouch": q_attribution_multitouch,
+    "stream_daily_event_stats": q_stream_daily_event_stats,
+    "stream_dedup_event_counts": q_stream_dedup_event_counts,
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
@@ -2242,6 +2327,8 @@ TEMPORAL_ORACLE = {
     "ops_daily_digest": ORACLE_OPS_DIGEST,
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
+    "stream_daily_event_stats": ORACLE_STREAM_DAILY,
+    "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,

@@ -1,0 +1,71 @@
+"""Bounded stream replay → batch-comparable result.
+
+The bridge that makes Structured Streaming DRIVER-CHECKABLE: a streaming
+query over a bounded replay of a table, run to completion into a memory
+sink, returns an ordinary DataFrame — so a streaming operator can carry the
+same DuckDB oracle as its batch twin instead of living only in pytest.
+
+Exactness contract: only COMPLETE-mode aggregations are exposed this way —
+after the final micro-batch, complete mode's result table IS the batch
+aggregation of everything replayed (no watermark-dependent row drops, no
+update-mode duplicates in the sink). Streaming==batch for the update/append
+paths stays pinned in tests/test_streaming.py.
+
+Scale note: the replay writes the normalized table once to a temp dir and
+streams it back with maxFilesPerTrigger=1, so the query genuinely runs as
+multiple micro-batches with state carried between them — not one giant
+batch in disguise.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rocana_impala_udfs_spark.sources.io import load_table
+
+
+def replay_events_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 4
+) -> tuple[DataFrame, str]:
+    """Write the normalized events table to a temp dir (``copies`` times —
+    >1 plants exact duplicates for dedup operators) split into ``files``
+    files, and open it as a file-source stream, one file per micro-batch.
+    Returns (stream_df, replay_dir); caller removes the dir after the run.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="replay_events_")
+    for i in range(copies):
+        # repartition, not coalesce: the source table is often a single
+        # scan partition, and coalesce cannot INCREASE partition count —
+        # the replay would collapse to one file / one micro-batch.
+        ev.repartition(max(files // copies, 1)).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(d)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return stream, d
+
+
+def run_to_table(out: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion into a memory sink and
+    return the final result table (batch DataFrame)."""
+    name = "replay_" + uuid.uuid4().hex[:12]
+    q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out.sparkSession.table(name)
+
+
+def cleanup(path: str) -> None:
+    if path and os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)

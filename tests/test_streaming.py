@@ -452,3 +452,45 @@ def test_running_cusum_stream_matches_batch_fold(spark, event_stream_dir):
         for r in last.join(counts.withColumnRenamed("count", "n"), "event_type").collect()
     }
     assert got == expect  # bit-identical folds, same counts
+
+
+def test_replay_runs_multiple_microbatches(spark):
+    """The replay bridge must genuinely stream (state carried across >1
+    micro-batch), not collapse to one batch in disguise."""
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.streaming.replay import (
+        cleanup,
+        replay_events_stream,
+    )
+
+    stream, d = replay_events_stream(spark, SF, files=4)
+    try:
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("replay_mb_probe")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        q.stop()
+    finally:
+        cleanup(d)
+    assert n_batches >= 2, f"expected multiple micro-batches, got {n_batches}"
+    got = {r.event_type: r.n for r in spark.sql("SELECT * FROM replay_mb_probe").collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_replay_dedup_key_matches_oracle_shape(spark):
+    """stream_dedup_event_counts: planted duplicates collapse to exact
+    single-copy counts and every event was seen exactly twice."""
+    from rocana_impala_udfs_spark.plans.temporal import q_stream_dedup_event_counts
+
+    rows = q_stream_dedup_event_counts(spark, SF).collect()
+    assert rows and all(r.max_seen == 2 for r in rows)
