@@ -56,6 +56,7 @@ _NEVER_DRIVER_CHECKED = [
     "attribution_multitouch",
     "stream_daily_event_stats",
     "stream_dedup_event_counts",
+    "multimodal_jpeg_ac_refine_stats",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -121,6 +121,8 @@ HEADLINE = [
     # r6: driver-checked Structured Streaming replay (multi-micro-batch
     # complete-mode sink == batch oracle).
     "stream_daily_event_stats",
+    # r6: progressive JPEG AC successive approximation (full 4-scan script).
+    "multimodal_jpeg_ac_refine_stats",
 ]
 
 

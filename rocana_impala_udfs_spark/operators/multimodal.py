@@ -943,9 +943,30 @@ def encode_jpeg_gray_progressive(img: np.ndarray) -> bytes:
 def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
     """General progressive (SOF2) grayscale JPEG → (h, w) uint8: multi-scan
     coefficient accumulation — DC first/refinement passes with successive
-    approximation, AC spectral-selection scans with EOBRUN/ZRL handling —
-    then dequant + IDCT once all scans are read. AC refinement scans
-    (Ah>0, Ss>0) are outside the encoder's scope and raise."""
+    approximation, AC spectral-selection scans with EOBRUN/ZRL handling,
+    AC successive-approximation refinement — then dequant + IDCT once all
+    scans are read."""
+    coef, h, w, q = decode_jpeg_progressive_coeffs(payload)
+    T = _jpeg_dct_matrix()
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+    out = np.zeros((h, w), dtype=np.uint8)
+    wb = w // 8
+    for b in range(coef.shape[0]):
+        by, bx = divmod(b, wb)
+        cf = (coef[b] * q)[inv_zz].reshape(8, 8).astype(np.float64)
+        block = T.T @ cf @ T
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+            np.round(block + 128.0), 0, 255
+        ).astype(np.uint8)
+    return out
+
+
+def decode_jpeg_progressive_coeffs(payload: bytes) -> tuple[np.ndarray, int, int, np.ndarray]:
+    """Progressive JPEG → the accumulated INTEGER coefficient grid
+    ((n_blocks, 64) in zigzag order, quant ids applied downstream), plus
+    (h, w, quant table). The coefficient domain is where multi-scan decode
+    is exactly checkable — every scan's contribution is integer arithmetic,
+    so stats over coefficients hash-match an oracle that replants them."""
     import struct
 
     if not payload.startswith(b"\xff\xd8"):
@@ -1013,19 +1034,183 @@ def decode_jpeg_gray_progressive(payload: bytes) -> np.ndarray:
         pos += seglen
     if coef is None or h is None:
         raise ValueError("truncated JPEG: missing SOF2")
-    q = quant[comp_tq]
-    T = _jpeg_dct_matrix()
-    inv_zz = np.argsort(_JPEG_ZIGZAG)
-    out = np.zeros((h, w), dtype=np.uint8)
-    wb = w // 8
-    for b in range(coef.shape[0]):
-        by, bx = divmod(b, wb)
-        cf = (coef[b] * q)[inv_zz].reshape(8, 8).astype(np.float64)
-        block = T.T @ cf @ T
-        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
-            np.round(block + 128.0), 0, 255
-        ).astype(np.uint8)
-    return out
+    return coef, h, w, quant[comp_tq]
+
+
+# Canonical table for the AC successive-approximation scans: EOB0..EOB5,
+# ZRL, (run<<4 | 1) and (run<<4 | 2) for every run — all length-6 codes
+# (39 symbols < 63; compression optimality is irrelevant here).
+_JPEG_ACR_BITS = [0, 0, 0, 0, 0, 39, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_ACR_VALS = (
+    [r << 4 for r in range(6)]  # EOB0..EOB5
+    + [0xF0]  # ZRL
+    + [(r << 4) | 1 for r in range(16)]
+    + [(r << 4) | 2 for r in range(16)]
+)
+
+
+def encode_jpeg_gray_progressive_coeffs(coef: np.ndarray, h: int, w: int) -> bytes:
+    """General-coefficient PROGRESSIVE encoder with AC SUCCESSIVE
+    APPROXIMATION — the scan structure real progressive encoders emit
+    (libjpeg's default scan script shape): DC first (Al=1) → DC refine →
+    AC spectral 1..63 first pass (Al=1, magnitude shift toward zero) →
+    AC refinement (Ah=1, Al=0: newly-nonzero ±1 symbols, buffered
+    correction bits for history coefficients, cross-block EOB runs).
+    ``coef``: (n_blocks, 64) int64, zigzag order, q=1. Supersedes the
+    flat-block-only encode_jpeg_gray_progressive for non-flat content."""
+    import struct
+
+    coef = np.asarray(coef, dtype=np.int64)
+    nblocks = (h // 8) * (w // 8)
+    if h % 8 or w % 8 or coef.shape != (nblocks, 64):
+        raise ValueError("need (h/8*w/8, 64) zigzag coefficients and multiple-of-8 dims")
+    if np.abs(coef[:, 1:]).max(initial=0) > 3:
+        raise ValueError("encoder table scope: |AC| <= 3 (first-pass category <= 2)")
+    q = np.ones(64, dtype=np.uint8)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q.tolist())
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    dc_payload = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ac_payload = bytes([0x10]) + bytes(_JPEG_ACR_BITS) + bytes(_JPEG_ACR_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_payload)) + dc_payload
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_payload)) + ac_payload
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_ACR_BITS, _JPEG_ACR_VALS)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+
+    # scan 1: DC first, Al=1 (arithmetic shift) --------------------------------
+    out += sos(0, 0, 0, 1)
+    bw = _BitWriter()
+    prev = 0
+    for b in range(nblocks):
+        v = int(coef[b, 0]) >> 1
+        diff, prev = v - prev, v
+        cat = abs(diff).bit_length()
+        code, length = dc_codes[cat]
+        bw.put(code, length)
+        if cat:
+            bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    out += bw.flush()
+
+    # scan 2: DC refinement ----------------------------------------------------
+    out += sos(0, 0, 1, 0)
+    bw = _BitWriter()
+    for b in range(nblocks):
+        bw.put(int(coef[b, 0]) & 1, 1)
+    out += bw.flush()
+
+    # scan 3: AC first pass, Al=1 (magnitude shift toward zero) -----------------
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for b in range(nblocks):
+        t = [
+            (1 if v > 0 else -1) * (abs(int(v)) >> 1) for v in coef[b, 1:64]
+        ]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            continue
+        flush_eobrun()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                run -= 16
+            cat = abs(v).bit_length()
+            code, length = ac_codes[(run << 4) | cat]
+            bw.put(code, length)
+            bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if nz[-1] < 62:  # trailing zeros: this block joins an EOB run
+            eobrun += 1
+    flush_eobrun()
+    out += bw.flush()
+
+    # scan 4: AC refinement, Ah=1 Al=0 (libjpeg encode_mcu_AC_refine shape) -----
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    eobrun = 0
+    pending_bits: list[int] = []
+
+    def flush_eobrun_refine() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.put(code, length)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in pending_bits:
+            bw.put(bit, 1)
+        pending_bits.clear()
+
+    for b in range(nblocks):
+        absv = [abs(int(v)) for v in coef[b, 1:64]]
+        # last newly-nonzero position (magnitude exactly 1 at this al)
+        eob = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+        run = 0
+        block_bits: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            # ZRLs fire at ANY nonzero position (history included) so each
+            # buffered correction bit rides the run segment during whose
+            # walk the decoder passes that coefficient — libjpeg's
+            # encode_mcu_AC_refine control flow; folding past EOB is left
+            # to the EOB run.
+            while run > 15 and i <= eob:
+                flush_eobrun_refine()
+                code, length = ac_codes[0xF0]
+                bw.put(code, length)
+                run -= 16
+                for bit in block_bits:
+                    bw.put(bit, 1)
+                block_bits = []
+            if a > 1:  # history coefficient: buffer its correction bit
+                block_bits.append(a & 1)
+                continue
+            # newly nonzero (±1)
+            flush_eobrun_refine()
+            code, length = ac_codes[(run << 4) | 1]
+            bw.put(code, length)
+            bw.put(1 if coef[b, 1 + i] > 0 else 0, 1)
+            for bit in block_bits:
+                bw.put(bit, 1)
+            block_bits = []
+            run = 0
+        if run > 0 or block_bits:  # tail folds into a cross-block EOB run
+            eobrun += 1
+            pending_bits.extend(block_bits)
+        elif eob >= 0 or any(absv):
+            pass  # block fully coded by symbols above
+        else:
+            eobrun += 1  # all-zero band joins the EOB run
+    flush_eobrun_refine()
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_progressive_scan(data, coef, huff, td_ta, ss, se, ah, al) -> None:
@@ -1073,9 +1258,55 @@ def _decode_progressive_scan(data, coef, huff, td_ta, ss, se, ah, al) -> None:
             for b in range(nblocks):
                 coef[b, 0] += read_bit() << al
         return
-    if ah != 0:
-        raise NotImplementedError("AC refinement scans not supported (encoder never emits them)")
     ac_table = huff[0x10 | (td_ta & 0x0F)]
+    if ah != 0:
+        # AC successive-approximation REFINEMENT (spec Annex G.1.2.3, the
+        # libjpeg decode_mcu_AC_refine control flow): Huffman symbols code
+        # runs of ZERO-HISTORY positions and newly-nonzero ±1 coefficients;
+        # every already-nonzero coefficient encountered while walking a run
+        # (or inside an EOB run) carries one raw correction bit that, when
+        # set, grows the magnitude by 2^al exactly once per pass.
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(b: int, k: int) -> None:
+            if read_bit() and (coef[b, k] & p1) == 0:
+                coef[b, k] += p1 if coef[b, k] >= 0 else m1
+
+        eobrun = 0
+        for b in range(nblocks):
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = read_symbol(ac_table)
+                    run, size = sym >> 4, sym & 0x0F
+                    s_val = 0
+                    if size == 0:
+                        if run < 15:  # EOBn: run covers this + next blocks
+                            eobrun = (1 << run) + (read_bits(run) if run else 0)
+                            break
+                        # ZRL: 16 zero-history positions, s_val stays 0
+                    else:
+                        if size != 1:
+                            raise ValueError("refinement scan codes only size-1 symbols")
+                        s_val = p1 if read_bit() else m1
+                    while k <= se:
+                        if coef[b, k] != 0:
+                            correct(b, k)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if s_val and k <= se:
+                        coef[b, k] = s_val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # correction bits through the end of band
+                    if coef[b, k] != 0:
+                        correct(b, k)
+                    k += 1
+                eobrun -= 1
+        return
     eobrun = 0
     for b in range(nblocks):
         if eobrun > 0:
@@ -2195,3 +2426,79 @@ SELECT media_id, n AS n_samples, 8000 AS sample_rate,
        CAST(st_out[5] AS INT) AS max_step_idx
 FROM folded
 """
+
+
+def synthetic_ac_refine_jpegs(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Progressive JPEGs with REAL AC successive approximation, planted
+    from an SQL-reconstructable coefficient formula: wb = 1 + id%2,
+    hb = 1 + id%3 blocks; block i carries DC = ascii(char i)·8 − 1024,
+    AC(zigzag 1) = ascii(char i+1) % 7 − 3, AC(zigzag 5) =
+    ascii(char i+2) % 3 − 1 over the sanitized rpad text. |AC| ≤ 3 means
+    every coefficient class is exercised: |v|≥2 appears in the first AC
+    scan and refines, |v|=1 is newly-nonzero ONLY in the refinement scan,
+    v=0 rides runs/EOB — the full Annex G.1.2.3 surface."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                wb, hb = 1 + doc_id % 2, 1 + doc_id % 3
+                n = wb * hb
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                chars = (body * ((n + 2) // len(body) + 1))[: n + 2].encode("ascii")
+                coef = np.zeros((n, 64), dtype=np.int64)
+                for i in range(n):
+                    coef[i, 0] = int(chars[i]) * 8 - 1024
+                    coef[i, 1] = int(chars[i + 1]) % 7 - 3
+                    coef[i, 5] = int(chars[i + 2]) % 3 - 1
+                rows.append(
+                    (doc_id, wb * 8, hb * 8, encode_jpeg_gray_progressive_coeffs(coef, hb * 8, wb * 8))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
+
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
+        run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
+    )
+
+
+def jpeg_ac_refine_stats(media: DataFrame) -> DataFrame:
+    """REAL multi-scan progressive decode with AC refinement, checked in
+    the COEFFICIENT domain where every scan's contribution is integer
+    arithmetic (the pixel IDCT would need cross-engine libm parity): per
+    payload, block count and exact DC / AC coefficient statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                coef, h, w, _q = decode_jpeg_progressive_coeffs(bytes(r.payload))
+                ac = coef[:, 1:]
+                rows.append(
+                    (
+                        r.media_id,
+                        int(w),
+                        int(h),
+                        int(coef.shape[0]),
+                        int(coef[:, 0].sum()),
+                        int((ac != 0).sum()),
+                        int(np.abs(ac).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "img_w", "img_h", "n_blocks", "sum_dc", "n_nonzero_ac", "sum_abs_ac"],
+            )
+
+    return _spread(media.select("media_id", "payload")).mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, img_w int, img_h int, n_blocks bigint, "
+            "sum_dc bigint, n_nonzero_ac bigint, sum_abs_ac bigint"
+        ),
+    )

@@ -1812,6 +1812,50 @@ FROM smp GROUP BY media_id, n
 """
 
 
+def q_jpeg_ac_refine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG with AC SUCCESSIVE APPROXIMATION — the last stubbed
+    progressive path, now real on both sides: the encoder emits the
+    standard 4-scan script (DC first/refine, AC first at Al=1, AC refine at
+    Ah=1) and the decoder implements the general Annex G.1.2.3 refinement
+    walk (newly-nonzero ±1 symbols, interleaved correction bits, EOB runs
+    spanning blocks). Oracle-checked in the integer coefficient domain by
+    replanting the coefficient formula in SQL."""
+    media = multimodal.synthetic_ac_refine_jpegs(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.jpeg_ac_refine_stats(media)
+
+
+_ACR_CHARS = (
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
+    "CAST((1 + doc_id % 2) * (1 + doc_id % 3) + 2 AS INT), "
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
+)
+
+ORACLE_JPEG_AC_REFINE = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INT) AS wb,
+           CAST(1 + doc_id % 3 AS INT) AS hb,
+           {_ACR_CHARS} AS chars
+    FROM documents
+),
+blocks AS (
+    SELECT media_id, wb, hb,
+           CAST(ascii(substring(chars, CAST(i AS INT) + 1, 1)) * 8 - 1024 AS BIGINT) AS dc,
+           CAST(ascii(substring(chars, CAST(i AS INT) + 2, 1)) % 7 - 3 AS BIGINT) AS v1,
+           CAST(ascii(substring(chars, CAST(i AS INT) + 3, 1)) % 3 - 1 AS BIGINT) AS v2
+    FROM imgs, unnest(range(wb * hb)) AS t(i)
+)
+SELECT media_id,
+       CAST(max(wb) * 8 AS INT) AS img_w,
+       CAST(max(hb) * 8 AS INT) AS img_h,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(dc) AS BIGINT) AS sum_dc,
+       CAST(sum(CASE WHEN v1 <> 0 THEN 1 ELSE 0 END + CASE WHEN v2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero_ac,
+       CAST(sum(abs(v1) + abs(v2)) AS BIGINT) AS sum_abs_ac
+FROM blocks GROUP BY media_id
+"""
+
+
 def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED audio decode, oracle-checked: IMA-ADPCM (WAV format
     0x11, 4 bits/sample adaptive quantization) payloads compressed from the
@@ -3315,6 +3359,7 @@ PIPELINE_QUERIES = {
     "multimodal_wav_decode_stats": q_wav_decode_stats,
     "multimodal_wav_downsample": q_wav_downsample_stats,
     "multimodal_adpcm_decode_stats": q_adpcm_decode_stats,
+    "multimodal_jpeg_ac_refine_stats": q_jpeg_ac_refine_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
@@ -3400,6 +3445,7 @@ PIPELINE_ORACLE = {
     "multimodal_wav_decode_stats": ORACLE_WAV_DECODE,
     "multimodal_wav_downsample": ORACLE_WAV_DOWNSAMPLE,
     "multimodal_adpcm_decode_stats": ORACLE_ADPCM_DECODE,
+    "multimodal_jpeg_ac_refine_stats": ORACLE_JPEG_AC_REFINE,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,

@@ -1244,3 +1244,40 @@ def test_ivf_fixed_topk_recall_and_determinism(spark):
     got = {(r.query_id, r.neighbor_id) for r in a}
     recall = len(brute & got) / len(brute)
     assert recall >= 0.5, f"fixed-IVF recall {recall} too low"
+
+
+def test_jpeg_ac_refine_roundtrip():
+    """AC successive-approximation: encode (4-scan progressive) → decode
+    recovers the exact integer coefficients across random sparse blocks,
+    dense all-nonzero blocks, and flat blocks — every Annex G.1.2.3 path
+    (newly-nonzero in refinement, history correction bits, ZRL inside
+    refinement, cross-block EOB runs)."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        decode_jpeg_progressive_coeffs,
+        encode_jpeg_gray_progressive_coeffs,
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(60):
+        hb, wb = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        n = hb * wb
+        coef = np.zeros((n, 64), dtype=np.int64)
+        coef[:, 0] = rng.integers(-768, -8, size=n)
+        for b in range(n):
+            for _k in range(int(rng.integers(0, 8))):
+                coef[b, int(rng.integers(1, 64))] = int(rng.integers(-3, 4))
+        payload = encode_jpeg_gray_progressive_coeffs(coef, hb * 8, wb * 8)
+        dec, h, w, _q = decode_jpeg_progressive_coeffs(payload)
+        assert (h, w) == (hb * 8, wb * 8)
+        assert np.array_equal(dec, coef)
+    dense = np.full((2, 64), 3, dtype=np.int64)
+    dense[:, 0] = -100
+    dense[1, 1:] = -1
+    p = encode_jpeg_gray_progressive_coeffs(dense, 8, 16)
+    assert np.array_equal(decode_jpeg_progressive_coeffs(p)[0], dense)
+    flat = np.zeros((3, 64), dtype=np.int64)
+    flat[:, 0] = -80
+    p = encode_jpeg_gray_progressive_coeffs(flat, 8, 24)
+    assert np.array_equal(decode_jpeg_progressive_coeffs(p)[0], flat)
