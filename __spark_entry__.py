@@ -57,6 +57,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_daily_event_stats",
     "stream_dedup_event_counts",
     "multimodal_jpeg_ac_refine_stats",
+    "multimodal_gif_decode_stats",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -123,6 +123,8 @@ HEADLINE = [
     "stream_daily_event_stats",
     # r6: progressive JPEG AC successive approximation (full 4-scan script).
     "multimodal_jpeg_ac_refine_stats",
+    # r6: real LZW (GIF87a) — the dictionary-compression codec family.
+    "multimodal_gif_decode_stats",
 ]
 
 

@@ -2502,3 +2502,225 @@ def jpeg_ac_refine_stats(media: DataFrame) -> DataFrame:
             "sum_dc bigint, n_nonzero_ac bigint, sum_abs_ac bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF87a — real LZW dictionary compression (the 4th real image codec)
+# ---------------------------------------------------------------------------
+# PPM is raw, PNG is LZ77+Huffman (via zlib), JPEG is transform coding;
+# GIF adds the remaining classic compression family: LZW dictionary coding
+# with growing code widths, CLEAR-code dictionary resets, and GIF's
+# little-endian (LSB-first) bit packing. Grayscale palette (index == gray
+# level) keeps the pixel formula SQL-reconstructable.
+
+
+def encode_gif_gray(img: np.ndarray) -> bytes:
+    """(h, w) uint8 → GIF87a with a 256-entry grayscale palette and real
+    LZW compression (9→12-bit growing codes, CLEAR at start and on a full
+    4096-entry dictionary, END code, 255-byte sub-block framing)."""
+    import struct
+
+    h, w = img.shape
+    data = img.reshape(-1).tolist()
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table: 256 entries
+    for g in range(256):
+        out += bytes((g, g, g))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+
+    clear, end = 256, 257
+    bits = bytearray()
+    acc = nacc = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(256)}
+    next_code, width = 258, 9
+    put(clear, width)
+    seq: tuple = ()
+    for px in data:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            # GIF convention: widen when the JUST-ASSIGNED code needs it
+            width += 1
+        if next_code == 4096:
+            put(clear, width)
+            table = {(i,): i for i in range(256)}
+            next_code, width = 258, 9
+        seq = (px,)
+    if seq:
+        put(table[seq], width)
+    put(end, width)
+    if nacc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    """GIF87a grayscale → (h, w) uint8: real LZW decompression, including
+    the KwKwK self-referential case, growing code widths, and CLEAR
+    resets. Raises on interlace, local palettes, or non-gray tables."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("global color table required")
+    tsize = 2 << (flags & 7)
+    for i in range(tsize):
+        r, g, b = payload[pos + 3 * i : pos + 3 * i + 3]
+        if not (r == g == b == i):
+            raise NotImplementedError("only the identity grayscale palette supported")
+    pos += 3 * tsize
+    while payload[pos] == 0x21:  # extension blocks: skip sub-blocks
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if payload[pos] != 0x2C:
+        raise ValueError("missing image descriptor")
+    _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    if iflags & 0xC0:
+        raise NotImplementedError("interlace/local palette not supported")
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    acc = nacc = bitpos = 0
+    width = min_code + 1
+
+    def get() -> int:
+        nonlocal acc, nacc, bitpos
+        while nacc < width:
+            acc |= data[bitpos] << nacc
+            bitpos += 1
+            nacc += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        return v
+
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = get()
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != iw * ih:
+        raise ValueError(f"LZW output {len(out)} != {iw}*{ih}")
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(ih, iw)
+
+
+def synthetic_gif_images(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real GIF87a payloads over the PNG pixel formula restricted to one
+    channel: w = 8 + id % 5, h = 8 + id % 11, pixel i = byte i of the
+    sanitized rpad-repeated text — LZW-compressed, SQL-reconstructable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                w, h = 8 + doc_id % 5, 8 + doc_id % 11
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                n = w * h
+                pix = (body * (n // len(body) + 1))[:n].encode("ascii")
+                img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+                rows.append((doc_id, w, h, encode_gif_gray(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
+
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
+        run, schema="media_id bigint, meta_width int, meta_height int, payload binary"
+    )
+
+
+def gif_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL LZW decompression per payload: parsed geometry, exact mean
+    gray, distinct level count, and the compressed/raw size ratio (the
+    dictionary coder's work, measured)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_gif_gray(bytes(r.payload))
+                flat = img.reshape(-1)
+                rows.append(
+                    (
+                        r.media_id,
+                        img.shape[1],
+                        img.shape[0],
+                        float(flat.mean(dtype=np.float64)),
+                        int(np.unique(flat).size),
+                        len(bytes(r.payload)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "img_w", "img_h", "mean_px", "n_levels", "payload_bytes"],
+            )
+
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, img_w int, img_h int, mean_px double, "
+            "n_levels int, payload_bytes int"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "img_w",
+        "img_h",
+        F.round("mean_px", 4).alias("mean_px"),
+        "n_levels",
+    )

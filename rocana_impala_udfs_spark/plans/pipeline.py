@@ -1856,6 +1856,42 @@ FROM blocks GROUP BY media_id
 """
 
 
+def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a decode — genuine LZW dictionary decompression (growing
+    9→12-bit codes, CLEAR resets, KwKwK case), the classic compression
+    family PPM/PNG/JPEG don't cover. Pixels follow the SQL-reconstructable
+    single-channel text formula, so exact mean and distinct-level counts
+    hash-match the oracle."""
+    media = multimodal.synthetic_gif_images(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.gif_decode_stats(media)
+
+
+_GIF_CHARS = (
+    "rpad(coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'), "
+    "CAST((8 + doc_id % 5) * (8 + doc_id % 11) AS INT), "
+    "coalesce(nullif(regexp_replace(text, '[^ -~]', 'x', 'g'), ''), 'x'))"
+)
+
+ORACLE_GIF_DECODE = f"""
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 5 AS INT) AS img_w,
+           CAST(8 + doc_id % 11 AS INT) AS img_h,
+           {_GIF_CHARS} AS chars
+    FROM imgs_src
+),
+px AS (
+    SELECT media_id, img_w, img_h,
+           ascii(substring(chars, CAST(i AS INT) + 1, 1)) AS v
+    FROM imgs, unnest(range(img_w * img_h)) AS t(i)
+)
+SELECT media_id, img_w, img_h,
+       round(avg(v), 4) AS mean_px,
+       CAST(count(DISTINCT v) AS INT) AS n_levels
+FROM px GROUP BY media_id, img_w, img_h
+""".replace("imgs_src", "documents")
+
+
 def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED audio decode, oracle-checked: IMA-ADPCM (WAV format
     0x11, 4 bits/sample adaptive quantization) payloads compressed from the
@@ -3360,6 +3396,7 @@ PIPELINE_QUERIES = {
     "multimodal_wav_downsample": q_wav_downsample_stats,
     "multimodal_adpcm_decode_stats": q_adpcm_decode_stats,
     "multimodal_jpeg_ac_refine_stats": q_jpeg_ac_refine_stats,
+    "multimodal_gif_decode_stats": q_gif_decode_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
@@ -3446,6 +3483,7 @@ PIPELINE_ORACLE = {
     "multimodal_wav_downsample": ORACLE_WAV_DOWNSAMPLE,
     "multimodal_adpcm_decode_stats": ORACLE_ADPCM_DECODE,
     "multimodal_jpeg_ac_refine_stats": ORACLE_JPEG_AC_REFINE,
+    "multimodal_gif_decode_stats": ORACLE_GIF_DECODE,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,

@@ -1281,3 +1281,42 @@ def test_jpeg_ac_refine_roundtrip():
     flat[:, 0] = -80
     p = encode_jpeg_gray_progressive_coeffs(flat, 8, 24)
     assert np.array_equal(decode_jpeg_progressive_coeffs(p)[0], flat)
+
+
+def test_gif_lzw_roundtrip():
+    """LZW encode→decode is lossless across noise (worst case), repetitive
+    content (KwKwK + deep dictionary), and images large enough to force a
+    4096-entry dictionary reset."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(30):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        if trial % 2:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        else:
+            img = (np.add.outer(np.arange(h), np.arange(w)) % 7 * 30).astype(np.uint8)
+        assert np.array_equal(decode_gif_gray(encode_gif_gray(img)), img)
+    big = rng.integers(0, 256, size=(80, 80), dtype=np.uint8)
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(big)), big)
+    flat = np.zeros((16, 16), dtype=np.uint8)  # KwKwK-heavy
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(flat)), flat)
+    # dictionary actually compresses repetitive content (64x64 so the LZW
+    # stream dominates the fixed 781-byte header+palette)
+    rep = encode_gif_gray(np.zeros((64, 64), dtype=np.uint8))
+    raw = encode_gif_gray(rng.integers(0, 256, size=(64, 64), dtype=np.uint8))
+    assert len(rep) < len(raw) / 2
+
+
+def test_gif_rejects_unsupported():
+    import pytest
+
+    from rocana_impala_udfs_spark.operators.multimodal import decode_gif_gray
+
+    with pytest.raises(NotImplementedError):
+        decode_gif_gray(b"NOTAGIF")
