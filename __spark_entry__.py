@@ -58,6 +58,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_dedup_event_counts",
     "multimodal_jpeg_ac_refine_stats",
     "multimodal_gif_decode_stats",
+    "audio_mulaw_roundtrip",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -125,6 +125,8 @@ HEADLINE = [
     "multimodal_jpeg_ac_refine_stats",
     # r6: real LZW (GIF87a) — the dictionary-compression codec family.
     "multimodal_gif_decode_stats",
+    # r6: G.711 mu-law as a pure relational codec (whole-stage codegen).
+    "audio_mulaw_roundtrip",
 ]
 
 

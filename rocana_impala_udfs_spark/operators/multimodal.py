@@ -1725,10 +1725,11 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
 
 def decode_image_auto(payload: bytes) -> np.ndarray:
     """Sniff the container by magic bytes and run the matching REAL decoder
-    (P6 PPM, PNG, baseline JPEG gray or 4:2:0 color) — the dispatch a mixed
-    media column needs. Returns the decoded pixel array ((h, w) gray or
-    (h, w, 3) color). Raises NotImplementedError for containers without an
-    in-repo codec (audio/video stay honestly stubbed)."""
+    (P6 PPM, PNG, baseline JPEG gray or 4:2:0 color, GIF87a/89a LZW) — the
+    dispatch a mixed media column needs. Returns the decoded pixel array
+    ((h, w) gray or (h, w, 3) color). Raises NotImplementedError for
+    containers without an in-repo codec (compressed A/V stays honestly
+    stubbed)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
@@ -1738,6 +1739,8 @@ def decode_image_auto(payload: bytes) -> np.ndarray:
             return decode_jpeg_gray(payload)
         except NotImplementedError:
             return decode_jpeg_color(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(payload)
     raise NotImplementedError("unrecognized media container")
 
 
@@ -1758,6 +1761,8 @@ def media_features_real(media: DataFrame) -> DataFrame:
                     container = "png"
                 elif p.startswith(b"\xff\xd8"):
                     container = "jpeg"
+                elif p[:6] in (b"GIF87a", b"GIF89a"):
+                    container = "gif"
                 else:
                     container = "unknown"
                 img = decode_image_auto(p)
@@ -2723,4 +2728,94 @@ def gif_decode_stats(media: DataFrame) -> DataFrame:
         "img_h",
         F.round("mean_px", 4).alias("mean_px"),
         "n_levels",
+    )
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding — a codec with NO kernel at all (pure relational)
+# ---------------------------------------------------------------------------
+# The telephony standard's 8-bit logarithmic companding is segment-table
+# integer arithmetic (Sun g711.c reference semantics), so both encode and
+# decode express as plain SQL CASE/bit expressions — the codec runs inside
+# whole-stage codegen on Spark and verbatim in the DuckDB oracle. The only
+# Python is the WAV container parse that feeds it samples.
+
+_MULAW_SEGS = [(16384, 7), (8192, 6), (4096, 5), (2048, 4), (1024, 3), (512, 2), (256, 1)]
+
+
+def _div(expr: str, n: int, dialect: str) -> str:
+    return f"({expr} div {n})" if dialect == "spark" else f"({expr} // {n})"
+
+
+def mulaw_encode_sql(x: str, dialect: str) -> str:
+    """int16 sample expression → mu-law code expression (0..255)."""
+    sign = f"(CASE WHEN {x} < 0 THEN 128 ELSE 0 END)"
+    mag = f"(least(abs(CAST({x} AS BIGINT)), 32635) + 132)"
+    arms = "".join(
+        f"WHEN {mag} >= {lo} THEN {e << 4} + ({_div(mag, 1 << (e + 3), dialect)} & 15) "
+        for lo, e in _MULAW_SEGS
+    )
+    body = f"(CASE {arms}ELSE ({_div(mag, 8, dialect)} & 15) END)"
+    return f"(255 - ({sign} + {body}))"
+
+
+def mulaw_decode_sql(code: str, dialect: str) -> str:
+    """mu-law code expression → reconstructed linear sample expression."""
+    y = f"(255 - {code})"
+    t = (
+        f"((({y} & 15) * 8 + 132) * (CASE ({_div(y, 16, dialect)} & 7) "
+        + "".join(f"WHEN {e} THEN {1 << e} " for e in range(8))
+        + "END))"
+    )
+    return f"(CASE WHEN {y} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+
+
+def wav_samples(media: DataFrame) -> DataFrame:
+    """Explode each PCM WAV payload to (media_id, i, sample) rows — the
+    bridge from the binary container to relational per-sample processing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                samples, _rate = decode_wav(bytes(r.payload))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": r.media_id,
+                            "i": np.arange(samples.size, dtype=np.int64),
+                            "sample": samples.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=["media_id", "i", "sample"]
+            )
+
+    return _spread(media.select("media_id", "payload")).mapInPandas(
+        run, schema="media_id bigint, i bigint, sample bigint"
+    )
+
+
+def mulaw_roundtrip_stats(media: DataFrame) -> DataFrame:
+    """Per-stream G.711 mu-law round-trip report: exact integer error
+    stats of encode→decode over every sample, computed entirely in JVM
+    expressions over the exploded sample rows."""
+    s = wav_samples(media)
+    code = mulaw_encode_sql("sample", "spark")
+    dec = mulaw_decode_sql(code, "spark")
+    return (
+        s.selectExpr(
+            "media_id",
+            "sample",
+            f"{dec} AS dec",
+        )
+        .selectExpr("media_id", "abs(sample - dec) AS err", "dec")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("err").cast("bigint").alias("sum_abs_err"),
+            F.max("err").cast("bigint").alias("max_abs_err"),
+            F.sum(F.col("dec") * F.col("dec")).cast("bigint").alias("sum_sq_dec"),
+        )
     )

@@ -1892,6 +1892,50 @@ FROM px GROUP BY media_id, img_w, img_h
 """.replace("imgs_src", "documents")
 
 
+def q_mulaw_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law companding as a PURE RELATIONAL codec: encode and
+    decode are segment-table integer CASE/bit expressions (validated
+    against the Sun g711.c reference over the full int16 domain in
+    pytest), so the whole codec runs inside whole-stage codegen — the only
+    Python is the WAV container parse. Exact integer error statistics per
+    stream; oracle replays the identical expressions in DuckDB dialect."""
+    media = multimodal.synthetic_wav_audio(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.mulaw_roundtrip_stats(media)
+
+
+def _oracle_mulaw() -> str:
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        mulaw_decode_sql,
+        mulaw_encode_sql,
+    )
+
+    enc = mulaw_encode_sql("s", "duckdb")
+    dec = mulaw_decode_sql(enc, "duckdb")
+    return f"""
+WITH au AS (
+    SELECT doc_id AS media_id,
+           CAST(64 + 32 * (doc_id % 5) AS INT) AS n,
+           {_WAV_CHARS} AS chars
+    FROM documents
+),
+smp AS (
+    SELECT media_id,
+           CAST(ascii(substring(chars, CAST(i AS INT) + 1, 1)) * 256 - 16384 AS BIGINT) AS s
+    FROM au, unnest(range(n)) AS t(i)
+),
+rt AS (SELECT media_id, s, {dec} AS d FROM smp)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(s - d)) AS BIGINT) AS sum_abs_err,
+       CAST(max(abs(s - d)) AS BIGINT) AS max_abs_err,
+       CAST(sum(d * d) AS BIGINT) AS sum_sq_dec
+FROM rt GROUP BY media_id
+"""
+
+
+ORACLE_MULAW = _oracle_mulaw()
+
+
 def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED audio decode, oracle-checked: IMA-ADPCM (WAV format
     0x11, 4 bits/sample adaptive quantization) payloads compressed from the
@@ -3397,6 +3441,7 @@ PIPELINE_QUERIES = {
     "multimodal_adpcm_decode_stats": q_adpcm_decode_stats,
     "multimodal_jpeg_ac_refine_stats": q_jpeg_ac_refine_stats,
     "multimodal_gif_decode_stats": q_gif_decode_stats,
+    "audio_mulaw_roundtrip": q_mulaw_roundtrip_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
@@ -3484,6 +3529,7 @@ PIPELINE_ORACLE = {
     "multimodal_adpcm_decode_stats": ORACLE_ADPCM_DECODE,
     "multimodal_jpeg_ac_refine_stats": ORACLE_JPEG_AC_REFINE,
     "multimodal_gif_decode_stats": ORACLE_GIF_DECODE,
+    "audio_mulaw_roundtrip": ORACLE_MULAW,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,

@@ -1320,3 +1320,37 @@ def test_gif_rejects_unsupported():
 
     with pytest.raises(NotImplementedError):
         decode_gif_gray(b"NOTAGIF")
+
+
+def test_mulaw_sql_matches_g711_reference(spark):
+    """The relational mu-law expressions reproduce the Sun g711.c
+    reference bit-for-bit over the full int16 domain (Spark dialect; the
+    DuckDB dialect is covered by the oracle gate)."""
+    from rocana_impala_udfs_spark.operators.multimodal import (
+        mulaw_decode_sql,
+        mulaw_encode_sql,
+    )
+
+    def ref_encode(pcm):
+        sign = 0x80 if pcm < 0 else 0
+        pcm = min(abs(pcm), 32635) + 132
+        exp = pcm.bit_length() - 8
+        return ~(sign | (exp << 4) | ((pcm >> (exp + 3)) & 0x0F)) & 0xFF
+
+    def ref_decode(u):
+        u = ~u & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    enc = mulaw_encode_sql("x", "spark")
+    dec = mulaw_decode_sql(enc, "spark")
+    rows = (
+        spark.range(-32768, 32768)
+        .selectExpr("id AS x", f"{enc} AS c", f"{dec} AS d")
+        .collect()
+    )
+    for r in rows[::97] + rows[:300] + rows[-300:]:
+        assert r.c == ref_encode(r.x), r.x
+        assert r.d == ref_decode(ref_encode(r.x)), r.x
+    # error bound: quantization error < 2^(exp+2) <= 1024 at full scale
+    assert max(abs(r.x - r.d) for r in rows) <= 1024
