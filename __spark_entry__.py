@@ -59,6 +59,7 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_jpeg_ac_refine_stats",
     "multimodal_gif_decode_stats",
     "audio_mulaw_roundtrip",
+    "audio_flac_decode_stats",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

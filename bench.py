@@ -127,6 +127,9 @@ HEADLINE = [
     "multimodal_gif_decode_stats",
     # r6: G.711 mu-law as a pure relational codec (whole-stage codegen).
     "audio_mulaw_roundtrip",
+    # r6: FLAC subset — predictive coding + Rice entropy codes, CRC/MD5
+    # verified on decode.
+    "audio_flac_decode_stats",
 ]
 
 

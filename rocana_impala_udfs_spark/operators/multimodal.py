@@ -2819,3 +2819,301 @@ def mulaw_roundtrip_stats(media: DataFrame) -> DataFrame:
             F.sum(F.col("dec") * F.col("dec")).cast("bigint").alias("sum_sq_dec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC (subset) — linear prediction + Rice/Golomb coding, spec framing
+# ---------------------------------------------------------------------------
+# The remaining classic compression family: predictive coding with
+# parametric entropy codes. Real FLAC structure — fLaC magic, STREAMINFO
+# with MD5 of the decoded stream, frame header with CRC-8, FIXED-predictor
+# subframes (orders 0-4, encoder picks by residual energy), Rice-coded
+# residuals (zigzag + unary/binary, per-frame parameter search), CRC-16
+# frame footer — restricted to mono 16-bit single-frame streams (the same
+# honest-subset policy as the other codecs). MSB-first bitstream per spec.
+
+_FLAC_FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MsbWriter:
+    def __init__(self) -> None:
+        self.buf, self.acc, self.nbits = bytearray(), 0, 0
+
+    def put(self, value: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc, self.nbits = 0, 0
+
+    def put_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.put(0, 1)
+        self.put(1, 1)
+
+    def align(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+class _MsbReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data, self.bitpos = data, pos * 8
+
+    def get(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def get_unary(self) -> int:
+        q = 0
+        while self.get(1) == 0:
+            q += 1
+        return q
+
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """(n,) int16 mono PCM → FLAC subset stream (one frame, FIXED
+    predictor, Rice partition order 0). Header MD5 is the real spec MD5 of
+    the little-endian decoded bytes, so decode can verify integrity."""
+    import hashlib
+    import struct
+
+    x = np.asarray(samples, dtype=np.int64)
+    n = int(x.size)
+    if n < 5:
+        raise ValueError("need at least 5 samples (max fixed order warmup)")
+    # pick the fixed order with minimal residual energy (libFLAC heuristic)
+    best_order = min(range(5), key=lambda o: int(np.abs(_fixed_residual(x, o)).sum()))
+    res = _fixed_residual(x, best_order)
+    # rice parameter: minimize exact coded length over 0..14
+    u = np.where(res >= 0, res << 1, ((-res) << 1) - 1).astype(np.int64)
+    best_p = min(range(15), key=lambda p: int((u >> p).sum()) + u.size * (p + 1))
+
+    # ---- frame ----
+    hdr = bytearray()
+    hdr += bytes([0xFF, 0xF8])  # sync + fixed blocking
+    hdr.append((0x07 << 4) | 0x00)  # blocksize: 16-bit at end; rate: STREAMINFO
+    hdr.append((0x00 << 4) | (0x04 << 1))  # mono; 16 bps; reserved 0
+    hdr.append(0x00)  # frame number 0 (UTF-8)
+    hdr += struct.pack(">H", n - 1)  # 16-bit blocksize-1
+    hdr.append(_crc8(bytes(hdr)))
+
+    bw = _MsbWriter()
+    # subframe header: 1 pad + 6 type (FIXED: 0b001000 | order) + 1 wasted
+    bw.put(0, 1)
+    bw.put(0b001000 | best_order, 6)
+    bw.put(0, 1)
+    for i in range(best_order):  # warmup, signed 16-bit
+        bw.put(int(x[i]) & 0xFFFF, 16)
+    bw.put(0, 2)  # residual method: 4-bit rice
+    bw.put(0, 4)  # partition order 0
+    bw.put(best_p, 4)
+    for v in u.tolist():
+        bw.put_unary(v >> best_p)
+        if best_p:
+            bw.put(v & ((1 << best_p) - 1), best_p)
+    frame = bytes(hdr) + bw.align()
+    frame += struct.pack(">H", _crc16(frame))
+
+    # ---- stream header ----
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    info = _MsbWriter()
+    info.put(n, 16)  # min block size
+    info.put(n, 16)  # max block size
+    info.put(len(frame), 24)
+    info.put(len(frame), 24)
+    info.put(sample_rate, 20)
+    info.put(0, 3)  # channels - 1
+    info.put(15, 5)  # bps - 1
+    info.put(n, 36)
+    si = info.align() + md5
+    return b"fLaC" + bytes([0x80, 0, 0, len(si)]) + si + frame
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC subset → ((n,) int16, rate): STREAMINFO parse, frame-header
+    CRC-8 check, FIXED-predictor reconstruction from Rice-decoded
+    residuals, frame CRC-16 check, and STREAMINFO-MD5 verification of the
+    decoded stream — a real integrity-checked decompression."""
+    import hashlib
+    import struct
+
+    if not payload.startswith(b"fLaC"):
+        raise NotImplementedError("not a FLAC payload")
+    pos = 4
+    rate = nsamples = None
+    md5_expect = None
+    while True:
+        head = payload[pos]
+        last, btype = head & 0x80, head & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            r = _MsbReader(body)
+            r.get(16)
+            r.get(16)
+            r.get(24)
+            r.get(24)
+            rate = r.get(20)
+            if r.get(3) != 0 or r.get(5) != 15:
+                raise NotImplementedError("only mono 16-bit supported")
+            nsamples = r.get(36)
+            md5_expect = body[18:34]
+        pos += 4 + blen
+        if last:
+            break
+    if rate is None:
+        raise ValueError("missing STREAMINFO")
+    frame = payload[pos:]
+    if frame[0] != 0xFF or (frame[1] & 0xFE) != 0xF8:
+        raise ValueError("bad frame sync")
+    bs_code, sr_code = frame[2] >> 4, frame[2] & 0x0F
+    if bs_code != 0x07 or sr_code != 0x00:
+        raise NotImplementedError("subset: 16-bit blocksize field + STREAMINFO rate")
+    if frame[3] >> 4 != 0 or ((frame[3] >> 1) & 0x07) != 0x04:
+        raise NotImplementedError("only mono 16-bit frames supported")
+    if frame[4] & 0x80:
+        raise NotImplementedError("multi-byte frame numbers not needed in subset")
+    (blocksize,) = struct.unpack_from(">H", frame, 5)
+    blocksize += 1
+    if _crc8(frame[:7]) != frame[7]:
+        raise ValueError("frame header CRC-8 mismatch")
+    r = _MsbReader(frame, 8)
+    if r.get(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = r.get(6)
+    if (stype & 0b111000) != 0b001000:
+        raise NotImplementedError("only FIXED subframes supported")
+    order = stype & 0x07
+    if r.get(1) != 0:
+        raise NotImplementedError("wasted bits unsupported")
+    warm = [r.get(16) for _ in range(order)]
+    warm = [v - 0x10000 if v >= 0x8000 else v for v in warm]
+    if r.get(2) != 0:
+        raise NotImplementedError("only 4-bit rice residuals supported")
+    if r.get(4) != 0:
+        raise NotImplementedError("only partition order 0 supported")
+    p = r.get(4)
+    res = []
+    for _ in range(blocksize - order):
+        q = r.get_unary()
+        v = (q << p) | (r.get(p) if p else 0)
+        res.append((v >> 1) if (v & 1) == 0 else -((v + 1) >> 1))
+    out = list(warm)
+    coefs = _FLAC_FIXED_COEFS[order]
+    for rv in res:
+        pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
+        out.append(rv + pred)
+    fend = r.byte_pos()
+    (crc_expect,) = struct.unpack_from(">H", frame, fend)
+    if _crc16(frame[:fend]) != crc_expect:
+        raise ValueError("frame CRC-16 mismatch")
+    samples = np.asarray(out, dtype=np.int16)
+    if nsamples and samples.size != nsamples:
+        raise ValueError("sample count mismatch vs STREAMINFO")
+    if md5_expect and md5_expect != b"\x00" * 16:
+        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+            raise ValueError("decoded-stream MD5 mismatch")
+    return samples, rate
+
+
+def synthetic_flac_audio(
+    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Real FLAC payloads over the shared SQL-reconstructable PCM formula
+    (same as synthetic_wav_audio) — lossless, so decoded statistics carry
+    the exact same oracle as the raw WAV path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc_id = int(r[0])
+                text = r[1] or ""
+                n = 64 + 32 * (doc_id % 5)
+                body = re.sub(r"[^ -~]", "x", text) or "x"
+                chars = (body * (n // len(body) + 1))[:n].encode("ascii")
+                samples = np.frombuffer(chars, dtype=np.uint8).astype(np.int64) * 256 - 16384
+                rows.append((doc_id, n, encode_flac(samples.astype(np.int16))))
+            yield pd.DataFrame(rows, columns=["media_id", "meta_samples", "payload"])
+
+    return _spread(source_df.select(id_col, text_col)).mapInPandas(
+        run, schema="media_id bigint, meta_samples int, payload binary"
+    )
+
+
+def flac_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL FLAC decompression (CRC-8/CRC-16/MD5 verified) per payload:
+    decoded geometry + exact amplitude statistics — losslessness means the
+    oracle is the PCM formula itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_flac(bytes(r.payload))
+                s = samples.astype(np.float64)
+                rows.append(
+                    (
+                        r.media_id,
+                        int(rate),
+                        int(samples.size),
+                        float(s.mean()),
+                        float(np.sqrt((s * s).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples", "mean_amp", "rms"]
+            )
+
+    out = _spread(media.select("media_id", "payload")).mapInPandas(
+        run,
+        schema=(
+            "media_id bigint, sample_rate int, n_samples int, "
+            "mean_amp double, rms double"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+    )

@@ -1936,6 +1936,35 @@ FROM rt GROUP BY media_id
 ORACLE_MULAW = _oracle_mulaw()
 
 
+def q_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC (subset) decode — the predictive-coding compression
+    family: FIXED linear predictors (orders 0-4, chosen by residual
+    energy) + Rice/Golomb-coded residuals inside real spec framing, with
+    CRC-8, CRC-16, and STREAMINFO-MD5 all verified during decode.
+    Lossless, so the oracle is the raw PCM formula itself."""
+    media = multimodal.synthetic_flac_audio(spark, load_table(spark, sf_dir, "documents"))
+    return multimodal.flac_decode_stats(media)
+
+
+ORACLE_FLAC_DECODE = f"""
+WITH au AS (
+    SELECT doc_id AS media_id,
+           CAST(64 + 32 * (doc_id % 5) AS INT) AS n,
+           {_WAV_CHARS} AS chars
+    FROM documents
+),
+smp AS (
+    SELECT media_id, n,
+           ascii(substring(chars, CAST(i AS INT) + 1, 1)) * 256 - 16384 AS v
+    FROM au, unnest(range(n)) AS t(i)
+)
+SELECT media_id, 8000 AS sample_rate, n AS n_samples,
+       round(avg(v), 4) AS mean_amp,
+       round(sqrt(avg(v * v)), 4) AS rms
+FROM smp GROUP BY media_id, n
+"""
+
+
 def q_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED audio decode, oracle-checked: IMA-ADPCM (WAV format
     0x11, 4 bits/sample adaptive quantization) payloads compressed from the
@@ -3442,6 +3471,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_ac_refine_stats": q_jpeg_ac_refine_stats,
     "multimodal_gif_decode_stats": q_gif_decode_stats,
     "audio_mulaw_roundtrip": q_mulaw_roundtrip_stats,
+    "audio_flac_decode_stats": q_flac_decode_stats,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
@@ -3530,6 +3560,7 @@ PIPELINE_ORACLE = {
     "multimodal_jpeg_ac_refine_stats": ORACLE_JPEG_AC_REFINE,
     "multimodal_gif_decode_stats": ORACLE_GIF_DECODE,
     "audio_mulaw_roundtrip": ORACLE_MULAW,
+    "audio_flac_decode_stats": ORACLE_FLAC_DECODE,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,

@@ -1354,3 +1354,36 @@ def test_mulaw_sql_matches_g711_reference(spark):
         assert r.d == ref_decode(ref_encode(r.x)), r.x
     # error bound: quantization error < 2^(exp+2) <= 1024 at full scale
     assert max(abs(r.x - r.d) for r in rows) <= 1024
+
+
+def test_flac_roundtrip_and_integrity():
+    """FLAC subset: lossless across noise / smooth / constant signals
+    (exercising every fixed predictor order), real compression on smooth
+    content, and hard failures on corrupted CRC or payload bytes."""
+    import numpy as np
+    import pytest
+
+    from rocana_impala_udfs_spark.operators.multimodal import decode_flac, encode_flac
+
+    rng = np.random.default_rng(21)
+    for trial in range(20):
+        n = int(rng.integers(5, 300))
+        kind = trial % 3
+        if kind == 0:
+            s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        elif kind == 1:
+            s = (np.sin(np.linspace(0, 9, n)) * 9000).astype(np.int16)
+        else:
+            s = np.full(n, 77, dtype=np.int16)
+        dec, rate = decode_flac(encode_flac(s, 8000))
+        assert rate == 8000 and np.array_equal(dec, s)
+    smooth = (np.sin(np.linspace(0, 12, 1000)) * 9000).astype(np.int16)
+    p = encode_flac(smooth)
+    assert len(p) < 2000 / 3  # beats raw 16-bit PCM by > 3x on smooth input
+    # integrity: flip one residual byte -> CRC-16 or MD5 must catch it
+    corrupted = bytearray(p)
+    corrupted[-10] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(corrupted))
+    with pytest.raises(NotImplementedError):
+        decode_flac(b"not flac")
