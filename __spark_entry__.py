@@ -60,6 +60,8 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_gif_decode_stats",
     "audio_mulaw_roundtrip",
     "audio_flac_decode_stats",
+    "markov_predict_eval",
+    "ab_cuped_adjusted",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

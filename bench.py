@@ -130,6 +130,9 @@ HEADLINE = [
     # r6: FLAC subset — predictive coding + Rice entropy codes, CRC/MD5
     # verified on decode.
     "audio_flac_decode_stats",
+    # r6: backtested Markov next-event prediction; CUPED A/B readout.
+    "markov_predict_eval",
+    "ab_cuped_adjusted",
 ]
 
 

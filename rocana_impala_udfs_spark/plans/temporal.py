@@ -554,6 +554,168 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtested next-event prediction — the ML-eval shape on top of the
+    Markov transition table: TRAIN on transitions whose successor lands in
+    the first half of the timeline (epoch-midpoint split, exact integer),
+    predict next_type = argmax transition count (tie → lexicographic),
+    EVALUATE top-1 accuracy on the second-half transitions. Per-prev-type
+    report in exact integers. Same single per-user window sort as the
+    transition matrix; train/eval split is a residual filter, the argmax
+    one tiny window over the ≤25-row model."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    bounds = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "ts_us",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+    )
+    train = steps.filter(F.col("ts_us") <= F.col("mid"))
+    model_w = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type")
+    )
+    model = (
+        train.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(model_w))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    ev_steps = steps.filter(F.col("ts_us") > F.col("mid"))
+    return (
+        ev_steps.join(F.broadcast(model), "prev_type", "left")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+ORACLE_MARKOV_EVAL = """
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+bounds AS (SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT) AS mid FROM ev),
+steps AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+           event_type AS next_type, ts_us
+    FROM ev
+),
+flt AS (SELECT * FROM steps, bounds WHERE prev_type IS NOT NULL),
+model AS (
+    SELECT prev_type, next_type AS predicted FROM (
+        SELECT prev_type, next_type, count(*) AS n,
+               row_number() OVER (PARTITION BY prev_type ORDER BY count(*) DESC, next_type) AS rk
+        FROM flt WHERE ts_us <= mid GROUP BY prev_type, next_type
+    ) WHERE rk = 1
+)
+SELECT f.prev_type, m.predicted,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN f.next_type = m.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM flt f LEFT JOIN model m ON m.prev_type = f.prev_type
+WHERE f.ts_us > f.mid
+GROUP BY f.prev_type, m.predicted
+ORDER BY f.prev_type
+"""
+
+
+def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et al.
+    2013, the standard pre-experiment-covariate adjustment): users split
+    into variants by a deterministic md5 gate, metric = per-user value sum
+    in the second half of the timeline, covariate = first-half sum (0 when
+    absent), theta = covar_samp/var_samp over all users, adjusted metric =
+    y − θ·(x − x̄). Reports per-variant raw vs adjusted means and the
+    realized variance-reduction ratio. Two shuffles: the per-user rollup
+    and the 2-row variant agg; the 1-row theta frame broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    bounds = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts_us") <= F.col("mid"), F.col("value"))), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts_us") > F.col("mid"), F.col("value"))), F.lit(0.0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+                == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    stats = per_user.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+        F.avg("x").alias("x_bar"),
+        F.var_samp("y").alias("var_y"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(stats)).withColumn(
+        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("x_bar"))
+    )
+    return (
+        adjusted.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_raw"),
+            F.round(F.avg("y_adj"), 4).alias("mean_adjusted"),
+            F.round(F.max("theta"), 6).alias("theta"),
+            F.round(F.lit(1.0) - F.var_samp("y_adj") / F.max("var_y"), 4).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
+
+
+ORACLE_AB_CUPED = """
+WITH ev AS (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events),
+bounds AS (SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT) AS mid FROM ev),
+per_user AS (
+    SELECT user_id,
+           coalesce(sum(CASE WHEN ts_us <= mid THEN value END), 0.0) AS x,
+           coalesce(sum(CASE WHEN ts_us > mid THEN value END), 0.0) AS y,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant
+    FROM ev, bounds GROUP BY user_id, mid
+),
+stats AS (
+    SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS x_bar, var_samp(y) AS var_y
+    FROM per_user
+),
+adj AS (
+    SELECT variant, y, y - theta * (x - x_bar) AS y_adj, theta, var_y
+    FROM per_user, stats
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 4) AS mean_raw,
+       round(avg(y_adj), 4) AS mean_adjusted,
+       round(max(theta), 6) AS theta,
+       round(1.0 - var_samp(y_adj) / max(var_y), 4) AS var_reduction
+FROM adj GROUP BY variant ORDER BY variant
+"""
+
+
 def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocana_impala_udfs_spark.operators.funnel import retention_cohorts
 
@@ -2271,6 +2433,8 @@ TEMPORAL_QUERIES = {
     "attribution_multitouch": q_attribution_multitouch,
     "stream_daily_event_stats": q_stream_daily_event_stats,
     "stream_dedup_event_counts": q_stream_dedup_event_counts,
+    "markov_predict_eval": q_markov_predict_eval,
+    "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
     "ops_session_health": q_ops_session_health,
     "funnel_view_click_purchase": q_funnel_view_click_purchase,
@@ -2329,6 +2493,8 @@ TEMPORAL_ORACLE = {
     "attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "stream_daily_event_stats": ORACLE_STREAM_DAILY,
     "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
+    "markov_predict_eval": ORACLE_MARKOV_EVAL,
+    "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,
     "ops_session_health": ORACLE_OPS_SESSION_HEALTH,
     "funnel_view_click_purchase": ORACLE_FUNNEL,

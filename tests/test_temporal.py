@@ -575,3 +575,46 @@ def test_multitouch_credit_sums_to_one(spark):
             first = next(t for t in touches if t.pos == 1)
             last = next(t for t in touches if t.pos == n)
             assert first.credit == 0.4 and last.credit == 0.4
+
+
+def test_markov_eval_counts_consistent(spark):
+    """Backtest invariants: n_correct <= n_eval per prev_type; predictions
+    come from the train-half transition table."""
+    from rocana_impala_udfs_spark.plans.temporal import q_markov_predict_eval
+
+    rows = q_markov_predict_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_eval
+        assert r.predicted is not None
+
+
+def test_cuped_reduces_variance_when_correlated(spark):
+    """CUPED on a planted correlated panel: adjustment must cut variance
+    and keep the UNWEIGHTED overall mean (theta-linear adjustments are
+    mean-preserving across all users combined)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    users = 400
+    x = rng.normal(100, 20, users)
+    y = 0.8 * x + rng.normal(0, 5, users)  # strongly covariate-driven
+    rows = [(int(i), float(x[i]), float(y[i])) for i in range(users)]
+    df = spark.createDataFrame(rows, "user_id long, x double, y double").withColumn(
+        "variant", (F.col("user_id") % 2 == 0).cast("string")
+    )
+    stats = df.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+        F.avg("x").alias("x_bar"),
+        F.var_samp("y").alias("var_y"),
+    ).collect()[0]
+    adj = df.withColumn(
+        "y_adj", F.col("y") - F.lit(stats.theta) * (F.col("x") - F.lit(stats.x_bar))
+    )
+    out = adj.agg(
+        F.var_samp("y_adj").alias("v"), F.avg("y").alias("m"), F.avg("y_adj").alias("ma")
+    ).collect()[0]
+    assert out.v < 0.2 * stats.var_y  # big variance cut on correlated data
+    assert abs(out.m - out.ma) < 1e-9  # mean preserved overall
