@@ -62,6 +62,8 @@ _NEVER_DRIVER_CHECKED = [
     "audio_flac_decode_stats",
     "markov_predict_eval",
     "ab_cuped_adjusted",
+    "epoch_shuffle_plan",
+    "join_skew_report",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -1856,6 +1856,108 @@ FROM blocks GROUP BY media_id
 """
 
 
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE for training dataloaders: each epoch
+    orders the corpus by md5(epoch || ':' || doc_id) — a reproducible,
+    epoch-distinct permutation any worker can recompute without
+    coordination (the property resumable training needs). The per-epoch
+    order is certified by an order-sensitive integer checksum
+    Σ position·doc_id plus the first/last docs, so the oracle hash pins
+    the ENTIRE permutation, not just membership."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "k", F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")))
+    )
+    w = Window.partitionBy("epoch").orderBy("k")
+    pos = keyed.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("pos").cast("bigint") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("epoch")
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH keyed AS (
+    SELECT d.doc_id, e.epoch,
+           md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+    FROM documents d, (SELECT unnest(range(3)) AS epoch) e
+),
+pos AS (
+    SELECT doc_id, CAST(epoch AS INT) AS epoch,
+           row_number() OVER (PARTITION BY epoch ORDER BY k) AS p
+    FROM keyed
+)
+SELECT epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p * doc_id) AS BIGINT) AS order_checksum,
+       min(CASE WHEN p = 1 THEN doc_id END) AS first_doc
+FROM pos GROUP BY epoch ORDER BY epoch
+"""
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join SKEW DIAGNOSIS — what a planner (or engineer) measures
+    before picking a join strategy at 100 TB: per join-key column, the row
+    count, distinct keys, the hottest key and its share, and the skew
+    ratio max/avg rows-per-key. One partial+final count agg per column;
+    everything exact integers except the rounded ratio."""
+
+    def profile(df: DataFrame, label: str, col: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(F.col("n").desc(), F.col("k"))
+        return (
+            per_key.withColumn("rk", F.row_number().over(w))
+            .agg(
+                F.lit(label).alias("key_col"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("n").cast("bigint").alias("max_key_rows"),
+                F.min(F.when(F.col("rk") == 1, F.col("k").cast("bigint"))).alias("top_key"),
+            )
+            .withColumn(
+                "skew_ratio",
+                F.round(F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 4),
+            )
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(ev, "events.user_id", "user_id").unionByName(
+        profile(li, "lineitem.l_orderkey", "l_orderkey")
+    ).orderBy("key_col")
+
+
+ORACLE_JOIN_SKEW = """
+WITH pk1 AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY user_id),
+p1 AS (
+    SELECT 'events.user_id' AS key_col,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           CAST((SELECT k FROM pk1 ORDER BY n DESC, k LIMIT 1) AS BIGINT) AS top_key
+    FROM pk1
+),
+pk2 AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY l_orderkey),
+p2 AS (
+    SELECT 'lineitem.l_orderkey' AS key_col,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           CAST((SELECT k FROM pk2 ORDER BY n DESC, k LIMIT 1) AS BIGINT) AS top_key
+    FROM pk2
+)
+SELECT key_col, n_rows, n_keys, max_key_rows, top_key,
+       round(CAST(max_key_rows * n_keys AS DOUBLE) / n_rows, 4) AS skew_ratio
+FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) ORDER BY key_col
+"""
+
+
 def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF87a decode — genuine LZW dictionary decompression (growing
     9→12-bit codes, CLEAR resets, KwKwK case), the classic compression
@@ -3472,6 +3574,8 @@ PIPELINE_QUERIES = {
     "multimodal_gif_decode_stats": q_gif_decode_stats,
     "audio_mulaw_roundtrip": q_mulaw_roundtrip_stats,
     "audio_flac_decode_stats": q_flac_decode_stats,
+    "epoch_shuffle_plan": q_epoch_shuffle_plan,
+    "join_skew_report": q_join_skew_report,
     "multimodal_y4m_frame_sample": q_y4m_frame_sample,
     "multimodal_y4m_scene_cuts": q_y4m_scene_cuts,
     "bpe_tokenize_stats": q_bpe_tokenize_stats,
@@ -3561,6 +3665,8 @@ PIPELINE_ORACLE = {
     "multimodal_gif_decode_stats": ORACLE_GIF_DECODE,
     "audio_mulaw_roundtrip": ORACLE_MULAW,
     "audio_flac_decode_stats": ORACLE_FLAC_DECODE,
+    "epoch_shuffle_plan": ORACLE_EPOCH_SHUFFLE,
+    "join_skew_report": ORACLE_JOIN_SKEW,
     "multimodal_y4m_frame_sample": ORACLE_Y4M_FRAMES,
     "multimodal_y4m_scene_cuts": ORACLE_Y4M_SCENE_CUTS,
     "split_train_val_test": ORACLE_SPLIT,
