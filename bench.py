@@ -133,6 +133,8 @@ HEADLINE = [
     # r6: backtested Markov next-event prediction; CUPED A/B readout.
     "markov_predict_eval",
     "ab_cuped_adjusted",
+    "epoch_shuffle_plan",
+    "join_skew_report",
 ]
 
 
