@@ -64,6 +64,7 @@ _NEVER_DRIVER_CHECKED = [
     "ab_cuped_adjusted",
     "epoch_shuffle_plan",
     "join_skew_report",
+    "multimodal_png_interlaced_stats",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

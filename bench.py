@@ -135,6 +135,8 @@ HEADLINE = [
     "ab_cuped_adjusted",
     "epoch_shuffle_plan",
     "join_skew_report",
+    # r6: Adam7 interlaced PNG (7-pass sub-image reconstruction).
+    "multimodal_png_interlaced_stats",
 ]
 
 

@@ -325,17 +325,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 → 8-bit RGB PNG. Scanline filters cycle 0..4 by row
-    index, so a round-trip covers every filter reconstruction path.
+# Adam7 interlace pass origins and strides: (x0, y0, dx, dy) per spec.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_filter_rows(img: np.ndarray) -> bytes:
+    """Filter one (sub)image: (h, w, 3) uint8 → per-row filter byte +
+    filtered scanline, filters cycling 0..4 by row so a round-trip covers
+    every reconstruction path.
 
     Unlike *decode*, every encode filter reads only ORIGINAL pixel values
     (left / up / up-left of the unfiltered image), so all five filtered
     variants vectorize over the whole image at once — no per-byte Python
     loop (the old Paeth row loop dominated the sf0.1 bench)."""
-    import struct
-    import zlib as _z
-
     h, w, _ = img.shape
     bpp = 3
     x = img.reshape(h, w * bpp).astype(np.int32)
@@ -363,19 +368,40 @@ def encode_png(img: np.ndarray) -> bytes:
         sel = rows % 5 == f
         if sel.any():
             raw[sel, 1:] = variants[f][sel].astype(np.uint8)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return raw.tobytes()
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 → 8-bit RGB PNG; ``interlace=True`` emits a real
+    Adam7 stream (7 sub-images, each filtered independently per spec)."""
+    import struct
+    import zlib as _z
+
+    h, w, _ = img.shape
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size:
+                parts.append(_png_filter_rows(np.ascontiguousarray(sub)))
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_rows(img)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IDAT", _z.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """8-bit RGB PNG → (h, w, 3) uint8: chunk walk → zlib inflate → undo
-    scanline filters 0-4. Raises NotImplementedError on interlace, palettes,
-    alpha, or non-8-bit depth — honest scope, same policy as decode_ppm."""
+    scanline filters 0-4, including Adam7 INTERLACED streams (7 sub-image
+    passes unfiltered independently and scattered back). Raises
+    NotImplementedError on palettes, alpha, or non-8-bit depth — honest
+    scope, same policy as decode_ppm."""
     import struct
     import zlib as _z
 
@@ -398,12 +424,30 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or colortype != 2 or interlace != 0:
+    if bitdepth != 8 or colortype != 2 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only 8-bit non-interlaced RGB supported (got depth={bitdepth}, "
+            f"only 8-bit RGB (plain or Adam7) supported (got depth={bitdepth}, "
             f"color={colortype}, interlace={interlace})"
         )
     raw = _z.decompress(bytes(idat))
+    if interlace == 1:
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sh = len(range(y0, h, dy))
+            sw = len(range(x0, w, dx))
+            if sh == 0 or sw == 0:
+                continue
+            nbytes = sh * (sw * 3 + 1)
+            sub = _png_unfilter_rows(raw[pos : pos + nbytes], sh, sw)
+            out[y0::dy, x0::dx] = sub
+            pos += nbytes
+        return out
+    return _png_unfilter_rows(raw, h, w)
+
+
+def _png_unfilter_rows(raw: bytes, h: int, w: int) -> np.ndarray:
+    """Undo per-row filters over one (sub)image → (h, w, 3) uint8."""
     bpp, stride = 3, w * 3
     # One reshape exposes (filter byte, scanline) per row with no per-row
     # frombuffer calls; the sequential Average/Paeth reconstructions run on
@@ -448,13 +492,19 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def synthetic_png_images(
-    spark: SparkSession, source_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    spark: SparkSession,
+    source_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    interlace: bool = False,
 ) -> DataFrame:
     """Real PNG payloads whose PIXELS follow the same SQL-reconstructable
     formula as synthetic_ppm_images (ASCII-sanitized text rpad-repeated to
     w*h*3 bytes, w = 8 + id % 5, h = 8 + id % 11) — the encoder runs in an
     Arrow-batched kernel (zlib is not expressible in SQL), but every decoded
-    STATISTIC is oracle-checkable because the pixel content is."""
+    STATISTIC is oracle-checkable because the pixel content is.
+    ``interlace=True`` emits Adam7 streams; pixels (hence the oracle) are
+    identical — interlacing reorders storage, not content."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
@@ -469,7 +519,7 @@ def synthetic_png_images(
                 n = w * h * 3
                 pix = (body * (n // len(body) + 1))[:n].encode("ascii")
                 img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
-                rows.append((doc_id, w, h, encode_png(img)))
+                rows.append((doc_id, w, h, encode_png(img, interlace=interlace)))
             yield pd.DataFrame(rows, columns=["media_id", "meta_width", "meta_height", "payload"])
 
     return _spread(source_df.select(id_col, text_col)).mapInPandas(

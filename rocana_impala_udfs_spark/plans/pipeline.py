@@ -1958,6 +1958,19 @@ FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) ORDER BY key_col
 """
 
 
+def q_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 INTERLACED PNG decode — real 7-pass sub-image reconstruction
+    (each pass filtered/unfiltered independently, scattered back by the
+    spec's origin/stride table, empty passes skipped on tiny images).
+    Pixels are identical to the plain-PNG fixture, so the two keys share
+    one oracle: the engine must produce the same stats through a very
+    different storage layout."""
+    media = multimodal.synthetic_png_images(
+        spark, load_table(spark, sf_dir, "documents"), interlace=True
+    )
+    return multimodal.png_decode_stats(media)
+
+
 def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF87a decode — genuine LZW dictionary decompression (growing
     9→12-bit codes, CLEAR resets, KwKwK case), the classic compression
@@ -3572,6 +3585,7 @@ PIPELINE_QUERIES = {
     "multimodal_adpcm_decode_stats": q_adpcm_decode_stats,
     "multimodal_jpeg_ac_refine_stats": q_jpeg_ac_refine_stats,
     "multimodal_gif_decode_stats": q_gif_decode_stats,
+    "multimodal_png_interlaced_stats": q_png_interlaced_stats,
     "audio_mulaw_roundtrip": q_mulaw_roundtrip_stats,
     "audio_flac_decode_stats": q_flac_decode_stats,
     "epoch_shuffle_plan": q_epoch_shuffle_plan,
@@ -3663,6 +3677,7 @@ PIPELINE_ORACLE = {
     "multimodal_adpcm_decode_stats": ORACLE_ADPCM_DECODE,
     "multimodal_jpeg_ac_refine_stats": ORACLE_JPEG_AC_REFINE,
     "multimodal_gif_decode_stats": ORACLE_GIF_DECODE,
+    "multimodal_png_interlaced_stats": ORACLE_PNG_DECODE,
     "audio_mulaw_roundtrip": ORACLE_MULAW,
     "audio_flac_decode_stats": ORACLE_FLAC_DECODE,
     "epoch_shuffle_plan": ORACLE_EPOCH_SHUFFLE,

@@ -1387,3 +1387,22 @@ def test_flac_roundtrip_and_integrity():
         decode_flac(bytes(corrupted))
     with pytest.raises(NotImplementedError):
         decode_flac(b"not flac")
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 interlaced PNG: exact roundtrip across random sizes, including
+    images small enough that some of the 7 passes are empty; the interlaced
+    stream differs from the plain stream but decodes to identical pixels."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    for _ in range(25):
+        h, w = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        plain = encode_png(img, interlace=False)
+        inter = encode_png(img, interlace=True)
+        assert plain != inter
+        assert np.array_equal(decode_png(inter), img)
+        assert np.array_equal(decode_png(plain), img)
