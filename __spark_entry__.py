@@ -65,6 +65,7 @@ _NEVER_DRIVER_CHECKED = [
     "epoch_shuffle_plan",
     "join_skew_report",
     "multimodal_png_interlaced_stats",
+    "stats_kruskal_price_by_flag",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

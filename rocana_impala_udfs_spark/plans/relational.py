@@ -1804,6 +1804,97 @@ def q_stats_mannwhitney_price_halves(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_stats_kruskal_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis k-sample rank test — the Mann–Whitney machinery
+    generalized to the 3 return-flag groups: tie-averaged ranks carried
+    DOUBLED (exact integers), per-group rank sums, and the tie-corrected
+    H statistic H / (1 − Σ(t³−t)/(N³−N)). One global sort window + one
+    one-row aggregation + the tie table; float arithmetic only in the
+    final fixed-order H chain."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice").isNotNull())
+    w = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (
+            F.rank().over(w) * 2
+            + F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice"))
+            - 1
+        ).alias("r2"),
+    )
+    agg = ranked.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == g, F.col("r2"))).cast("bigint").alias(f"r2_{g.lower()}")
+            for g in ("A", "N", "R")
+        ],
+        *[
+            F.sum(F.when(F.col("l_returnflag") == g, 1).otherwise(0)).cast("bigint").alias(f"n_{g.lower()}")
+            for g in ("A", "N", "R")
+        ],
+    )
+    ties = (
+        li.groupBy("l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie_sum"))
+    )
+    agg = agg.crossJoin(F.broadcast(ties))
+    nd = (F.col("n_a") + F.col("n_n") + F.col("n_r")).cast("double")
+
+    def term(g: str):
+        rg = F.col(f"r2_{g}").cast("double") / F.lit(2.0)
+        return rg * rg / F.col(f"n_{g}").cast("double")
+
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * (term("a") + term("n") + term("r"))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    hc = h / (F.lit(1.0) - F.col("tie_sum").cast("double") / (nd * nd * nd - nd))
+    return agg.select(
+        "n_a", "n_n", "n_r", "r2_a", "r2_n", "r2_r", "tie_sum",
+        F.round(h, 6).alias("h"),
+        F.round(hc, 6).alias("h_tie_corrected"),
+    )
+
+
+ORACLE_KRUSKAL = """
+WITH ranked AS (
+    SELECT l_returnflag,
+           rank() OVER (ORDER BY l_extendedprice) * 2
+             + count(*) OVER (PARTITION BY l_extendedprice) - 1 AS r2
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+agg AS (
+    SELECT CAST(sum(CASE WHEN l_returnflag = 'A' THEN r2 END) AS BIGINT) AS r2_a,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN r2 END) AS BIGINT) AS r2_n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN r2 END) AS BIGINT) AS r2_r,
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+    FROM ranked
+),
+ties AS (
+    SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie_sum
+    FROM (SELECT count(*) AS t FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY l_extendedprice)
+)
+SELECT n_a, n_n, n_r, r2_a, r2_n, r2_r, tie_sum,
+       round(12.0 / (CAST(n_a + n_n + n_r AS DOUBLE) * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
+             * ((CAST(r2_a AS DOUBLE) / 2.0) * (CAST(r2_a AS DOUBLE) / 2.0) / CAST(n_a AS DOUBLE)
+                + (CAST(r2_n AS DOUBLE) / 2.0) * (CAST(r2_n AS DOUBLE) / 2.0) / CAST(n_n AS DOUBLE)
+                + (CAST(r2_r AS DOUBLE) / 2.0) * (CAST(r2_r AS DOUBLE) / 2.0) / CAST(n_r AS DOUBLE))
+             - 3.0 * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0), 6) AS h,
+       round((12.0 / (CAST(n_a + n_n + n_r AS DOUBLE) * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
+             * ((CAST(r2_a AS DOUBLE) / 2.0) * (CAST(r2_a AS DOUBLE) / 2.0) / CAST(n_a AS DOUBLE)
+                + (CAST(r2_n AS DOUBLE) / 2.0) * (CAST(r2_n AS DOUBLE) / 2.0) / CAST(n_n AS DOUBLE)
+                + (CAST(r2_r AS DOUBLE) / 2.0) * (CAST(r2_r AS DOUBLE) / 2.0) / CAST(n_r AS DOUBLE))
+             - 3.0 * (CAST(n_a + n_n + n_r AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n_a + n_n + n_r AS DOUBLE) * CAST(n_a + n_n + n_r AS DOUBLE)
+                         * CAST(n_a + n_n + n_r AS DOUBLE) - CAST(n_a + n_n + n_r AS DOUBLE))), 6) AS h_tie_corrected
+FROM agg CROSS JOIN ties
+"""
+
+
 ORACLE_MANNWHITNEY = """
 WITH mid AS (
     SELECT t AS m FROM (
@@ -3747,6 +3838,7 @@ QUERIES = {
     "join_cardinality_estimate": q_join_cardinality_estimate,
     "stats_median_ci_price": q_stats_median_ci_price,
     "stats_mannwhitney_price_halves": q_stats_mannwhitney_price_halves,
+    "stats_kruskal_price_by_flag": q_stats_kruskal_price_by_flag,
     "sample_exact_k_per_type": q_sample_exact_k_per_type,
     "stats_quantile_bands_price": q_stats_quantile_bands_price,
     "quantile_normalize_price": q_quantile_normalize_price,
@@ -3840,6 +3932,7 @@ ORACLE = {
     "join_cardinality_estimate": ORACLE_JOIN_CARD_EST,
     "stats_median_ci_price": ORACLE_MEDIAN_CI,
     "stats_mannwhitney_price_halves": ORACLE_MANNWHITNEY,
+    "stats_kruskal_price_by_flag": ORACLE_KRUSKAL,
     "sample_exact_k_per_type": ORACLE_EXACT_K_SAMPLE,
     "stats_quantile_bands_price": ORACLE_QUANTILE_BANDS,
     "quantile_normalize_price": ORACLE_QUANTILE_NORMALIZE,

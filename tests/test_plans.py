@@ -372,3 +372,41 @@ def test_seasonal_decompose_two_window_shuffles_max(spark):
     plan = _plan(spark, "events_seasonal_decompose")
     assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_kruskal_matches_scipy_formula(spark):
+    """H (tie-corrected) computed by the plan equals the textbook formula
+    evaluated in numpy over the same data — a library-free cross-check."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.relational import q_stats_kruskal_price_by_flag
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    row = q_stats_kruskal_price_by_flag(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem").select("l_returnflag", "l_extendedprice").collect()
+    vals = np.array([float(r.l_extendedprice) for r in li])
+    flags = np.array([r.l_returnflag for r in li])
+    # tie-averaged ranks via argsort + group means
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals))
+    sorted_vals = vals[order]
+    i = 0
+    rk = np.arange(1, len(vals) + 1, dtype=np.float64)
+    while i < len(vals):
+        j = i
+        while j + 1 < len(vals) and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        rk[i : j + 1] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    ranks[order] = rk
+    N = len(vals)
+    h = 0.0
+    for g in ("A", "N", "R"):
+        sel = flags == g
+        h += ranks[sel].sum() ** 2 / sel.sum()
+    h = 12.0 / (N * (N + 1)) * h - 3 * (N + 1)
+    _, counts = np.unique(vals, return_counts=True)
+    tie = float((counts**3 - counts).sum())
+    hc = h / (1 - tie / (N**3 - N))
+    assert abs(row.h_tie_corrected - hc) < 1e-4
+    assert row.n_a + row.n_n + row.n_r == N
