@@ -66,6 +66,7 @@ _NEVER_DRIVER_CHECKED = [
     "join_skew_report",
     "multimodal_png_interlaced_stats",
     "stats_kruskal_price_by_flag",
+    "exact_median_selection",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

@@ -118,6 +118,19 @@ def q_median_sql_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_median_exact_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-correct EXACT median: histogram-guided k-th-element
+    selection (operators/selection.py) — a bounded number of full scans,
+    each one map-side-combinable histogram aggregate, no global sort. The
+    third median regime next to the bounded-approx reservoir and the
+    window-sort exact path; the oracle is the same upper-median rule."""
+    from rocana_impala_udfs_spark.operators.selection import exact_kth_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    med = exact_kth_value(li, "l_extendedprice")
+    return spark.createDataFrame([(float(med),)], "median_price double")
+
+
 def q_p90_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded reservoir generalized to p90 (same five-phase protocol,
     finalize at sorted[min(floor(n*0.9), n-1)]); exact at this SF because
@@ -364,6 +377,7 @@ MEDIAN_QUERIES = {
     "appx_median_value_by_day": q_median_value_by_day,
     "appx_median_sql_udaf": q_median_sql_udaf,
     "appx_median_sql_twophase": q_median_sql_twophase,
+    "exact_median_selection": q_median_exact_selection,
     "appx_p90_value_by_event_type": q_p90_value_by_event_type,
     "appx_percentile_sql_udaf": q_percentile_sql_udaf,
     "exact_median_shipdate_by_returnflag": q_median_shipdate_by_returnflag,
@@ -395,6 +409,9 @@ MEDIAN_ORACLE = {
     ),
     "appx_median_sql_twophase": _upper_median_oracle(
         "lineitem", "l_extendedprice", "median_price", group="l_linestatus"
+    ),
+    "exact_median_selection": _upper_median_oracle(
+        "lineitem", "l_extendedprice", "median_price", order_cast="DOUBLE"
     ),
     "appx_p90_value_by_event_type": ORACLE_P90_VALUE,
     "appx_percentile_sql_udaf": ORACLE_P25_QTY,

@@ -441,3 +441,29 @@ def test_twophase_empty_group_is_null(spark):
            SELECT reservoir_merge_median(s) AS v FROM p"""
     ).collect()
     assert row == [] or row[0].v is None
+
+
+def test_exact_kth_selection_properties(spark):
+    """Histogram-narrowing selection equals a full sort's answer for many
+    k values, with duplicates and a forced multi-round path (tiny
+    local_limit) — the scale-correct exact order statistic."""
+    from rocana_impala_udfs_spark.operators.selection import exact_kth_value
+
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    data = np.concatenate(
+        [rng.normal(0, 100, 3000), np.repeat(42.5, 500), rng.uniform(-5, 5, 1500)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in data], "x double")
+    want = np.sort(data)
+    for k in [1, 2, 500, 2500, len(data) // 2 + 1, len(data) - 1, len(data)]:
+        got = exact_kth_value(df, "x", k=k, buckets=64, local_limit=100)
+        assert got == want[k - 1], k
+    # empty => None; k out of range raises
+    empty = spark.createDataFrame([], "x double")
+    assert exact_kth_value(empty, "x") is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        exact_kth_value(df, "x", k=0)
