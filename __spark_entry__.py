@@ -67,6 +67,7 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_png_interlaced_stats",
     "stats_kruskal_price_by_flag",
     "exact_median_selection",
+    "doc_repetition_removal",
     "stats_mannwhitney_price_halves",
     "multimodal_wav_downsample",
     "bitmap_intersect_users",

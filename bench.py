@@ -137,6 +137,9 @@ HEADLINE = [
     "join_skew_report",
     # r6: Adam7 interlaced PNG (7-pass sub-image reconstruction).
     "multimodal_png_interlaced_stats",
+    # r6: exact selection median (histogram narrowing), Kruskal-Wallis.
+    "exact_median_selection",
+    "stats_kruskal_price_by_flag",
 ]
 
 

@@ -1971,6 +1971,73 @@ def q_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_decode_stats(media)
 
 
+def q_doc_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition removal (the RefinedWeb/C4 cleanup step as
+    a TRANSFORM, not just a metric): split each doc into non-overlapping
+    10-word chunks, keep only each chunk's first occurrence within the doc,
+    and certify the cleaned output with a content-addressed md5 over the
+    kept chunks in original order — the oracle hash pins the exact cleaned
+    TEXT, not merely counts. Pure relational: explode → first-occurrence
+    window → ordered re-concat; one doc-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    chunks = docs.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(0, CAST((size({words}) - 1) / 10 AS INT)), "
+        f"i -> array_join(slice({words}, i * 10 + 1, 10), ' '))) AS (idx, chunk)",
+    ).filter(F.col("chunk") != "")
+    w = Window.partitionBy("doc_id", "chunk").orderBy("idx")
+    kept = chunks.withColumn("occ", F.row_number().over(w)).withColumn(
+        "keep", F.col("occ") == 1
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("idx", "chunk"))
+                            )
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOC_REPETITION = """
+WITH base AS (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, CAST(i AS INT) AS idx,
+           array_to_string(words[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS chunk
+    FROM base, unnest(range((len(words) - 1) // 10 + 1)) AS t(i)
+    WHERE len(words) > 0
+),
+flt AS (SELECT * FROM chunks WHERE chunk <> ''),
+occ AS (
+    SELECT doc_id, idx, chunk,
+           row_number() OVER (PARTITION BY doc_id, chunk ORDER BY idx) AS occ
+    FROM flt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN occ = 1 THEN chunk END, ' ' ORDER BY idx)) AS cleaned_md5
+FROM occ GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF87a decode — genuine LZW dictionary decompression (growing
     9→12-bit codes, CLEAR resets, KwKwK case), the classic compression
@@ -3586,6 +3653,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_ac_refine_stats": q_jpeg_ac_refine_stats,
     "multimodal_gif_decode_stats": q_gif_decode_stats,
     "multimodal_png_interlaced_stats": q_png_interlaced_stats,
+    "doc_repetition_removal": q_doc_repetition_removal,
     "audio_mulaw_roundtrip": q_mulaw_roundtrip_stats,
     "audio_flac_decode_stats": q_flac_decode_stats,
     "epoch_shuffle_plan": q_epoch_shuffle_plan,
@@ -3678,6 +3746,7 @@ PIPELINE_ORACLE = {
     "multimodal_jpeg_ac_refine_stats": ORACLE_JPEG_AC_REFINE,
     "multimodal_gif_decode_stats": ORACLE_GIF_DECODE,
     "multimodal_png_interlaced_stats": ORACLE_PNG_DECODE,
+    "doc_repetition_removal": ORACLE_DOC_REPETITION,
     "audio_mulaw_roundtrip": ORACLE_MULAW,
     "audio_flac_decode_stats": ORACLE_FLAC_DECODE,
     "epoch_shuffle_plan": ORACLE_EPOCH_SHUFFLE,
