@@ -203,7 +203,13 @@ def test_hll_python_twin_matches_oracle_sql_and_bounds_error(values):
     # Spark-vs-DuckDB (both use the SQL rounding), not Python.
     assert abs(est_sql - est_py) < 1e-3
     bound = 6 * 1.04 / math.sqrt(1024)
-    assert abs(est_sql - len(values)) / len(values) < max(bound, 0.2)
+    # Tiny sets can land two values in ONE register (P ≈ n²/2m) — a
+    # legitimate sketch outcome where relative error hits 50% at n=2
+    # (hypothesis found {0, 59661} colliding) — so the relative bound only
+    # applies once n is a few registers wide; below that, allow the
+    # absolute error a couple of register-collisions produce.
+    n = len(values)
+    assert abs(est_sql - n) < max(3.0, n * max(bound, 0.2))
 
 
 # --- bitmap set algebra ----------------------------------------------------
