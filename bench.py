@@ -140,6 +140,7 @@ HEADLINE = [
     # r6: exact selection median (histogram narrowing), Kruskal-Wallis.
     "exact_median_selection",
     "stats_kruskal_price_by_flag",
+    "doc_repetition_removal",
 ]
 
 
