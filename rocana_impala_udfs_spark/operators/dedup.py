@@ -181,11 +181,35 @@ def minhash_signatures(
     return signatures_from_shingles(sh, num_hashes)
 
 
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MINHASH_P, size=num_hashes)
+    b = rng.integers(0, _MINHASH_P, size=num_hashes)
+    return [(int(ai), int(bi)) for ai, bi in zip(a, b)]
+
+
 def signatures_from_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """One string hash per shingle, then the standard affine family
+    h_i(x) = (a_i·x + b_i) mod p over the 31-bit base — hashing the string
+    ONCE instead of ``num_hashes`` times cuts the signature stage ~4×
+    (strings dominate xxhash cost). 31-bit intermediates keep a_i·x < 2^62,
+    so the arithmetic is exact under Spark 4's ANSI mode (no overflow
+    wrap). Per-doc min-collision probability at 31 bits is
+    ~shingles/2^31 — negligible — and every downstream pair is re-verified
+    with exact Jaccard anyway."""
+    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MINHASH_P))
+    coeffs = _minhash_coeffs(num_hashes)
+    src = sh.select("id", base.alias("_x"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.pmod(F.col("_x") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return src.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
