@@ -2989,10 +2989,14 @@ def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE chain (Spark lacks recursive CTEs; the loop builds the same plan).
 
     Scale shape: the edge list is the support-thresholded co-purchase
-    aggregate (bounded, like the triangle/CC queries), localCheckpoint
-    cuts lineage per round exactly as connected_components does, and each
-    iteration is one keyed join + one aggregation on the edge key — the
-    standard distributed PageRank step."""
+    aggregate (bounded, like the triangle/CC queries) and is
+    localCheckpoint-ed once — but the FIXED 4-iteration loop stays one
+    lazy unrolled plan: each eager per-iteration checkpoint cost a
+    synchronous job (~0.4 s each at sf0.1) that a 4-deep join chain does
+    not need (connected_components checkpoints per round because its
+    round count is unbounded; a fixed unroll is exactly what Catalyst
+    handles well). Each iteration is one keyed join + one aggregation on
+    the edge key — the standard distributed PageRank step."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -3015,10 +3019,9 @@ def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     # every node keeps (node, d, n, pr); undirected edges mean indegree ≥ 1
     # everywhere, so the per-iteration groupBy(dst) covers every node.
-    pr = (
-        deg.crossJoin(F.broadcast(nn))
-        .select("node", "d", "n", F.expr(f"div({_PR_SCALE}, n)").alias("pr"))
-        .localCheckpoint()
+    deg = deg.localCheckpoint()  # reused by all 4 iterations
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "d", "n", F.expr(f"div({_PR_SCALE}, n)").alias("pr")
     )
     for _ in range(_PR_ITERS):
         contrib = (
@@ -3036,7 +3039,6 @@ def q_graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
                 (F.expr(f"div(3 * {_PR_SCALE}, 20 * n)") + F.col("s")).alias("pr"),
             )
-            .localCheckpoint()
         )
     return pr.select(
         F.col("node").alias("p_partkey"), F.col("pr").alias("pr_scaled")

@@ -480,24 +480,20 @@ def q_stream_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch accumulation order cannot flip the value hash (float sums
     are order-sensitive; decimal sums are exact)."""
     from rocana_impala_udfs_spark.streaming.replay import (
-        cleanup,
         replay_events_stream,
         run_to_table,
     )
 
-    stream, d = replay_events_stream(spark, sf_dir)
-    try:
-        agg = (
-            stream.withColumn("v", F.col("value").cast("decimal(18,6)"))
-            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("v").alias("sv"),
-            )
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized; kept for reuse
+    agg = (
+        stream.withColumn("v", F.col("value").cast("decimal(18,6)"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
         )
-        out = run_to_table(agg, mode="complete")
-    finally:
-        cleanup(d)
+    )
+    out = run_to_table(agg, mode="complete")
     return out.select(
         F.unix_micros("w.start").alias("window_start_us"),
         "event_type",
@@ -523,19 +519,15 @@ def q_stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the single-copy batch counts. The arrival-order-independence of
     keyed streaming state is exactly what the oracle hash certifies."""
     from rocana_impala_udfs_spark.streaming.replay import (
-        cleanup,
         replay_events_stream,
         run_to_table,
     )
 
-    stream, d = replay_events_stream(spark, sf_dir, copies=2)
-    try:
-        per_event = stream.groupBy("event_type", "event_id").agg(
-            F.count(F.lit(1)).alias("seen")
-        )
-        sink = run_to_table(per_event, mode="complete")
-    finally:
-        cleanup(d)
+    stream, _d = replay_events_stream(spark, sf_dir, copies=2)  # memoized
+    per_event = stream.groupBy("event_type", "event_id").agg(
+        F.count(F.lit(1)).alias("seen")
+    )
+    sink = run_to_table(per_event, mode="complete")
     return (
         sink.groupBy("event_type")
         .agg(

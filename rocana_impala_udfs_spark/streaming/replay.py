@@ -29,23 +29,32 @@ from pyspark.sql import DataFrame, SparkSession
 from rocana_impala_udfs_spark.sources.io import load_table
 
 
+_REPLAY_DIRS: dict = {}
+
+
 def replay_events_stream(
     spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 4
 ) -> tuple[DataFrame, str]:
     """Write the normalized events table to a temp dir (``copies`` times —
     >1 plants exact duplicates for dedup operators) split into ``files``
     files, and open it as a file-source stream, one file per micro-batch.
-    Returns (stream_df, replay_dir); caller removes the dir after the run.
+    Returns (stream_df, replay_dir). The written replay is memoized per
+    (sf_dir, copies, files) for the process lifetime — repeated runs
+    (bench does 3) skip the rewrite; ``cleanup`` drops the memo too.
     """
     ev = load_table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="replay_events_")
-    for i in range(copies):
-        # repartition, not coalesce: the source table is often a single
-        # scan partition, and coalesce cannot INCREASE partition count —
-        # the replay would collapse to one file / one micro-batch.
-        ev.repartition(max(files // copies, 1)).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(d)
+    key = (sf_dir, copies, files)
+    d = _REPLAY_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="replay_events_")
+        for i in range(copies):
+            # repartition, not coalesce: the source table is often a single
+            # scan partition, and coalesce cannot INCREASE partition count —
+            # the replay would collapse to one file / one micro-batch.
+            ev.repartition(max(files // copies, 1)).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(d)
+        _REPLAY_DIRS[key] = d
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -67,5 +76,11 @@ def run_to_table(out: DataFrame, mode: str = "complete") -> DataFrame:
 
 
 def cleanup(path: str) -> None:
+    """Remove a replay dir and forget its memo entry. The query keys keep
+    memoized replays for the process lifetime (a few MB in /tmp, rebuilt
+    lazily if removed); tests use this for explicit teardown."""
+    for k, v in list(_REPLAY_DIRS.items()):
+        if v == path:
+            del _REPLAY_DIRS[k]
     if path and os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
