@@ -467,3 +467,19 @@ def test_exact_kth_selection_properties(spark):
 
     with _pt.raises(ValueError):
         exact_kth_value(df, "x", k=0)
+
+
+def test_twophase_sql_saturated_statistical(spark):
+    """The SQL route's saturated regime: k far below the group size still
+    lands near the true median (the reservoir's statistical contract),
+    and the result is reproducible within a session (fixed seeds)."""
+    spark.range(0, 20_000).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "id AS rid"
+    ).createOrReplaceTempView("_tp_sat")
+    sql = """WITH p AS (
+                 SELECT reservoir_partial(x, 400) AS s
+                 FROM _tp_sat GROUP BY pmod(hash(rid), 8)
+             )
+             SELECT reservoir_merge_median(s) AS v FROM p"""
+    a = spark.sql(sql).collect()[0].v
+    assert 8000 <= a <= 12000, a  # true median 10000; 400×8 samples
