@@ -209,10 +209,21 @@ def apply_merges_rank_order(word: str, merges: list[tuple[str, str]]) -> list[st
 
 
 def _merge_elems(merges: list[tuple[str, str]]) -> list[str]:
-    """Each merge encoded as 'a␟b␟␞ab␟' — pattern and replacement over the
-    ␟-terminated symbol-string representation, so one string replace() IS a
-    left-to-right non-overlapping pair fusion."""
-    return [f"{a}{_SEP}{b}{_SEP}{_KV}{a}{b}{_SEP}" for a, b in merges]
+    """Each merge encoded as '␟a␟␟b␟␞␟ab␟' — pattern and replacement over
+    the ␟-WRAPPED symbol representation (every symbol is ␟sym␟), so one
+    string replace() IS a left-to-right non-overlapping pair fusion.
+
+    Why wrapped and not merely ␟-terminated: with trailing separators only,
+    the pattern 'a␟b␟' also matches when a prior symbol merely ENDS with
+    'a' (e.g. symbol 'the' followed by 'r</w>' matched the (e, r</w>)
+    merge, wrongly producing 'ther</w>'). With a leading separator the
+    pattern's first ␟ must be a symbol-OPENING separator — symbols contain
+    no ␟, and a closing separator is always followed by another ␟ or end of
+    string, never by the pattern's next character — so a match implies the
+    left symbol is exactly ``a``. Consecutive occurrences still all fuse:
+    replacing '␟a␟␟b␟' with '␟ab␟' consumes no character of the following
+    symbol's opening separator."""
+    return [f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}{_KV}{_SEP}{a}{b}{_SEP}" for a, b in merges]
 
 
 def _sql_str(s: str) -> str:
@@ -220,19 +231,25 @@ def _sql_str(s: str) -> str:
 
 
 def fold_tokens_sql(word_expr: str, merges: list[tuple[str, str]], dialect: str) -> str:
-    """The shared fold body: split ``word_expr`` into ␟-terminated symbols,
-    fold the encoded merge list with string replace, in either engine's
+    """The shared fold body: split ``word_expr`` into ␟-wrapped symbols
+    (each symbol is ␟sym␟, so boundaries are explicit on BOTH sides), fold
+    the encoded merge list with string replace, in either engine's
     higher-order-function dialect ('spark' | 'duckdb'). Returns an
-    expression for the folded symbol string; token count = number of ␟."""
+    expression for the folded symbol string; token count = (number of ␟)/2
+    = (length(folded) - length(word) - length('</w>')) / 2.
+
+    Matches :func:`apply_merges_rank_order` exactly (pinned in
+    tests/test_tokenizer.py including '-ther' words where the old
+    trailing-separator form diverged)."""
     elems = ", ".join(_sql_str(e) for e in _merge_elems(merges))
     if dialect == "spark":
-        init = f"regexp_replace({word_expr}, '(.)', '$1{_SEP}') || '{END}{_SEP}'"
+        init = f"regexp_replace({word_expr}, '(.)', '{_SEP}$1{_SEP}') || '{_SEP}{END}{_SEP}'"
         return (
             f"aggregate(array({elems}), {init}, "
             f"(acc, m) -> replace(acc, split_part(m, '{_KV}', 1), split_part(m, '{_KV}', 2)))"
         )
     if dialect == "duckdb":
-        init = f"regexp_replace({word_expr}, '(.)', '\\1{_SEP}', 'g') || '{END}{_SEP}'"
+        init = f"regexp_replace({word_expr}, '(.)', '{_SEP}\\1{_SEP}', 'g') || '{_SEP}{END}{_SEP}'"
         return (
             f"list_reduce([{init}] || [{elems}], "
             f"(acc, m) -> replace(acc, split_part(m, chr(30), 1), split_part(m, chr(30), 2)))"
@@ -256,8 +273,9 @@ def bpe_apply_fixed_stats(
     (measured 8× faster even at sf0.1's tiny vocabulary).
 
     Token count per word needs no second fold evaluation: the folded
-    symbol string is every symbol ␟-terminated, so
-    ``length(folded) = length(word) + len('</w>') + n_tokens``.
+    symbol string is every symbol ␟-wrapped (merging preserves the total
+    symbol characters), so
+    ``length(folded) = length(word) + len('</w>') + 2 * n_tokens``.
 
     Words are lowercase [a-z]+ runs (both engines' regex dialects agree on
     this class); each word folds through FIXED_MERGES in rank order."""
@@ -273,7 +291,7 @@ def bpe_apply_fixed_stats(
         .distinct()
         .selectExpr(
             "w",
-            f"CAST(length({folded}) - length(w) - {len(END)} AS BIGINT) AS tok",
+            f"CAST((length({folded}) - length(w) - {len(END)}) DIV 2 AS BIGINT) AS tok",
         )
     )
     per_doc = (
@@ -308,8 +326,8 @@ def oracle_bpe_apply_sql() -> str:
 WITH per AS (
     SELECT doc_id,
            CAST(len({words}) AS BIGINT) AS n_words,
-           list_transform({words}, w -> CAST(length({folded}) -
-               length(replace({folded}, chr(31), '')) AS BIGINT)) AS tok,
+           list_transform({words}, w -> CAST((length({folded}) -
+               length(replace({folded}, chr(31), ''))) // 2 AS BIGINT)) AS tok,
            CAST(coalesce(list_sum(list_transform({words}, w -> length(w))), 0) AS BIGINT) AS n_chars
     FROM documents
 )

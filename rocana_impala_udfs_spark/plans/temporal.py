@@ -632,7 +632,12 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent), theta = covar_samp/var_samp over all users, adjusted metric =
     y − θ·(x − x̄). Reports per-variant raw vs adjusted means and the
     realized variance-reduction ratio. Two shuffles: the per-user rollup
-    and the 2-row variant agg; the 1-row theta frame broadcasts."""
+    and the 2-row variant agg; the 1-row theta frame broadcasts.
+
+    Exactness: the per-user x/y sums accumulate in DECIMAL(18,6) (exact,
+    order-independent) and only the theta/variance stage runs in floats —
+    both engines then feed IDENTICAL per-user values into the float
+    stage, mirroring q_stream_daily_event_stats (r6 ADVICE)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "value", F.unix_micros("ts").alias("ts_us")
     )
@@ -642,11 +647,27 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.coalesce(
-                F.sum(F.when(F.col("ts_us") <= F.col("mid"), F.col("value"))), F.lit(0.0)
-            ).alias("x"),
+                F.sum(
+                    F.when(
+                        F.col("ts_us") <= F.col("mid"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("x"),
             F.coalesce(
-                F.sum(F.when(F.col("ts_us") > F.col("mid"), F.col("value"))), F.lit(0.0)
-            ).alias("y"),
+                F.sum(
+                    F.when(
+                        F.col("ts_us") > F.col("mid"),
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("y"),
         )
         .withColumn(
             "variant",
@@ -684,8 +705,8 @@ WITH ev AS (SELECT user_id, value, epoch_us(ts) AS ts_us FROM events),
 bounds AS (SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT) AS mid FROM ev),
 per_user AS (
     SELECT user_id,
-           coalesce(sum(CASE WHEN ts_us <= mid THEN value END), 0.0) AS x,
-           coalesce(sum(CASE WHEN ts_us > mid THEN value END), 0.0) AS y,
+           CAST(coalesce(sum(CASE WHEN ts_us <= mid THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS x,
+           CAST(coalesce(sum(CASE WHEN ts_us > mid THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS y,
            CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
                 THEN 'A' ELSE 'B' END AS variant
     FROM ev, bounds GROUP BY user_id, mid

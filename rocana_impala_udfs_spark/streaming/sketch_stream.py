@@ -17,6 +17,7 @@ state.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterator, Tuple
 
 import numpy as np
@@ -48,8 +49,12 @@ def running_kmv_distinct_stream(
         keep = sorted(seen)[:k]
         state.update((keep,))
         est = float(len(keep)) if len(keep) < k else (k - 1) / keep[-1]
+        # HALF_UP to match batch F.round / the oracle's round(): Python's
+        # round() is banker's and can diverge on exact 5e-5 midpoints
+        # (same fix class as the HLL kernel below).
+        est4 = math.floor(est * 1e4 + 0.5) / 1e4
         yield pd.DataFrame(
-            [{"group": key[0], "est_distinct": round(est, 4), "state_size": len(keep)}]
+            [{"group": key[0], "est_distinct": est4, "state_size": len(keep)}]
         )
 
     hashed = events.select(

@@ -1144,6 +1144,52 @@ def test_bpe_rank_order_equals_greedy():
             assert "".join(apply_merges_rank_order(w, merges)).replace(END, "") == w
 
 
+def test_bpe_fold_symbol_boundary_safe(spark):
+    """The string-replace fold must NOT merge across symbol boundaries:
+    with FIXED_MERGES, the (e, r</w>) merge must leave 'other' as
+    [o, the, r</w>] — the old trailing-separator encoding produced
+    [o, ther</w>] because 'the' merely ENDS with 'e'. Pins the folded
+    symbol sequence itself (not just counts) against the python reference
+    in BOTH dialects, over boundary-trap words and consecutive-occurrence
+    words."""
+    import duckdb
+
+    from rocana_impala_udfs_spark.operators.tokenizer import (
+        _SEP,
+        FIXED_MERGES,
+        apply_merges_rank_order,
+        fold_tokens_sql,
+    )
+
+    words = ["other", "mother", "weather", "rather", "the", "that", "ththt",
+             "withwith", "ananan", "eee", "froth", "thther"]
+
+    def decode(folded: str) -> list[str]:
+        # each symbol is SEP+sym+SEP, concatenated
+        parts = folded.split(_SEP)
+        return [parts[i] for i in range(1, len(parts), 2)]
+
+    spark_expr = fold_tokens_sql("w", FIXED_MERGES, "spark")
+    got_spark = {
+        r.w: decode(r.f)
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .selectExpr("w", f"{spark_expr} AS f")
+        .collect()
+    }
+    duck_expr = fold_tokens_sql("w", FIXED_MERGES, "duckdb")
+    con = duckdb.connect()
+    got_duck = {
+        w: decode(con.execute(f"SELECT {duck_expr}", ).fetchone()[0])
+        for w in words
+        for duck_expr in [fold_tokens_sql(f"'{w}'", FIXED_MERGES, "duckdb")]
+    }
+    for w in words:
+        want = apply_merges_rank_order(w, FIXED_MERGES)
+        assert got_spark[w] == want, (w, got_spark[w], want)
+        assert got_duck[w] == want, (w, got_duck[w], want)
+    assert got_spark["other"] == ["o", "the", "r</w>"]
+
+
 def test_bpe_apply_fixed_spark_matches_python(spark):
     """The JVM fold expression reproduces the python reference on real
     corpus docs — token counts, word counts, char counts."""

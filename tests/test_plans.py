@@ -410,3 +410,78 @@ def test_kruskal_matches_scipy_formula(spark):
     hc = h / (1 - tie / (N**3 - N))
     assert abs(row.h_tie_corrected - hc) < 1e-4
     assert row.n_a + row.n_n + row.n_r == N
+
+
+def test_selection_candidate_range_pushed_to_scan(spark):
+    """exact_kth_value's per-round candidate frame must push the narrowed
+    range onto the RAW parquet column so row-group min/max skipping
+    engages at scale (VERDICT r6 #2): the filter reaches PushedFilters
+    as a range on l_extendedprice, not on a cast."""
+    from rocana_impala_udfs_spark.operators.selection import candidate_frame
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    plan = (
+        candidate_frame(li, "l_extendedprice", 1000.0, 2000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # (plan strings truncate long filter lists, so match the prefix form)
+    assert "PushedFilters: [GreaterThanOrEqual(l_extendedprice" in plan, plan
+    assert "LessThanOrEqual(l_extendedprice" in plan, plan
+    assert "cast" not in plan.split("PushedFilters")[1].split("ReadSchema")[0]
+
+
+def test_selection_histogram_is_partial_final_agg_no_sort(spark):
+    """One selection round = one map-side-combinable histogram aggregate:
+    partial+final HashAggregate pair, no Sort, no Window, no cartesian."""
+    from rocana_impala_udfs_spark.operators.selection import (
+        candidate_frame,
+        histogram_frame,
+    )
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    cand = candidate_frame(li, "l_extendedprice", 1000.0, 50000.0)
+    plan = (
+        histogram_frame(cand, 1000.0, (50000.0 - 1000.0) / 4096, 4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan and plan.count("HashAggregate") >= 2
+    assert "Sort [" not in plan and "Window" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_epoch_shuffle_no_driver_permutation(spark):
+    """epoch_shuffle_plan must derive the permutation inside the plan
+    (md5 sort key + per-epoch window over one FileScan), never as a
+    driver-built ExistingRDD."""
+    plan = _plan(spark, "epoch_shuffle_plan")
+    assert "ExistingRDD" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "row_number()" in plan and "md5" in plan
+    # epochs come from a broadcast Range, not collected rows
+    assert "Range (0" in plan
+
+
+def test_join_skew_report_single_scan_per_table(spark):
+    """join_skew_report: each audited key is one FileScan + a keyed
+    partial/final count agg — no self-joins, no cartesian."""
+    plan = _plan(spark, "join_skew_report")
+    n_branches = plan.count("FileScan parquet")
+    assert n_branches == plan.count("Union") + 1 or n_branches >= 2
+    assert plan.count("partial_count") >= 2
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_attribution_multitouch_broadcast_join_one_shuffle(spark):
+    """attribution_multitouch: clicks broadcast into the purchase side on
+    user_id, then BOTH window passes reuse a single purchase_id
+    exchange; purchase filter pushed to the events scan."""
+    plan = _plan(spark, "attribution_multitouch")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EqualTo(event_type,purchase)" in plan
