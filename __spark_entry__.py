@@ -38,65 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-6 order:
-# (1) this round's fix-confirm + new keys (scd2 oracle CAST fix; the
-# two-phase SQL median; BPE apply and LSH, both newly promoted from
-# weak to oracle-bearing; the five keys whose plans changed this round),
-# (2) every key still lacking a driver hash-green row across r01-r05
-# (all re-verified green on the local DuckDB harness this session),
-# (3) the weak-by-design keys (rows-only is their best possible row),
-# then everything already driver-confirmed.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-7 order:
+# (1) the three keys whose semantics/plan changed this round (BPE fold
+# symbol-boundary fix; the reworked pushdown-friendly selection median;
+# CUPED's decimal accumulation), (2) the 38 keys that have never received
+# a driver row across r01-r06 (all green on the local full harness), then
+# (3) the nine weak-by-design keys (rows-only is their best possible
+# evidence) - 3 + 38 + 9 = exactly the 50-key budget, which closes the
+# driver-evidence backlog this round. Everything else is already
+# driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
-    "scd2_user_type_history",
-    "appx_median_sql_twophase",
     "bpe_apply_stats",
-    "ann_lsh_top5",
-    "multimodal_adpcm_decode_stats",
-    "ann_ivf_fixed_top5",
-    "attribution_multitouch",
-    "stream_daily_event_stats",
-    "stream_dedup_event_counts",
-    "multimodal_jpeg_ac_refine_stats",
-    "multimodal_gif_decode_stats",
-    "audio_mulaw_roundtrip",
-    "audio_flac_decode_stats",
-    "markov_predict_eval",
-    "ab_cuped_adjusted",
-    "epoch_shuffle_plan",
-    "join_skew_report",
-    "multimodal_png_interlaced_stats",
-    "stats_kruskal_price_by_flag",
     "exact_median_selection",
-    "doc_repetition_removal",
-    "stats_mannwhitney_price_halves",
-    "multimodal_wav_downsample",
-    "bitmap_intersect_users",
-    "skyline_parts",
-    "multimodal_png_decode_stats",
-    "graph_triangle_parts",
-    "stats_theilsen_trend",
-    "quality_psi_price_drift",
-    "quality_k_anonymity",
-    "text_pii_redact",
-    "index_token_postings",
-    "sketch_countmin_tokens",
-    "linkage_best_match",
-    "cdc_apply_latest",
-    "bloom_semi_orders",
-    "stats_rolling_corr_click_view",
-    "events_holt_daily",
-    "basket_rules_lift",
-    "graph_clustering_coeff",
-    "stats_ks_price_halves",
-    "events_longest_streak",
-    "sketch_hll_users_by_type",
-    "quality_model_scores",
-    "mix_sources_budget",
-    "dedup_survivors_best_quality",
-    "events_seasonal_decompose",
-    "multimodal_y4m_scene_cuts",
-    "graph_pagerank_parts",
-    "funnel_time_to_convert",
+    "ab_cuped_adjusted",
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",
