@@ -141,6 +141,8 @@ HEADLINE = [
     "exact_median_selection",
     "stats_kruskal_price_by_flag",
     "doc_repetition_removal",
+    # r7: one-statement JVM-Aggregator SQL median (native partial+final).
+    "appx_median_sql_onecall",
 ]
 
 

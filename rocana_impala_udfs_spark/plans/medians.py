@@ -118,6 +118,28 @@ def q_median_sql_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_median_sql_onecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-statement scalable SQL median: the JVM ``Aggregator``
+    (jvm/rocana-udaf.jar, the five-phase protocol of ``median.cc`` in
+    ~150 lines of Java) registered into the session catalog, so the
+    reference's exact DDL ergonomics — ``SELECT appx_median_bounded(x, k)
+    FROM t GROUP BY g`` as a single call (README.md:40-46) — run with
+    GENUINE partial+final aggregation: Spark plans ObjectHashAggregate
+    partial/final, each executor reduces its partitions to one ≤ k-sample
+    reservoir, and only serialized buffers cross the exchange — the same
+    wire shape as the reference's Impala UDA, no salting needed. Exact
+    here because BIG_K keeps every reservoir unsaturated
+    (median-test.cc:66-82 semantics)."""
+    register_all(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_onecall")
+    return spark.sql(
+        f"""SELECT l_returnflag,
+                   CAST(appx_median_bounded_1call(l_extendedprice, {BIG_K}) AS DOUBLE)
+                       AS median_price
+            FROM _li_onecall GROUP BY l_returnflag ORDER BY l_returnflag"""
+    )
+
+
 def q_median_exact_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-correct EXACT median: histogram-guided k-th-element
     selection (operators/selection.py) — a bounded number of full scans,
@@ -376,6 +398,7 @@ MEDIAN_QUERIES = {
     "appx_median_value_by_event_type": q_median_value_by_event_type,
     "appx_median_value_by_day": q_median_value_by_day,
     "appx_median_sql_udaf": q_median_sql_udaf,
+    "appx_median_sql_onecall": q_median_sql_onecall,
     "appx_median_sql_twophase": q_median_sql_twophase,
     "exact_median_selection": q_median_exact_selection,
     "appx_p90_value_by_event_type": q_p90_value_by_event_type,
@@ -409,6 +432,9 @@ MEDIAN_ORACLE = {
     ),
     "appx_median_sql_twophase": _upper_median_oracle(
         "lineitem", "l_extendedprice", "median_price", group="l_linestatus"
+    ),
+    "appx_median_sql_onecall": _upper_median_oracle(
+        "lineitem", "l_extendedprice", "median_price", group="l_returnflag"
     ),
     "exact_median_selection": _upper_median_oracle(
         "lineitem", "l_extendedprice", "median_price", order_cast="DOUBLE"

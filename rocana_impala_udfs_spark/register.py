@@ -50,6 +50,14 @@ def register_all(spark: SparkSession) -> SparkSession:
     #   SELECT grp, reservoir_merge_median(s) FROM p GROUP BY grp
     spark.udf.register("reservoir_partial", make_reservoir_partial_udf())
     spark.udf.register("reservoir_merge_median", make_reservoir_merge_median_udf())
+    # One-STATEMENT scalable form: a JVM Aggregator (jvm/rocana-udaf.jar)
+    # with genuine partial+final aggregation — `SELECT
+    # appx_median_bounded_1call(x, k) FROM t GROUP BY g` matches the
+    # reference's single-call DDL ergonomics at any scale. Soft-fails to
+    # False if the jar/JVM bridge is unavailable.
+    from rocana_impala_udfs_spark.jvm import register_jvm_udaf
+
+    register_jvm_udaf(spark)
     text_fns.register(spark)
 
     from rocana_impala_udfs_spark.functions import udtfs

@@ -483,3 +483,56 @@ def test_twophase_sql_saturated_statistical(spark):
              SELECT reservoir_merge_median(s) AS v FROM p"""
     a = spark.sql(sql).collect()[0].v
     assert 8000 <= a <= 12000, a  # true median 10000; 400×8 samples
+
+
+def test_jvm_onecall_udaf_reference_cases(spark):
+    """The one-statement JVM Aggregator reproduces the upstream test
+    vector (0..1000 @ k=1001 => 500, median-test.cc:66-78), returns NULL
+    on empty input (median-test.cc:58-64), and ratchets k; its physical
+    plan is a genuine partial+final aggregation (no whole-group ship)."""
+    from rocana_impala_udfs_spark import register_all
+
+    register_all(spark)
+    spark.range(0, 1001).createOrReplaceTempView("_jvm_nums")
+    df = spark.sql(
+        "SELECT CAST(appx_median_bounded_1call(CAST(id AS DOUBLE), 1001) AS DOUBLE) AS m"
+        " FROM _jvm_nums"
+    )
+    assert df.collect()[0].m == 500.0
+    # partial+final split in the plan — the property the Python grouped-agg
+    # UDAF cannot provide
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_appx_median_bounded_1call" in plan, plan
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+    # empty input => SQL NULL
+    row = spark.sql(
+        "SELECT appx_median_bounded_1call(CAST(id AS DOUBLE), 5) AS m"
+        " FROM range(0)"
+    ).collect()
+    assert row[0].m is None
+    # NULL values skipped (median.cc:130): nulls don't count toward n
+    spark.sql(
+        "SELECT CAST(id AS DOUBLE) AS x FROM range(0, 11)"
+        " UNION ALL SELECT CAST(NULL AS DOUBLE)"
+    ).createOrReplaceTempView("_jvm_withnull")
+    got = spark.sql(
+        "SELECT CAST(appx_median_bounded_1call(x, 100) AS DOUBLE) AS m FROM _jvm_withnull"
+    ).collect()[0].m
+    assert got == 5.0
+
+
+def test_jvm_onecall_udaf_saturated_statistical(spark):
+    """Saturated regime (k << n): the sampled median lands inside the
+    central band of the distribution — the reservoir's statistical
+    contract, same bar as the two-phase SQL route."""
+    from rocana_impala_udfs_spark import register_all
+
+    register_all(spark)
+    spark.range(0, 20000).createOrReplaceTempView("_jvm_sat")
+    got = spark.sql(
+        "SELECT CAST(appx_median_bounded_1call(CAST(id AS DOUBLE), 401) AS DOUBLE) AS m"
+        " FROM _jvm_sat"
+    ).collect()[0].m
+    # true median 10000; 401 uniform samples put the sample median within
+    # +-2500 with probability ~1 - 1e-22 (Hoeffding)
+    assert 7500 <= got <= 12500
