@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget (~50 keys/round), so the UNPROVEN set goes first. Round-7 order:
 # (1) the three keys whose semantics/plan changed this round (BPE fold
 # symbol-boundary fix; the reworked pushdown-friendly selection median;
-# CUPED's decimal accumulation) plus the NEW one-statement JVM-Aggregator
-# SQL median key, (2) the 38 keys that have never received
+# CUPED's decimal accumulation) plus the four NEW r7 keys (one-statement
+# JVM-Aggregator SQL median, duplicated-span dedup, PQ ANN, streaming
+# session windows), (2) the 38 keys that have never received
 # a driver row across r01-r06 (all green on the local full harness), then
 # (3) the nine weak-by-design keys (rows-only is their best possible
 # evidence) - 3 + 38 + 9 = exactly the 50-key budget, which closes the
@@ -53,6 +54,9 @@ _NEVER_DRIVER_CHECKED = [
     "exact_median_selection",
     "ab_cuped_adjusted",
     "appx_median_sql_onecall",
+    "dedup_duplicated_spans",
+    "ann_pq_top5",
+    "stream_session_windows",
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",

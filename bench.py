@@ -143,6 +143,11 @@ HEADLINE = [
     "doc_repetition_removal",
     # r7: one-statement JVM-Aggregator SQL median (native partial+final).
     "appx_median_sql_onecall",
+    # r7: exact duplicated-span report (word-granular EXACTSUBSTR),
+    # PQ-ADC ANN (third family), streaming session-window merge.
+    "dedup_duplicated_spans",
+    "ann_pq_top5",
+    "stream_session_windows",
 ]
 
 

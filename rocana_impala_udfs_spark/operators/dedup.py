@@ -713,3 +713,132 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= t)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (sub-document, corpus-wide)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 15,
+) -> DataFrame:
+    """Exact duplicated-substring span report, the word-granular form of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") EXACTSUBSTR: find every maximal word-span of length >=
+    ``span_words`` that occurs at two or more positions corpus-wide, and
+    report per-document how much text is covered by such spans.
+
+    Distributed shape (scale-first; no suffix array needed because the
+    minimum span length is fixed):
+
+    1. per doc: all ``span_words``-word rolling windows, keyed by md5 of
+       the window text (posexplode — zero shuffle; only 32-byte hashes +
+       (doc, pos) leave the scan);
+    2. one hash-keyed groupBy marks windows whose hash occurs >= 2 times
+       anywhere in the corpus (map-side partial counts);
+    3. windows join back on the hash (keyed shuffle) — a doc position is
+       "duplicated" iff its window hash is duplicated;
+    4. per doc, duplicated positions merge into MAXIMAL spans whenever
+       their word intervals overlap or touch (gap <= span_words between
+       consecutive start positions — gaps-and-islands with a lag window
+       on the doc_id shuffle), so reported spans are disjoint in word
+       space and ``dup_words`` never double-counts.
+
+    Output: one row per document that contains at least one duplicated
+    span — n_words, dup_spans, dup_words, max_span_words, dup_frac.
+    Self-repetition inside one document counts (two positions are two
+    occurrences), exactly like the reference algorithm's suffix matches.
+    """
+    L = int(span_words)
+    words = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    base = df.selectExpr(f"{id_col} AS doc_id", f"{words} AS w").selectExpr(
+        "doc_id", "w", "size(w) AS n_words"
+    )
+    shingled = base.selectExpr(
+        "doc_id",
+        "n_words",
+        f"""CASE WHEN n_words >= {L}
+             THEN transform(sequence(1, n_words - {L} + 1),
+                            i -> md5(array_join(slice(w, i, {L}), ' ')))
+             ELSE array() END AS hs""",
+    ).selectExpr("doc_id", "n_words", "posexplode(hs) AS (p0, h)")
+    pos = shingled.select("doc_id", "n_words", (F.col("p0") + 1).alias("pos"), "h")
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    dup_pos = pos.join(dup_h, "h").select("doc_id", "n_words", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    spans = islands.groupBy("doc_id", "n_words", "island").agg(
+        (F.max("pos") - F.min("pos") + L).alias("span_len")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_words"),
+        F.max("span_len").cast("bigint").alias("max_span_words"),
+        F.round(
+            F.sum("span_len").cast("double") / F.max("n_words"), 4
+        ).alias("dup_frac"),
+    )
+
+
+def duplicated_spans_oracle_sql(span_words: int = 15) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (identical hash keys,
+    identical island rule)."""
+    L = int(span_words)
+    return f"""
+WITH base AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+    FROM documents
+), sized AS (
+    SELECT doc_id, w, len(w) AS n_words FROM base
+), pos AS (
+    SELECT doc_id, n_words, i AS pos,
+           md5(array_to_string(w[i:i+{L - 1}], ' ')) AS h
+    FROM sized, LATERAL unnest(generate_series(1, n_words - {L} + 1)) AS t(i)
+), dup_h AS (
+    SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+), dup_pos AS (
+    SELECT doc_id, n_words, pos FROM pos JOIN dup_h USING (h)
+), flagged AS (
+    SELECT doc_id, n_words, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {L}
+                THEN 1 ELSE 0 END AS new_island
+    FROM dup_pos
+), isl AS (
+    SELECT doc_id, n_words, pos,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+), spans AS (
+    SELECT doc_id, n_words, island, max(pos) - min(pos) + {L} AS span_len
+    FROM isl GROUP BY doc_id, n_words, island
+)
+SELECT doc_id,
+       CAST(max(n_words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS dup_spans,
+       CAST(sum(span_len) AS BIGINT) AS dup_words,
+       CAST(max(span_len) AS BIGINT) AS max_span_words,
+       round(CAST(sum(span_len) AS DOUBLE) / max(n_words), 4) AS dup_frac
+FROM spans GROUP BY doc_id
+"""

@@ -77,6 +77,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN report (operators/dedup.py:duplicated_spans)
+    — the word-granular EXACTSUBSTR of Lee et al. 2022: maximal >=15-word
+    spans occurring at >=2 corpus positions, per-doc coverage stats. Only
+    hashes and (doc, pos) pairs ever shuffle."""
+    from rocana_impala_udfs_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_dup_spans() -> str:
+    from rocana_impala_udfs_spark.operators.dedup import duplicated_spans_oracle_sql
+
+    return duplicated_spans_oracle_sql()
+
+
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard pairs via AllPairs/PPJoin prefix filtering
     — the no-recall-loss alternative to MinHash-LSH. The oracle computes
@@ -404,6 +420,29 @@ def q_ann_ivf_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_IVF_FIXED = similarity.ivf_fixed_oracle_sql(k=5)
+
+
+def q_ann_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/pq.py): the third ANN
+    family — memory-bound scale path where ranking reads ONLY the M=16
+    4-bit codes per vector against a FROZEN integer codebook. Exact BIGINT
+    arithmetic end to end (micro-unit quantization, integer centroids), so
+    encode argmins, probe lookup tables, and ADC scores all hash-match the
+    generated-SQL oracle."""
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, n_probes=4, k=5)
+
+
+def _oracle_ann_pq() -> str:
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_oracle_sql
+
+    return pq_adc_oracle_sql(n_probes=4, k=5)
+
+
+ORACLE_ANN_PQ = _oracle_ann_pq()
+
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3604,6 +3643,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
     "dedup_prefix_filter_pairs": q_dedup_prefix_filter,
+    "dedup_duplicated_spans": q_dedup_duplicated_spans,
     "dedup_containment_pairs": q_dedup_containment,
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_survivors": q_dedup_survivors,
@@ -3612,6 +3652,7 @@ PIPELINE_QUERIES = {
     "ann_lsh_top5": q_ann_lsh_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
     "ann_ivf_fixed_top5": q_ann_ivf_fixed_top5,
+    "ann_pq_top5": q_ann_pq_top5,
     "emb_neardup_pairs": q_emb_neardup,
     "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
@@ -3698,6 +3739,7 @@ PIPELINE_ORACLE = {
     "dedup_minhash_pairs": _ORACLE_JACCARD,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
     "dedup_prefix_filter_pairs": _ORACLE_JACCARD,
+    "dedup_duplicated_spans": _oracle_dup_spans(),
     "dedup_containment_pairs": ORACLE_CONTAINMENT,
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
@@ -3720,6 +3762,7 @@ PIPELINE_ORACLE = {
     "bpe_apply_stats": ORACLE_BPE_APPLY,
     "ann_lsh_top5": ORACLE_ANN_LSH,
     "ann_ivf_fixed_top5": ORACLE_ANN_IVF_FIXED,
+    "ann_pq_top5": ORACLE_ANN_PQ,
     "search_bm25_top10": ORACLE_BM25,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,

@@ -546,6 +546,68 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL MERGING WINDOWS, driver-checked: per-user
+    ``session_window(ts, 30 min)`` aggregation run as a real
+    multi-micro-batch stream into a complete-mode memory sink. Session
+    windows are the hardest streaming state shape — windows MERGE when a
+    later micro-batch bridges two previously separate sessions — so the
+    final table equaling the batch gaps-and-islands answer certifies
+    cross-batch window merging, not just keyed accumulation.
+
+    Boundary semantics pinned by the oracle: Spark sessions are half-open
+    ``[ts, ts+gap)``, so a gap of EXACTLY 30 min starts a new session
+    (>= rule) — one tick different from the batch ``sessionize`` helper's
+    ``> gap`` rule (operators/temporal.py:123), which the oracle
+    deliberately replays with ``>=`` to match the streaming operator.
+    Sums accumulate in DECIMAL (order-independent hash)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    agg = (
+        stream.withColumn("v", F.col("value").cast("decimal(18,6)"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    sink = run_to_table(agg, mode="complete")
+    return sink.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+), flagged AS (
+    SELECT user_id, ts_us, v,
+           CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), isl AS (
+    SELECT user_id, ts_us, v,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS s
+    FROM flagged
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(v) AS DOUBLE), 4) AS sum_value
+FROM isl GROUP BY user_id, s
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -2446,6 +2508,7 @@ TEMPORAL_QUERIES = {
     "attribution_multitouch": q_attribution_multitouch,
     "stream_daily_event_stats": q_stream_daily_event_stats,
     "stream_dedup_event_counts": q_stream_dedup_event_counts,
+    "stream_session_windows": q_stream_session_windows,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -2506,6 +2569,7 @@ TEMPORAL_ORACLE = {
     "attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "stream_daily_event_stats": ORACLE_STREAM_DAILY,
     "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
+    "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

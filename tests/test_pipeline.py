@@ -1481,3 +1481,82 @@ def test_doc_repetition_removal_dedupes_planted_repeat(spark):
         P.load_table = orig
     assert rows[1].n_chunks == 4 and rows[1].n_kept == 3  # repeated block dropped
     assert rows[2].n_chunks == 2 and rows[2].n_kept == 2
+
+
+def test_pq_adc_planted_pair_and_partition_invariance(spark):
+    """PQ ADC (operators/pq.py): a planted near-duplicate must surface as
+    its probe's rank-1 neighbor with the minimum ADC distance; results are
+    invariant to input partitioning (codes are per-row pure functions);
+    and codes are 1-based in [1, K]."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.operators.pq import (
+        K_CENTROIDS,
+        M_SUBSPACES,
+        _make_codes_udf,
+        pq_adc_topk,
+    )
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    # plant: vec 9999 = vec 0 + tiny noise (quantizes within the same cells)
+    base = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    planted = [float(v) + 1e-4 for v in base]
+    extra = spark.createDataFrame(
+        [(9999, planted, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(extra)
+    top = pq_adc_topk(corpus, n_probes=1, k=5).collect()
+    rank1 = [r for r in top if r.rk == 1][0]
+    assert rank1.neighbor_id == 9999
+    # ADC distance is probe -> CENTROIDS of the neighbor's cells, so a
+    # near-identical neighbor scores exactly the probe's own quantization
+    # error — strictly under every other corpus vector here
+    rank2 = [r for r in top if r.rk == 2][0]
+    assert rank1.adc_score < rank2.adc_score
+    a = sorted(map(tuple, pq_adc_topk(emb, n_probes=2, k=5).collect()))
+    b = sorted(map(tuple, pq_adc_topk(emb.repartition(7), n_probes=2, k=5).collect()))
+    assert a == b and len(a) == 10
+    codes = emb.limit(50).select(_make_codes_udf()(F.col("embedding")).alias("c")).collect()
+    for r in codes:
+        assert len(r.c) == M_SUBSPACES
+        assert all(1 <= c <= K_CENTROIDS for c in r.c)
+
+
+def test_duplicated_spans_hand_cases(spark):
+    """duplicated_spans on crafted docs: a 15-word span shared by two docs
+    is found in both with the right extent; a doc that self-repeats a
+    span counts it; disjoint islands separated by > span_words unique
+    words stay separate spans; docs with no duplicated span emit no row;
+    near-adjacent duplicated windows merge into ONE maximal span."""
+    from rocana_impala_udfs_spark.operators.dedup import duplicated_spans
+
+    span = " ".join(f"w{i}" for i in range(15))          # 15 shared words
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    span2 = " ".join(f"z{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared span at words 6..20 of 40
+            (1, uniq("a", 5) + " " + span + " " + uniq("b", 20)),
+            # doc 2: the same span twice, separated by 20 unique words:
+            # two islands (45 + 20 + 15 = repeated at pos 1 and pos 36)
+            (2, span + " " + uniq("c", 20) + " " + span),
+            # doc 3: no duplicated content
+            (3, uniq("d", 30)),
+            # doc 4: two different shared spans back to back -> ONE island
+            (4, span + " " + span2),
+            # doc 5: donor of span2
+            (5, uniq("e", 3) + " " + span2 + " " + uniq("f", 3)),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in duplicated_spans(docs).collect()}
+    assert set(rows) == {1, 2, 4, 5}
+    assert rows[1].dup_spans == 1 and rows[1].dup_words == 15
+    assert rows[1].max_span_words == 15 and rows[1].n_words == 40
+    # doc 2: both occurrences of the span found, as separate islands
+    assert rows[2].dup_spans == 2 and rows[2].dup_words == 30
+    # doc 4: span + span2 adjacent -> merged maximal island of 30 words
+    assert rows[4].dup_spans == 1 and rows[4].dup_words == 30
+    assert rows[4].max_span_words == 30 and rows[4].dup_frac == 1.0
+    assert rows[5].dup_spans == 1 and rows[5].dup_words == 15

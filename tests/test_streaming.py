@@ -494,3 +494,46 @@ def test_replay_dedup_key_matches_oracle_shape(spark):
 
     rows = q_stream_dedup_event_counts(spark, SF).collect()
     assert rows and all(r.max_seen == 2 for r in rows)
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path):
+    """The property q_stream_session_windows certifies: a later
+    micro-batch can BRIDGE two sessions that earlier batches left
+    separate, and the engine must merge the windows (not just accumulate
+    into them). Batch 1 delivers t=0 and t=50min (two sessions at a
+    30-min gap); batch 2 delivers t=25min, inside both gaps — the final
+    complete-mode table must hold ONE merged session [0, 80min)."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "bridge")
+    base = 1_700_000_000_000_000  # µs epoch, arbitrary
+    df1 = spark.createDataFrame(
+        [(1, 7, base), (2, 7, base + 50 * 60 * 1_000_000)],
+        "event_id bigint, user_id bigint, ts_us bigint",
+    ).select("event_id", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+    df2 = spark.createDataFrame(
+        [(3, 7, base + 25 * 60 * 1_000_000)],
+        "event_id bigint, user_id bigint, ts_us bigint",
+    ).select("event_id", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+    # one file per batch, written in bridge-last order
+    df1.coalesce(1).write.mode("overwrite").parquet(d)
+    df2.coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    out = run_to_table(agg, mode="complete").select(
+        "user_id",
+        F.unix_micros("w.start").alias("s"),
+        F.unix_micros("w.end").alias("e"),
+        "n",
+    ).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert r.user_id == 7 and r.n == 3
+    assert r.s == base
+    assert r.e == base + 80 * 60 * 1_000_000  # last event + 30-min gap
