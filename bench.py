@@ -148,6 +148,7 @@ HEADLINE = [
     "dedup_duplicated_spans",
     "ann_pq_top5",
     "stream_session_windows",
+    "topk_per_group_two_phase",
 ]
 
 

@@ -312,6 +312,34 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal, rk FROM (
 """
 
 
+def q_top3_customers_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE form of window_top3_customers_per_nation: two-phase
+    salted grouped top-k (operators/topk.py) — phase 1 ranks within
+    (nation, salt) so no task ever sorts a whole hot group, phase 2 ranks
+    the <= salts*k survivors. Same rows as the plain rank window (top-k is
+    a mergeable aggregate; the oracle is the plain window), different
+    physical plan: two BOUNDED sorts instead of one unbounded one."""
+    from rocana_impala_udfs_spark.operators.topk import grouped_topk_two_phase
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    top = grouped_topk_two_phase(
+        c,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=3,
+        salt_col=F.hash("c_custkey"),
+        salts=8,
+    )
+    return top.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 def q_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = (
@@ -3799,6 +3827,7 @@ QUERIES = {
     "rollup_orders": q_rollup_orders,
     "cube_lineitem": q_cube_lineitem,
     "window_top3_customers_per_nation": q_top3_customers_per_nation,
+    "topk_per_group_two_phase": q_top3_customers_two_phase,
     "window_running_spend": q_running_spend,
     "window_lag_lead_events": q_lag_lead_events,
     "window_ntile_order_deciles": q_ntile_order_deciles,
@@ -3895,6 +3924,14 @@ ORACLE = {
     "rollup_orders": ORACLE_ROLLUP_ORDERS,
     "cube_lineitem": ORACLE_CUBE_LINEITEM,
     "window_top3_customers_per_nation": ORACLE_TOP3_CUSTOMERS,
+    "topk_per_group_two_phase": """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+       CAST(rk AS INT) AS rk FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+) t WHERE rk <= 3
+""",
     "window_running_spend": ORACLE_RUNNING_SPEND,
     "window_lag_lead_events": ORACLE_LAG_LEAD_EVENTS,
     "window_ntile_order_deciles": ORACLE_NTILE_DECILES,

@@ -1560,3 +1560,34 @@ def test_duplicated_spans_hand_cases(spark):
     assert rows[4].dup_spans == 1 and rows[4].dup_words == 30
     assert rows[4].max_span_words == 30 and rows[4].dup_frac == 1.0
     assert rows[5].dup_spans == 1 and rows[5].dup_words == 15
+
+
+def test_grouped_topk_two_phase_equals_plain_window(spark):
+    """The salted two-phase grouped top-k equals the plain rank window
+    for several k/salt combinations, including k larger than some groups
+    and a skewed group, independent of partitioning."""
+    import random
+
+    from pyspark.sql import Window
+
+    from rocana_impala_udfs_spark.operators.topk import grouped_topk_two_phase
+
+    rng = random.Random(11)
+    rows = [(g, i, rng.randrange(1000)) for g in range(5) for i in range(g * 40 + 1)]
+    df = spark.createDataFrame(rows, "g int, id int, v int").repartition(7)
+    for k, salts in [(1, 4), (3, 8), (10, 2), (50, 8)]:
+        got = sorted(
+            (r.g, r.id, r.rk)
+            for r in grouped_topk_two_phase(
+                df, ["g"], [F.col("v").desc(), F.col("id")], k,
+                salt_col=F.hash("id"), salts=salts,
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+        want = sorted(
+            (r.g, r.id, r.rk)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        )
+        assert got == want, (k, salts)

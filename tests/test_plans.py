@@ -485,3 +485,15 @@ def test_attribution_multitouch_broadcast_join_one_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_two_phase_topk_both_sorts_bounded(spark):
+    """topk_per_group_two_phase: phase-1 window partitions by (group,
+    salt) — no task sorts a whole group — and phase-2 only sees the
+    bounded survivors; two Sort+Window pairs, no global sort."""
+    plan = _plan(spark, "topk_per_group_two_phase")
+    assert plan.count("Window [") == 2
+    # phase-1 (the lower Window node) partitions by (group, salt)
+    lower = plan.split("Window [")[2]
+    assert "_salt" in lower.split("\n")[0], lower.split("\n")[0]
+    assert "Exchange rangepartitioning" not in plan  # never a global sort
