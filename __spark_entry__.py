@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # symbol-boundary fix; the reworked pushdown-friendly selection median;
 # CUPED's decimal accumulation) plus the four NEW r7 keys (one-statement
 # JVM-Aggregator SQL median, duplicated-span dedup, PQ ANN, streaming
-# session windows, two-phase salted grouped top-k), (2) the 38 keys that have never received
+# session windows, append-mode watermark finalization, two-phase salted grouped top-k), (2) the 38 keys that have never received
 # a driver row across r01-r06 (all green on the local full harness), then
 # (3) the nine weak-by-design keys (rows-only is their best possible
 # evidence) - 3 + 38 + 9 = exactly the 50-key budget, which closes the
@@ -58,6 +58,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_pq_top5",
     "stream_session_windows",
     "topk_per_group_two_phase",
+    "stream_hourly_append_watermark",
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",

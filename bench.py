@@ -149,6 +149,7 @@ HEADLINE = [
     "ann_pq_top5",
     "stream_session_windows",
     "topk_per_group_two_phase",
+    "stream_hourly_append_watermark",
 ]
 
 

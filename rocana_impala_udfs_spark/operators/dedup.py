@@ -758,15 +758,20 @@ def duplicated_spans(
     base = df.selectExpr(f"{id_col} AS doc_id", f"{words} AS w").selectExpr(
         "doc_id", "w", "size(w) AS n_words"
     )
-    shingled = base.selectExpr(
+    # Explode the CHEAP integer positions first and build each window hash
+    # as a plain projection on the exploded rows: a transform() lambda
+    # producing the hashes is interpreted per element (~25x slower,
+    # measured — the HOF-lambda trap), while this shape stays in
+    # whole-stage codegen.
+    pos = base.selectExpr(
         "doc_id",
         "n_words",
-        f"""CASE WHEN n_words >= {L}
-             THEN transform(sequence(1, n_words - {L} + 1),
-                            i -> md5(array_join(slice(w, i, {L}), ' ')))
-             ELSE array() END AS hs""",
-    ).selectExpr("doc_id", "n_words", "posexplode(hs) AS (p0, h)")
-    pos = shingled.select("doc_id", "n_words", (F.col("p0") + 1).alias("pos"), "h")
+        "w",
+        f"explode(CASE WHEN n_words >= {L} THEN sequence(1, n_words - {L} + 1) "
+        f"ELSE array() END) AS pos",
+    ).selectExpr(
+        "doc_id", "n_words", "pos", f"md5(array_join(slice(w, pos, {L}), ' ')) AS h"
+    )
     dup_h = (
         pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))

@@ -608,6 +608,56 @@ FROM isl GROUP BY user_id, s
 """
 
 
+def q_stream_hourly_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark finalization, driver-checked: hourly windowed
+    counts per event type with a 30-minute watermark, replayed as a real
+    multi-micro-batch stream. Append mode emits a window exactly ONCE,
+    when the watermark passes its end — so the closed sink contains
+    precisely the windows whose end <= global_max_ts - 30min, and the
+    trailing unfinalized windows are (correctly) absent. That cutoff is a
+    deterministic function of the data, which is what makes the
+    watermark CONTRACT itself oracle-checkable — the complete-mode keys
+    certify state accumulation; this one certifies finalization and the
+    late-data horizon (late-row dropping is pinned separately in
+    tests/test_streaming.py). DECIMAL sums for order-independence."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+
+    # TIME-ORDERED replay: append+watermark semantics are only meaningful
+    # on a feed delivered in roughly event-time order — the round-robin
+    # replay would mark most rows late (see replay_events_stream_ordered)
+    stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+    agg = (
+        stream.withColumn("v", F.col("value").cast("decimal(18,6)"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    sink = run_to_table(agg, mode="append")
+    return sink.select(
+        F.unix_micros("w.start").alias("window_start_us"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_APPEND_WM = """
+WITH cutoff AS (
+    SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM events
+)
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events, cutoff
+GROUP BY 1, 2, wm_us
+HAVING epoch_us(time_bucket(INTERVAL '1 hour', min(ts))) + 3600000000 <= wm_us
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -2509,6 +2559,7 @@ TEMPORAL_QUERIES = {
     "stream_daily_event_stats": q_stream_daily_event_stats,
     "stream_dedup_event_counts": q_stream_dedup_event_counts,
     "stream_session_windows": q_stream_session_windows,
+    "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -2570,6 +2621,7 @@ TEMPORAL_ORACLE = {
     "stream_daily_event_stats": ORACLE_STREAM_DAILY,
     "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
+    "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -63,6 +63,65 @@ def replay_events_stream(
     return stream, d
 
 
+def replay_events_stream_ordered(
+    spark: SparkSession, sf_dir: str, files: int = 4
+) -> tuple[DataFrame, str]:
+    """Time-ordered bounded replay for WATERMARK semantics: each file
+    holds one contiguous ts range and files are written (hence streamed)
+    in ascending time order, like a real event feed. The round-robin
+    replay is only valid for complete-mode aggregations — its every batch
+    spans the whole timeline, so after batch 1 the watermark would
+    classify most later rows as late and drop them, which is exactly the
+    behavior append-mode keys must NOT trigger on in-order data.
+
+    One file per micro-batch, ranges from exact ts quantiles; within-file
+    disorder is harmless (the watermark only advances between batches).
+    Memoized like :func:`replay_events_stream`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = (sf_dir, "ordered", files)
+    d = _REPLAY_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="replay_events_ord_")
+        us = ev.withColumn("_us", F.unix_micros("ts"))
+        qs = [i / files for i in range(1, files)]
+        # exact quantiles at test scale; a real feed replayer would accept
+        # approxQuantile's bounded error — ranges only shape batch sizes
+        cuts = us.approxQuantile("_us", qs, 0.0) if files > 1 else []
+        bounds = [None, *cuts, None]
+        seen: set = set()
+        t0 = None
+        for i in range(files):
+            part = us
+            if bounds[i] is not None:
+                part = part.filter(F.col("_us") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.col("_us") <= bounds[i + 1])
+            part.drop("_us").coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(d)
+            # stamp this write's new files to base + i seconds: the file
+            # source picks oldest-mtime first, so strictly ascending
+            # stamps make replay order == range order deterministically
+            for f in sorted(os.listdir(d)):
+                p = os.path.join(d, f)
+                if f.endswith(".parquet") and f not in seen:
+                    seen.add(f)
+                    if t0 is None:
+                        t0 = os.path.getmtime(p)
+                    os.utime(p, (t0 + i, t0 + i))
+        _REPLAY_DIRS[key] = d
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    return stream, d
+
+
 def run_to_table(out: DataFrame, mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
     return the final result table (batch DataFrame)."""

@@ -537,3 +537,89 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
     assert r.user_id == 7 and r.n == 3
     assert r.s == base
     assert r.e == base + 80 * 60 * 1_000_000  # last event + 30-min gap
+
+
+def test_append_watermark_drops_late_rows(spark, tmp_path):
+    """The watermark contract's other half (the driver key certifies
+    finalization): a row is dropped iff its window was already EVICTED in
+    a prior batch — same-batch stragglers still merge (allowed lateness =
+    until eviction, verified here too). Batch 1: t=0h10 + t=3h (watermark
+    -> 2h30 after it); batch 2: t=3h05 (hour-0 window evicted + emitted
+    during this batch, n=1); batch 3: late row t=0h20 — behind an evicted
+    window, must be dropped and never re-emitted."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    d = str(tmp_path / "late")
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z, hour-aligned
+    h = 3600 * 1_000_000
+    batches = [
+        [(1, base + h // 6), (2, base + 3 * h)],
+        [(3, base + 3 * h + h // 12)],
+        [(4, base + h // 3)],  # late: window [0h,1h) evicted in batch 2
+    ]
+    for i, rows_b in enumerate(batches):
+        spark.createDataFrame(rows_b, "id bigint, ts_us bigint").select(
+            "id", F.timestamp_micros("ts_us").alias("ts")
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes: batch order == write order
+    schema = "id bigint, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_table(agg, mode="append")
+    rows = {
+        (r.s - base) // h: r.n
+        for r in out.select(F.unix_micros("w.start").alias("s"), "n").collect()
+    }
+    # hour 0 emitted once, WITHOUT the late row; hour-3 windows never
+    # finalize (watermark stops 30 min behind the last event)
+    assert rows == {0: 1}, rows
+
+
+def test_ordered_replay_is_time_ordered_and_complete(spark):
+    """replay_events_stream_ordered: files cover disjoint ascending ts
+    ranges (mtime order == range order) and the union replays every
+    event exactly once."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rocana_impala_udfs_spark.sources.io import load_table
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _stream, d = replay_events_stream_ordered(spark, sf)
+    files = sorted(
+        (os.path.getmtime(os.path.join(d, f)), os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    prev_max = None
+    total = 0
+    for _, p in files:
+        stats = (
+            spark.read.parquet(p)
+            .agg(
+                F.min(F.unix_micros("ts")).alias("lo"),
+                F.max(F.unix_micros("ts")).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        if prev_max is not None:
+            assert stats.lo > prev_max  # disjoint ascending ranges
+        prev_max = stats.hi
+        total += stats.n
+    assert total == load_table(spark, sf, "events").count()
