@@ -497,3 +497,27 @@ def test_two_phase_topk_both_sorts_bounded(spark):
     lower = plan.split("Window [")[2]
     assert "_salt" in lower.split("\n")[0], lower.split("\n")[0]
     assert "Exchange rangepartitioning" not in plan  # never a global sort
+
+
+def test_pq_probe_side_broadcast_single_shuffle(spark):
+    """ann_pq_top5: the only join is the k-bounded probe frame broadcast
+    (BroadcastNestedLoopJoin against 4 rows — the documented bounded
+    crossJoin shape shared by the ANN keys); encode/table kernels are
+    Arrow-batched; exactly one shuffle (the per-probe top-k window)."""
+    plan = _plan(spark, "ann_pq_top5")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("ArrowEvalPython") == 2  # codes + tables kernels
+
+
+def test_duplicated_spans_no_cartesian_partial_agg(spark):
+    """dedup_duplicated_spans: dup marking is a partial+final hash count,
+    island merging is windowed on the doc key — no cartesian anywhere,
+    no interpreted HOF lambda (the hash projection stays in codegen)."""
+    plan = _plan(spark, "dedup_duplicated_spans")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Window [") == 2
+    # shingle hash is a plain projection, not a transform() lambda
+    assert "lambdafunction" not in plan.lower()
