@@ -43,12 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # symbol-boundary fix; the reworked pushdown-friendly selection median;
 # CUPED's decimal accumulation) plus the four NEW r7 keys (one-statement
 # JVM-Aggregator SQL median, duplicated-span dedup, PQ ANN, streaming
-# session windows, append-mode watermark finalization, two-phase salted grouped top-k), (2) the 38 keys that have never received
-# a driver row across r01-r06 (all green on the local full harness), then
-# (3) the nine weak-by-design keys (rows-only is their best possible
-# evidence) - 3 + 38 + 9 = exactly the 50-key budget, which closes the
-# driver-evidence backlog this round. Everything else is already
-# driver-confirmed hash-green on its latest row.
+# session windows, append-mode watermark finalization, two-phase salted
+# grouped top-k, ANN recall scorecard, hybrid RRF search), (2) the 38 keys
+# that have never received a driver row across r01-r06 (all green on the
+# local full harness), then (3) the nine weak-by-design keys (rows-only is
+# their best possible evidence; they already carry driver rows, so they
+# absorb any over-budget truncation harmlessly). Everything else is
+# already driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
     "bpe_apply_stats",
     "exact_median_selection",
@@ -59,6 +60,8 @@ _NEVER_DRIVER_CHECKED = [
     "stream_session_windows",
     "topk_per_group_two_phase",
     "stream_hourly_append_watermark",
+    "ann_recall_report",
+    "search_hybrid_rrf_top10",
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",

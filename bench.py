@@ -150,6 +150,9 @@ HEADLINE = [
     "stream_session_windows",
     "topk_per_group_two_phase",
     "stream_hourly_append_watermark",
+    # r7: ANN recall scorecard (runs all three method plans), hybrid RRF.
+    "ann_recall_report",
+    "search_hybrid_rrf_top10",
 ]
 
 

@@ -444,6 +444,77 @@ def _oracle_ann_pq() -> str:
 ORACLE_ANN_PQ = _oracle_ann_pq()
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 scorecard for every approximate-ANN family against the
+    exact brute-force top-5 — the eval an index owner runs before trusting
+    an ANN method in a retrieval pipeline.  Each method's (query, neighbor)
+    pairs semi-join the exact pairs; recall = hits / (n_queries · k), an
+    exact rational, so the report is hash-exact.  Plan: the three method
+    plans run as-is (all banded/broadcast-bounded), the hit join is on two
+    small top-5 frames, and the final agg is 3 rows — at 100 TB every
+    input here is already k·n_queries-bounded, so the eval costs no more
+    than the methods themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = similarity.brute_force_topk_np(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
+
+    methods = [
+        ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
+        ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
+        ("pq_adc", pq_adc_topk(emb, n_probes=4, k=5), 4),
+    ]
+    reports = []
+    for name, approx, n_queries in methods:
+        hits = approx.select("query_id", "neighbor_id").join(
+            brute, ["query_id", "neighbor_id"], "inner"
+        )
+        reports.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                F.lit(n_queries).cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("hits"),
+                F.round(
+                    F.count(F.lit(1)).cast("double") / F.lit(float(n_queries * 5)), 4
+                ).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+def _oracle_ann_recall() -> str:
+    """Compose the per-method oracles (each independently hash-green)
+    against the brute-force oracle; nested WITH blocks run as derived
+    tables."""
+    methods = [
+        ("ivf_fixed", ORACLE_ANN_IVF_FIXED, 20),
+        ("lsh", ORACLE_ANN_LSH, 20),
+        ("pq_adc", ORACLE_ANN_PQ, 4),
+    ]
+    parts = []
+    for name, sql, n_queries in methods:
+        parts.append(
+            f"""
+SELECT '{name}' AS method, CAST({n_queries} AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS hits,
+       round(CAST(count(*) AS DOUBLE) / {float(n_queries * 5)}, 4) AS recall_at_5
+FROM (SELECT query_id, neighbor_id FROM ({sql})) m
+JOIN brute USING (query_id, neighbor_id)"""
+        )
+        body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_TOP5}))
+SELECT * FROM ({body}) ORDER BY method
+"""
+
+
+ORACLE_ANN_RECALL = _oracle_ann_recall()
+
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No SQL oracle: k-means cluster boundaries aren't SQL-reproducible and
@@ -3228,6 +3299,172 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_search_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the modern RAG-stack
+    shape: a lexical BM25 ranking and a semantic embedding-cosine ranking
+    (query = document 0's embedding) each produce a top-50 list, fused as
+    rrf(d) = Σ_arm 1/(60 + rank_arm(d)) over a full-outer join on doc_id.
+    Ranks are integers so the fusion arithmetic is engine-exact; the only
+    float comparisons are inside each arm's ranking, where the BM25 sum is
+    pivoted by query-term rank into ONE fixed-order 3-term chain
+    (s1+s2+s3) so both engines compare bit-identical doubles.  Plan: both
+    arms end in a k-bounded top-50 (TakeOrdered-sized windows), the fusion
+    join touches ≤100 rows, and at 100 TB each arm is the already-audited
+    BM25 / brute-force-ANN plan — fusion adds no new shuffle of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # lexical arm: BM25 over the corpus's 3 most frequent tokens
+    toks = docs.select(
+        "doc_id", F.explode(F.split(T.normalize_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    consts = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tok_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # TakeOrdered first so the unpartitioned rank window only ever sees the
+    # k selected rows (never a corpus/vocab-sized single partition)
+    qw = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    qterms = (
+        tok_freq.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(3)
+        .withColumn("qrk", F.row_number().over(qw))
+        .select("tok", "qrk")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok", "qrk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored_terms = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(consts))
+    )
+    ndocs = F.col("n_docs").cast("double")
+    idf = F.log(
+        (ndocs - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+    )
+    avgdl = F.col("total_len").cast("double") / ndocs
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(1.2) * (
+        F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * (tfd * F.lit(2.2) / denom)
+    per_doc = scored_terms.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("qrk") == 1, term_score)).alias("s1"),
+        F.sum(F.when(F.col("qrk") == 2, term_score)).alias("s2"),
+        F.sum(F.when(F.col("qrk") == 3, term_score)).alias("s3"),
+    )
+    z = F.lit(0.0)
+    bm25 = F.coalesce("s1", z) + F.coalesce("s2", z) + F.coalesce("s3", z)
+    lw = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = (
+        per_doc.filter(F.col("doc_id") != 0)  # doc 0 plays the query document
+        .select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)  # TakeOrderedAndProject; rank window sees 50 rows only
+        .withColumn("rk_lex", F.row_number().over(lw))
+        .select("doc_id", "rk_lex")
+    )
+    # semantic arm: exact cosine against document 0's embedding
+    sem = similarity.brute_force_topk_np(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rk_sem"))
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("rk_lex").cast("double")), z
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rk_sem").cast("double")), z)
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf"),
+            F.coalesce("rk_lex", F.lit(-1)).cast("int").alias("rk_lex"),
+            F.coalesce("rk_sem", F.lit(-1)).cast("int").alias("rk_sem"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH toks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ) WHERE length(tok) > 0
+),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+consts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+    FROM doclen
+),
+tok_freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+qterms AS (
+    SELECT tok, qrk FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS qrk
+        FROM tok_freq
+    ) WHERE qrk <= 3
+),
+tf AS (
+    SELECT t.doc_id, t.tok, q.qrk, CAST(count(*) AS BIGINT) AS tf
+    FROM toks t JOIN qterms q ON t.tok = q.tok
+    GROUP BY 1, 2, 3
+),
+df_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id, tf.qrk,
+           ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+                 * (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
+    FROM tf
+    JOIN df_t ON df_t.tok = tf.tok
+    JOIN doclen ON doclen.doc_id = tf.doc_id
+    CROSS JOIN consts
+),
+per_doc AS (
+    SELECT doc_id,
+           sum(CASE WHEN qrk = 1 THEN s END) AS s1,
+           sum(CASE WHEN qrk = 2 THEN s END) AS s2,
+           sum(CASE WHEN qrk = 3 THEN s END) AS s3
+    FROM scored GROUP BY doc_id
+),
+lex AS (
+    SELECT doc_id, rk_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY (coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0)) DESC,
+                            doc_id ASC) AS rk_lex
+        FROM per_doc WHERE doc_id <> 0
+    ) WHERE rk_lex <= 50
+),
+emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sem AS (
+    SELECT doc_id, rk_sem FROM (
+        SELECT b.vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY list_cosine_similarity(q.v, b.v) DESC, b.vec_id ASC) AS rk_sem
+        FROM emb2 b, (SELECT v FROM emb2 WHERE vec_id = 0) q
+        WHERE b.vec_id <> 0
+    ) WHERE rk_sem <= 50
+),
+fused AS (
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id,
+       round(coalesce(1.0 / (60.0 + CAST(rk_lex AS DOUBLE)), 0.0)
+             + coalesce(1.0 / (60.0 + CAST(rk_sem AS DOUBLE)), 0.0), 6) AS rrf,
+       CAST(coalesce(rk_lex, -1) AS INT) AS rk_lex,
+       CAST(coalesce(rk_sem, -1) AS INT) AS rk_sem
+FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_pack_nextfit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic NEXT-FIT sequence packing per source, oracle-checked
     via the list_reduce fold-replay trick (the EWMA/Holt discipline
@@ -3653,6 +3890,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_top5": q_ann_ivf_top5,
     "ann_ivf_fixed_top5": q_ann_ivf_fixed_top5,
     "ann_pq_top5": q_ann_pq_top5,
+    "ann_recall_report": q_ann_recall_report,
     "emb_neardup_pairs": q_emb_neardup,
     "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
@@ -3669,6 +3907,7 @@ PIPELINE_QUERIES = {
     "text_readability_scores": q_text_readability_scores,
     "pack_nextfit_stats": q_pack_nextfit_stats,
     "search_bm25_top10": q_search_bm25_top10,
+    "search_hybrid_rrf_top10": q_search_hybrid_rrf_top10,
     "emb_centroid_microunits": q_emb_centroid_microunits,
     "emb_int8_quantized_topk": q_emb_int8_topk,
     "text_token_counts": q_text_tokens,
@@ -3763,7 +4002,9 @@ PIPELINE_ORACLE = {
     "ann_lsh_top5": ORACLE_ANN_LSH,
     "ann_ivf_fixed_top5": ORACLE_ANN_IVF_FIXED,
     "ann_pq_top5": ORACLE_ANN_PQ,
+    "ann_recall_report": ORACLE_ANN_RECALL,
     "search_bm25_top10": ORACLE_BM25,
+    "search_hybrid_rrf_top10": ORACLE_HYBRID_RRF,
     "emb_centroid_microunits": ORACLE_EMB_CENTROID,
     "emb_int8_quantized_topk": ORACLE_EMB_INT8_TOPK,
     "text_token_counts": ORACLE_TEXT_TOKENS,

@@ -1591,3 +1591,42 @@ def test_grouped_topk_two_phase_equals_plain_window(spark):
             .collect()
         )
         assert got == want, (k, salts)
+
+
+def test_ann_recall_report_consistency(spark):
+    """ann_recall_report: one row per ANN family; hits are bounded by
+    n_queries*5; recall is exactly hits/(n_queries*5); and the oracle-exact
+    families (frozen-codebook IVF, LSH-with-rerank) achieve non-trivial
+    recall on the synthetic corpus while PQ (16x4-bit codes over 64 dims)
+    is allowed to be lossier."""
+    import __spark_entry__ as entry
+
+    rows = {r.method: r for r in entry.queries()["ann_recall_report"](spark, SF).collect()}
+    assert set(rows) == {"ivf_fixed", "lsh", "pq_adc"}
+    for r in rows.values():
+        assert 0 <= r.hits <= r.n_queries * 5
+        assert abs(r.recall_at_5 - round(r.hits / (r.n_queries * 5.0), 4)) < 1e-12
+    assert rows["ivf_fixed"].recall_at_5 > 0.2
+    assert rows["lsh"].recall_at_5 > 0.2
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """search_hybrid_rrf_top10: 10 rows, descending fused score, doc 0 (the
+    query document) excluded, every returned doc ranked by at least one arm,
+    and the fused score recomputes exactly from the reported integer ranks."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["search_hybrid_rrf_top10"](spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.doc_id != 0
+        assert r.rk_lex != 0 and r.rk_sem != 0
+        assert r.rk_lex > 0 or r.rk_sem > 0
+        expect = (1.0 / (60.0 + r.rk_lex) if r.rk_lex > 0 else 0.0) + (
+            1.0 / (60.0 + r.rk_sem) if r.rk_sem > 0 else 0.0
+        )
+        assert abs(r.rrf - round(expect, 6)) < 1e-12
+    # both arms must contribute to the fused top-10 on this corpus
+    assert any(r.rk_lex > 0 for r in rows) and any(r.rk_sem > 0 for r in rows)

@@ -521,3 +521,25 @@ def test_duplicated_spans_no_cartesian_partial_agg(spark):
     assert plan.count("Window [") == 2
     # shingle hash is a plain projection, not a transform() lambda
     assert "lambdafunction" not in plan.lower()
+
+
+def test_hybrid_rrf_windows_are_k_bounded(spark):
+    """search_hybrid_rrf_top10: every rank window sits above a
+    TakeOrderedAndProject (limit 3 query terms / limit 50 per arm), so no
+    unpartitioned window ever sees a corpus-sized frame; the final top-10
+    is TakeOrdered too, and nothing cartesian or globally sorted."""
+    plan = _plan(spark, "search_hybrid_rrf_top10")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "TakeOrderedAndProject(limit=50" in plan
+    assert "TakeOrderedAndProject(limit=3," in plan
+
+
+def test_ann_recall_report_reuses_method_plans(spark):
+    """ann_recall_report: the eval composes the audited method plans —
+    no cartesian joins beyond the methods' own k-bounded broadcast
+    probes, and the hit joins stay broadcast (two top-5 frames)."""
+    plan = _plan(spark, "ann_recall_report")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
