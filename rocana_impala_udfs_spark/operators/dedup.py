@@ -466,9 +466,13 @@ def near_dedup_best_survivors(
     a clean original and a boilerplate-wrapped mirror, min-id keeps
     whichever crawled first; score-argmax keeps the better document.
 
-    Same scale shape as :func:`near_dedup_survivors`: component labels
-    from the banded pair graph, one window shuffle on the component key
-    for the argmax.  Returns ``(id_col, component, score)``.
+    Scale shape: component labels from the banded pair graph, then the
+    argmax runs as ``max(struct(score, -id))`` — a PARTIAL+FINAL hash
+    aggregate instead of a rank window, so a pathological million-member
+    boilerplate cluster combines map-side and no task ever sorts or even
+    holds a whole cluster (struct max compares score first, then the
+    negated id, which is exactly score-desc / id-asc argmax).  Returns
+    ``(id_col, component, score)``.
     """
     comp = connected_components(pairs)
     labeled = (
@@ -476,13 +480,15 @@ def near_dedup_best_survivors(
         .join(comp, "id", "left")
         .select("id", "score", F.coalesce("component", F.col("id")).alias("component"))
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("score").desc(), F.col("id").asc()
-    )
+    best = F.max(F.struct(F.col("score"), (-F.col("id")).alias("neg_id"))).alias("m")
     return (
-        labeled.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("id").alias(id_col), "component", "score")
+        labeled.groupBy("component")
+        .agg(best)
+        .select(
+            (-F.col("m.neg_id")).alias(id_col),
+            "component",
+            F.col("m.score").alias("score"),
+        )
     )
 
 

@@ -543,3 +543,14 @@ def test_ann_recall_report_reuses_method_plans(spark):
     plan = _plan(spark, "ann_recall_report")
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_survivor_argmax_is_partial_final_agg(spark):
+    """dedup_survivors_best_quality: survivor selection must be the
+    map-side-combinable max(struct(score, -id)) aggregate — each map
+    partition collapses to one candidate per component BEFORE the shuffle,
+    so a million-member boilerplate cluster can't hot-spot a task the way
+    a component-keyed rank window would."""
+    plan = _plan(spark, "dedup_survivors_best_quality")
+    assert "partial_max(struct(score" in plan
+    assert "windowspecdefinition(component" not in plan
