@@ -80,16 +80,22 @@ def cdc_latest(
     column is what makes the state closed under composition:
     ``cdc_latest(latest(A) ∪ latest(B)) == cdc_latest(A ∪ B)`` whenever B's
     sequence numbers follow A's, so a persisted base state merges with each
-    delta batch by union + re-collapse, no history rescan.  One keyed
-    window shuffle; at scale the base state is the compacted table and only
-    the delta pays the window."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in seq_cols])
+    delta batch by union + re-collapse, no history rescan.  Latest-wins
+    runs as ``max_by(row, struct(seq_cols))`` — a PARTIAL+FINAL aggregate
+    (lexicographic struct max == the all-descending sort order), so a hot
+    entity with millions of ops in one batch combines map-side instead of
+    sorting inside a single key-partitioned window task; at scale the base
+    state is the compacted table and only the delta pays the shuffle."""
+    data_cols = [c for c in ops.columns]
     return (
-        ops.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        ops.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in data_cols]),
+                F.struct(*[F.col(c) for c in seq_cols]),
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
 
 

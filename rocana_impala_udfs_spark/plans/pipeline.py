@@ -1016,20 +1016,25 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quality", T.quality_score("text"))
         .filter(F.col("quality") >= 0.5)
     )
-    from pyspark.sql import Window
-
     fp = gated.withColumn("fingerprint", T.doc_fingerprint("text"))
-    # Min-id survivor per fingerprint as ONE window shuffle (row_number over
-    # the fingerprint partition) — the groupBy-then-join-back alternative
-    # costs a second corpus-wide shuffle for the join at scale.
-    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    # Min-id survivor per fingerprint as min_by — a PARTIAL+FINAL aggregate
+    # in the same single shuffle the window version paid, but each map
+    # partition first collapses its duplicate fingerprints to one candidate
+    # row, so a boilerplate page duplicated millions of times (exactly the
+    # exact-dedup skew case) can never hot-spot one task the way the
+    # fingerprint-partitioned row_number window could.
+    keep_cols = [c for c in fp.columns if c != "fingerprint"]
     # Materialize the gated+deduped corpus once: every branch of the LSH +
     # connected-components DAG fans out from here, and without the cache each
     # branch re-runs the gate/dedup lineage (measured 10× slower).
     exact_kept = (
-        fp.withColumn("_rn", F.row_number().over(w_fp))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fingerprint")
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in keep_cols]), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.*")
         .cache()
     )
     pairs = dedup.minhash_lsh_pairs(exact_kept, threshold=0.8)

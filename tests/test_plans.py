@@ -554,3 +554,21 @@ def test_survivor_argmax_is_partial_final_agg(spark):
     plan = _plan(spark, "dedup_survivors_best_quality")
     assert "partial_max(struct(score" in plan
     assert "windowspecdefinition(component" not in plan
+
+
+def test_cdc_latest_is_partial_final_agg(spark):
+    """cdc_apply_latest: latest-wins collapse must be max_by — partial+final
+    aggregation on the entity key (hot CDC keys combine map-side), never a
+    key-partitioned rank window."""
+    plan = _plan(spark, "cdc_apply_latest")
+    assert "partial_max_by" in plan
+    assert "row_number" not in plan
+
+
+def test_llm_pipeline_exact_dedup_is_min_by_agg(spark):
+    """llm_corpus_pipeline: the exact-dedup stage must run as min_by on the
+    fingerprint (duplicate-heavy fingerprints are the canonical dedup skew
+    case) — no fingerprint-partitioned window anywhere in the flagship."""
+    plan = _plan(spark, "llm_corpus_pipeline")
+    assert "partial_min_by" in plan
+    assert "windowspecdefinition(fingerprint" not in plan
