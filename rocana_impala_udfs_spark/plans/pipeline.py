@@ -3219,9 +3219,12 @@ def q_search_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1=1.2, b=0.75 and the standard Robertson idf ln((N−df+0.5)/(df+0.5)
     + 1).  The query is the corpus's 3 most frequent tokens
     (deterministic), tf/df/len are exact integers, avgdl is one division,
-    and each score is a fixed-order float chain rounded 6dp.  Plan:
-    token-keyed tf aggregation, broadcast query terms + corpus constants,
-    top-10 via TakeOrderedAndProject."""
+    and the per-doc sum is PIVOTED by query-term rank into one fixed-order
+    3-term chain (s1+s2+s3) — a plain ``sum()`` over doubles is
+    combine-order-nondeterministic and can flip the 6dp rounding on a
+    midpoint, the same cross-engine parity class as banker's rounding.
+    Plan: token-keyed tf aggregation, broadcast query terms + corpus
+    constants, top-10 via TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(T.normalize_text("text"), " ")).alias("tok")
@@ -3235,12 +3238,15 @@ def q_search_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     qw = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    qterms = tok_freq.withColumn("qrk", F.row_number().over(qw)).filter(
-        F.col("qrk") <= 3
-    ).select("tok")
+    qterms = (
+        tok_freq.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(3)
+        .withColumn("qrk", F.row_number().over(qw))
+        .select("tok", "qrk")
+    )
     tf = (
         toks.join(F.broadcast(qterms), "tok")
-        .groupBy("doc_id", "tok")
+        .groupBy("doc_id", "tok", "qrk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
@@ -3260,10 +3266,20 @@ def q_search_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_score = idf * (tfd * F.lit(2.2) / denom)
     per_doc = scored_terms.groupBy("doc_id").agg(
-        F.round(F.sum(term_score), 6).alias("bm25"),
+        F.sum(F.when(F.col("qrk") == 1, term_score)).alias("s1"),
+        F.sum(F.when(F.col("qrk") == 2, term_score)).alias("s2"),
+        F.sum(F.when(F.col("qrk") == 3, term_score)).alias("s3"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
     )
-    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+    z = F.lit(0.0)
+    bm25 = F.round(
+        F.coalesce("s1", z) + F.coalesce("s2", z) + F.coalesce("s3", z), 6
+    ).alias("bm25")
+    return (
+        per_doc.select("doc_id", bm25, "n_terms_hit")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
 
 
 ORACLE_BM25 = f"""
@@ -3279,16 +3295,19 @@ consts AS (
 ),
 tok_freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
 qterms AS (
-    SELECT tok FROM tok_freq ORDER BY cnt DESC, tok ASC LIMIT 3
+    SELECT tok, qrk FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS qrk
+        FROM tok_freq
+    ) WHERE qrk <= 3
 ),
 tf AS (
-    SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+    SELECT t.doc_id, t.tok, q.qrk, CAST(count(*) AS BIGINT) AS tf
     FROM toks t JOIN qterms q ON t.tok = q.tok
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
 ),
 df_t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
 scored AS (
-    SELECT tf.doc_id,
+    SELECT tf.doc_id, tf.qrk,
            ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
            * (CAST(tf AS DOUBLE) * 2.2
               / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
@@ -3297,9 +3316,19 @@ scored AS (
     JOIN df_t ON df_t.tok = tf.tok
     JOIN doclen ON doclen.doc_id = tf.doc_id
     CROSS JOIN consts
+),
+per_doc AS (
+    SELECT doc_id,
+           sum(CASE WHEN qrk = 1 THEN s END) AS s1,
+           sum(CASE WHEN qrk = 2 THEN s END) AS s2,
+           sum(CASE WHEN qrk = 3 THEN s END) AS s3,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY doc_id
 )
-SELECT doc_id, round(sum(s), 6) AS bm25, CAST(count(*) AS BIGINT) AS n_terms_hit
-FROM scored GROUP BY doc_id
+SELECT doc_id,
+       round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6) AS bm25,
+       n_terms_hit
+FROM per_doc
 ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
