@@ -2021,19 +2021,23 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     before picking a join strategy at 100 TB: per join-key column, the row
     count, distinct keys, the hottest key and its share, and the skew
     ratio max/avg rows-per-key. One partial+final count agg per column;
-    everything exact integers except the rounded ratio."""
+    everything exact integers except the rounded ratio.  The hottest key
+    is ``max_by(k, struct(n, -k))`` — a second partial+final aggregate,
+    never a rank window over the (billions-of-keys at 100 TB) per-key
+    frame."""
 
     def profile(df: DataFrame, label: str, col: str) -> DataFrame:
         per_key = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
-        w = Window.orderBy(F.col("n").desc(), F.col("k"))
         return (
-            per_key.withColumn("rk", F.row_number().over(w))
-            .agg(
+            per_key.agg(
                 F.lit(label).alias("key_col"),
                 F.sum("n").cast("bigint").alias("n_rows"),
                 F.count(F.lit(1)).cast("bigint").alias("n_keys"),
                 F.max("n").cast("bigint").alias("max_key_rows"),
-                F.min(F.when(F.col("rk") == 1, F.col("k").cast("bigint"))).alias("top_key"),
+                F.max_by(
+                    F.col("k").cast("bigint"),
+                    F.struct(F.col("n"), (-F.col("k")).alias("nk")),
+                ).alias("top_key"),
             )
             .withColumn(
                 "skew_ratio",

@@ -413,37 +413,104 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per return flag: Pearson corr over
-    fractional (tie-averaged) ranks. Ranks come from two per-group window
-    sorts — avg rank for ties = min_rank + (tie_count - 1)/2, the textbook
-    fractional-ranking rule mirrored verbatim in the oracle. Per-group sort
-    is inherent to ranking; the groups partition the data so each sorts in
-    parallel."""
+    fractional (tie-averaged) ranks — avg rank for ties = min_rank +
+    (tie_count − 1)/2, the textbook fractional-ranking rule.  Scale shape
+    (r7): every row at distinct value v shares the DOUBLED tie-averaged
+    rank r2(v) = 2·cum_before(v) + t(v) + 1 (an exact integer), so ranks
+    come from cumulative counts over the per-flag DISTINCT price/quantity
+    frames (value-domain-bounded — never a rank window over a third of
+    the fact table as the naive 3-partition sort would be), the Pearson
+    moments reduce to one agg over the distinct (flag, price, quantity)
+    pair frame weighted by pair counts, and everything up to the final
+    divide/sqrt is exact DECIMAL(38,0) integer arithmetic — the rho is
+    bit-identical across engines instead of two independently-accumulated
+    corr() implementations agreeing to 6dp.  (corr is affine-invariant,
+    so doubled ranks leave rho unchanged.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
-    tq = Window.partitionBy("l_returnflag", "l_quantity")
-    ranked = li.select(
+    DEC = "decimal(38,0)"
+
+    def ranks2(col: str, out: str) -> DataFrame:
+        per_v = li.groupBy("l_returnflag", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per_v.select(
+            "l_returnflag",
+            F.col("v").alias(col),
+            (F.coalesce(F.sum("t").over(w), F.lit(0)) * 2 + F.col("t") + 1).alias(out),
+        )
+
+    pairs = li.groupBy("l_returnflag", "l_extendedprice", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    j = pairs.join(
+        ranks2("l_extendedprice", "rp2"), ["l_returnflag", "l_extendedprice"]
+    ).join(ranks2("l_quantity", "rq2"), ["l_returnflag", "l_quantity"])
+    nD = F.col("n").cast(DEC)
+    rp = F.col("rp2").cast(DEC)
+    rq = F.col("rq2").cast(DEC)
+    m = j.groupBy("l_returnflag").agg(
+        F.sum(nD).alias("nn"),
+        F.sum(nD * rp).alias("sx"),
+        F.sum(nD * rq).alias("sy"),
+        F.sum(nD * rp * rp).alias("sxx"),
+        F.sum(nD * rq * rq).alias("syy"),
+        F.sum(nD * rp * rq).alias("sxy"),
+    )
+    num = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    v1 = (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    v2 = (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
         "l_returnflag",
-        (F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0).alias("rp"),
-        (F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0).alias("rq"),
-    )
-    return ranked.groupBy("l_returnflag").agg(
-        F.round(F.corr("rp", "rq"), 6).alias("spearman_rho")
-    )
+        F.round(num / F.sqrt(v1 * v2), 6).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
 
 
 ORACLE_SPEARMAN = """
-WITH ranked AS (
-    SELECT l_returnflag,
-           rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-             + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp,
-           rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-             + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq
-    FROM lineitem
+WITH px AS (
+    SELECT l_returnflag, l_extendedprice,
+           2 * coalesce(sum(t) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rp2
+    FROM (
+        SELECT l_returnflag, l_extendedprice, count(*) AS t
+        FROM lineitem GROUP BY 1, 2
+    )
+),
+pq AS (
+    SELECT l_returnflag, l_quantity,
+           2 * coalesce(sum(t) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rq2
+    FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS t
+        FROM lineitem GROUP BY 1, 2
+    )
+),
+pairs AS (
+    SELECT l_returnflag, l_extendedprice, l_quantity, count(*) AS n
+    FROM lineitem GROUP BY 1, 2, 3
+),
+m AS (
+    SELECT p.l_returnflag,
+           sum(CAST(n AS HUGEINT)) AS nn,
+           sum(CAST(n AS HUGEINT) * CAST(rp2 AS HUGEINT)) AS sx,
+           sum(CAST(n AS HUGEINT) * CAST(rq2 AS HUGEINT)) AS sy,
+           sum(CAST(n AS HUGEINT) * CAST(rp2 AS HUGEINT) * CAST(rp2 AS HUGEINT)) AS sxx,
+           sum(CAST(n AS HUGEINT) * CAST(rq2 AS HUGEINT) * CAST(rq2 AS HUGEINT)) AS syy,
+           sum(CAST(n AS HUGEINT) * CAST(rp2 AS HUGEINT) * CAST(rq2 AS HUGEINT)) AS sxy
+    FROM pairs p
+    JOIN px ON px.l_returnflag = p.l_returnflag AND px.l_extendedprice = p.l_extendedprice
+    JOIN pq ON pq.l_returnflag = p.l_returnflag AND pq.l_quantity = p.l_quantity
+    GROUP BY 1
 )
-SELECT l_returnflag, round(corr(rp, rq), 6) AS spearman_rho
-FROM ranked GROUP BY l_returnflag
+SELECT l_returnflag,
+       round(CAST(nn * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE)), 6)
+         AS spearman_rho
+FROM m ORDER BY l_returnflag
 """
 
 
@@ -1763,8 +1830,14 @@ def q_stats_mannwhitney_price_halves(spark: SparkSession, sf_dir: str) -> DataFr
     KS screen's rank-based sibling).  Tie-averaged ranks are carried
     DOUBLED (2·rank sums are exact integers — fractional .5 ranks never
     touch float summation), U is assembled from the integer rank sum, and
-    only the final z normalization is a float chain.  One combined sort
-    window + one aggregation."""
+    only the final z normalization is a float chain.  Scale shape (r7):
+    no full-row sort window anywhere — the split point comes from a
+    cumulative count over DISTINCT ship dates (calendar-bounded), and
+    every row at distinct price v shares r2(v) = 2·cum_before(v) + t(v)
+    + 1, so the rank sums reduce to one partial+final agg onto the
+    distinct-price frame (value-domain-bounded) whose cumulative window
+    never sees fact-table cardinality; the tie table falls out of the
+    same frame."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -1772,15 +1845,22 @@ def q_stats_mannwhitney_price_halves(spark: SparkSession, sf_dir: str) -> DataFr
     )
     # the split point is the upper-median ship date picked by the SAME
     # explicit rank rule in both engines (percentile_approx/quantile_disc
-    # boundary conventions differ at even n)
-    mid_w = Window.orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+    # boundary conventions differ at even n): the value whose cumulative
+    # count range covers rank n//2 + 1, walked over distinct days
+    per_t = li.groupBy(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n_tot = li.agg(F.count(F.lit(1)).alias("n"))
+    w_t = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     mid = (
-        li.select(
-            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t"),
-            F.row_number().over(mid_w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+        per_t.select(
+            "t", "c", F.coalesce(F.sum("c").over(w_t), F.lit(0)).alias("cb")
         )
-        .filter(F.col("rn") == F.expr("div(n, 2)") + 1)
+        .crossJoin(F.broadcast(n_tot))
+        .filter(
+            (F.col("cb") < F.expr("div(n, 2)") + 1)
+            & (F.expr("div(n, 2)") + 1 <= F.col("cb") + F.col("c"))
+        )
         .select(F.col("t").alias("m"))
     )
     tagged = li.crossJoin(F.broadcast(mid)).select(
@@ -1789,30 +1869,28 @@ def q_stats_mannwhitney_price_halves(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("grp"),
         F.col("l_extendedprice").alias("x"),
     )
-    w = Window.orderBy("x")
-    # tie-averaged rank r = (min_rank + max_rank)/2; carry 2r = min+max
-    ranked = tagged.select(
-        "grp",
-        "x",
-        (F.rank().over(w) * 2 + F.count(F.lit(1)).over(
-            Window.partitionBy("x")
-        ) - 1).alias("r2"),
+    # tie-averaged rank r = (min_rank + max_rank)/2; carry 2r = min+max =
+    # 2·cum_before + t + 1, identical for every row of a tie group
+    per_v = tagged.groupBy("x").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("grp") == "early", 1).otherwise(0)).alias("c_early"),
     )
-    agg = ranked.groupBy().agg(
-        F.sum(F.when(F.col("grp") == "early", F.col("r2"))).cast("bigint").alias("r2_early"),
-        F.sum(F.when(F.col("grp") == "early", 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("grp") == "late", 1).otherwise(0)).cast("bigint").alias("n2"),
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    per_v = per_v.select(
+        "t",
+        "c_early",
+        (F.coalesce(F.sum("t").over(w_cum), F.lit(0)) * 2 + F.col("t") + 1).alias("r2"),
     )
     # Tie correction: TPC-H prices tie heavily and ranks are tie-averaged,
     # so the no-tie variance n1·n2·(N+1)/12 overstates sigma. Standard
     # corrected form: sigma² = n1·n2/12 · [(N+1) − Σ(t³−t)/(N(N−1))],
     # t = tie-group sizes — an exact integer carried alongside.
-    ties = (
-        tagged.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie_sum"))
+    agg = per_v.groupBy().agg(
+        F.sum(F.col("c_early") * F.col("r2")).cast("bigint").alias("r2_early"),
+        F.sum("c_early").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("c_early")).cast("bigint").alias("n2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie_sum"),
     )
-    agg = agg.crossJoin(F.broadcast(ties))
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = n1d + n2d
@@ -1836,37 +1914,39 @@ def q_stats_kruskal_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     """Kruskal–Wallis k-sample rank test — the Mann–Whitney machinery
     generalized to the 3 return-flag groups: tie-averaged ranks carried
     DOUBLED (exact integers), per-group rank sums, and the tie-corrected
-    H statistic H / (1 − Σ(t³−t)/(N³−N)). One global sort window + one
-    one-row aggregation + the tie table; float arithmetic only in the
-    final fixed-order H chain."""
+    H statistic H / (1 − Σ(t³−t)/(N³−N)).  Scale shape (r7): rank sums
+    never rank rows — every row at distinct value v shares the doubled
+    tie-averaged rank r2(v) = 2·cum_before(v) + t(v) + 1, so one
+    partial+final agg collapses the fact table to the DISTINCT-value
+    frame (value-domain-bounded: prices have ~10⁷ distinct cents at any
+    corpus size) carrying per-group counts, the cumulative-count window
+    runs over that bounded frame only, and the tie table falls out of the
+    same frame — one fact scan total, no full-row global sort.  Float
+    arithmetic only in the final fixed-order H chain."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice").isNotNull())
-    w = Window.orderBy("l_extendedprice")
-    ranked = li.select(
-        "l_returnflag",
-        (
-            F.rank().over(w) * 2
-            + F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice"))
-            - 1
-        ).alias("r2"),
-    )
-    agg = ranked.groupBy().agg(
+    per_v = li.groupBy("l_extendedprice").agg(
+        F.count(F.lit(1)).alias("t"),
         *[
-            F.sum(F.when(F.col("l_returnflag") == g, F.col("r2"))).cast("bigint").alias(f"r2_{g.lower()}")
-            for g in ("A", "N", "R")
-        ],
-        *[
-            F.sum(F.when(F.col("l_returnflag") == g, 1).otherwise(0)).cast("bigint").alias(f"n_{g.lower()}")
+            F.sum(F.when(F.col("l_returnflag") == g, 1).otherwise(0)).alias(f"c_{g.lower()}")
             for g in ("A", "N", "R")
         ],
     )
-    ties = (
-        li.groupBy("l_extendedprice")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie_sum"))
+    w_cum = (
+        Window.orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    agg = agg.crossJoin(F.broadcast(ties))
+    r2 = (F.coalesce(F.sum("t").over(w_cum), F.lit(0)) * 2 + F.col("t") + 1).alias("r2")
+    per_v = per_v.select("t", "c_a", "c_n", "c_r", r2)
+    agg = per_v.groupBy().agg(
+        *[
+            F.sum(F.col(f"c_{g}") * F.col("r2")).cast("bigint").alias(f"r2_{g}")
+            for g in ("a", "n", "r")
+        ],
+        *[F.sum(f"c_{g}").cast("bigint").alias(f"n_{g}") for g in ("a", "n", "r")],
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie_sum"),
+    )
     nd = (F.col("n_a") + F.col("n_n") + F.col("n_r")).cast("double")
 
     def term(g: str):

@@ -1540,8 +1540,12 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from first view to the converting purchase — count, min/max, mean, and
     the exact upper median (`median.cc:301`) in integer MICROSECONDS, so
     every statistic is engine-exact (the mean is one division of an exact
-    BIGINT sum)."""
-    from rocana_impala_udfs_spark.functions.median import exact_upper_median
+    BIGINT sum).  The median comes from the histogram-selection operator
+    (`operators/selection.py`) over the persisted conversions frame — the
+    conversions set is user-scale (unbounded), so the previous global
+    rank window would have sorted it on ONE partition at 100 TB; selection
+    narrows by counting with no global sort and stays exact."""
+    from rocana_impala_udfs_spark.operators.selection import exact_kth_value
 
     ev = load_table(spark, sf_dir, "events")
     s0 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t0"))
@@ -1561,8 +1565,11 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conv = s2.select(
         "user_id", (F.unix_micros("t2") - F.unix_micros("t0")).alias("dt_us")
+    ).persist()
+    med_val = exact_kth_value(conv, "dt_us")  # default k = n//2 + 1
+    med = spark.createDataFrame(
+        [(None if med_val is None else int(med_val),)], "median_us bigint"
     )
-    med = exact_upper_median(conv, "dt_us", out="median_us")
     stats = conv.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
         F.min("dt_us").alias("min_us"),

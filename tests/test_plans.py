@@ -572,3 +572,43 @@ def test_llm_pipeline_exact_dedup_is_min_by_agg(spark):
     plan = _plan(spark, "llm_corpus_pipeline")
     assert "partial_min_by" in plan
     assert "windowspecdefinition(fingerprint" not in plan
+
+
+def test_rank_stats_never_sort_fact_rows(spark):
+    """kruskal / mann-whitney / spearman: rank statistics must reduce to
+    the distinct-value frames before any ordered window — a window whose
+    input is raw fact rows would single-partition (or 3-partition) sort
+    the corpus at 100 TB. Guard: every Window in these plans consumes an
+    aggregated frame (a HashAggregate/SortAggregate lies between the scan
+    and the window), and the Window count stays at the designed number."""
+    for key, n_windows in (
+        ("stats_kruskal_price_by_flag", 1),
+        ("stats_mannwhitney_price_halves", 2),
+        ("stats_spearman_price_quantity", 2),
+    ):
+        plan = _plan(spark, key)
+        assert plan.count("Window [") == n_windows, (key, plan.count("Window ["))
+        # rank() over raw rows is the banned shape
+        assert "rank(l_extendedprice" not in plan, key
+        assert "rank(l_quantity" not in plan, key
+        for frag in plan.split("Window [")[1:]:
+            # the subtree feeding each window must aggregate first
+            below = frag.split("Scan parquet")[0]
+            assert "Aggregate" in below, (key, below[:300])
+
+
+def test_join_skew_top_key_is_max_by(spark):
+    """join_skew_report: the hottest key comes from partial_max_by, not a
+    rank window over the per-key frame (billions of keys at 100 TB)."""
+    plan = _plan(spark, "join_skew_report")
+    assert "partial_max_by" in plan
+    assert "row_number" not in plan
+
+
+def test_funnel_median_uses_selection_not_global_sort(spark):
+    """funnel_time_to_convert: the conversions median comes from the
+    histogram-selection operator; the returned plan must not contain a
+    global rank window over the conversions frame."""
+    plan = _plan(spark, "funnel_time_to_convert")
+    assert "row_number" not in plan
+    assert "Exchange rangepartitioning" not in plan
