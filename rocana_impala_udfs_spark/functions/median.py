@@ -414,8 +414,10 @@ def exact_weighted_upper_median(
     The cumulative weight is strictly increasing, so exactly one row per
     group satisfies ``cw - w < thr <= cw``; value ties don't affect the
     output (tied rows share the value).  Integer weights keep the
-    threshold arithmetic exact in any engine.  Same scale shape as
-    :func:`exact_upper_median`: one per-group sort window.
+    threshold arithmetic exact in any engine.  Scale shape: weights
+    collapse onto the DISTINCT-value frame first, so the cumulative
+    window never sees raw-row cardinality (see
+    :func:`exact_weighted_quantile`).
     """
     return exact_weighted_quantile(df, value_col, weight_col, 1, 2, group_cols, out)
 
@@ -434,7 +436,14 @@ def exact_weighted_quantile(
     reaches ``(p_num·W)//p_den + 1``.  At 1/2 this is
     :func:`exact_weighted_upper_median`; a rational p keeps the threshold
     in exact BIGINT arithmetic (a float p would put an ulp on the pick
-    boundary)."""
+    boundary).
+
+    Scale shape (r7): weights first collapse onto the per-group
+    DISTINCT-value frame (rows tied on value merge their weights — the
+    threshold-crossing value is unchanged because the crossing rule only
+    sees cumulative weight at value granularity), so the cumulative
+    window runs over the value-domain-bounded frame, never raw rows, and
+    the intra-tie cumulative ordering ambiguity disappears."""
     if not (0 < p_num < p_den):
         raise ValueError(f"need 0 < p_num/p_den < 1, got {p_num}/{p_den}")
     group_cols = group_cols or []
@@ -449,12 +458,15 @@ def exact_weighted_quantile(
     filtered = df.filter(
         F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
     )
-    ranked = filtered.select(
+    per_v = filtered.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("_w")
+    )
+    ranked = per_v.select(
         *group_cols,
         F.col(value_col),
-        F.col(weight_col).cast("bigint").alias("_w"),
-        F.sum(F.col(weight_col).cast("bigint")).over(w_cum).alias("_cw"),
-        F.sum(F.col(weight_col).cast("bigint")).over(part).alias("_tw"),
+        "_w",
+        F.sum("_w").over(w_cum).alias("_cw"),
+        F.sum("_w").over(part).alias("_tw"),
     )
     thr = F.expr(f"div({p_num} * _tw, {p_den})") + 1
     picked = ranked.filter((F.col("_cw") >= thr) & (F.col("_cw") - F.col("_w") < thr))

@@ -1720,28 +1720,39 @@ def q_stats_quantile_bands_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-point quantile band (p10/p25/p50/p75/p90) per return flag in
     ONE ranked pass — exact order-statistic element picks at integer
     ranks floor(q·n)+1 (the upper-pick rule of the median family
-    generalized to a band), gathered by conditional aggregation so the
-    sort window runs once, not per quantile."""
+    generalized to a band), gathered by conditional aggregation.  Scale
+    shape (r7): the element at rank k is the distinct value whose
+    cumulative-count range covers k, so all five picks run over the
+    per-flag DISTINCT price frame — one keyed agg collapses the fact
+    table, the cumulative window sees only the value-domain-bounded
+    frame, and no row_number ever sorts fact rows."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
     )
-    part = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("x"),
-        F.row_number().over(part.orderBy("l_extendedprice")).alias("rn"),
-        F.count(F.lit(1)).over(part).alias("n"),
+    per_v = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("x")).agg(
+        F.count(F.lit(1)).alias("t")
     )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_v.select(
+        "l_returnflag", "x", "t", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb")
+    )
+    tot = per_v.groupBy("l_returnflag").agg(F.sum("t").cast("bigint").alias("n"))
+    joined = cum.join(F.broadcast(tot), "l_returnflag")
 
     def pick(num: int, den: int, out: str):
+        k = F.expr(f"div({num} * n, {den})") + 1
         return F.max(
-            F.when(F.col("rn") == F.expr(f"div({num} * n, {den})") + 1, F.col("x"))
+            F.when((F.col("cb") < k) & (k <= F.col("cb") + F.col("t")), F.col("x"))
         ).alias(out)
 
     return (
-        ranked.groupBy("l_returnflag")
+        joined.groupBy("l_returnflag")
         .agg(
             F.max("n").cast("bigint").alias("n"),
             pick(1, 10, "p10"),
@@ -1779,30 +1790,46 @@ def q_stats_median_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     element picks at integer ranks, is engine-exact except for the one
     sqrt chain that computes the ranks (floored identically).  Per return
     flag: n, the upper median (the reference's rule), and the CI bound
-    values.  One sort window, same shape as the exact-median family."""
+    values.  Scale shape (r7): the element at rank k is the distinct
+    value whose cumulative-count range covers k, so the picks run over
+    the per-flag DISTINCT price frame (cumulative window over a
+    value-domain-bounded frame), never a row_number sort of a third of
+    the fact table."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
     )
-    part = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("x"),
-        F.row_number().over(part.orderBy("l_extendedprice")).alias("rn"),
-        F.count(F.lit(1)).over(part).alias("n"),
+    per_v = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("x")).agg(
+        F.count(F.lit(1)).alias("t")
     )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_v.select(
+        "l_returnflag", "x", "t", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb")
+    )
+    tot = per_v.groupBy("l_returnflag").agg(F.sum("t").cast("bigint").alias("n"))
+    joined = cum.join(F.broadcast(tot), "l_returnflag")
     half = F.expr("div(n, 2)")
     delta = F.floor(F.lit(0.98) * F.sqrt(F.col("n").cast("double"))).cast("bigint")
     lo_rank = F.greatest(F.lit(1).cast("bigint"), half - delta)
     hi_rank = F.least(F.col("n").cast("bigint"), half + delta + 1)
+
+    def pick(k, out):  # value whose cumulative range [cb+1, cb+t] covers rank k
+        return F.max(
+            F.when((F.col("cb") < k) & (k <= F.col("cb") + F.col("t")), F.col("x"))
+        ).alias(out)
+
     return (
-        ranked.groupBy("l_returnflag")
+        joined.groupBy("l_returnflag")
         .agg(
             F.max("n").cast("bigint").alias("n"),
-            F.max(F.when(F.col("rn") == half + 1, F.col("x"))).alias("median_price"),
-            F.max(F.when(F.col("rn") == lo_rank, F.col("x"))).alias("ci_lo"),
-            F.max(F.when(F.col("rn") == hi_rank, F.col("x"))).alias("ci_hi"),
+            pick(half + 1, "median_price"),
+            pick(lo_rank, "ci_lo"),
+            pick(hi_rank, "ci_hi"),
         )
         .orderBy("l_returnflag")
     )

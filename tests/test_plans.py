@@ -585,16 +585,19 @@ def test_rank_stats_never_sort_fact_rows(spark):
         ("stats_kruskal_price_by_flag", 1),
         ("stats_mannwhitney_price_halves", 2),
         ("stats_spearman_price_quantity", 2),
+        ("stats_median_ci_price", 1),
+        ("stats_quantile_bands_price", 1),
+        ("exact_weighted_median_price", 2),  # cum + total weight specs
     ):
         plan = _plan(spark, key)
         assert plan.count("Window [") == n_windows, (key, plan.count("Window ["))
         # rank() over raw rows is the banned shape
         assert "rank(l_extendedprice" not in plan, key
         assert "rank(l_quantity" not in plan, key
-        for frag in plan.split("Window [")[1:]:
-            # the subtree feeding each window must aggregate first
-            below = frag.split("Scan parquet")[0]
-            assert "Aggregate" in below, (key, below[:300])
+        # the BOTTOM window (last in the printed tree) must consume an
+        # aggregated frame — stacked window specs above it inherit that
+        below = plan.split("Window [")[-1].split("Scan parquet")[0]
+        assert "Aggregate" in below, (key, below[:300])
 
 
 def test_join_skew_top_key_is_max_by(spark):
