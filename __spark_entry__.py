@@ -100,6 +100,18 @@ _NEVER_DRIVER_CHECKED = [
     "search_bm25_top10",
     "quantile_normalize_price",
     "histogram_price_qty_2d",
+    # r7 scale-rework keys whose VALUES are unchanged (verified locally):
+    # their existing driver-green rows remain valid for the old code and
+    # the local harness covers the new code, so they rank after the
+    # never-checked backlog but before the weak tail.
+    "stats_kruskal_price_by_flag",
+    "stats_mannwhitney_price_halves",
+    "stats_spearman_price_quantity",
+    "funnel_time_to_convert",
+    "join_skew_report",
+    "cdc_apply_latest",
+    "llm_corpus_pipeline",
+    "dedup_survivors_best_quality",
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",
