@@ -62,6 +62,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_hourly_append_watermark",
     "ann_recall_report",
     "search_hybrid_rrf_top10",
+    "stats_kendall_tau_qty_linenumber",
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",

@@ -150,9 +150,11 @@ HEADLINE = [
     "stream_session_windows",
     "topk_per_group_two_phase",
     "stream_hourly_append_watermark",
-    # r7: ANN recall scorecard (runs all three method plans), hybrid RRF.
+    # r7: ANN recall scorecard (runs all three method plans), hybrid RRF,
+    # Kendall tau-b grid concordance.
     "ann_recall_report",
     "search_hybrid_rrf_top10",
+    "stats_kendall_tau_qty_linenumber",
 ]
 
 

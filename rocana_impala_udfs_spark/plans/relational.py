@@ -514,6 +514,122 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def q_kendall_tau_qty_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b per return flag between quantity and linenumber —
+    completing the correlation family (Pearson → Spearman → Kendall) with
+    the tie-corrected concordance form: tau_b = (nc − nd) /
+    sqrt((n0 − n1)(n0 − n2)).  Scale shape: both columns have BOUNDED
+    domains (50 quantities × 7 linenumbers), so the fact table collapses
+    to a ≤350-cell grid per flag by one partial+final count agg; nc/nd
+    come from a broadcast self-join over grid CELL pairs weighted by
+    count products (n_a·n_b pairs of rows concord exactly when their
+    cells do), and all pair/tie counts are carried DOUBLED (n0_2 = n(n−1)
+    etc.) in exact DECIMAL(38,0) so the only float ops are the final
+    2·(nc−nd)/sqrt(·) chain — bit-identical across engines.  For
+    unbounded domains, quantize to a grid first (the documented trade);
+    the grid never grows with the corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    DEC = "decimal(38,0)"
+    grid = li.groupBy(
+        "l_returnflag",
+        F.col("l_quantity").alias("q"),
+        F.col("l_linenumber").alias("l"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = grid.select(
+        "l_returnflag",
+        F.col("q").alias("qa"),
+        F.col("l").alias("la"),
+        F.col("n").alias("na"),
+    )
+    b = grid.select(
+        "l_returnflag",
+        F.col("q").alias("qb"),
+        F.col("l").alias("lb"),
+        F.col("n").alias("nb"),
+    )
+    prod = F.col("na").cast(DEC) * F.col("nb").cast(DEC)
+    cd = (
+        a.join(F.broadcast(b), "l_returnflag")
+        .filter(F.col("qa") < F.col("qb"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("la") < F.col("lb"), prod)), F.lit(0).cast(DEC)).alias("nc"),
+            F.coalesce(F.sum(F.when(F.col("la") > F.col("lb"), prod)), F.lit(0).cast(DEC)).alias("nd"),
+        )
+    )
+    nD = F.col("n").cast(DEC)
+    tq = grid.groupBy("l_returnflag", "q").agg(F.sum("n").alias("n"))
+    tl = grid.groupBy("l_returnflag", "l").agg(F.sum("n").alias("n"))
+    n1 = tq.groupBy("l_returnflag").agg(F.sum(nD * (nD - 1)).alias("ties_q_2"))
+    n2 = tl.groupBy("l_returnflag").agg(F.sum(nD * (nD - 1)).alias("ties_l_2"))
+    tot = grid.groupBy("l_returnflag").agg(F.sum(nD).alias("nn"))
+    m = (
+        cd.join(n1, "l_returnflag")
+        .join(n2, "l_returnflag")
+        .join(tot, "l_returnflag")
+        .withColumn("pairs_2", F.col("nn") * (F.col("nn") - 1))
+    )
+    tau = (
+        F.lit(2.0)
+        * (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt(
+            (F.col("pairs_2") - F.col("ties_q_2")).cast("double")
+            * (F.col("pairs_2") - F.col("ties_l_2")).cast("double")
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("nc").cast("bigint").alias("nc"),
+        F.col("nd").cast("bigint").alias("nd"),
+        F.col("pairs_2").cast("bigint").alias("pairs_2"),
+        F.col("ties_q_2").cast("bigint").alias("ties_q_2"),
+        F.col("ties_l_2").cast("bigint").alias("ties_l_2"),
+        F.round(tau, 6).alias("tau_b"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_KENDALL = """
+WITH grid AS (
+    SELECT l_returnflag, l_quantity AS q, l_linenumber AS l, count(*) AS n
+    FROM lineitem GROUP BY 1, 2, 3
+),
+cd AS (
+    SELECT a.l_returnflag,
+           coalesce(sum(CASE WHEN a.l < b.l THEN CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT) END), 0) AS nc,
+           coalesce(sum(CASE WHEN a.l > b.l THEN CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT) END), 0) AS nd
+    FROM grid a JOIN grid b
+      ON a.l_returnflag = b.l_returnflag AND a.q < b.q
+    GROUP BY 1
+),
+n1 AS (
+    SELECT l_returnflag, sum(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)) AS ties_q_2
+    FROM (SELECT l_returnflag, q, sum(n) AS n FROM grid GROUP BY 1, 2) GROUP BY 1
+),
+n2 AS (
+    SELECT l_returnflag, sum(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)) AS ties_l_2
+    FROM (SELECT l_returnflag, l, sum(n) AS n FROM grid GROUP BY 1, 2) GROUP BY 1
+),
+tot AS (
+    SELECT l_returnflag, sum(CAST(n AS HUGEINT)) AS nn FROM grid GROUP BY 1
+),
+m AS (
+    SELECT cd.l_returnflag, nc, nd, ties_q_2, ties_l_2, nn * (nn - 1) AS pairs_2
+    FROM cd JOIN n1 USING (l_returnflag) JOIN n2 USING (l_returnflag)
+    JOIN tot USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(nc AS BIGINT) AS nc,
+       CAST(nd AS BIGINT) AS nd,
+       CAST(pairs_2 AS BIGINT) AS pairs_2,
+       CAST(ties_q_2 AS BIGINT) AS ties_q_2,
+       CAST(ties_l_2 AS BIGINT) AS ties_l_2,
+       round(2.0 * CAST(nc - nd AS DOUBLE)
+             / sqrt(CAST(pairs_2 - ties_q_2 AS DOUBLE) * CAST(pairs_2 - ties_l_2 AS DOUBLE)), 6)
+         AS tau_b
+FROM m ORDER BY l_returnflag
+"""
+
+
 def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ratio_to_report pattern: each nation's share of total revenue — a
     window total over the already-aggregated 25-row result, so the window
@@ -3940,6 +4056,7 @@ QUERIES = {
     "window_ntile_order_deciles": q_ntile_order_deciles,
     "stats_price_quantity": q_stats_price_quantity,
     "stats_spearman_price_quantity": q_spearman_price_quantity,
+    "stats_kendall_tau_qty_linenumber": q_kendall_tau_qty_linenumber,
     "window_revenue_share_by_nation": q_revenue_share_by_nation,
     "window_rolling_p90_totalprice": q_rolling_p90_totalprice,
     "events_mad_outliers": q_events_mad_outliers,
@@ -4044,6 +4161,7 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
     "window_ntile_order_deciles": ORACLE_NTILE_DECILES,
     "stats_price_quantity": ORACLE_STATS_PRICE_QUANTITY,
     "stats_spearman_price_quantity": ORACLE_SPEARMAN,
+    "stats_kendall_tau_qty_linenumber": ORACLE_KENDALL,
     "window_revenue_share_by_nation": ORACLE_REVENUE_SHARE,
     "window_rolling_p90_totalprice": ORACLE_ROLLING_P90,
     "events_mad_outliers": ORACLE_EVENTS_MAD,

@@ -1630,3 +1630,44 @@ def test_hybrid_rrf_fusion_arithmetic(spark):
         assert abs(r.rrf - round(expect, 6)) < 1e-12
     # both arms must contribute to the fused top-10 on this corpus
     assert any(r.rk_lex > 0 for r in rows) and any(r.rk_sem > 0 for r in rows)
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """tau-b from the grid-cell plan equals the O(n²) textbook pairwise
+    computation in numpy (concordant/discordant sign products + tie
+    terms) — a library-free cross-check, same spirit as the Kruskal
+    scipy-formula test."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    rows = {
+        r.l_returnflag: r
+        for r in entry.queries()["stats_kendall_tau_qty_linenumber"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_linenumber"
+    ).collect()
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append((float(r.l_quantity), int(r.l_linenumber)))
+    for flag, pts in by_flag.items():
+        q = np.array([p[0] for p in pts])
+        l = np.array([p[1] for p in pts])
+        sq = np.sign(q[:, None] - q[None, :])
+        sl = np.sign(l[:, None] - l[None, :])
+        prod = sq * sl
+        nc = int((prod > 0).sum() // 2)
+        nd = int((prod < 0).sum() // 2)
+        n = len(pts)
+        n0_2 = n * (n - 1)
+        t_q = np.unique(q, return_counts=True)[1]
+        t_l = np.unique(l, return_counts=True)[1]
+        n1_2 = int((t_q * (t_q - 1)).sum())
+        n2_2 = int((t_l * (t_l - 1)).sum())
+        tau = 2.0 * (nc - nd) / np.sqrt(float(n0_2 - n1_2) * float(n0_2 - n2_2))
+        got = rows[flag]
+        assert got.nc == nc and got.nd == nd, (flag, got, nc, nd)
+        assert got.pairs_2 == n0_2 and got.ties_q_2 == n1_2 and got.ties_l_2 == n2_2
+        assert abs(got.tau_b - round(tau, 6)) <= 1e-6, (flag, got.tau_b, tau)

@@ -615,3 +615,13 @@ def test_funnel_median_uses_selection_not_global_sort(spark):
     plan = _plan(spark, "funnel_time_to_convert")
     assert "row_number" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_kendall_grid_join_is_broadcast_no_fact_pairing(spark):
+    """stats_kendall_tau_qty_linenumber: the concordance join must pair
+    GRID CELLS (bounded 50×7 domain), never fact rows — the grid side is
+    broadcast and every fact-table touch is an aggregation."""
+    plan = _plan(spark, "stats_kendall_tau_qty_linenumber")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "row_number" not in plan and "Window [" not in plan
