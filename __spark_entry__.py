@@ -63,6 +63,7 @@ _NEVER_DRIVER_CHECKED = [
     "ann_recall_report",
     "search_hybrid_rrf_top10",
     "stats_kendall_tau_qty_linenumber",
+    "stream_stream_interval_join",
     "shard_manifest_stats",
     "curriculum_budget_selection",
     "corpus_source_dashboard",

@@ -155,6 +155,7 @@ HEADLINE = [
     "ann_recall_report",
     "search_hybrid_rrf_top10",
     "stats_kendall_tau_qty_linenumber",
+    "stream_stream_interval_join",
 ]
 
 

@@ -658,6 +658,84 @@ HAVING epoch_us(time_bucket(INTERVAL '1 hour', min(ts))) + 3600000000 <= wm_us
 """
 
 
+def q_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner interval join, driver-checked — the two-sided-
+    state Structured Streaming shape the suite's aggregation keys can't
+    certify: views join clicks per user within [view_ts, view_ts + 2h],
+    BOTH sides watermarked 30 min, replayed as a real multi-micro-batch
+    stream (each trigger advances one time-range file on each source, so
+    matches genuinely span buffered state from earlier batches).
+
+    Why this is oracle-EXACT and not merely rows-checked: on the
+    TIME-ORDERED replay every row of batch i+1 has ts > cut_i, so no row
+    is ever late, and a click c only needs view state v ≥ c − 2h >
+    cut_i − 2h, while eviction requires v + 2h < cut_i − delay — i.e.
+    evicted view state is always strictly older than any possible match,
+    for ANY delay ≥ 0. In-order feed + watermark ⇒ the streaming join
+    emits exactly the batch interval join, which IS the oracle. The sink
+    pairs then aggregate batch-side to per-view-hour counts with exact
+    integer lag sums."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+
+    s1, _d1 = replay_events_stream_ordered(spark, sf_dir)
+    s2, _d2 = replay_events_stream_ordered(spark, sf_dir)
+    views = (
+        s1.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("vts"))
+        .withWatermark("vts", "30 minutes")
+    )
+    clicks = (
+        s2.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND cts >= vts AND cts <= vts + interval 2 hours"
+        ),
+        "inner",
+    )
+    sink = run_to_table(joined, mode="append")
+    return (
+        sink.select(
+            F.unix_micros(F.date_trunc("hour", F.col("vts"))).alias("view_hour_us"),
+            "v_user",
+            (F.unix_micros("cts") - F.unix_micros("vts")).alias("lag_us"),
+        )
+        .groupBy("view_hour_us")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("v_user").cast("bigint").alias("n_users"),
+            F.sum("lag_us").cast("bigint").alias("sum_lag_us"),
+        )
+        .orderBy("view_hour_us")
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+WITH pairs AS (
+    SELECT v.user_id,
+           epoch_us(date_trunc('hour', v.ts)) AS view_hour_us,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+)
+SELECT view_hour_us,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(lag_us) AS BIGINT) AS sum_lag_us
+FROM pairs
+GROUP BY view_hour_us
+ORDER BY view_hour_us
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -2567,6 +2645,7 @@ TEMPORAL_QUERIES = {
     "stream_dedup_event_counts": q_stream_dedup_event_counts,
     "stream_session_windows": q_stream_session_windows,
     "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
+    "stream_stream_interval_join": q_stream_stream_interval_join,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -2629,6 +2708,7 @@ TEMPORAL_ORACLE = {
     "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,
+    "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -623,3 +623,103 @@ def test_ordered_replay_is_time_ordered_and_complete(spark):
         prev_max = stats.hi
         total += stats.n
     assert total == load_table(spark, sf, "events").count()
+
+
+def test_stream_stream_join_crosses_batch_boundaries(spark):
+    """stream_stream_interval_join: (1) the streaming result equals the
+    batch interval join aggregated identically (the in-order-feed
+    exactness contract), and (2) at least one matched pair straddles a
+    replay file cut — i.e. the click arrived in a LATER micro-batch than
+    its view, so the join genuinely matched against buffered two-sided
+    state, not just within-batch rows."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    got = sorted(
+        map(tuple, entry.queries()["stream_stream_interval_join"](spark, SF).collect())
+    )
+    ev = load_table(spark, SF, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    pairs = v.join(c, "u").filter(
+        (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("interval 2 hours"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            pairs.select(
+                F.unix_micros(F.date_trunc("hour", "vts")).alias("h"),
+                "u",
+                (F.unix_micros("cts") - F.unix_micros("vts")).alias("lag"),
+            )
+            .groupBy("h")
+            .agg(
+                F.count(F.lit(1)).cast("bigint"),
+                F.countDistinct("u").cast("bigint"),
+                F.sum("lag").cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # (2) planted cross-batch pair: a view in micro-batch 1 must match a
+    # click arriving in micro-batch 2 purely from buffered join state
+    import os
+    import tempfile
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="ssj_test_")
+    try:
+        f1 = spark.createDataFrame(
+            [(1, "v1", "2024-01-01 10:00:00")],
+            "user_id bigint, kind string, ts_s string",
+        ).select("user_id", "kind", F.col("ts_s").cast("timestamp").alias("ts"))
+        f2 = spark.createDataFrame(
+            [(1, "c1", "2024-01-01 10:40:00")],
+            "user_id bigint, kind string, ts_s string",
+        ).select("user_id", "kind", F.col("ts_s").cast("timestamp").alias("ts"))
+        f1.coalesce(1).write.mode("overwrite").parquet(d)
+        f2.coalesce(1).write.mode("append").parquet(d)
+        # ascending mtimes -> deterministic replay order (view file first)
+        files = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        t0 = _time.time()
+        for i, f in enumerate(files):
+            os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        views = (
+            stream.filter(F.col("kind") == "v1")
+            .select(F.col("user_id").alias("v_user"), F.col("ts").alias("vts"))
+            .withWatermark("vts", "30 minutes")
+        )
+        clicks = (
+            stream.filter(F.col("kind") == "c1")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+            .withWatermark("cts", "30 minutes")
+        )
+        from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+        joined = views.join(
+            clicks,
+            F.expr("v_user = c_user AND cts >= vts AND cts <= vts + interval 2 hours"),
+            "inner",
+        )
+        out = run_to_table(joined, mode="append").collect()
+        assert len(out) == 1 and out[0].v_user == 1
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
