@@ -506,7 +506,7 @@ SELECT '{name}' AS method, CAST({n_queries} AS BIGINT) AS n_queries,
 FROM (SELECT query_id, neighbor_id FROM ({sql})) m
 JOIN brute USING (query_id, neighbor_id)"""
         )
-        body = "\nUNION ALL\n".join(parts)
+    body = "\nUNION ALL\n".join(parts)
     return f"""
 WITH brute AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_TOP5}))
 SELECT * FROM ({body}) ORDER BY method
