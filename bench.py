@@ -155,7 +155,10 @@ HEADLINE = [
     "ann_recall_report",
     "search_hybrid_rrf_top10",
     "stats_kendall_tau_qty_linenumber",
-    "stream_stream_interval_join",
+    # stream_stream_interval_join is deliberately NOT benched: two-sided
+    # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
+    # streaming-machinery price out of proportion for the suite; its
+    # correctness runs in the sf0.01 harness like every other key.
 ]
 
 
