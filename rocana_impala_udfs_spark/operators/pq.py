@@ -427,17 +427,23 @@ def pq_adc_topk(
         f"element_at(element_at(t, {m + 1}), element_at(codes, {m + 1}))"
         for m in range(M_SUBSPACES)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score"), F.col("neighbor_id")
-    )
-    return (
+    scored = (
         docs.crossJoin(F.broadcast(probes))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", f"CAST({score} AS BIGINT) AS adc_score")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "adc_score", F.col("rk").cast("int").alias("rk"))
     )
+    # Per-probe ranking via the two-phase salted top-k: a plain window
+    # PARTITION BY query_id sorts the whole corpus in one task per probe
+    # at scale; the merge property keeps results identical (VERDICT r7 #2).
+    from rocana_impala_udfs_spark.operators.topk import grouped_topk_two_phase
+
+    return grouped_topk_two_phase(
+        scored,
+        ["query_id"],
+        [F.col("adc_score"), F.col("neighbor_id")],
+        k,
+        salt_col=F.xxhash64("neighbor_id"),
+    ).select("query_id", "neighbor_id", "adc_score", F.col("rk").cast("int").alias("rk"))
 
 
 def pq_adc_oracle_sql(n_probes: int = 4, k: int = 5) -> str:

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rocana_impala_udfs_spark.operators.topk import grouped_topk_two_phase
+
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two ARRAY<numeric> columns, double precision."""
@@ -59,12 +61,27 @@ def brute_force_topk(
             cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk")
-        )
-        .filter(F.col("rk") <= k)
+    # Per-probe ranking goes through the two-phase salted top-k: a plain
+    # row_number() OVER (PARTITION BY query_id) sorts the WHOLE corpus in
+    # one task per probe at scale. The merge property (global top-k of a
+    # union ⊆ union of per-salt top-k's under the same total order) keeps
+    # the result — and the oracle — identical (VERDICT r7 #2).
+    return _final_topk(scored, k)
+
+
+def _final_topk(scored: DataFrame, k: int, score_col: str = "_cos") -> DataFrame:
+    """Exact per-probe top-k over (query_id, neighbor_id, _cos) candidate
+    rows with both sort passes bounded; emits the ANN output contract
+    (query_id, neighbor_id, cos=round(_cos,4), rk)."""
+    topk = grouped_topk_two_phase(
+        scored,
+        ["query_id"],
+        [F.col(score_col).desc(), F.col("neighbor_id")],
+        k,
+        salt_col=F.xxhash64("neighbor_id"),
+    )
+    return topk.select(
+        "query_id", "neighbor_id", F.round(score_col, 4).alias("cos"), "rk"
     )
 
 
@@ -109,13 +126,8 @@ def brute_force_topk_np(
     scored = vectors.select(id_col, vec_col).mapInPandas(
         score, schema="neighbor_id bigint, query_id bigint, _cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk")
-        )
-        .filter(F.col("rk") <= k)
-    )
+    # two-phase salted top-k: no single task ever sorts the whole corpus
+    return _final_topk(scored.select("query_id", "neighbor_id", "_cos"), k)
 
 
 def random_hyperplanes(dim: int, num_tables: int, bits_per_table: int, seed: int = 42) -> np.ndarray:

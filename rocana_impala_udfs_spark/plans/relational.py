@@ -2617,7 +2617,12 @@ def q_sql_text_monthly_nation_rank(spark: SparkSession, sf_dir: str) -> DataFram
     what a reference user migrating SQL workloads runs verbatim.  Top-3
     nations by monthly order revenue; revenue summed in DECIMAL(18,2)
     per-row casts so the aggregate is exact in any summation order (the
-    `_sum_rev_exact` discipline), rank ties broken by name."""
+    `_sum_rev_exact` discipline), rank ties broken by name.  The final
+    ``revenue`` projection casts the exact DECIMAL sum to DOUBLE on BOTH
+    engines: 2-decimal values convert to bit-identical doubles, whereas
+    emitting DECIMAL(28,2) from Spark vs float64 from the DuckDB/pandas
+    bridge renders '...80' vs '...8' and flips the driver's
+    representation-exact hash (VERDICT r7 #1)."""
     for t in ("orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"_sqlt_{t}")
     return spark.sql(
@@ -2631,7 +2636,7 @@ def q_sql_text_monthly_nation_rank(spark: SparkSession, sf_dir: str) -> DataFram
             JOIN _sqlt_nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
         )
-        SELECT month, n_name, revenue, rk FROM (
+        SELECT month, n_name, CAST(revenue AS DOUBLE) AS revenue, rk FROM (
             SELECT month, n_name, revenue,
                    CAST(rank() OVER (PARTITION BY month
                                      ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
@@ -2653,7 +2658,7 @@ WITH monthly AS (
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
 )
-SELECT month, n_name, CAST(revenue AS DECIMAL(18,2)) AS revenue,
+SELECT month, n_name, CAST(revenue AS DOUBLE) AS revenue,
        CAST(rank() OVER (PARTITION BY month
                          ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
 FROM monthly

@@ -503,12 +503,28 @@ def test_pq_probe_side_broadcast_single_shuffle(spark):
     """ann_pq_top5: the only join is the k-bounded probe frame broadcast
     (BroadcastNestedLoopJoin against 4 rows — the documented bounded
     crossJoin shape shared by the ANN keys); encode/table kernels are
-    Arrow-batched; exactly one shuffle (the per-probe top-k window)."""
+    Arrow-batched; and the per-probe ranking is the two-phase salted
+    top-k (r8): the phase-1 window partitions by (query_id, _salt) so no
+    task ever sorts the whole corpus for one probe — two bounded window
+    exchanges, never one unbounded one."""
     plan = _plan(spark, "ann_pq_top5")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2  # salted + final window
+    assert "_salt" in plan  # phase-1 partitioning carries the salt
     assert plan.count("ArrowEvalPython") == 2  # codes + tables kernels
+
+
+def test_ann_brute_force_ranking_is_two_phase(spark):
+    """ann_cosine_top5: the exact brute-force path must NOT rank with a
+    bare query_id window over the whole corpus (one task sorts n rows per
+    probe at 100×). r8 routes it through grouped_topk_two_phase: two
+    Window nodes, the lower one partitioned by (query_id, _salt)."""
+    plan = _plan(spark, "ann_cosine_top5")
+    assert plan.count("Window [") == 2
+    lower = plan.split("Window [")[2]
+    assert "_salt" in lower.split("\n")[0], lower.split("\n")[0]
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_duplicated_spans_no_cartesian_partial_agg(spark):
