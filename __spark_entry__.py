@@ -38,74 +38,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-7 order:
-# (1) the three keys whose semantics/plan changed this round (BPE fold
-# symbol-boundary fix; the reworked pushdown-friendly selection median;
-# CUPED's decimal accumulation) plus the four NEW r7 keys (one-statement
-# JVM-Aggregator SQL median, duplicated-span dedup, PQ ANN, streaming
-# session windows, append-mode watermark finalization, two-phase salted
-# grouped top-k, ANN recall scorecard, hybrid RRF search), (2) the 38 keys
-# that have never received a driver row across r01-r06 (all green on the
-# local full harness), then (3) the nine weak-by-design keys (rows-only is
-# their best possible evidence; they already carry driver rows, so they
-# absorb any over-budget truncation harmlessly). Everything else is
-# already driver-confirmed hash-green on its latest row.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-8 order:
+# (1) the one r7 hash-red key, now fixed (DOUBLE cast both sides); (2) the
+# one key that has never received a driver row (histogram_price_qty_2d —
+# position 51 of r7's 50-key budget); (3) the 8 r7 scale-rework keys whose
+# driver rows predate their rework (all green on the local harness); (4)
+# the 4 keys whose ANN ranking was rewired through the two-phase salted
+# top-k this round (values unchanged by the merge property; fresh rows
+# prove the new plans); (5) new r8 keys; then (6) the nine weak-by-design
+# keys (rows-only is their best evidence; they already carry driver rows,
+# so they absorb any over-budget truncation harmlessly). Everything else
+# is already driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
-    "bpe_apply_stats",
-    "exact_median_selection",
-    "ab_cuped_adjusted",
-    "appx_median_sql_onecall",
-    "dedup_duplicated_spans",
-    "ann_pq_top5",
-    "stream_session_windows",
-    "topk_per_group_two_phase",
-    "stream_hourly_append_watermark",
-    "ann_recall_report",
-    "search_hybrid_rrf_top10",
-    "stats_kendall_tau_qty_linenumber",
-    "stream_stream_interval_join",
-    "shard_manifest_stats",
-    "curriculum_budget_selection",
-    "corpus_source_dashboard",
-    "exact_weighted_median_price",
-    "stats_acf_daily",
-    "events_changepoint_daily",
-    "events_peak_concurrency",
-    "events_duration_log2_buckets",
-    "source_vocab_overlap",
-    "events_conversion_wilson_ci",
-    "emb_centroid_microunits",
     "sql_text_monthly_nation_rank",
-    "emb_int8_quantized_topk",
-    "multimodal_histogram_similarity",
-    "exact_weighted_p90_quantity",
-    "stats_gini_order_values",
-    "notin_null_semantics_probe",
-    "events_iqr_outliers",
-    "window_rank_semantics_probe",
-    "join_cardinality_estimate",
-    "label_churn_features",
-    "pit_feature_join",
-    "split_leakage_audit",
-    "resample_class_balance",
-    "negative_sampling_pairs",
-    "stats_median_ci_price",
-    "forecast_mase_seasonal_naive",
-    "text_readability_scores",
-    "pack_nextfit_stats",
-    "events_user_drawdown",
-    "ops_rate_limiter_sim",
-    "sample_exact_k_per_type",
-    "stats_quantile_bands_price",
-    "graph_components_parts",
-    "events_cumulative_distinct_users",
-    "search_bm25_top10",
-    "quantile_normalize_price",
     "histogram_price_qty_2d",
-    # r7 scale-rework keys whose VALUES are unchanged (verified locally):
-    # their existing driver-green rows remain valid for the old code and
-    # the local harness covers the new code, so they rank after the
-    # never-checked backlog but before the weak tail.
     "stats_kruskal_price_by_flag",
     "stats_mannwhitney_price_halves",
     "stats_spearman_price_quantity",
@@ -114,6 +60,12 @@ _NEVER_DRIVER_CHECKED = [
     "cdc_apply_latest",
     "llm_corpus_pipeline",
     "dedup_survivors_best_quality",
+    "ann_cosine_top5",
+    "ann_pq_top5",
+    "ann_recall_report",
+    "search_hybrid_rrf_top10",
+    # --- new r8 keys insert here ---
+    # weak-by-design tail:
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",

@@ -55,5 +55,18 @@ def register_jvm_udaf(spark: SparkSession, name: str = SQL_NAME) -> bool:
         udf = jvm.org.apache.spark.sql.functions.udaf(agg, enc)
         spark._jsparkSession.udf().register(name, udf)
         return True
-    except Exception:  # pragma: no cover — absent JVM bridge / broken jar
+    except Exception as exc:  # pragma: no cover — absent JVM bridge / broken jar
+        # A deliberately stripped-down environment and a genuinely broken
+        # jar (class-version mismatch, bad encoder, corrupt artifact) take
+        # the same return path; the one-line warning keeps the latter
+        # traceable instead of surfacing much later as an opaque
+        # "undefined function appx_median_bounded_1call".
+        import warnings
+
+        warnings.warn(
+            f"JVM UDAF registration of {UDAF_CLASS} from {JAR_PATH} failed: "
+            f"{type(exc).__name__}: {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return False

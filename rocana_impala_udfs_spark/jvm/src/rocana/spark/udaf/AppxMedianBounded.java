@@ -61,10 +61,12 @@ public class AppxMedianBounded extends Aggregator<Row, ReservoirBuf, String> {
     if (in.isNullAt(0)) {
       return b; // NULL skip, median.cc:130
     }
+    // NaN values are sampled like any other double, exactly as the
+    // reference's ReservoirSampleUpdate does (median.cc:128-163 skips
+    // only NULLs). Divergence note: finish() sorts via Double.compare,
+    // which totals-orders NaN above +Inf deterministically, whereas the
+    // reference's operator< leaves NaN placement unspecified.
     double v = in.getDouble(0);
-    if (Double.isNaN(v)) {
-      return b;
-    }
     if (b.getMaxSamples() == 0) {
       b.setMaxSamples(100); // all-null k so far: the Python UDAF's default
     }

@@ -1644,21 +1644,33 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = s2.select(
         "user_id", (F.unix_micros("t2") - F.unix_micros("t0")).alias("dt_us")
     ).persist()
-    med_val = exact_kth_value(conv, "dt_us")  # default k = n//2 + 1
-    med = spark.createDataFrame(
-        [(None if med_val is None else int(med_val),)], "median_us bigint"
+    # Both consumers (selection median + stats agg) are materialized here
+    # so the cache can be released before returning — a persist left live
+    # would leak storage memory across repeated harness/bench runs.
+    try:
+        med_val = exact_kth_value(conv, "dt_us")  # default k = n//2 + 1
+        stats_row = conv.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+            F.min("dt_us").alias("min_us"),
+            F.max("dt_us").alias("max_us"),
+            F.round(
+                F.try_divide(F.sum("dt_us").cast("double"), F.count(F.lit(1))), 4
+            ).alias("mean_us"),
+        ).collect()[0]
+    finally:
+        conv.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                stats_row.n_converted,
+                stats_row.min_us,
+                stats_row.max_us,
+                stats_row.mean_us,
+                None if med_val is None else int(med_val),
+            )
+        ],
+        "n_converted bigint, min_us bigint, max_us bigint, mean_us double, median_us bigint",
     )
-    stats = conv.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-        F.min("dt_us").alias("min_us"),
-        F.max("dt_us").alias("max_us"),
-        F.round(
-            F.try_divide(F.sum("dt_us").cast("double"), F.count(F.lit(1))), 4
-        ).alias("mean_us"),
-    )
-    # LEFT join on true: an empty funnel still yields the oracle's one
-    # (n_converted=0, NULL stats) row instead of an empty cross product.
-    return stats.join(F.broadcast(med), F.lit(True), "left")
 
 
 ORACLE_FUNNEL_TTC = """
