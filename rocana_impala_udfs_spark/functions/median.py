@@ -112,7 +112,18 @@ class ReservoirState:
         if max_samples is not None and int(max_samples) > self.max_samples:
             self.max_samples = int(max_samples)
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]  # NULL skip, median.cc:130
+        # NULL skip (median.cc:130). DIVERGENCE NOTE: the Arrow/pandas
+        # bridge delivers SQL NULL doubles as NaN, so this mask necessarily
+        # drops genuine NaN *data* values too — unlike the reference (which
+        # skips only is_null; median.cc:130-131) and unlike the JVM UDAF
+        # (AppxMedianBounded.java:61, which sees real nulls and samples NaN
+        # like any double under Double.compare's total order). On
+        # NaN-containing input `appx_median_bounded` (this path) and
+        # `appx_median_bounded_1call` (JVM) can therefore disagree; NaN-free
+        # input — every fixture and every driver key — is identical. A
+        # caller needing reference-exact NaN handling should use the JVM
+        # UDAF or pre-filter NaN explicitly.
+        values = values[~np.isnan(values)]
         if values.size == 0:
             return
         k = self.max_samples

@@ -193,3 +193,42 @@ def exact_kth_value(
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def stats_with_exact_median(df: DataFrame, value_col: str) -> dict:
+    """Count / min / max / mean plus the exact upper median of
+    ``value_col`` (``median.cc:301``), computed with the cache shared
+    between both consumers and released before returning.
+
+    This is the documented home for the bounded driver-side collect that
+    ``plans/`` paths may not embed (tests/test_plans.py pins that rule):
+    the stats aggregate is ONE row regardless of input size, and the
+    median comes from :func:`exact_kth_value` (histogram selection — no
+    global sort), so nothing here grows with the data. ``df`` is
+    persisted for the duration so the selection rounds and the stats agg
+    rescan memory, not the upstream join, and unpersisted in a
+    ``finally:`` so repeated harness/bench runs never leak storage.
+
+    Returns ``{"n": int, "min": .., "max": .., "mean": float|None,
+    "median": ..|None}`` with mean rounded to 4 dp (HALF_UP, engine-side).
+    """
+    cached = df.persist()
+    try:
+        median = exact_kth_value(cached, value_col)  # default k = n//2 + 1
+        row = cached.agg(
+            F.count(value_col).cast("bigint").alias("n"),
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+            F.round(
+                F.try_divide(F.sum(value_col).cast("double"), F.count(value_col)), 4
+            ).alias("mean"),
+        ).collect()[0]
+    finally:
+        cached.unpersist()
+    return {
+        "n": int(row.n),
+        "min": row.mn,
+        "max": row.mx,
+        "mean": row.mean,
+        "median": median,
+    }

@@ -2658,11 +2658,13 @@ WITH monthly AS (
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name, date_trunc('month', o.o_orderdate)
 )
-SELECT month, n_name, CAST(revenue AS DOUBLE) AS revenue,
-       CAST(rank() OVER (PARTITION BY month
-                         ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
-FROM monthly
-QUALIFY rk <= 3
+SELECT month, n_name, CAST(revenue AS DOUBLE) AS revenue, rk FROM (
+    SELECT month, n_name, revenue,
+           CAST(rank() OVER (PARTITION BY month
+                             ORDER BY revenue DESC, n_name ASC) AS INT) AS rk
+    FROM monthly
+) ranked
+WHERE rk <= 3
 ORDER BY month, rk, n_name
 """
 

@@ -1622,8 +1622,15 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/selection.py`) over the persisted conversions frame — the
     conversions set is user-scale (unbounded), so the previous global
     rank window would have sorted it on ONE partition at 100 TB; selection
-    narrows by counting with no global sort and stays exact."""
-    from rocana_impala_udfs_spark.operators.selection import exact_kth_value
+    narrows by counting with no global sort and stays exact.
+
+    The bounded driver-side materialization (1-row stats agg + the
+    selection rounds, sharing one cache released before return) lives in
+    ``operators/selection.stats_with_exact_median`` — ``plans/`` paths may
+    not embed a driver round-trip (tests/test_plans.py pins that rule), and the
+    returned DataFrame is therefore a driver-local single row: plan dumps
+    for this key show a LocalTableScan, by design."""
+    from rocana_impala_udfs_spark.operators.selection import stats_with_exact_median
 
     ev = load_table(spark, sf_dir, "events")
     s0 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t0"))
@@ -1643,30 +1650,16 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conv = s2.select(
         "user_id", (F.unix_micros("t2") - F.unix_micros("t0")).alias("dt_us")
-    ).persist()
-    # Both consumers (selection median + stats agg) are materialized here
-    # so the cache can be released before returning — a persist left live
-    # would leak storage memory across repeated harness/bench runs.
-    try:
-        med_val = exact_kth_value(conv, "dt_us")  # default k = n//2 + 1
-        stats_row = conv.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-            F.min("dt_us").alias("min_us"),
-            F.max("dt_us").alias("max_us"),
-            F.round(
-                F.try_divide(F.sum("dt_us").cast("double"), F.count(F.lit(1))), 4
-            ).alias("mean_us"),
-        ).collect()[0]
-    finally:
-        conv.unpersist()
+    )
+    st = stats_with_exact_median(conv, "dt_us")
     return spark.createDataFrame(
         [
             (
-                stats_row.n_converted,
-                stats_row.min_us,
-                stats_row.max_us,
-                stats_row.mean_us,
-                None if med_val is None else int(med_val),
+                st["n"],
+                st["min"],
+                st["max"],
+                st["mean"],
+                None if st["median"] is None else int(st["median"]),
             )
         ],
         "n_converted bigint, min_us bigint, max_us bigint, mean_us double, median_us bigint",
