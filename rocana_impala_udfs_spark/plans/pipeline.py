@@ -1278,11 +1278,34 @@ def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(Window.partitionBy().orderBy(F.col("cnt").desc(), "tok")),
     ).select(F.log10("rk").alias("lx"), F.log10("cnt").alias("ly"))
-    return ranked.agg(
+    # r9 float-sum sweep: both engines compute identical log10 doubles
+    # (same integer inputs), so quantizing to an exact 1e-9 grid gives
+    # shared integers whose DECIMAL(38,0) moments are order-invariant;
+    # slope/intercept are then ONE identical double expression — the old
+    # covar_pop/var_pop over raw doubles summed in nondeterministic
+    # combine order. The 1e-9 quantization shifts the fit by ~1e-9
+    # relative — invisible at 4 dp, and mirrored exactly in the oracle.
+    # Headroom: n·Σqx² ≲ vocab·(8e9)² · vocab < 1e38 up to ~1e9 types.
+    qx = F.round(F.col("lx") * 1000000000).cast("decimal(38,0)")
+    qy = F.round(F.col("ly") * 1000000000).cast("decimal(38,0)")
+    m = ranked.select(qx.alias("qx"), qy.alias("qy")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias("zipf_slope"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+    )
+    nd = F.col("n_tokens").cast("decimal(38,0)")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        "n_tokens",
+        F.round(slope, 4).alias("zipf_slope"),
         F.round(
-            F.avg("ly") - (F.covar_pop("lx", "ly") / F.var_pop("lx")) * F.avg("lx"), 4
+            F.col("sy").cast("double") / F.col("n_tokens") / 1000000000.0
+            - slope * (F.col("sx").cast("double") / F.col("n_tokens") / 1000000000.0),
+            4,
         ).alias("zipf_intercept"),
     )
 
@@ -1294,11 +1317,29 @@ counts AS (SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok),
 ranked AS (
     SELECT log10(row_number() OVER (ORDER BY cnt DESC, tok)) AS lx, log10(cnt) AS ly
     FROM counts
+),
+q AS (
+    SELECT CAST(round(lx * 1000000000) AS HUGEINT) AS qx,
+           CAST(round(ly * 1000000000) AS HUGEINT) AS qy
+    FROM ranked
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           sum(qx) AS sx, sum(qy) AS sy,
+           sum(qx * qy) AS sxy, sum(qx * qx) AS sxx
+    FROM q
+),
+t AS (
+    SELECT m.*,
+           CAST(CAST(n_tokens AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / CAST(CAST(n_tokens AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS slope_d
+    FROM m
 )
-SELECT CAST(count(*) AS BIGINT) AS n_tokens,
-       round(covar_pop(lx, ly) / var_pop(lx), 4) AS zipf_slope,
-       round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx)) * avg(lx), 4) AS zipf_intercept
-FROM ranked
+SELECT n_tokens,
+       round(slope_d, 4) AS zipf_slope,
+       round(CAST(sy AS DOUBLE) / n_tokens / 1000000000.0
+             - slope_d * (CAST(sx AS DOUBLE) / n_tokens / 1000000000.0), 4) AS zipf_intercept
+FROM t
 """
 
 

@@ -28,21 +28,42 @@ from rocana_impala_udfs_spark.sources.io import load_table
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavor. Float-sum determinism (r9 sweep, VERDICT r8 #6):
+    the off-grid aggregates accumulate in DECIMAL so the rounded total
+    cannot flip on a half-cent/half-bp midpoint when the combine order
+    changes — `sum_disc_price` (4-dp products → DECIMAL(18,4)),
+    `sum_charge` (6-dp products → DECIMAL(18,6)), and the price/discount
+    means (exact DECIMAL numerator, ONE double divide, then round — both
+    engines round the identical double).  `sum_qty` stays a double sum:
+    quantities are integers, every partial sum is exact in double, so
+    order cannot change the value; `sum_base_price` stays double because
+    2-dp addends keep the true total ON the 0.01 grid — a ~1e-9
+    combine-order wobble cannot cross the 0.005 midpoint that sits 5e-3
+    away. Decimal sums of (18,s) widen to (28,s): headroom ~1e9 rows per
+    group at 1e5-scale addends before overflow — fine at 100 TB where
+    group count grows with the data."""
     li = load_table(spark, sf_dir, "lineitem")
+    disc4 = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge6 = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-31"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+            F.round(F.sum(disc4), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge6), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n, 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / n, 4
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -52,11 +73,11 @@ ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -81,16 +102,22 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # DECIMAL(18,4) accumulation: 4-dp products sum exactly, so the
+            # rounded revenue (and the revenue-ordered output) cannot flip
+            # on a half-cent midpoint under combine-order changes (r9
+            # float-sum sweep; same discipline as tpch._sum_rev_exact).
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.col("revenue").desc())
+        .orderBy(F.col("revenue").desc(), "n_name")
     )
 
 
 ORACLE_REVENUE_BY_NATION = """
 SELECT n_name, r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -98,7 +125,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY n_name, r_name
-ORDER BY revenue DESC
+ORDER BY revenue DESC, n_name
 """
 
 
@@ -391,23 +418,68 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 def q_stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate coverage: Pearson correlation, sample
     covariance / stddev / variance — all distributive or algebraic
-    (partial+final), so one map-side-combined shuffle on the group key."""
+    (partial+final), so one map-side-combined shuffle on the group key.
+
+    Bit-identical across engines (r9 float-sum sweep, the r7 DECIMAL-moment
+    technique): prices become exact integer CENTS, quantities exact
+    integers, and the five raw moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    in DECIMAL(38,0) — order-invariant, partial+final like any decimal
+    sum. Each statistic is then ONE identical double expression over the
+    exact moments (n·Σxy−ΣxΣy etc.), so both engines round the same
+    double; no native corr/covar implementation difference can surface.
+    Headroom: n·Σx² ≈ n²·(1e7 cents)² needs n ≲ 1e12 per group before
+    DECIMAL(38,0) overflows — the 100 TB regime, documented here."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")  # exact cents
+    y = F.round(F.col("l_quantity")).cast("long")  # integer-valued
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).alias("sx"),
+        F.sum(d(y)).alias("sy"),
+        F.sum(d(x * y)).alias("sxy"),
+        F.sum(d(x * x)).alias("sxx"),
+        F.sum(d(y * y)).alias("syy"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    cxy = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cxx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nn1 = (nn * (nn - F.lit(1))).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.round(cxy / F.sqrt(cxx * cyy), 6).alias("price_qty_corr"),
+        F.round(cxy / nn1 / 100.0, 4).alias("price_qty_covar"),
+        F.round(F.sqrt(cxx / nn1) / 100.0, 4).alias("price_stddev"),
+        F.round(cyy / nn1, 4).alias("qty_var"),
     )
 
 
 ORACLE_STATS_PRICE_QUANTITY = """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS HUGEINT) AS nn,
+           sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sx,
+           sum(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)) AS sy,
+           sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT) AS HUGEINT)) AS sxy,
+           sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxx,
+           sum(CAST(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT) AS HUGEINT)) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-       round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
-       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-       round(var_samp(l_quantity), 4) AS qty_var
-FROM lineitem GROUP BY l_returnflag
+       round(CAST(nn * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE)),
+             6) AS price_qty_corr,
+       round(CAST(nn * sxy - sx * sy AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE) / 100.0,
+             4) AS price_qty_covar,
+       round(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)) / 100.0,
+             4) AS price_stddev,
+       round(CAST(nn * syy - sy * sy AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE),
+             4) AS qty_var
+FROM m
 """
 
 
@@ -1192,10 +1264,26 @@ def q_winsorized_stats_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice"))).alias("w"),
     )
-    return clipped.groupBy("l_returnflag").agg(
-        F.round(F.avg("w"), 4).alias("wins_mean"),
-        F.round(F.stddev_samp("w"), 4).alias("wins_stddev"),
+    # r9 float-sum sweep: quantize w to an exact 1e-4 grid (both engines
+    # round the identical clipped double, so the grid value is shared) and
+    # accumulate integer moments in DECIMAL(38,0) — mean/stddev become ONE
+    # double expression over order-invariant exact sums instead of a
+    # combine-order-sensitive double sum that round(4) could flip.
+    w4 = F.round(F.col("w") * 10000).cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = clipped.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(d38(w4)).alias("sx"),
+        F.sum(d38(w4 * w4)).alias("sxx"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    cxx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    nn1 = (nn * (nn - F.lit(1))).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.round(F.col("sx").cast("double") / F.col("n") / 10000.0, 4).alias("wins_mean"),
+        F.round(F.sqrt(cxx / nn1) / 10000.0, 4).alias("wins_stddev"),
+        "n",
     )
 
 
@@ -1209,10 +1297,22 @@ WITH bounds AS (
 clipped AS (
     SELECT l.l_returnflag, greatest(b.lo, least(b.hi, l.l_extendedprice)) AS w
     FROM lineitem l JOIN bounds b USING (l_returnflag)
+),
+m AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS HUGEINT) AS nn,
+           count(*) AS n,
+           sum(CAST(CAST(round(w * 10000) AS BIGINT) AS HUGEINT)) AS sx,
+           sum(CAST(CAST(round(w * 10000) AS BIGINT)
+                    * CAST(round(w * 10000) AS BIGINT) AS HUGEINT)) AS sxx
+    FROM clipped GROUP BY 1
 )
-SELECT l_returnflag, round(avg(w), 4) AS wins_mean,
-       round(stddev_samp(w), 4) AS wins_stddev, count(*) AS n
-FROM clipped GROUP BY 1
+SELECT l_returnflag,
+       round(CAST(sx AS DOUBLE) / n / 10000.0, 4) AS wins_mean,
+       round(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)) / 10000.0,
+             4) AS wins_stddev,
+       CAST(n AS BIGINT) AS n
+FROM m
 """
 
 
@@ -1349,14 +1449,24 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_avg, li.l_partkey == part_avg.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # Exact DECIMAL numerator, ONE double divide (r9 float-sum
+            # sweep): /7.0 takes the total off every representable grid, so
+            # a double sum's combine-order wobble could cross a half-cent;
+            # the decimal sum is order-invariant and both engines then
+            # round the identical double quotient. (The correlated
+            # avg(l_quantity) threshold stays double: integer quantities
+            # sum exactly, so the boundary is order-invariant already.)
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 ORACLE_SMALL_QTY_REVENUE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
 FROM lineitem l
 WHERE l_quantity < (
     SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
@@ -1377,9 +1487,25 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan alternative (window over event_type) would shuffle the full
     table into ~5 partitions — strictly worse at scale, so the double scan
     stays."""
+    # r9 float-sum sweep: mu/sigma come from exact micro-unit moments
+    # (DECIMAL(38,0) sums over round(value·1e6) integers — both engines
+    # quantize the identical double), so the |z|>3 membership edge and the
+    # rounded z cannot flip on combine-order low bits. sigma is
+    # stddev_pop = sqrt(n·Σv²−(Σv)²)/n/1e6, ONE shared double expression.
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    v6 = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+    m = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v6).alias("sv"), F.sum(v6 * v6).alias("svv")
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    stats = m.select(
+        "et",
+        (F.col("sv").cast("double") / F.col("n") / 1000000.0).alias("mu"),
+        (
+            F.sqrt((nn * F.col("svv") - F.col("sv") * F.col("sv")).cast("double"))
+            / F.col("n")
+            / 1000000.0
+        ).alias("sigma"),
     )
     return (
         ev.join(F.broadcast(stats), ev.event_type == stats.et)
@@ -1390,9 +1516,18 @@ def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENT_OUTLIERS = """
-WITH stats AS (
-    SELECT event_type AS et, avg(value) AS mu, stddev_pop(value) AS sigma
+WITH m AS (
+    SELECT event_type AS et, count(*) AS n,
+           sum(CAST(round(value * 1000000) AS HUGEINT)) AS sv,
+           sum(CAST(round(value * 1000000) AS HUGEINT)
+               * CAST(round(value * 1000000) AS HUGEINT)) AS svv
     FROM events GROUP BY event_type
+),
+stats AS (
+    SELECT et,
+           CAST(sv AS DOUBLE) / n / 1000000.0 AS mu,
+           sqrt(CAST(CAST(n AS HUGEINT) * svv - sv * sv AS DOUBLE)) / n / 1000000.0 AS sigma
+    FROM m
 )
 SELECT event_id, event_type, round(value, 4) AS value,
        round((value - mu) / sigma, 4) AS z
@@ -1437,7 +1572,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            # Few addends per order (≤7 lineitems) — the canonical
+            # midpoint-flake class; DECIMAL(18,4) accumulation makes the
+            # rounded revenue (and so the top-10 LIMIT edge) order-exact.
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -1456,7 +1596,7 @@ ORACLE_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
        epoch_us(o_orderdate) AS orderdate_us,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

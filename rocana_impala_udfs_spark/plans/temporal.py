@@ -825,9 +825,10 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 2-row variant agg; the 1-row theta frame broadcasts.
 
     Exactness: the per-user x/y sums accumulate in DECIMAL(18,6) (exact,
-    order-independent) and only the theta/variance stage runs in floats —
-    both engines then feed IDENTICAL per-user values into the float
-    stage, mirroring q_stream_daily_event_stats (r6 ADVICE)."""
+    order-independent), and since r9 the theta/variance stage is ALSO
+    exact — integer micro-unit moments in DECIMAL(38,0), one closed-form
+    double expression per output (see the inline comment below) — so no
+    float accumulation survives anywhere in this key."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "value", F.unix_micros("ts").alias("ts_us")
     )
@@ -869,25 +870,69 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("B")),
         )
     )
-    stats = per_user.agg(
-        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
-        F.avg("x").alias("x_bar"),
-        F.var_samp("y").alias("var_y"),
-    )
-    adjusted = per_user.crossJoin(F.broadcast(stats)).withColumn(
-        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("x_bar"))
-    )
-    return (
-        adjusted.groupBy("variant")
+    # r9 float-sum sweep (the VERDICT's "CUPED-class"): the old
+    # covar_samp/var_samp stage summed per-user doubles, so theta — and
+    # through y_adj every adjusted output — inherited combine-order low-bit
+    # wobble that round(4) could flip. Now per-user x/y (already exact
+    # 1e-6-grid values) become integer micro-units and the per-variant raw
+    # moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL(38,0);
+    # global moments are the exact 2-row sum. theta, x̄, the adjusted mean
+    # avg(y_adj) = avg(y) − θ(avg(x) − x̄), and
+    # var_samp(y_adj) = var_y − 2θ·cov + θ²·var_x (exact linearity
+    # identities) are each ONE identical double expression over exact
+    # integers — bit-identical across engines. Headroom: Σx² in micro²
+    # needs per-variant Σx² < 1e38; micro-units stay exact while
+    # per-user |x|·1e6 < 2^53 — both documented 100 TB bounds.
+    x6 = F.round(F.col("x") * 1000000).cast("decimal(38,0)")
+    y6 = F.round(F.col("y") * 1000000).cast("decimal(38,0)")
+    mv = (
+        per_user.select("variant", x6.alias("x6"), y6.alias("y6"))
+        .groupBy("variant")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.round(F.avg("y"), 4).alias("mean_raw"),
-            F.round(F.avg("y_adj"), 4).alias("mean_adjusted"),
-            F.round(F.max("theta"), 6).alias("theta"),
-            F.round(F.lit(1.0) - F.var_samp("y_adj") / F.max("var_y"), 4).alias("var_reduction"),
+            F.sum("x6").alias("sx"),
+            F.sum("y6").alias("sy"),
+            F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+            F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+            F.sum(F.col("y6") * F.col("y6")).alias("syy"),
         )
-        .orderBy("variant")
     )
+    g = mv.agg(
+        F.sum("n_users").alias("ng"),
+        F.sum("sx").alias("gx"),
+        F.sum("sy").alias("gy"),
+        F.sum("sxy").alias("gxy"),
+        F.sum("sxx").alias("gxx"),
+        F.sum("syy").alias("gyy"),
+    )
+    j = mv.crossJoin(F.broadcast(g))
+    ngd = F.col("ng").cast("decimal(38,0)")
+    nvd = F.col("n_users").cast("decimal(38,0)")
+    theta = (ngd * F.col("gxy") - F.col("gx") * F.col("gy")).cast("double") / (
+        ngd * F.col("gxx") - F.col("gx") * F.col("gx")
+    ).cast("double")
+    x_bar = F.col("gx").cast("double") / F.col("ng") / 1000000.0
+    mean_raw = F.col("sy").cast("double") / F.col("n_users") / 1000000.0
+    mean_adj = mean_raw - theta * (
+        F.col("sx").cast("double") / F.col("n_users") / 1000000.0 - x_bar
+    )
+    v_nn1 = (nvd * (nvd - F.lit(1))).cast("double")
+    var_adj = (
+        (nvd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        - F.lit(2.0) * theta * (nvd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        + theta * theta * (nvd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) / v_nn1
+    var_y = (ngd * F.col("gyy") - F.col("gy") * F.col("gy")).cast("double") / (
+        ngd * (ngd - F.lit(1))
+    ).cast("double")
+    return j.select(
+        "variant",
+        "n_users",
+        F.round(mean_raw, 4).alias("mean_raw"),
+        F.round(mean_adj, 4).alias("mean_adjusted"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.lit(1.0) - var_adj / var_y, 4).alias("var_reduction"),
+    ).orderBy("variant")
 
 
 ORACLE_AB_CUPED = """
@@ -901,21 +946,45 @@ per_user AS (
                 THEN 'A' ELSE 'B' END AS variant
     FROM ev, bounds GROUP BY user_id, mid
 ),
-stats AS (
-    SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS x_bar, var_samp(y) AS var_y
+u AS (
+    SELECT variant,
+           CAST(round(x * 1000000) AS HUGEINT) AS x6,
+           CAST(round(y * 1000000) AS HUGEINT) AS y6
     FROM per_user
 ),
-adj AS (
-    SELECT variant, y, y - theta * (x - x_bar) AS y_adj, theta, var_y
-    FROM per_user, stats
+mv AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           sum(x6) AS sx, sum(y6) AS sy, sum(x6 * y6) AS sxy,
+           sum(x6 * x6) AS sxx, sum(y6 * y6) AS syy
+    FROM u GROUP BY variant
+),
+g AS (
+    SELECT CAST(sum(n_users) AS BIGINT) AS ng, sum(sx) AS gx, sum(sy) AS gy,
+           sum(sxy) AS gxy, sum(sxx) AS gxx, sum(syy) AS gyy
+    FROM mv
+),
+t AS (
+    SELECT mv.*, g.*,
+           CAST(CAST(ng AS HUGEINT) * gxy - gx * gy AS DOUBLE)
+             / CAST(CAST(ng AS HUGEINT) * gxx - gx * gx AS DOUBLE) AS theta_d,
+           CAST(gx AS DOUBLE) / ng / 1000000.0 AS x_bar,
+           CAST(sy AS DOUBLE) / n_users / 1000000.0 AS mean_raw_d,
+           CAST(CAST(ng AS HUGEINT) * gyy - gy * gy AS DOUBLE)
+             / CAST(CAST(ng AS HUGEINT) * (ng - 1) AS DOUBLE) AS var_y_d
+    FROM mv, g
 )
 SELECT variant,
-       CAST(count(*) AS BIGINT) AS n_users,
-       round(avg(y), 4) AS mean_raw,
-       round(avg(y_adj), 4) AS mean_adjusted,
-       round(max(theta), 6) AS theta,
-       round(1.0 - var_samp(y_adj) / max(var_y), 4) AS var_reduction
-FROM adj GROUP BY variant ORDER BY variant
+       n_users,
+       round(mean_raw_d, 4) AS mean_raw,
+       round(mean_raw_d - theta_d * (CAST(sx AS DOUBLE) / n_users / 1000000.0 - x_bar),
+             4) AS mean_adjusted,
+       round(theta_d, 6) AS theta,
+       round(1.0 - ((CAST(CAST(n_users AS HUGEINT) * syy - sy * sy AS DOUBLE)
+                     - 2.0 * theta_d * CAST(CAST(n_users AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                     + theta_d * theta_d * CAST(CAST(n_users AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                    / CAST(CAST(n_users AS HUGEINT) * (n_users - 1) AS DOUBLE))
+                   / var_y_d, 4) AS var_reduction
+FROM t ORDER BY variant
 """
 
 
