@@ -155,6 +155,9 @@ HEADLINE = [
     "ann_recall_report",
     "search_hybrid_rrf_top10",
     "stats_kendall_tau_qty_linenumber",
+    # r9: streaming grouped top-k (bounded k-row state, one-sided replay —
+    # cheap fixed trigger cost, unlike the two-sided join below).
+    "stream_topk_events_per_type",
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its

@@ -736,6 +736,62 @@ ORDER BY view_hour_us
 """
 
 
+def q_stream_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING GROUPED TOP-K, driver-checked (r9) — the stateful twin of
+    ``operators/topk.grouped_topk_two_phase`` (the salted batch operator
+    the r8 ANN rework routes through): per event_type, the running top-5
+    events by (value DESC, event_id ASC) held as bounded k-row state
+    across a real multi-micro-batch replay. The merge property (top-k of a
+    union ⊆ union of per-part top-k's) makes the final state independent
+    of how rows were batched — so after the last trigger it must equal the
+    batch rank window, which IS the oracle. Each emission is stamped with
+    the strictly-increasing cumulative ``n_seen``; the final answer per
+    group is its max-``n_seen`` emission, selected batch-side from the
+    tiny (groups × k × batches) update-mode sink. Raw ``value`` doubles
+    pass through untouched on both engines — hash-exact without rounding."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.topk_stream import (
+        running_grouped_topk_stream,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    out = running_grouped_topk_stream(stream, k=5)
+    sink = run_to_table(out, mode="update")
+    mx = sink.groupBy(F.col("group").alias("g")).agg(F.max("n_seen").alias("mx"))
+    return (
+        sink.join(
+            F.broadcast(mx),
+            (sink["group"] == mx["g"]) & (sink["n_seen"] == mx["mx"]),
+        )
+        .select(
+            F.col("group").alias("event_type"),
+            "rk",
+            "event_id",
+            "value",
+            F.col("n_seen").cast("bigint").alias("n_seen"),
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+ORACLE_STREAM_TOPK = """
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+    FROM events
+),
+cnt AS (SELECT event_type, count(*) AS n_seen FROM events GROUP BY 1)
+SELECT r.event_type, CAST(r.rk AS INT) AS rk, r.event_id, r.value,
+       CAST(c.n_seen AS BIGINT) AS n_seen
+FROM ranked r JOIN cnt c USING (event_type)
+WHERE r.rk <= 5
+ORDER BY r.event_type, r.rk
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -2720,6 +2776,7 @@ TEMPORAL_QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
     "stream_stream_interval_join": q_stream_stream_interval_join,
+    "stream_topk_events_per_type": q_stream_topk_events_per_type,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -2783,6 +2840,7 @@ TEMPORAL_ORACLE = {
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,
     "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_topk_events_per_type": ORACLE_STREAM_TOPK,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

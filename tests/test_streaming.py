@@ -723,3 +723,44 @@ def test_stream_stream_join_crosses_batch_boundaries(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_grouped_topk_stream_matches_salted_batch_operator(spark, event_stream_dir):
+    """The streaming top-k state after all micro-batches must equal the
+    batch ``grouped_topk_two_phase`` result on the same rows — the merge
+    property pinned end to end (VERDICT r8 stretch #8): micro-batch
+    boundaries play phase-1's salt role, so the final per-group state is
+    batching-invariant and identical to the salted two-phase rank."""
+    from rocana_impala_udfs_spark.operators.topk import grouped_topk_two_phase
+    from rocana_impala_udfs_spark.streaming.topk_stream import (
+        running_grouped_topk_stream,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = running_grouped_topk_stream(stream, k=5)
+    _run_stream(out, "topk_stream")
+    sink = spark.sql("SELECT * FROM topk_stream")
+    mx = sink.groupBy(F.col("group").alias("g")).agg(F.max("n_seen").alias("mx"))
+    got = {
+        (r.group, r.rk): (r.event_id, r.value)
+        for r in sink.join(
+            mx, (sink["group"] == mx["g"]) & (sink["n_seen"] == mx["mx"])
+        ).collect()
+    }
+
+    batch = load_table(spark, SF, "events").select("event_type", "event_id", "value")
+    expect = {
+        (r.event_type, r.rk): (r.event_id, r.value)
+        for r in grouped_topk_two_phase(
+            batch,
+            ["event_type"],
+            [F.col("value").desc(), F.col("event_id")],
+            k=5,
+            salt_col=F.hash("event_id"),
+        ).collect()
+    }
+    assert got == expect
+    # bounded state contract: every emission carries at most k rows/group
+    per_batch = sink.groupBy("group", "n_seen").count().collect()
+    assert all(r["count"] <= 5 for r in per_batch)
