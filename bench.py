@@ -156,8 +156,13 @@ HEADLINE = [
     "search_hybrid_rrf_top10",
     "stats_kendall_tau_qty_linenumber",
     # r9: streaming grouped top-k (bounded k-row state, one-sided replay —
-    # cheap fixed trigger cost, unlike the two-sided join below).
+    # cheap fixed trigger cost, unlike the two-sided join below), streaming
+    # CDC latest-wins view (pure JVM max_by state), streaming EWMA fold
+    # (ordered replay), chi-square independence (fixed-order fold).
     "stream_topk_events_per_type",
+    "stream_cdc_latest_state",
+    "stream_ewma_user_value",
+    "ab_chi2_type_by_variant",
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its

@@ -792,6 +792,111 @@ ORDER BY r.event_type, r.rk
 """
 
 
+def q_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC latest-wins materialized view, driver-checked (r9) —
+    the streaming twin of ``cdc_apply_latest``: the event op stream
+    (signup=insert, error=delete, rest=update) maintains per-user
+    latest-row state across a real multi-micro-batch replay with the
+    BUILT-IN ``max_by(row, struct(ts_us, event_id))`` aggregate in
+    complete mode. latest-wins is a mergeable aggregate, so the final
+    table is ARRIVAL-ORDER-INVARIANT — the round-robin (unordered) replay
+    is exactly the adversarial input — and must equal the batch one-window
+    answer, which IS the oracle. State is one row per user (the
+    materialized view itself); no Python worker, pure JVM typed agg."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    ops = stream.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    latest = ops.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "value", "ts_us", "event_id"),
+            F.struct(F.col("ts_us"), F.col("event_id")),
+        ).alias("s")
+    )
+    sink = run_to_table(latest, mode="complete")
+    return (
+        sink.select("user_id", "s.op", "s.value", "s.ts_us", "s.event_id")
+        .filter(F.col("op") != "D")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_CDC_LATEST = """
+WITH ops AS (
+    SELECT user_id,
+           CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+           value, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+latest AS (
+    SELECT user_id, op, value, ts_us, event_id
+    FROM ops
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) = 1
+)
+SELECT user_id, op, value, ts_us, event_id FROM latest WHERE op <> 'D'
+ORDER BY user_id
+"""
+
+
+def q_stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA fold, driver-checked (r9) — promotes the
+    pytest-pinned ``running_ewma_stream`` to an oracle key: per-user
+    exponential smoothing (alpha=0.1) folded across the TIME-ORDERED
+    bounded replay. Each micro-batch sorts its own rows by (ts, event_id)
+    and folds them into the persisted (acc, n) state; because the ordered
+    replay's batch ranges partition the timeline (every batch-i+1 row has
+    ts strictly beyond cut_i, equal-ts ties never straddle a cut), the
+    cross-batch fold order is exactly the batch (ts, event_id) order — so
+    the final state per user is bit-identical to the batch left fold,
+    which the oracle replays with DuckDB list_reduce (same IEEE
+    ``0.1*x + (1-0.1)*acc`` chain, no rounding). Final answer per user =
+    its max-``n_events`` emission from the update-mode sink."""
+    from rocana_impala_udfs_spark.streaming.ewma_stream import running_ewma_stream
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+    out = running_ewma_stream(stream, alpha=0.1)
+    sink = run_to_table(out, mode="update")
+    mx = sink.groupBy(F.col("user_id").alias("u")).agg(F.max("n_events").alias("mx"))
+    return (
+        sink.join(
+            F.broadcast(mx),
+            (sink["user_id"] == mx["u"]) & (sink["n_events"] == mx["mx"]),
+        )
+        .select("user_id", "ewma", F.col("n_events").cast("bigint").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_EWMA = """
+WITH per AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vals,
+           count(*) AS n
+    FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       list_reduce(vals, (acc, x) -> 0.1*x + (1 - 0.1)*acc) AS ewma,
+       CAST(n AS BIGINT) AS n_events
+FROM per ORDER BY user_id
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -1041,6 +1146,91 @@ SELECT variant,
                     / CAST(CAST(n_users AS HUGEINT) * (n_users - 1) AS DOUBLE))
                    / var_y_d, 4) AS var_reduction
 FROM t ORDER BY variant
+"""
+
+
+def q_ab_chi2_type_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and A/B variant
+    (the same deterministic md5 user gate as ``ab_cuped_adjusted``) — the
+    standard sample-ratio-mismatch / behavior-shift guard on an
+    experiment. All counts (O, row totals r, column totals c, N) are exact
+    integers; each cell's term is the IDENTICAL double expression
+    ``(O−e)²/e`` with ``e = r·c/N`` (one divide of exact integers — no
+    big-integer squares, so no DECIMAL headroom cliff), and the cell terms
+    are summed by a FOLD IN SORTED (type, variant) ORDER on both engines
+    (Spark ``aggregate(sort_array(collect_list(struct)))`` vs DuckDB
+    ``list_reduce(list(... ORDER BY ...))``) — the fixed-order remedy for
+    small float sums, so chi2 is bit-identical with NO rounding. The cell
+    grid is |types|×2 (bounded by the type domain, not the data), the
+    count agg is one map-side-combined shuffle; collect_list touches only
+    the grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint") % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("variant"),
+    )
+    cells = ev.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("variant").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n_tot")
+    termed = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "variant")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", e)
+        .withColumn(
+            "term",
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
+        )
+    )
+    return termed.agg(
+        F.max("n_tot").cast("bigint").alias("n_total"),
+        (
+            (F.countDistinct("event_type") - F.lit(1))
+            * (F.countDistinct("variant") - F.lit(1))
+        ).cast("int").alias("df"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "variant", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+    )
+
+
+ORACLE_AB_CHI2 = """
+WITH ev AS (
+    SELECT event_type,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events
+),
+cells AS (
+    SELECT event_type, variant, CAST(count(*) AS BIGINT) AS o
+    FROM ev GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT variant, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM cells),
+termed AS (
+    SELECT cells.event_type, cells.variant, cells.o,
+           CAST(r_tot AS DOUBLE) * c_tot / n_tot AS e
+    FROM cells JOIN r USING (event_type) JOIN c USING (variant), n
+)
+SELECT (SELECT n_tot FROM n) AS n_total,
+       CAST((SELECT count(DISTINCT event_type) FROM cells) - 1 AS INT)
+         * CAST((SELECT count(DISTINCT variant) FROM cells) - 1 AS INT) AS df,
+       list_reduce(
+           [0.0] || list((o - e) * (o - e) / e ORDER BY event_type, variant),
+           (acc, x) -> acc + x
+       ) AS chi2
+FROM termed
 """
 
 
@@ -2777,6 +2967,9 @@ TEMPORAL_QUERIES = {
     "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
     "stream_stream_interval_join": q_stream_stream_interval_join,
     "stream_topk_events_per_type": q_stream_topk_events_per_type,
+    "stream_cdc_latest_state": q_stream_cdc_latest_state,
+    "stream_ewma_user_value": q_stream_ewma_user_value,
+    "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -2841,6 +3034,9 @@ TEMPORAL_ORACLE = {
     "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,
     "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_topk_events_per_type": ORACLE_STREAM_TOPK,
+    "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
+    "stream_ewma_user_value": ORACLE_STREAM_EWMA,
+    "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -618,3 +618,42 @@ def test_cuped_reduces_variance_when_correlated(spark):
     ).collect()[0]
     assert out.v < 0.2 * stats.var_y  # big variance cut on correlated data
     assert abs(out.m - out.ma) < 1e-9  # mean preserved overall
+
+
+def test_chi2_zero_on_planted_independence(spark, tmp_path):
+    """Perfect independence (every type × variant cell at its expected
+    count) must give chi2 == 0.0 exactly, and df = (R-1)(C-1)."""
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_chi2_type_by_variant
+
+    # find one user per variant with the production md5 gate
+    probe = spark.createDataFrame(
+        [(i,) for i in range(1, 50)], "user_id long"
+    ).withColumn(
+        "variant",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint") % 2
+            == 0,
+            "A",
+        ).otherwise("B"),
+    )
+    by_v = {r.variant: r.user_id for r in probe.collect()}
+    assert set(by_v) == {"A", "B"}
+    rows = []
+    eid = 0
+    for u in (by_v["A"], by_v["B"]):
+        for et, cnt in (("view", 6), ("click", 3), ("purchase", 2)):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, "2024-01-01 00:00:00", u, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/events.parquet")
+    out = q_ab_chi2_type_by_variant(spark, d).collect()[0]
+    assert out.n_total == 22 and out.df == 2
+    assert out.chi2 == 0.0
