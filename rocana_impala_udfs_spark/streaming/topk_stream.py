@@ -94,3 +94,78 @@ def running_grouped_topk_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_grouped_topk_tws(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+) -> DataFrame:
+    """The same running grouped top-k on ``transformWithStateInPandas`` —
+    Spark 4's successor stateful API. State is the identical bounded
+    (vals, ids, n_seen) tuple, so the two implementations must emit
+    identical top-k tables; the test pins that against the
+    ``applyInPandasWithState`` path AND the batch salted operator.
+
+    Same runtime requirements as ``running_median_tws``: the RocksDB
+    state-store provider and ``google.protobuf`` for the tws Python
+    driver worker — the test skips where the environment lacks them."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("topk", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                vals, ids, n_seen = self._state.get()
+                cur = pd.DataFrame({"value": list(vals), "event_id": list(ids)})
+                n = int(n_seen)
+            else:
+                cur = pd.DataFrame(
+                    {"value": pd.Series(dtype="float64"), "event_id": pd.Series(dtype="int64")}
+                )
+                n = 0
+            for pdf in rows:
+                n += len(pdf)
+                batch = pdf[[value_col, id_col]].rename(
+                    columns={value_col: "value", id_col: "event_id"}
+                )
+                cur = batch if cur.empty else pd.concat([cur, batch], ignore_index=True)
+                cur = cur.sort_values(
+                    ["value", "event_id"], ascending=[False, True]
+                ).head(k)
+            self._state.update(
+                (cur["value"].tolist(), [int(i) for i in cur["event_id"]], n)
+            )
+            out = cur.reset_index(drop=True)
+            out.insert(0, "group", key[0])
+            out.insert(1, "rk", range(1, len(out) + 1))
+            out["n_seen"] = n
+            yield out[["group", "rk", "event_id", "value", "n_seen"]]
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            TopKProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

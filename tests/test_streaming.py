@@ -764,3 +764,43 @@ def test_running_grouped_topk_stream_matches_salted_batch_operator(spark, event_
     # bounded state contract: every emission carries at most k rows/group
     per_batch = sink.groupBy("group", "n_seen").count().collect()
     assert all(r["count"] <= 5 for r in per_batch)
+
+
+def test_running_grouped_topk_tws_matches_apply_in_pandas_path(spark, event_stream_dir):
+    """transformWithStateInPandas top-k must equal the
+    applyInPandasWithState path and the batch salted operator — identical
+    bounded state, identical merge."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.operators.topk import grouped_topk_two_phase
+    from rocana_impala_udfs_spark.streaming.topk_stream import (
+        running_grouped_topk_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = running_grouped_topk_tws(stream, k=5)
+    _run_stream(out, "topk_tws")
+    sink = spark.sql("SELECT * FROM topk_tws")
+    mx = sink.groupBy(F.col("group").alias("g")).agg(F.max("n_seen").alias("mx"))
+    got = {
+        (r.group, r.rk): (r.event_id, r.value)
+        for r in sink.join(
+            mx, (sink["group"] == mx["g"]) & (sink["n_seen"] == mx["mx"])
+        ).collect()
+    }
+    batch = load_table(spark, SF, "events").select("event_type", "event_id", "value")
+    expect = {
+        (r.event_type, r.rk): (r.event_id, r.value)
+        for r in grouped_topk_two_phase(
+            batch,
+            ["event_type"],
+            [F.col("value").desc(), F.col("event_id")],
+            k=5,
+            salt_col=F.hash("event_id"),
+        ).collect()
+    }
+    assert got == expect
