@@ -38,33 +38,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-8 order:
-# (1) the one r7 hash-red key, now fixed (DOUBLE cast both sides); (2) the
-# one key that has never received a driver row (histogram_price_qty_2d —
-# position 51 of r7's 50-key budget); (3) the 8 r7 scale-rework keys whose
-# driver rows predate their rework (all green on the local harness); (4)
-# the 4 keys whose ANN ranking was rewired through the two-phase salted
-# top-k this round (values unchanged by the merge property; fresh rows
-# prove the new plans); (5) new r8 keys; then (6) the nine weak-by-design
-# keys (rows-only is their best evidence; they already carry driver rows,
-# so they absorb any over-budget truncation harmlessly). Everything else
-# is already driver-confirmed hash-green on its latest row.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-9 order:
+# (1) the four NEW r9 keys (streaming grouped top-k / CDC latest-wins /
+# EWMA fold, chi-square independence) — no driver row yet; (2) the two
+# stale-evidence keys VERDICT r8 front-loaded (appx_median_sql_onecall —
+# its r7 row predates the NaN-policy jar change; funnel_time_to_convert —
+# stats collect relocated to operators/selection this round); (3) the nine
+# float-sum-sweep keys whose aggregation switched to exact DECIMAL/HUGEINT
+# moments this round (values can shift in the last dp on former midpoints
+# — fresh rows required); (4) sql_text_monthly_nation_rank (oracle
+# reshaped to mirror the Spark rank-over-DECIMAL subquery; values
+# unchanged); then (5) the nine weak-by-design keys (rows-only is their
+# best evidence; they absorb any over-budget truncation harmlessly).
+# Everything else is driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
-    "sql_text_monthly_nation_rank",
-    "histogram_price_qty_2d",
-    "stats_kruskal_price_by_flag",
-    "stats_mannwhitney_price_halves",
-    "stats_spearman_price_quantity",
+    "stream_topk_events_per_type",
+    "stream_cdc_latest_state",
+    "stream_ewma_user_value",
+    "ab_chi2_type_by_variant",
+    "appx_median_sql_onecall",
     "funnel_time_to_convert",
-    "join_skew_report",
-    "cdc_apply_latest",
-    "llm_corpus_pipeline",
-    "dedup_survivors_best_quality",
-    "ann_cosine_top5",
-    "ann_pq_top5",
-    "ann_recall_report",
-    "search_hybrid_rrf_top10",
-    # --- new r8 keys insert here ---
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "join_q3_shipping_priority",
+    "subquery_q17_small_qty_revenue",
+    "stats_price_quantity",
+    "winsorized_stats_price",
+    "events_value_outliers",
+    "ab_cuped_adjusted",
+    "zipf_token_fit",
+    "sql_text_monthly_nation_rank",
     # weak-by-design tail:
     "ann_ivf_top5",
     "semantic_dedup_pairs",
