@@ -53,6 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything else is driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
     "stream_topk_events_per_type",
+    "stream_bitmap_distinct_users",
+    "stream_kmv_distinct_exact",
+    "stream_heavy_hitters_exact",
     "stream_cdc_latest_state",
     "stream_ewma_user_value",
     "ab_chi2_type_by_variant",

@@ -166,7 +166,11 @@ HEADLINE = [
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its
-    # correctness runs in the sf0.01 harness like every other key.
+    # correctness runs in the sf0.01 harness like every other key. The r9
+    # sketch-stream promotions (stream_bitmap_distinct_users /
+    # stream_kmv_distinct_exact / stream_heavy_hitters_exact) are likewise
+    # unbenched: each would add ~3 s of the same fixed replay machinery
+    # already represented by the five benched streaming keys.
 ]
 
 

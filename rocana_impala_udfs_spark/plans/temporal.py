@@ -897,6 +897,124 @@ FROM per ORDER BY user_id
 """
 
 
+def q_stream_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACT DISTINCT via bitmap state, driver-checked (r9) —
+    promotes the pytest-pinned ``running_bitmap_distinct_stream`` to an
+    oracle key: per event_type, a sparse (word → 64-bit mask) map merged
+    by bitwise OR across the unordered replay. OR is a commutative
+    idempotent monoid, so the final count is arrival-order- AND
+    duplication-invariant — exactly ``count(DISTINCT user_id)``, the
+    oracle. Both ``n_distinct`` and ``n_words`` are monotone
+    nondecreasing across emissions, so the final answer per group is the
+    per-column max over the tiny update-mode sink. State is
+    O(universe/64) words per group — the exact/compact middle ground the
+    batch ``bitmap_intersect_users`` key establishes."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_bitmap_distinct_stream,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    out = running_bitmap_distinct_stream(stream, "user_id", "event_type")
+    sink = run_to_table(out, mode="update")
+    return (
+        sink.groupBy(F.col("group").alias("event_type"))
+        .agg(
+            F.max("n_distinct").cast("bigint").alias("n_distinct"),
+            F.max("n_words").cast("int").alias("n_words"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_BITMAP = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT user_id // 64) AS INT) AS n_words
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_stream_kmv_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV DISTINCT in its exact regime, driver-checked (r9):
+    the k-minimum-values sketch (k=4096) per event_type over user_id —
+    while distinct < k the kept-hash set IS the distinct set, so
+    ``est_distinct == count(DISTINCT user_id)`` exactly (64-bit hash
+    collisions are the only caveat; none at test scale, and the batch
+    twin shares the identical hash so any collision would cancel). The
+    union-then-truncate state update is a commutative monoid, so the
+    final state is arrival-order-invariant; final answer = max emission
+    (monotone while unsaturated). The SATURATED regime (distinct ≥ k,
+    (k−1)/h_k estimation) stays pytest-pinned like the batch KMV — the
+    oracle key certifies the exact regime the driver can hash."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_kmv_distinct_stream,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    out = running_kmv_distinct_stream(stream, "user_id", "event_type", k=4096)
+    sink = run_to_table(out, mode="update")
+    return (
+        sink.groupBy(F.col("group").alias("event_type"))
+        .agg(
+            F.max("est_distinct").alias("est_distinct"),
+            F.max("state_size").cast("int").alias("state_size"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_KMV = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS est_distinct,
+       CAST(count(DISTINCT user_id) AS INT) AS state_size
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_stream_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MISRA-GRIES heavy hitters in the exact regime,
+    driver-checked (r9): the m=100 frequent-item summary over event_type
+    values — the type domain is far below m, so the decrement never fires
+    and every counter is the EXACT full count (the classic MG guarantee:
+    error ≤ n/m, here 0 because #distinct < m). Per-value counters are
+    monotone across emissions → final = max per (group, value). The
+    lossy regime (m < #distinct, count ≥ true − n/m) stays pytest-pinned;
+    this key certifies cross-batch counter-map state against the plain
+    batch GROUP BY oracle."""
+    from rocana_impala_udfs_spark.streaming.frequency_stream import (
+        streaming_heavy_hitters,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    out = streaming_heavy_hitters(stream, "event_type", m=100)
+    sink = run_to_table(out, mode="update")
+    return (
+        sink.groupBy(F.col("value").alias("event_type"))
+        .agg(F.max("mg_count").cast("bigint").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_MG = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -2970,6 +3088,9 @@ TEMPORAL_QUERIES = {
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
+    "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
+    "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
+    "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -3037,6 +3158,9 @@ TEMPORAL_ORACLE = {
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
+    "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
+    "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
+    "stream_heavy_hitters_exact": ORACLE_STREAM_MG,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,
