@@ -59,6 +59,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_cdc_latest_state",
     "stream_ewma_user_value",
     "ab_chi2_type_by_variant",
+    "stream_dedup_within_watermark",
     "appx_median_sql_onecall",
     "funnel_time_to_convert",
     "q1_pricing_summary",

@@ -1015,6 +1015,47 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACTLY-ONCE DELIVERY via the built-in
+    ``dropDuplicatesWithinWatermark``, driver-checked (r9): the replay
+    plants a full duplicate copy of every event (copies=2, arriving
+    batches later), the stream dedups on event_id in APPEND mode, and the
+    sink must hold each event EXACTLY once — i.e. the events table
+    itself, which IS the oracle. Complements ``stream_dedup_event_counts``
+    (complete-mode keyed counting) by certifying the dedup OPERATOR's
+    append-mode first-seen emission and cross-batch state matching.
+
+    Regime note: the watermark delay is set beyond the replay's time span
+    so no row is late and no state evicts — the total-dedup regime the
+    oracle can hash. Production's bounded-state trade (horizon ≥ max dup
+    lag, older dups re-emit) is the operator's documented contract
+    (streaming/dedup_stream.py); state here is O(distinct ids in
+    horizon), the same bounded-state doctrine as every streaming key."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir, copies=2)  # memoized
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = run_to_table(deduped, mode="append")
+    return sink.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    ).orderBy("event_id")
+
+
+ORACLE_STREAM_DEDUP_WM = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events ORDER BY event_id
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -3091,6 +3132,7 @@ TEMPORAL_QUERIES = {
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
     "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
+    "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -3161,6 +3203,7 @@ TEMPORAL_ORACLE = {
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
     "stream_heavy_hitters_exact": ORACLE_STREAM_MG,
+    "stream_dedup_within_watermark": ORACLE_STREAM_DEDUP_WM,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,
