@@ -641,3 +641,29 @@ def test_kendall_grid_join_is_broadcast_no_fact_pairing(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "row_number" not in plan and "Window [" not in plan
+
+
+def test_exact_moment_stats_are_pure_aggregation(spark):
+    """The r9 float-sum conversions (exact DECIMAL/HUGEINT moments) must
+    stay partial+final aggregations — no window, no Python eval node, no
+    extra shuffle beyond the group-key exchange(s)."""
+    for key in ("stats_price_quantity", "ab_cuped_adjusted", "zipf_token_fit"):
+        plan = _plan(spark, key)
+        assert "HashAggregate" in plan or "SortAggregate" in plan, key
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, key
+    # stats_price_quantity specifically: one partial+final pair on the
+    # group key, nothing else
+    plan = _plan(spark, "stats_price_quantity")
+    assert "Window" not in plan, "moment stats must not use a window"
+
+
+def test_chi2_fold_is_bounded_single_row(spark):
+    """ab_chi2_type_by_variant: the sorted-fold runs over the tiny
+    (type × variant) grid — the plan's collect_list sits above the
+    cell-count aggregate, never above fact rows, and the result is a
+    1-row frame."""
+    plan = _plan(spark, "ab_chi2_type_by_variant")
+    assert "collect_list" in plan
+    # the cell grid aggregation (partial+final) feeds the fold
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "Window" not in plan
