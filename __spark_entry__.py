@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
 # budget (~50 keys/round), so the UNPROVEN set goes first. Round-9 order:
-# (1) the four NEW r9 keys (streaming grouped top-k / CDC latest-wins /
-# EWMA fold, chi-square independence) — no driver row yet; (2) the two
+# (1) the NEW r9 keys (stream-static broadcast join, Welch t-test,
+# streaming grouped top-k / CDC latest-wins / EWMA fold, chi-square
+# independence, sketch-stream promotions) — no driver row yet; (2) the two
 # stale-evidence keys VERDICT r8 front-loaded (appx_median_sql_onecall —
 # its r7 row predates the NaN-policy jar change; funnel_time_to_convert —
 # stats collect relocated to operators/selection this round); (3) the nine
@@ -52,6 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # best evidence; they absorb any over-budget truncation harmlessly).
 # Everything else is driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
+    "stream_static_enrich_join",
+    "ab_welch_ttest",
+    "emb_pca_project",
+    "corpus_source_overlap",
     "stream_topk_events_per_type",
     "stream_bitmap_distinct_users",
     "stream_kmv_distinct_exact",

@@ -163,6 +163,9 @@ HEADLINE = [
     "stream_cdc_latest_state",
     "stream_ewma_user_value",
     "ab_chi2_type_by_variant",
+    "ab_welch_ttest",
+    "emb_pca_project",
+    "corpus_source_overlap",
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its
@@ -170,7 +173,9 @@ HEADLINE = [
     # sketch-stream promotions (stream_bitmap_distinct_users /
     # stream_kmv_distinct_exact / stream_heavy_hitters_exact) are likewise
     # unbenched: each would add ~3 s of the same fixed replay machinery
-    # already represented by the five benched streaming keys.
+    # already represented by the five benched streaming keys;
+    # stream_static_enrich_join likewise (stateless join + complete agg —
+    # nothing its trigger cost would measure that isn't already covered).
 ]
 
 

@@ -720,3 +720,65 @@ rk AS (
 SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rk AS INT) AS rk
 FROM rk WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PCA projection with FROZEN pretrained components — oracle-exact
+# ---------------------------------------------------------------------------
+
+def fixed_pca_components(n_components: int = 4, dim: int = 64, seed: int = 11) -> np.ndarray:
+    """Deterministic pretrained PCA basis: seeded Gaussian directions
+    orthonormalized by QR, then ROUNDED to 6 decimals so every coordinate
+    is an exact decimal literal both engines parse to the identical double
+    (the frozen-artifact shape of ``fixed_ivf_centroids`` — production
+    pipelines load a trained PCA exactly like this and only ever run the
+    APPLY step in the data path; the O(dim²)-memory training fit belongs
+    offline, like IVF/PQ codebook training)."""
+    rng = np.random.default_rng(seed)
+    W, _ = np.linalg.qr(rng.standard_normal((dim, n_components)))
+    return np.round(W, 6)
+
+
+def pca_project(
+    vectors: DataFrame,
+    n_components: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each embedding onto the frozen components — the
+    dimensionality-reduction APPLY step of a training-data pipeline
+    (compact ANN indexes, cluster features, drift monitors all consume
+    these coordinates). Adds an ``array<double>`` column ``pc``.
+
+    Exactness: each coordinate accumulates with the explicit
+    per-dimension sequential loop (``s += X[:,d]·W[d]``) — the identical
+    IEEE operation order as the oracle's left-associative literal sum
+    chains (``pca_oracle_chains``), so every projected double is
+    bit-identical cross-engine. BLAS matmul would pairwise-reorder the
+    sums. Zero shuffle: the components ride in the UDF closure."""
+    W = fixed_pca_components(n_components, dim)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        if X.ndim != 2 or X.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        s = np.zeros((X.shape[0], W.shape[1]), dtype=np.float64)
+        for d in range(W.shape[0]):  # sequential in d => fold-order-exact
+            s += X[:, d : d + 1] * W[d][None, :]
+        return pd.Series(s.tolist())
+
+    return vectors.withColumn("pc", proj(F.col(vec_col)))
+
+
+def pca_oracle_chains(n_components: int = 4, dim: int = 64) -> list:
+    """Left-associative SQL sum chains computing exactly the ``pc``
+    coordinates of :func:`pca_project` over ``v`` (``embedding::DOUBLE[]``)
+    — generated from the same frozen components so the two can't drift."""
+    W = fixed_pca_components(n_components, dim)
+    return [
+        " + ".join(f"v[{d + 1}]*{W[d, j]!r}" for d in range(dim))
+        for j in range(n_components)
+    ]

@@ -348,6 +348,75 @@ SELECT vec_id, cluster, dist FROM ranked WHERE rn = 1
 """
 
 
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection against FROZEN pretrained components (r9) — the
+    dimensionality-reduction APPLY step of an embedding pipeline (compact
+    indexes, cluster features, drift monitors), the same
+    production-artifact shape as `ann_ivf_fixed_top5`/`ann_pq_top5`:
+    training happens offline, the data path only projects. Per label, the
+    count and the mean of each of the 4 projected coordinates — the
+    per-class embedding-space summary a drift monitor tracks.
+
+    Exactness: the projection kernel accumulates per-dimension
+    sequentially (bit-identical to the oracle's left-associative literal
+    chains, `pca_oracle_chains`); each coordinate then quantizes onto the
+    shared 1e-6 grid ENGINE-SIDE (`F.round` ↔ SQL `round` of identical
+    doubles), means are BIGINT sums / n — exact in any combine order.
+    Headroom: |q|·rows < 9e18 holds to ~1e10 vectors; DECIMAL(38,0) is
+    the documented swap beyond. Scale: zero shuffle before the one
+    label-keyed partial+final agg; components ride in the UDF closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = similarity.pca_project(emb, n_components=4)
+    q = p.select(
+        "label",
+        *[
+            F.round(F.col("pc")[j] * 1000000).cast("bigint").alias(f"q{j}")
+            for j in range(4)
+        ],
+    )
+    agg = q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        *[
+            F.round(
+                F.sum(f"q{j}").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias(f"mean_pc{j + 1}")
+            for j in range(4)
+        ],
+    )
+    return agg.orderBy("label")
+
+
+def _oracle_emb_pca() -> str:
+    chains = similarity.pca_oracle_chains(n_components=4)
+    t_cols = ",\n           ".join(f"({c}) AS t{j}" for j, c in enumerate(chains))
+    q_cols = ",\n           ".join(
+        f"CAST(round(t{j} * 1000000) AS BIGINT) AS q{j}" for j in range(4)
+    )
+    m_cols = ",\n       ".join(
+        f"round(CAST(sum(q{j}) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_pc{j + 1}"
+        for j in range(4)
+    )
+    return f"""
+WITH emb AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+    SELECT label,
+           {t_cols}
+    FROM emb
+),
+q AS (
+    SELECT label,
+           {q_cols}
+    FROM p
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {m_cols}
+FROM q GROUP BY label ORDER BY label
+"""
+
+
+ORACLE_EMB_PCA = _oracle_emb_pca()
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-iteration distributed Lloyd k-means → cluster size/SSE report.
     No oracle: iterative algorithm (the driver records the weaker rows-only
@@ -3790,6 +3859,85 @@ GROUP BY split_pair ORDER BY split_pair
 """
 
 
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content-overlap matrix (r9) — the source-level
+    companion of `split_leakage_audit`: for every source pair, how many
+    document-opening fingerprints (md5 of the first 8 normalized words —
+    the templated/mirrored-content signal) appear in BOTH sources, and
+    the containment ratio shared/min(|A|,|B|). This is the report that
+    decides which crawls/dumps double-count content before mixing
+    weights are set (`mix_sources_budget`).
+
+    Scale: one fp-keyed shuffle of DISTINCT (fp, source) pairs — 32-byte
+    hashes only; the per-fingerprint source set is bounded by the SOURCE
+    DOMAIN (not the data), so pair expansion from the sorted set array is
+    O(|sources|²) per fingerprint worst case and the (a,b) agg grid is
+    |sources|² rows; per-source totals broadcast. No doc text ever
+    shuffles, no all-pairs doc join exists anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    opening = F.concat_ws(
+        " ", F.slice(F.split(T.normalize_text("text"), " "), 1, 8)
+    )
+    fps = docs.select(F.md5(opening).alias("fp"), "source").distinct()
+    tot = fps.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    per_fp = fps.groupBy("fp").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    pairs = per_fp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared_fps")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("t").alias("tb"))
+    return (
+        agg.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double") / F.least("ta", "tb"), 6
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH fps AS (
+    SELECT DISTINCT md5(array_to_string((string_split({_NORM}, ' '))[1:8], ' ')) AS fp, source
+    FROM documents
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t FROM fps GROUP BY source),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+),
+agg AS (
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_fps
+    FROM pairs GROUP BY 1, 2
+)
+SELECT agg.source_a, agg.source_b, agg.shared_fps,
+       round(CAST(agg.shared_fps AS DOUBLE) / least(ta.t, tb.t), 6) AS containment
+FROM agg JOIN tot ta ON agg.source_a = ta.source
+         JOIN tot tb ON agg.source_b = tb.source
+ORDER BY agg.source_a, agg.source_b
+"""
+
+
 def q_resample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic class-balance resampling (oversample minority
     classes toward the majority): each doc of language L replicates
@@ -3981,6 +4129,7 @@ PIPELINE_QUERIES = {
     "corpus_source_dashboard": q_corpus_source_dashboard,
     "source_vocab_overlap": q_source_vocab_overlap,
     "split_leakage_audit": q_split_leakage_audit,
+    "corpus_source_overlap": q_corpus_source_overlap,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
@@ -4044,6 +4193,7 @@ PIPELINE_QUERIES = {
     "dedup_incremental_new_docs": q_dedup_incremental,
     "text_pii_flags": q_text_pii_flags,
     "emb_kmeans_assign": q_kmeans_assign,
+    "emb_pca_project": q_emb_pca_project,
     "emb_kmeans_clusters": q_kmeans_clusters,
     "resample_by_quality": q_resample_by_quality,
 }
@@ -4073,6 +4223,7 @@ PIPELINE_ORACLE = {
     "corpus_source_dashboard": ORACLE_CORPUS_DASHBOARD,
     "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
+    "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,
@@ -4134,6 +4285,7 @@ PIPELINE_ORACLE = {
     "dedup_incremental_new_docs": ORACLE_DEDUP_INCREMENTAL,
     "text_pii_flags": ORACLE_TEXT_PII,
     "emb_kmeans_assign": ORACLE_KMEANS_ASSIGN,
+    "emb_pca_project": ORACLE_EMB_PCA,
     "resample_by_quality": ORACLE_RESAMPLE_QUALITY,
     "stratified_hash_counts": ORACLE_STRATIFIED_HASH,
     "weighted_sample_det_topk": ORACLE_WEIGHTED_DET,

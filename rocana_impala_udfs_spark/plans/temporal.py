@@ -1056,6 +1056,53 @@ FROM events ORDER BY event_id
 """
 
 
+def q_stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC BROADCAST JOIN, driver-checked (r9) — the one core
+    Structured-Streaming join shape no prior key certifies: each
+    micro-batch of the events replay is enriched against the STATIC
+    customer dimension (broadcast — the standard dimension-enrichment
+    topology; stream-stream joins are `stream_stream_interval_join`).
+    The join is stateless (no join state store; the static side is simply
+    available to every batch), so streaming==batch holds trivially per
+    row, and the complete-mode aggregation downstream makes the final
+    sink the batch join+agg — which IS the oracle. LEFT join keeps
+    NULL-user rows, certifying outer-join null semantics through the
+    streaming path too.
+
+    Scale: the dimension broadcasts once (a real cluster re-ships it per
+    batch only if it changes); per-batch work is one map-side hash probe
+    + the partial agg — no shuffle grows with history, state is the
+    (segment × type) result grid. Exactness: value sums accumulate in
+    DECIMAL(18,6) (order-independent across batches and tasks), cast to
+    DOUBLE once at the end — both engines convert the identical exact
+    decimal."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    sink = run_to_table(agg, mode="complete")
+    return sink.orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_markov_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtested next-event prediction — the ML-eval shape on top of the
     Markov transition table: TRAIN on transitions whose successor lands in
@@ -1390,6 +1437,137 @@ SELECT (SELECT n_tot FROM n) AS n_total,
            (acc, x) -> acc + x
        ) AS chi2
 FROM termed
+"""
+
+
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the per-user value metric
+    between the A/B variants (same deterministic md5 user gate as
+    ``ab_cuped_adjusted`` / ``ab_chi2_type_by_variant``) — THE standard
+    experiment readout, completing the experimentation family: CUPED
+    (variance reduction) → chi-square (SRM / behavior shift) → Welch t
+    (the difference test itself, robust to unequal group variances).
+
+    Exactness (the r9 exact-moment recipe): per-user y sums accumulate in
+    DECIMAL(18,6), become integer micro-units, and each variant's raw
+    moments (n, Σy, Σy²) accumulate in DECIMAL(38,0) — exact in any
+    combine order. mean, var, the t statistic and the Welch–Satterthwaite
+    df are each ONE identical closed-form double expression over those
+    exact integers on both engines (sqrt is IEEE correctly-rounded), so
+    t_stat / df_welch hash-match with NO rounding. Headroom: per-variant
+    Σy² in micro² < 1e38 while per-user |y|·1e6 < 2^53 — the documented
+    100 TB bounds shared with the CUPED key.
+
+    Scale: one user-keyed partial+final agg over the fact table, a 2-row
+    variant agg, a 1-row conditional-pivot agg — nothing downstream of
+    the first shuffle grows with the data."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("y")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+                == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    y6 = F.round(F.col("y") * 1000000).cast("decimal(38,0)")
+    mv = (
+        per_user.select("variant", y6.alias("y6"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y6").alias("s"),
+            F.sum(F.col("y6") * F.col("y6")).alias("ss"),
+        )
+    )
+    one = mv.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("ss"))).alias("ss_b"),
+    )
+    nad = F.col("n_a").cast("decimal(38,0)")
+    nbd = F.col("n_b").cast("decimal(38,0)")
+    mean_a = F.col("s_a").cast("double") / F.col("n_a") / 1000000.0
+    mean_b = F.col("s_b").cast("double") / F.col("n_b") / 1000000.0
+    # sample variance in REAL units: exact integer numerator / n(n-1), then
+    # the 1e12 micro² grid factor — one identical double chain per engine
+    var_a = (nad * F.col("ss_a") - F.col("s_a") * F.col("s_a")).cast("double") / (
+        nad * (nad - F.lit(1))
+    ).cast("double") / 1000000000000.0
+    var_b = (nbd * F.col("ss_b") - F.col("s_b") * F.col("s_b")).cast("double") / (
+        nbd * (nbd - F.lit(1))
+    ).cast("double") / 1000000000000.0
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t_stat = (mean_a - mean_b) / F.sqrt(se2)
+    df_welch = (se2 * se2) / (
+        (var_a / F.col("n_a")) * (var_a / F.col("n_a")) / (F.col("n_a") - F.lit(1))
+        + (var_b / F.col("n_b")) * (var_b / F.col("n_b")) / (F.col("n_b") - F.lit(1))
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        t_stat.alias("t_stat"),
+        df_welch.alias("df_welch"),
+    )
+
+
+ORACLE_AB_WELCH = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS y,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events GROUP BY user_id
+),
+u AS (SELECT variant, CAST(round(y * 1000000) AS HUGEINT) AS y6 FROM per_user),
+mv AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           sum(y6) AS s, sum(y6 * y6) AS ss
+    FROM u GROUP BY variant
+),
+one AS (
+    SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+           max(CASE WHEN variant = 'A' THEN s END) AS s_a,
+           max(CASE WHEN variant = 'A' THEN ss END) AS ss_a,
+           max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+           max(CASE WHEN variant = 'B' THEN s END) AS s_b,
+           max(CASE WHEN variant = 'B' THEN ss END) AS ss_b
+    FROM mv
+),
+t AS (
+    SELECT one.*,
+           CAST(s_a AS DOUBLE) / n_a / 1000000.0 AS mean_a_d,
+           CAST(s_b AS DOUBLE) / n_b / 1000000.0 AS mean_b_d,
+           CAST(CAST(n_a AS HUGEINT) * ss_a - s_a * s_a AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) / 1000000000000.0 AS var_a,
+           CAST(CAST(n_b AS HUGEINT) * ss_b - s_b * s_b AS DOUBLE)
+             / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) / 1000000000000.0 AS var_b
+    FROM one
+),
+se AS (SELECT t.*, var_a / n_a + var_b / n_b AS se2 FROM t)
+SELECT n_a, n_b,
+       round(mean_a_d, 4) AS mean_a,
+       round(mean_b_d, 4) AS mean_b,
+       (mean_a_d - mean_b_d) / sqrt(se2) AS t_stat,
+       (se2 * se2) / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                      + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df_welch
+FROM se
 """
 
 
@@ -3133,6 +3311,8 @@ TEMPORAL_QUERIES = {
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
     "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
     "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
+    "stream_static_enrich_join": q_stream_static_enrich_join,
+    "ab_welch_ttest": q_ab_welch_ttest,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -3204,6 +3384,8 @@ TEMPORAL_ORACLE = {
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
     "stream_heavy_hitters_exact": ORACLE_STREAM_MG,
     "stream_dedup_within_watermark": ORACLE_STREAM_DEDUP_WM,
+    "stream_static_enrich_join": ORACLE_STREAM_STATIC_JOIN,
+    "ab_welch_ttest": ORACLE_AB_WELCH,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -1671,3 +1671,62 @@ def test_kendall_tau_matches_bruteforce(spark):
         assert got.nc == nc and got.nd == nd, (flag, got, nc, nd)
         assert got.pairs_2 == n0_2 and got.ties_q_2 == n1_2 and got.ties_l_2 == n2_2
         assert abs(got.tau_b - round(tau, 6)) <= 1e-6, (flag, got.tau_b, tau)
+
+
+def test_pca_project_matches_numpy_and_basis(spark):
+    """pca_project: (1) projecting the frozen basis columns themselves
+    (as one-hot rows) returns the component rows; (2) corpus projections
+    match the numpy per-dimension sequential fold bit-for-bit (the
+    oracle-order contract); (3) the frozen basis is orthonormal to the
+    6-dp rounding it ships with."""
+    W = similarity.fixed_pca_components(4, 64)
+    G = W.T @ W
+    assert np.abs(G - np.eye(4)).max() < 1e-4  # orthonormal up to rounding
+    onehots = spark.createDataFrame(
+        [(d, [1.0 if i == d else 0.0 for i in range(64)]) for d in (0, 13, 63)],
+        "vec_id long, embedding array<float>",
+    )
+    for r in similarity.pca_project(onehots).collect():
+        assert r.pc == pytest.approx(list(W[r.vec_id]), abs=0)
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    rows = similarity.pca_project(emb).select("vec_id", "embedding", "pc").collect()
+    for r in rows:
+        X = np.asarray(r.embedding, dtype=np.float64)
+        s = np.zeros(4)
+        for d in range(64):
+            s += X[d] * W[d]
+        assert list(s) == r.pc  # bit-identical, not approx
+
+
+def test_corpus_source_overlap_pairs_are_exact(spark):
+    """corpus_source_overlap vs a brute-force python recomputation on
+    the sf0.001 corpus: identical pair counts and containment, and
+    every reported pair is ordered a < b."""
+    from rocana_impala_udfs_spark.functions.text import normalize_text
+    from rocana_impala_udfs_spark.plans.pipeline import q_corpus_source_overlap
+
+    docs = load_table(spark, SF, "documents").select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(normalize_text("text"), " "), 1, 8))
+        ).alias("fp"),
+    ).collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r.source, set()).add(r.fp)
+    expect = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(by_src[a] & by_src[b])
+            if shared:
+                expect[(a, b)] = (
+                    shared,
+                    round(shared / min(len(by_src[a]), len(by_src[b])), 6),
+                )
+    got = {
+        (r.source_a, r.source_b): (r.shared_fps, r.containment)
+        for r in q_corpus_source_overlap(spark, SF).collect()
+    }
+    assert all(a < b for a, b in got)
+    assert got == expect

@@ -667,3 +667,24 @@ def test_chi2_fold_is_bounded_single_row(spark):
     # the cell grid aggregation (partial+final) feeds the fold
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_pca_project_is_zero_shuffle_before_label_agg(spark):
+    """emb_pca_project: one Arrow projection kernel, then one label-keyed
+    partial+final agg — no window, no join, nothing shuffled before the
+    aggregate's own exchange."""
+    plan = _plan(spark, "emb_pca_project")
+    assert "ArrowEvalPython" in plan  # the sequential-fold projection kernel
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_source_overlap_has_no_all_pairs_join(spark):
+    """corpus_source_overlap: pair expansion comes from the bounded
+    per-fingerprint source-set array, never a doc-doc join; the totals
+    joins broadcast."""
+    plan = _plan(spark, "corpus_source_overlap")
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

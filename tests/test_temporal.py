@@ -657,3 +657,69 @@ def test_chi2_zero_on_planted_independence(spark, tmp_path):
     out = q_ab_chi2_type_by_variant(spark, d).collect()[0]
     assert out.n_total == 22 and out.df == 2
     assert out.chi2 == 0.0
+
+
+def test_welch_ttest_matches_numpy_formula(spark):
+    """ab_welch_ttest vs the textbook Welch formulas computed in numpy
+    from the same per-user metric — t, df, and means must agree to
+    float precision (the engine path is exact-integer until one final
+    double chain)."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_welch_ttest
+
+    out = q_ab_welch_ttest(spark, SF).collect()[0]
+    per_user = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0)).cast("double").alias("y"))
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+        .collect()
+    )
+    ya = np.array([round(r.y * 1e6) for r in per_user if r.variant == "A"]) / 1e6
+    yb = np.array([round(r.y * 1e6) for r in per_user if r.variant == "B"]) / 1e6
+    na, nb = len(ya), len(yb)
+    va, vb = ya.var(ddof=1), yb.var(ddof=1)
+    se2 = va / na + vb / nb
+    t = (ya.mean() - yb.mean()) / np.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert out.n_a == na and out.n_b == nb
+    assert out.mean_a == pytest.approx(ya.mean(), abs=1e-4)
+    assert out.mean_b == pytest.approx(yb.mean(), abs=1e-4)
+    assert out.t_stat == pytest.approx(t, rel=1e-9)
+    assert out.df_welch == pytest.approx(df, rel=1e-9)
+
+
+def test_stream_static_join_matches_batch(spark):
+    """stream_static_enrich_join == the batch left-join + agg (the
+    stream-static join is stateless, so per-row equality must hold
+    exactly), including the NULL-segment group from NULL user_ids."""
+    from rocana_impala_udfs_spark.plans.temporal import q_stream_static_enrich_join
+
+    streamed = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_value)
+        for r in q_stream_static_enrich_join(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_value)
+        for r in ev.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch
