@@ -57,6 +57,7 @@ _NEVER_DRIVER_CHECKED = [
     "ab_welch_ttest",
     "emb_pca_project",
     "corpus_source_overlap",
+    "stats_bootstrap_ci_price",
     "stream_topk_events_per_type",
     "stream_bitmap_distinct_users",
     "stream_kmv_distinct_exact",

@@ -2642,6 +2642,132 @@ FROM lineitem GROUP BY 1, 2 ORDER BY price_band, qty
 """
 
 
+def _poisson1_cdf_thresholds_48bit() -> list:
+    """Poisson(1) CDF(0..7) as 48-bit integer thresholds — shared by the
+    Spark expression and the generated oracle so the two can't drift.
+    Both engines compare the same 48-bit md5 draw against the same
+    integer constants: the bootstrap weights are pure integer arithmetic,
+    no float boundary anywhere."""
+    import math
+
+    c, p, ths = 0.0, math.exp(-1.0), []
+    for k in range(8):
+        c += p
+        ths.append(math.floor(c * (1 << 48)))
+        p /= k + 1
+    return ths
+
+
+def q_stats_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP 95% CI for the mean order price
+    (r9) — the distributed bootstrap as engines like this must run it
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): resampling n rows B times is impossible at scale, but
+    Poisson(1) per-(row, replicate) weights need no coordination and no
+    second pass. The RNG is the repo's content-addressed md5 draw
+    (reproducible in any engine, rerun-stable), inverted against frozen
+    48-bit integer CDF thresholds — weights are exact integers, replicate
+    means are one double division of exact BIGINT sums, and the CI bounds
+    are ELEMENT PICKS at ranks ⌈0.025B⌉/⌈0.975B⌉ over the B-row replicate
+    frame (never an interpolation, never a fact-row sort window).
+
+    Scale: the explode is map-side (B=100 weight draws per row, no
+    shuffle); the only exchange is the B-key partial+final agg whose
+    output is exactly B rows. Σw·cents per replicate stays under BIGINT
+    to ~1e17 cents-mass; DECIMAL(38,0) is the documented swap beyond."""
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    B = 100
+    ths = _poisson1_cdf_thresholds_48bit()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    reps = o.select(
+        "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = _reduce(
+        _add, [F.when(draw >= F.lit(t), 1).otherwise(0) for t in ths]
+    ).cast("bigint")
+    per_b = (
+        reps.select("b", w.alias("w"), (w * F.col("cents")).alias("wx"))
+        .groupBy("b")
+        .agg(F.sum("w").alias("sw"), F.sum("wx").alias("swx"))
+    )
+    ranked = per_b.select(
+        "b", (F.col("swx").cast("double") / F.col("sw")).alias("m")
+    ).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("m"), F.col("b")))
+    )
+    lo_rk, hi_rk = 3, 98  # ceil(0.025*B), ceil(0.975*B)
+    picks = ranked.agg(
+        F.max(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("hi"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").alias("sc"),
+    )
+    return base.crossJoin(F.broadcast(picks)).select(
+        "n_orders",
+        F.lit(B).cast("int").alias("b_replicates"),
+        F.round(F.col("sc").cast("double") / F.col("n_orders") / 100.0, 4).alias(
+            "mean_price"
+        ),
+        F.round(F.col("lo") / 100.0, 4).alias("ci_lo"),
+        F.round(F.col("hi") / 100.0, 4).alias("ci_hi"),
+    )
+
+
+def _oracle_bootstrap_ci() -> str:
+    ths = _poisson1_cdf_thresholds_48bit()
+    w_expr = " + ".join(f"(CASE WHEN draw >= {t} THEN 1 ELSE 0 END)" for t in ths)
+    return f"""
+WITH o AS (
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+reps AS (
+    SELECT o_orderkey, cents, b
+    FROM o CROSS JOIN (SELECT unnest(range(100)) AS b)
+),
+drawn AS (
+    SELECT b, cents,
+           CAST(concat('0x', substring(md5(concat(CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))), 1, 12)) AS BIGINT) AS draw
+    FROM reps
+),
+weighted AS (SELECT b, cents, CAST({w_expr} AS BIGINT) AS w FROM drawn),
+per_b AS (
+    SELECT b, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * cents) AS BIGINT) AS swx
+    FROM weighted GROUP BY b
+),
+m AS (SELECT b, CAST(swx AS DOUBLE) / sw AS m FROM per_b),
+r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(cents) AS BIGINT) AS sc FROM o)
+SELECT n_orders, CAST(100 AS INT) AS b_replicates,
+       round(CAST(sc AS DOUBLE) / n_orders / 100.0, 4) AS mean_price,
+       round((SELECT max(CASE WHEN rk = 3 THEN m END) FROM r) / 100.0, 4) AS ci_lo,
+       round((SELECT max(CASE WHEN rk = 98 THEN m END) FROM r) / 100.0, 4) AS ci_hi
+FROM base
+"""
+
+
+ORACLE_BOOTSTRAP_CI = _oracle_bootstrap_ci()
+
+
 def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value concentration per order status —
     the revenue-inequality metric: G = (2·Σ(i·x_i) − (n+1)·Σx_i) /
@@ -4234,6 +4360,7 @@ QUERIES = {
     "bitmap_intersect_users": q_bitmap_intersect_users,
     "sql_text_monthly_nation_rank": q_sql_text_monthly_nation_rank,
     "stats_gini_order_values": q_stats_gini_order_values,
+    "stats_bootstrap_ci_price": q_stats_bootstrap_ci_price,
     "notin_null_semantics_probe": q_notin_null_semantics_probe,
     "events_iqr_outliers": q_events_iqr_outliers,
     "window_rank_semantics_probe": q_window_rank_semantics_probe,
@@ -4337,6 +4464,7 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
     "bitmap_intersect_users": ORACLE_BITMAP_INTERSECT,
     "sql_text_monthly_nation_rank": ORACLE_SQL_TEXT_RANK,
     "stats_gini_order_values": ORACLE_GINI,
+    "stats_bootstrap_ci_price": ORACLE_BOOTSTRAP_CI,
     "notin_null_semantics_probe": ORACLE_NOTIN_NULL,
     "events_iqr_outliers": ORACLE_IQR_OUTLIERS,
     "window_rank_semantics_probe": ORACLE_RANK_SEMANTICS,

@@ -688,3 +688,45 @@ def test_source_overlap_has_no_all_pairs_join(spark):
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bootstrap_ci_brackets_mean_and_is_partitioning_invariant(spark):
+    """stats_bootstrap_ci_price: the 95% CI must bracket the full-sample
+    mean, bounds must be ordered, replicate weights must be genuinely
+    Poisson(1)-like (mean weight ≈ 1), and the whole report must be
+    byte-identical under a different input partitioning (the
+    content-addressed draw is partitioning-free)."""
+    from rocana_impala_udfs_spark.plans.relational import (
+        q_stats_bootstrap_ci_price,
+        _poisson1_cdf_thresholds_48bit,
+    )
+
+    row = q_stats_bootstrap_ci_price(spark, SF).collect()[0]
+    assert row.ci_lo < row.mean_price < row.ci_hi
+    assert row.b_replicates == 100 and row.n_orders > 0
+    # weight sanity: E[w]=1 ⇒ the CDF(0) threshold sits at e^-1 of 2^48
+    ths = _poisson1_cdf_thresholds_48bit()
+    import math
+
+    assert abs(ths[0] / (1 << 48) - math.exp(-1)) < 1e-12
+    assert ths == sorted(ths) and len(ths) == 8
+    # partitioning invariance: same result from a repartitioned source
+    import rocana_impala_udfs_spark.sources.io as io_mod
+
+    orig = io_mod.load_table
+
+    def shuffled(spark_, sf_dir_, name):
+        t = orig(spark_, sf_dir_, name)
+        return t.repartition(13) if name == "orders" else t
+
+    io_mod_load, io_mod.load_table = io_mod.load_table, shuffled
+    # q_* resolved load_table at import time — patch the plan module's ref
+    import rocana_impala_udfs_spark.plans.relational as rel
+
+    rel_load, rel.load_table = rel.load_table, shuffled
+    try:
+        row2 = q_stats_bootstrap_ci_price(spark, SF).collect()[0]
+    finally:
+        io_mod.load_table = io_mod_load
+        rel.load_table = rel_load
+    assert row2 == row
