@@ -58,6 +58,7 @@ _NEVER_DRIVER_CHECKED = [
     "emb_pca_project",
     "corpus_source_overlap",
     "stats_bootstrap_ci_price",
+    "ab_ratio_delta_ci",
     "stream_topk_events_per_type",
     "stream_bitmap_distinct_users",
     "stream_kmv_distinct_exact",

@@ -167,6 +167,7 @@ HEADLINE = [
     "emb_pca_project",
     "corpus_source_overlap",
     "stats_bootstrap_ci_price",
+    "ab_ratio_delta_ci",
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its

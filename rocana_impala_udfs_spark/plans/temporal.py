@@ -1571,6 +1571,129 @@ FROM se
 """
 
 
+def q_ab_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% CI for a RATIO metric per A/B variant (r9) —
+    value-per-event R = Σx/Σy with the user as the randomization unit,
+    the ratio-metric subtlety every real experimentation platform must
+    handle (Deng et al., KDD 2018): per-user numerator x and denominator
+    y are correlated, so Var(R) is the delta-method form
+    (S_xx − 2R·S_xy + R²·S_yy) / (n·ȳ²), never the naive binomial.
+
+    Exactness (the r9 exact-moment recipe): per-user x sums accumulate in
+    DECIMAL(18,6) → integer micro-units, y is an exact count; per-variant
+    raw moments (n, Σx, Σy, Σxy, Σx², Σy²) in DECIMAL(38,0)/HUGEINT; R,
+    the delta variance, and ci = R ± 1.96·se are each ONE identical
+    closed-form double chain over exact integers — hash-exact with NO
+    rounding on se/ci. Scale: one user-keyed partial+final agg, then a
+    2-row variant agg; headroom bounds shared with the CUPED key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+                == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    x6 = F.round(F.col("x") * 1000000).cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    mv = (
+        per_user.select("variant", x6.alias("x6"), yd.alias("yy"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x6").alias("sx"),
+            F.sum("yy").alias("sy"),
+            F.sum(F.col("x6") * F.col("yy")).alias("sxy"),
+            F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+            F.sum(F.col("yy") * F.col("yy")).alias("syy"),
+        )
+    )
+    nd = F.col("n_users").cast("decimal(38,0)")
+    # R in real units: (Σx_micro/1e6) / Σy — one double chain
+    ratio = F.col("sx").cast("double") / 1000000.0 / F.col("sy").cast("double")
+    y_bar = F.col("sy").cast("double") / F.col("n_users")
+    # sample (co)variances from exact integer moments; x micro-grid factors
+    # fold into each term so every operand is the identical double
+    s_xx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
+        nd * (nd - F.lit(1))
+    ).cast("double") / 1e12
+    s_xy = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nd * (nd - F.lit(1))
+    ).cast("double") / 1e6
+    s_yy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / (
+        nd * (nd - F.lit(1))
+    ).cast("double")
+    var_r = (
+        s_xx - F.lit(2.0) * ratio * s_xy + ratio * ratio * s_yy
+    ) / (F.col("n_users") * y_bar * y_bar)
+    se = F.sqrt(var_r)
+    return mv.select(
+        "variant",
+        "n_users",
+        ratio.alias("ratio"),
+        se.alias("se"),
+        (ratio - F.lit(1.96) * se).alias("ci_lo"),
+        (ratio + F.lit(1.96) * se).alias("ci_hi"),
+    ).orderBy("variant")
+
+
+ORACLE_AB_RATIO_DELTA = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS x,
+           CAST(count(*) AS BIGINT) AS y,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events GROUP BY user_id
+),
+u AS (
+    SELECT variant, CAST(round(x * 1000000) AS HUGEINT) AS x6, CAST(y AS HUGEINT) AS yy
+    FROM per_user
+),
+mv AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           sum(x6) AS sx, sum(yy) AS sy, sum(x6 * yy) AS sxy,
+           sum(x6 * x6) AS sxx, sum(yy * yy) AS syy
+    FROM u GROUP BY variant
+),
+t AS (
+    SELECT variant, n_users,
+           CAST(sx AS DOUBLE) / 1000000.0 / CAST(sy AS DOUBLE) AS ratio_d,
+           CAST(sy AS DOUBLE) / n_users AS y_bar,
+           CAST(CAST(n_users AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             / CAST(CAST(n_users AS HUGEINT) * (n_users - 1) AS DOUBLE) / 1e12 AS s_xx,
+           CAST(CAST(n_users AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / CAST(CAST(n_users AS HUGEINT) * (n_users - 1) AS DOUBLE) / 1e6 AS s_xy,
+           CAST(CAST(n_users AS HUGEINT) * syy - sy * sy AS DOUBLE)
+             / CAST(CAST(n_users AS HUGEINT) * (n_users - 1) AS DOUBLE) AS s_yy
+    FROM mv
+),
+v AS (
+    SELECT t.*,
+           (s_xx - 2.0 * ratio_d * s_xy + ratio_d * ratio_d * s_yy)
+             / (n_users * y_bar * y_bar) AS var_r
+    FROM t
+)
+SELECT variant, n_users,
+       ratio_d AS ratio,
+       sqrt(var_r) AS se,
+       ratio_d - 1.96 * sqrt(var_r) AS ci_lo,
+       ratio_d + 1.96 * sqrt(var_r) AS ci_hi
+FROM v ORDER BY variant
+"""
+
+
 def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rocana_impala_udfs_spark.operators.funnel import retention_cohorts
 
@@ -3313,6 +3436,7 @@ TEMPORAL_QUERIES = {
     "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
     "stream_static_enrich_join": q_stream_static_enrich_join,
     "ab_welch_ttest": q_ab_welch_ttest,
+    "ab_ratio_delta_ci": q_ab_ratio_delta_ci,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
     "sessionize_events": q_sessionize_events,
@@ -3386,6 +3510,7 @@ TEMPORAL_ORACLE = {
     "stream_dedup_within_watermark": ORACLE_STREAM_DEDUP_WM,
     "stream_static_enrich_join": ORACLE_STREAM_STATIC_JOIN,
     "ab_welch_ttest": ORACLE_AB_WELCH,
+    "ab_ratio_delta_ci": ORACLE_AB_RATIO_DELTA,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,
     "sessionize_events": ORACLE_SESSIONIZE,

@@ -647,7 +647,13 @@ def test_exact_moment_stats_are_pure_aggregation(spark):
     """The r9 float-sum conversions (exact DECIMAL/HUGEINT moments) must
     stay partial+final aggregations — no window, no Python eval node, no
     extra shuffle beyond the group-key exchange(s)."""
-    for key in ("stats_price_quantity", "ab_cuped_adjusted", "zipf_token_fit"):
+    for key in (
+        "stats_price_quantity",
+        "ab_cuped_adjusted",
+        "zipf_token_fit",
+        "ab_welch_ttest",
+        "ab_ratio_delta_ci",
+    ):
         plan = _plan(spark, key)
         assert "HashAggregate" in plan or "SortAggregate" in plan, key
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, key

@@ -723,3 +723,49 @@ def test_stream_static_join_matches_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_ratio_delta_ci_matches_numpy_formula(spark):
+    """ab_ratio_delta_ci vs the textbook delta-method formula in numpy
+    over the same per-user (x, y) frame: ratio, se, and CI must agree to
+    float precision, and the CI must bracket the ratio."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_ratio_delta_ci
+
+    rows = {r.variant: r for r in q_ab_ratio_delta_ci(spark, SF).collect()}
+    per_user = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+        .collect()
+    )
+    for v in ("A", "B"):
+        x = np.array([round(r.x * 1e6) for r in per_user if r.variant == v]) / 1e6
+        y = np.array([float(r.y) for r in per_user if r.variant == v])
+        n = len(x)
+        R = x.sum() / y.sum()
+        cov = np.cov(x, y, ddof=1)
+        var_r = (cov[0, 0] - 2 * R * cov[0, 1] + R * R * cov[1, 1]) / (
+            n * y.mean() ** 2
+        )
+        got = rows[v]
+        assert got.n_users == n
+        assert got.ratio == pytest.approx(R, rel=1e-12)
+        assert got.se == pytest.approx(np.sqrt(var_r), rel=1e-9)
+        assert got.ci_lo < got.ratio < got.ci_hi
+        assert got.ci_hi - got.ratio == pytest.approx(1.96 * got.se, rel=1e-12)
