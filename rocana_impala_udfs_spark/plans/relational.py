@@ -2642,18 +2642,20 @@ FROM lineitem GROUP BY 1, 2 ORDER BY price_band, qty
 """
 
 
-def _poisson1_cdf_thresholds_48bit() -> list:
-    """Poisson(1) CDF(0..7) as 48-bit integer thresholds — shared by the
-    Spark expression and the generated oracle so the two can't drift.
-    Both engines compare the same 48-bit md5 draw against the same
-    integer constants: the bootstrap weights are pure integer arithmetic,
-    no float boundary anywhere."""
+def _poisson1_cdf_thresholds(bits: int = 24) -> list:
+    """Poisson(1) CDF(0..7) as ``bits``-wide integer thresholds — shared
+    by the Spark expression and the generated oracle so the two can't
+    drift. Both engines compare the same integer draw against the same
+    constants: the bootstrap weights are pure integer arithmetic, no
+    float boundary anywhere. 24-bit draws quantize each CDF step by
+    < 6e-8 — statistically invisible, and exactness is unaffected
+    because both engines share the identical quantized thresholds."""
     import math
 
     c, p, ths = 0.0, math.exp(-1.0), []
     for k in range(8):
         c += p
-        ths.append(math.floor(c * (1 << 48)))
+        ths.append(math.floor(c * (1 << bits)))
         p /= k + 1
     return ths
 
@@ -2666,48 +2668,91 @@ def q_stats_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) per-(row, replicate) weights need no coordination and no
     second pass. The RNG is the repo's content-addressed md5 draw
     (reproducible in any engine, rerun-stable), inverted against frozen
-    48-bit integer CDF thresholds — weights are exact integers, replicate
+    24-bit integer CDF thresholds — weights are exact integers, replicate
     means are one double division of exact BIGINT sums, and the CI bounds
     are ELEMENT PICKS at ranks ⌈0.025B⌉/⌈0.975B⌉ over the B-row replicate
     frame (never an interpolation, never a fact-row sort window).
 
-    Scale: the explode is map-side (B=100 weight draws per row, no
-    shuffle); the only exchange is the B-key partial+final agg whose
-    output is exactly B rows. Σw·cents per replicate stays under BIGINT
-    to ~1e17 cents-mass; DECIMAL(38,0) is the documented swap beyond."""
-    from functools import reduce as _reduce
-    from operator import add as _add
-
+    Scale: the explode is map-side (no shuffle); each row hashes 20 md5s
+    (not 100 — every md5's 128 bits yield FIVE independent 24-bit draws,
+    b = 5j+i, which stay COLUMNS until the per-j aggregate) and the draw
+    inversion is a lexicographic hex compare in a nested CASE tree (no
+    base conversion, ~2.7 compares expected). Measured at sf0.1: 12.4 s
+    for the naive one-md5-per-replicate row explode → ~4.5 s for this
+    shape, floor ≈ the 20 md5s/row themselves. The only exchange is the
+    B-key partial+final agg whose output is exactly B rows. Σw·cents per
+    replicate stays under BIGINT to ~1e17 cents-mass; DECIMAL(38,0) is
+    the documented swap beyond."""
     B = 100
-    ths = _poisson1_cdf_thresholds_48bit()
+    ths = _poisson1_cdf_thresholds()
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    reps = o.select(
-        "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
-    )
-    draw = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "_", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            12,
+    seeded = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(B // 5 - 1))).alias("j"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat_ws(
+                "_", F.col("o_orderkey").cast("string"), F.col("j").cast("string")
+            )
         ),
-        16,
-        10,
-    ).cast("bigint")
-    w = _reduce(
-        _add, [F.when(draw >= F.lit(t), 1).otherwise(0) for t in ths]
-    ).cast("bigint")
-    per_b = (
-        reps.select("b", w.alias("w"), (w * F.col("cents")).alias("wx"))
-        .groupBy("b")
-        .agg(F.sum("w").alias("sw"), F.sum("wx").alias("swx"))
     )
+    # the five draws stay COLUMNS (no second explode — a 5× generator over
+    # the fact×20 frame measured ~2× the whole key): per (row, j) compute
+    # w_i/wx_i inline, aggregate 10 sums per j, and only the 20-row
+    # aggregate expands to the 100 replicates. The draw-vs-threshold
+    # compare is LEXICOGRAPHIC on the fixed-width lowercase hex slice
+    # (identical to the numeric compare, ASCII hex is order-preserving)
+    # — base-conversion (`conv`) on 5 slices per row measured ~2× the
+    # remaining key cost
+    hex_ths = [format(t, "06x") for t in ths]
+
+    def _w(i: int):
+        # w = #{k : draw >= T_k} as a NESTED case tree (lazy evaluation →
+        # ~2.7 compares expected instead of 8; P(w<=1)=.736, P(w<=3)=.981)
+        d = F.substring(F.col("h"), 1 + 6 * i, 6)
+        t = [F.lit(x) for x in hex_ths]
+        return (
+            F.when(d < t[1], F.when(d < t[0], 0).otherwise(1))
+            .otherwise(
+                F.when(d < t[3], F.when(d < t[2], 2).otherwise(3)).otherwise(
+                    F.when(d < t[5], F.when(d < t[4], 4).otherwise(5)).otherwise(
+                        F.when(d < t[6], 6).otherwise(
+                            F.when(d < t[7], 7).otherwise(8)
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+        )
+
+    wcols = [_w(i).alias(f"w{i}") for i in range(5)]
+    per_j = (
+        seeded.select("j", "cents", *wcols)
+        .groupBy("j")
+        .agg(
+            *[F.sum(f"w{i}").alias(f"sw{i}") for i in range(5)],
+            *[F.sum(F.col(f"w{i}") * F.col("cents")).alias(f"swx{i}") for i in range(5)],
+        )
+    )
+    per_b = per_j.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("j") * 5 + i).alias("b"),
+                        F.col(f"sw{i}").alias("sw"),
+                        F.col(f"swx{i}").alias("swx"),
+                    )
+                    for i in range(5)
+                ]
+            )
+        ).alias("p")
+    ).select("p.b", "p.sw", "p.swx")
     ranked = per_b.select(
         "b", (F.col("swx").cast("double") / F.col("sw")).alias("m")
     ).withColumn(
@@ -2734,20 +2779,23 @@ def q_stats_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bootstrap_ci() -> str:
-    ths = _poisson1_cdf_thresholds_48bit()
-    w_expr = " + ".join(f"(CASE WHEN draw >= {t} THEN 1 ELSE 0 END)" for t in ths)
+    ths = _poisson1_cdf_thresholds()
+    w_expr = " + ".join(
+        f"(CASE WHEN draw >= '{format(t, '06x')}' THEN 1 ELSE 0 END)" for t in ths
+    )
     return f"""
 WITH o AS (
     SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
 ),
-reps AS (
-    SELECT o_orderkey, cents, b
-    FROM o CROSS JOIN (SELECT unnest(range(100)) AS b)
+seeded AS (
+    SELECT cents, j,
+           md5(concat(CAST(o_orderkey AS VARCHAR), '_', CAST(j AS VARCHAR))) AS h
+    FROM o CROSS JOIN (SELECT unnest(range(20)) AS j)
 ),
 drawn AS (
-    SELECT b, cents,
-           CAST(concat('0x', substring(md5(concat(CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))), 1, 12)) AS BIGINT) AS draw
-    FROM reps
+    SELECT j * 5 + i AS b, cents,
+           substring(h, CAST(1 + 6 * i AS INT), 6) AS draw
+    FROM seeded CROSS JOIN (SELECT unnest(range(5)) AS i)
 ),
 weighted AS (SELECT b, cents, CAST({w_expr} AS BIGINT) AS w FROM drawn),
 per_b AS (

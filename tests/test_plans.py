@@ -704,17 +704,17 @@ def test_bootstrap_ci_brackets_mean_and_is_partitioning_invariant(spark):
     content-addressed draw is partitioning-free)."""
     from rocana_impala_udfs_spark.plans.relational import (
         q_stats_bootstrap_ci_price,
-        _poisson1_cdf_thresholds_48bit,
+        _poisson1_cdf_thresholds,
     )
 
     row = q_stats_bootstrap_ci_price(spark, SF).collect()[0]
     assert row.ci_lo < row.mean_price < row.ci_hi
     assert row.b_replicates == 100 and row.n_orders > 0
-    # weight sanity: E[w]=1 ⇒ the CDF(0) threshold sits at e^-1 of 2^48
-    ths = _poisson1_cdf_thresholds_48bit()
+    # weight sanity: E[w]=1 ⇒ the CDF(0) threshold sits at e^-1 of 2^24
+    ths = _poisson1_cdf_thresholds()
     import math
 
-    assert abs(ths[0] / (1 << 48) - math.exp(-1)) < 1e-12
+    assert abs(ths[0] / (1 << 24) - math.exp(-1)) < 1e-7
     assert ths == sorted(ths) and len(ths) == 8
     # partitioning invariance: same result from a repartitioned source
     import rocana_impala_udfs_spark.sources.io as io_mod
