@@ -53,6 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # best evidence; they absorb any over-budget truncation harmlessly).
 # Everything else is driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
+    "eval_auc_doc_length",
+    "eval_pr_curve_points",
+    "eval_cohens_kappa",
+    "privacy_k_anonymity",
     "stream_static_enrich_join",
     "ab_welch_ttest",
     "emb_pca_project",

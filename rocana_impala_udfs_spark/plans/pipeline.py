@@ -4098,6 +4098,275 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+# --- classifier-eval + governance (r9) ---------------------------------------
+
+
+def q_eval_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of a ranking signal (``n_chars``) against a binary
+    label (``lang = 'en'``) — the eval every quality/language classifier
+    in a data pipeline is judged by before its threshold gates a corpus.
+    AUC == the Mann–Whitney statistic: with tie-averaged ranks carried
+    DOUBLED (exact integers, the r7 rank recipe), 2·U₁ = Σ_pos r2 −
+    n₊(n₊+1) and AUC = 2U₁ / (2·n₊·n₋) — one double division chain over
+    exact DECIMAL(38,0)/HUGEINT integers, hash-exact with no rounding.
+
+    Scale (the r7 campaign shape): the fact table collapses to the
+    DISTINCT-score frame (score-domain-bounded) in one partial+final agg;
+    the cumulative-count window runs over that bounded frame only — no
+    fact-row sort anywhere, rank sums never rank rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    per_v = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    w_cum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = (F.coalesce(F.sum("t").over(w_cum), F.lit(0)) * 2 + F.col("t") + 1).alias("r2")
+    per_v = per_v.select("t", "pos", r2)
+    agg = per_v.agg(
+        F.sum(F.col("pos").cast("decimal(38,0)") * F.col("r2")).alias("r2_pos"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    u2 = F.col("r2_pos") - F.col("n_pos").cast("decimal(38,0)") * (
+        F.col("n_pos").cast("decimal(38,0)") + F.lit(1)
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("double").alias("u2_stat"),
+        (
+            u2.cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+ORACLE_EVAL_AUC = """
+WITH per_v AS (
+    SELECT n_chars, count(*) AS t,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
+),
+r AS (
+    SELECT t, pos,
+           coalesce(sum(t) OVER (ORDER BY n_chars
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+             + t + 1 AS r2
+    FROM per_v
+),
+agg AS (
+    SELECT sum(CAST(pos AS HUGEINT) * r2) AS r2_pos,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(t - pos) AS BIGINT) AS n_neg
+    FROM r
+)
+SELECT n_pos, n_neg,
+       CAST(r2_pos - CAST(n_pos AS HUGEINT) * (CAST(n_pos AS HUGEINT) + 1) AS DOUBLE) AS u2_stat,
+       CAST(r2_pos - CAST(n_pos AS HUGEINT) * (CAST(n_pos AS HUGEINT) + 1) AS DOUBLE)
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM agg
+"""
+
+
+def q_eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION–RECALL CURVE over every achievable threshold of the
+    ``n_chars`` ranking signal (label ``lang = 'en'``, predict positive
+    when score ≥ t) — the sweep that picks a quality gate's operating
+    point. Per distinct threshold: TP/FP/FN as cumulative-from-above
+    integer counts, precision/recall/F1 each ONE double division over
+    those exact integers (F1 = 2TP/(2TP+FP+FN) — no float compounding,
+    hash-exact with no rounding).
+
+    Scale: the fact table collapses to the DISTINCT-score frame in one
+    partial+final agg; both cumulative windows and the label total run
+    over that score-domain-bounded frame only (never fact rows), and the
+    output is one row per distinct score — bounded by the score domain,
+    not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    per_v = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    w_desc = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cur = per_v.select(
+        F.col("n_chars").alias("threshold"),
+        F.sum("pos").over(w_desc).cast("bigint").alias("tp"),
+        (F.sum("t").over(w_desc) - F.sum("pos").over(w_desc)).cast("bigint").alias("fp"),
+        (F.sum("pos").over(w_all) - F.sum("pos").over(w_desc)).cast("bigint").alias("fn"),
+    )
+    return cur.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")).alias(
+            "recall"
+        ),
+        (
+            F.lit(2.0)
+            * F.col("tp").cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+ORACLE_EVAL_PR_CURVE = """
+WITH per_v AS (
+    SELECT n_chars, count(*) AS t,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
+),
+cur AS (
+    SELECT n_chars AS threshold,
+           CAST(sum(pos) OVER w AS BIGINT) AS tp,
+           CAST(sum(t) OVER w - sum(pos) OVER w AS BIGINT) AS fp,
+           CAST(sum(pos) OVER () - sum(pos) OVER w AS BIGINT) AS fn
+    FROM per_v
+    WINDOW w AS (ORDER BY n_chars DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT threshold, tp, fp, fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+FROM cur ORDER BY threshold
+"""
+
+
+def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-annotator agreement between a cheap rule
+    labeler (predict 'en' when the normalized text contains the word
+    "the") and the reference ``lang`` label — the chance-corrected
+    agreement score used to qualify weak labelers / silver annotations
+    before they supervise a filter. κ = (N·D − S)/(N² − S) with D = Σ
+    diagonal and S = Σ rowᵢ·colᵢ, all exact DECIMAL(38,0)/HUGEINT
+    integers; κ, p_o, p_e are each one double chain — hash-exact, no
+    rounding.
+
+    Scale: one full-table scan into a single partial+final 1-row agg of
+    six integer counters; the confusion grid is 2×2 regardless of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = T.normalize_text("text")
+    pred = F.when(
+        F.concat(F.lit(" "), norm, F.lit(" ")).contains(" the "), F.lit("en")
+    ).otherwise(F.lit("other"))
+    truth = F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other"))
+    c = docs.select(pred.alias("pred"), truth.alias("truth"))
+    agg = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum(F.when(F.col("pred") == "en", 1).otherwise(0)).cast("bigint").alias("pred_en"),
+        F.sum(F.when(F.col("truth") == "en", 1).otherwise(0)).cast("bigint").alias("true_en"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    s = F.col("pred_en").cast("decimal(38,0)") * F.col("true_en").cast("decimal(38,0)") + (
+        nd - F.col("pred_en")
+    ) * (nd - F.col("true_en"))
+    kappa = (nd * F.col("agree") - s).cast("double") / (nd * nd - s).cast("double")
+    return agg.select(
+        "n",
+        "agree",
+        "pred_en",
+        "true_en",
+        (F.col("agree").cast("double") / F.col("n").cast("double")).alias("p_o"),
+        (s.cast("double") / F.col("n").cast("double") / F.col("n").cast("double")).alias(
+            "p_e"
+        ),
+        kappa.alias("kappa"),
+    )
+
+
+ORACLE_EVAL_KAPPA = f"""
+WITH c AS (
+    SELECT CASE WHEN contains(concat(' ', {_NORM}, ' '), ' the ') THEN 'en' ELSE 'other' END AS pred,
+           CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth
+    FROM documents
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+           CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pred_en,
+           CAST(sum(CASE WHEN truth = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS true_en
+    FROM c
+)
+SELECT n, agree, pred_en, true_en,
+       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+       CAST(CAST(pred_en AS HUGEINT) * true_en
+            + (CAST(n AS HUGEINT) - pred_en) * (CAST(n AS HUGEINT) - true_en) AS DOUBLE)
+         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS p_e,
+       CAST(CAST(n AS HUGEINT) * agree
+            - (CAST(pred_en AS HUGEINT) * true_en
+               + (CAST(n AS HUGEINT) - pred_en) * (CAST(n AS HUGEINT) - true_en)) AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * n
+                - (CAST(pred_en AS HUGEINT) * true_en
+                   + (CAST(n AS HUGEINT) - pred_en) * (CAST(n AS HUGEINT) - true_en)) AS DOUBLE) AS kappa
+FROM agg
+"""
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (k=10) of the orders fact against the
+    quasi-identifier tuple (customer nation, market segment, order year)
+    — the governance screen a dataset passes before release: any QI
+    group smaller than k could re-identify its members. Reports the
+    group census, the violating-group count, and the rows at risk — all
+    exact integers, hash-stable by construction.
+
+    Scale: one key join (orders ⋈ customer on custkey — AQE-planned,
+    both sides hash-partitioned once) and one QI-grouped partial+final
+    count; the QI grid is domain-bounded (nations × segments × years),
+    and the report is a 1-row fold of that grid — nothing downstream of
+    the join grows with the data."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    qi = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_nationkey", "c_mktsegment", F.year("o_orderdate").alias("order_year")
+    )
+    g = qi.groupBy("c_nationkey", "c_mktsegment", "order_year").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    k = 10
+    return g.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.sum("gsize").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("gsize") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_groups"),
+        F.coalesce(F.sum(F.when(F.col("gsize") < k, F.col("gsize"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("gsize").cast("bigint").alias("min_group_size"),
+    )
+
+
+ORACLE_K_ANONYMITY = """
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment, year(o_orderdate) AS order_year,
+           count(*) AS gsize
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(10 AS INT) AS k,
+       CAST(sum(gsize) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN gsize < 10 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(coalesce(sum(CASE WHEN gsize < 10 THEN gsize END), 0) AS BIGINT) AS rows_at_risk,
+       CAST(min(gsize) AS BIGINT) AS min_group_size
+FROM g
+"""
+
+
 PIPELINE_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "index_token_postings": q_index_token_postings,
@@ -4130,6 +4399,10 @@ PIPELINE_QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "split_leakage_audit": q_split_leakage_audit,
     "corpus_source_overlap": q_corpus_source_overlap,
+    "eval_auc_doc_length": q_eval_auc_doc_length,
+    "eval_pr_curve_points": q_eval_pr_curve_points,
+    "eval_cohens_kappa": q_eval_cohens_kappa,
+    "privacy_k_anonymity": q_privacy_k_anonymity,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
@@ -4224,6 +4497,10 @@ PIPELINE_ORACLE = {
     "source_vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
+    "eval_auc_doc_length": ORACLE_EVAL_AUC,
+    "eval_pr_curve_points": ORACLE_EVAL_PR_CURVE,
+    "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
+    "privacy_k_anonymity": ORACLE_K_ANONYMITY,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,

@@ -1730,3 +1730,95 @@ def test_corpus_source_overlap_pairs_are_exact(spark):
     }
     assert all(a < b for a, b in got)
     assert got == expect
+
+
+# --- classifier-eval + governance (r9) ---------------------------------------
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """eval_auc_doc_length vs the probabilistic AUC definition computed
+    brute-force in numpy: P(score_pos > score_neg) + ½·P(tie) over all
+    pos×neg pairs — the rank-sum shortcut must agree exactly."""
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_auc_doc_length
+
+    out = q_eval_auc_doc_length(spark, SF).collect()[0]
+    rows = load_table(spark, SF, "documents").select("n_chars", "lang").collect()
+    pos = np.array([r.n_chars for r in rows if r.lang == "en"], dtype=np.int64)
+    neg = np.array([r.n_chars for r in rows if r.lang != "en"], dtype=np.int64)
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    auc = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    assert out.u2_stat == 2 * gt + eq  # doubled U counts each tie once
+    assert out.auc == pytest.approx(auc, rel=1e-12)
+
+
+def test_pr_curve_matches_bruteforce(spark):
+    """Every (threshold, tp, fp, fn, precision, recall, f1) row equals the
+    brute-force confusion computed at that threshold; recall is
+    monotone nonincreasing in the threshold."""
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_pr_curve_points
+
+    got = q_eval_pr_curve_points(spark, SF).collect()
+    rows = load_table(spark, SF, "documents").select("n_chars", "lang").collect()
+    scores = np.array([r.n_chars for r in rows], dtype=np.int64)
+    labels = np.array([r.lang == "en" for r in rows])
+    assert len(got) == len(np.unique(scores))
+    prev_recall = None
+    for r in got:
+        pred = scores >= r.threshold
+        tp = int((pred & labels).sum())
+        fp = int((pred & ~labels).sum())
+        fn = int((~pred & labels).sum())
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        assert r.precision == pytest.approx(tp / (tp + fp), rel=1e-12)
+        assert r.recall == pytest.approx(tp / (tp + fn), rel=1e-12)
+        assert r.f1 == pytest.approx(2 * tp / (2 * tp + fp + fn), rel=1e-12)
+        if prev_recall is not None:
+            assert r.recall <= prev_recall + 1e-15
+        prev_recall = r.recall
+
+
+def test_cohens_kappa_matches_bruteforce(spark):
+    """eval_cohens_kappa vs the textbook κ computed in numpy from the
+    same 2×2 confusion matrix."""
+    from rocana_impala_udfs_spark.functions.text import normalize_text
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_cohens_kappa
+
+    out = q_eval_cohens_kappa(spark, SF).collect()[0]
+    rows = (
+        load_table(spark, SF, "documents")
+        .select(normalize_text("text").alias("norm"), "lang")
+        .collect()
+    )
+    pred = np.array([f" {r.norm} ".find(" the ") >= 0 for r in rows])
+    truth = np.array([r.lang == "en" for r in rows])
+    n = len(rows)
+    agree = int((pred == truth).sum())
+    p_o = agree / n
+    p_e = (pred.sum() * truth.sum() + (n - pred.sum()) * (n - truth.sum())) / n**2
+    kappa = (p_o - p_e) / (1 - p_e)
+    assert out.n == n and out.agree == agree
+    assert out.p_o == pytest.approx(p_o, rel=1e-12)
+    assert out.p_e == pytest.approx(p_e, rel=1e-12)
+    assert out.kappa == pytest.approx(kappa, rel=1e-12)
+
+
+def test_k_anonymity_matches_bruteforce(spark):
+    """privacy_k_anonymity vs a pandas recomputation of the QI census."""
+    from rocana_impala_udfs_spark.plans.pipeline import q_privacy_k_anonymity
+
+    out = q_privacy_k_anonymity(spark, SF).collect()[0]
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_orderdate").toPandas()
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["order_year"] = j["o_orderdate"].dt.year
+    sizes = j.groupby(["c_nationkey", "c_mktsegment", "order_year"]).size()
+    assert out.k == 10
+    assert out.n_rows == int(sizes.sum())
+    assert out.n_groups == len(sizes)
+    assert out.violating_groups == int((sizes < 10).sum())
+    assert out.rows_at_risk == int(sizes[sizes < 10].sum())
+    assert out.min_group_size == int(sizes.min())

@@ -604,6 +604,8 @@ def test_rank_stats_never_sort_fact_rows(spark):
         ("stats_median_ci_price", 1),
         ("stats_quantile_bands_price", 1),
         ("exact_weighted_median_price", 2),  # cum + total weight specs
+        ("eval_auc_doc_length", 1),  # cum window over the distinct-score frame
+        ("eval_pr_curve_points", 2),  # desc-cumulative + all-rows specs
     ):
         plan = _plan(spark, key)
         assert plan.count("Window [") == n_windows, (key, plan.count("Window ["))
