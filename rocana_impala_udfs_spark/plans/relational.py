@@ -4335,7 +4335,66 @@ FROM rolled
 """
 
 
+def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE surface (Spark 4.x `WITH RECURSIVE`, SPARK-24497) —
+    the month spine every reporting stack builds: recursion generates the
+    contiguous month dimension from min to max order date (no gaps even
+    where the fact is silent), LEFT JOIN attaches exact order/customer
+    counts per month. Zero-order months surface as explicit 0 rows — the
+    gap semantics `sequence()`-free SQL migrations rely on.
+
+    Scale: the recursion runs on the one-row month frontier (bounded by
+    the DATE DOMAIN — ~1,200 iterations per century, far from the fact
+    path; the default 100-level limit covers the 80-month TPC-H range);
+    the fact table folds once into the month-grain agg and the tiny spine
+    joins broadcast. Recursion never touches fact rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rsp_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT date_trunc('month', min(o_orderdate)) FROM _rsp_orders
+            UNION ALL
+            SELECT add_months(m, 1) FROM spine
+            WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM _rsp_orders)
+        ),
+        monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_custs
+            FROM _rsp_orders GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(monthly.n_custs, 0) AS BIGINT) AS n_custs
+        FROM spine s LEFT JOIN monthly ON s.m = monthly.m
+        ORDER BY month
+        """
+    )
+
+
+ORACLE_RECURSIVE_SPINE = """
+WITH RECURSIVE spine(m) AS (
+    SELECT date_trunc('month', min(o_orderdate)) FROM orders
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM spine
+    WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+),
+monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY 1
+)
+SELECT strftime(s.m, '%Y-%m') AS month,
+       CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(monthly.n_custs, 0) AS BIGINT) AS n_custs
+FROM spine s LEFT JOIN monthly ON s.m = monthly.m
+ORDER BY month
+"""
+
+
 QUERIES = {
+    "sql_recursive_month_spine": q_sql_recursive_month_spine,
     "q1_pricing_summary": q1_pricing_summary,
     "bloom_semi_orders": q_bloom_semi_orders,
     "stats_rolling_corr_click_view": q_stats_rolling_corr,
@@ -4435,6 +4494,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_recursive_month_spine": ORACLE_RECURSIVE_SPINE,
     "q1_pricing_summary": ORACLE_Q1,
     "bloom_semi_orders": ORACLE_BLOOM_SEMI,
     "stats_rolling_corr_click_view": ORACLE_ROLLING_CORR,

@@ -738,3 +738,30 @@ def test_bootstrap_ci_brackets_mean_and_is_partitioning_invariant(spark):
         io_mod.load_table = io_mod_load
         rel.load_table = rel_load
     assert row2 == row
+
+
+def test_recursive_month_spine_fills_gaps(spark, tmp_path):
+    """sql_recursive_month_spine: a month with no orders must still appear
+    as an explicit (month, 0, 0) row — the recursion generates the full
+    contiguous spine, not just observed months."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.plans.relational import q_sql_recursive_month_spine
+
+    rows = [
+        (1, 10, "O", 100.0, "2024-01-15 00:00:00", "1-URGENT"),
+        (2, 11, "O", 100.0, "2024-01-20 00:00:00", "1-URGENT"),
+        (3, 10, "O", 100.0, "2024-03-05 00:00:00", "1-URGENT"),  # Feb is silent
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/orders.parquet")
+    out = {r.month: (r.n_orders, r.n_custs) for r in q_sql_recursive_month_spine(spark, d).collect()}
+    assert out == {"2024-01": (2, 2), "2024-02": (0, 0), "2024-03": (1, 1)}
