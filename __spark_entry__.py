@@ -53,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # best evidence; they absorb any over-budget truncation harmlessly).
 # Everything else is driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
+    "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
     "eval_auc_doc_length",
     "eval_pr_curve_points",

@@ -736,6 +736,98 @@ ORDER BY view_hour_us
 """
 
 
+def q_stream_join_left_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join, driver-checked (r9) — the state-
+    EVICTION side of the join story `stream_stream_interval_join` (inner)
+    can't certify: unmatched views must be emitted WITH NULL click columns
+    once the watermark proves no match can still arrive. Views left-join
+    clicks per user within [vts, vts + 30 min], both sides watermarked
+    30 min, on the time-ordered multi-micro-batch replay.
+
+    Why oracle-EXACT: (a) matches — in-order feed means a click only needs
+    view state newer than anything evictable (the inner key's argument,
+    any delay ≥ 0), so every batch-join pair is emitted; (b) null rows —
+    a view's match horizon closes at vts + 30 min; after the final
+    no-data micro-batch the event-time watermark rests at max(ts) − 30 min,
+    so every unmatched view with vts ≤ max(ts) − 2 h (window + delay + 1 h
+    batch-boundary margin) has provably been flushed. Both engines
+    restrict to that CLOSED HORIZON — the production pattern for reading
+    an outer-join sink (rows past the horizon are still in flight).
+    Counts are exact integers; no floats anywhere.
+
+    Scale: two watermarked sides keyed by user — state is bounded by the
+    30-min window per key and evicted by watermark; the horizon cutoff is
+    a 1-row broadcast; the sink aggregates at hour grain (time-domain-
+    bounded)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+
+    s1, _d1 = replay_events_stream_ordered(spark, sf_dir)
+    s2, _d2 = replay_events_stream_ordered(spark, sf_dir)
+    views = (
+        s1.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("vts"))
+        .withWatermark("vts", "30 minutes")
+    )
+    clicks = (
+        s2.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND cts >= vts AND cts <= vts + interval 30 minutes"
+        ),
+        "left_outer",
+    )
+    sink = run_to_table(joined, mode="append")
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max(F.unix_micros("ts")) - F.lit(7_200_000_000)).alias("cut_us")
+    )
+    closed = sink.join(
+        F.broadcast(cutoff), F.unix_micros("vts") <= F.col("cut_us")
+    )
+    return (
+        closed.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("vts"))).alias("view_hour_us")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("cts").cast("bigint").alias("n_matched"),
+            F.sum(F.when(F.col("cts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.countDistinct("v_user").cast("bigint").alias("n_users"),
+        )
+        .orderBy("view_hour_us")
+    )
+
+
+ORACLE_STREAM_LEFT_OUTER = """
+WITH cut AS (SELECT epoch_us(max(ts)) - 7200000000 AS cut_us FROM events),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+joined AS (
+    SELECT v.user_id, v.ts AS vts, c.ts AS cts
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE epoch_us(v.ts) <= (SELECT cut_us FROM cut)
+)
+SELECT epoch_us(date_trunc('hour', vts)) AS view_hour_us,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(cts) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM joined
+GROUP BY view_hour_us
+ORDER BY view_hour_us
+"""
+
+
 def q_stream_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING GROUPED TOP-K, driver-checked (r9) — the stateful twin of
     ``operators/topk.grouped_topk_two_phase`` (the salted batch operator
@@ -3426,6 +3518,7 @@ TEMPORAL_QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
     "stream_stream_interval_join": q_stream_stream_interval_join,
+    "stream_join_left_outer_nulls": q_stream_join_left_outer_nulls,
     "stream_topk_events_per_type": q_stream_topk_events_per_type,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
@@ -3500,6 +3593,7 @@ TEMPORAL_ORACLE = {
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,
     "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_join_left_outer_nulls": ORACLE_STREAM_LEFT_OUTER,
     "stream_topk_events_per_type": ORACLE_STREAM_TOPK,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,

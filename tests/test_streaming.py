@@ -804,3 +804,33 @@ def test_running_grouped_topk_tws_matches_apply_in_pandas_path(spark, event_stre
         ).collect()
     }
     assert got == expect
+
+
+def test_stream_left_outer_join_emits_null_rows_and_matches_batch(spark):
+    """stream_join_left_outer_nulls: within the closed horizon the
+    streaming sink must equal the batch LEFT join aggregated identically —
+    including a nonzero unmatched (NULL-click) count, proving watermark
+    eviction actually emitted outer rows rather than dropping them."""
+    from rocana_impala_udfs_spark.plans.temporal import q_stream_join_left_outer_nulls
+
+    got = {r.view_hour_us: (r.n_rows, r.n_matched, r.n_unmatched, r.n_users)
+           for r in q_stream_join_left_outer_nulls(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    cut = ev.agg((F.max(F.unix_micros("ts")) - F.lit(7_200_000_000)).alias("c")).collect()[0].c
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+    batch = (
+        v.filter(F.unix_micros("vts") <= cut)
+        .join(c, F.expr("v_user = c_user AND cts >= vts AND cts <= vts + interval 30 minutes"), "left_outer")
+        .groupBy(F.unix_micros(F.date_trunc("hour", F.col("vts"))).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.count("cts").alias("m"),
+             F.sum(F.when(F.col("cts").isNull(), 1).otherwise(0)).alias("u"),
+             F.countDistinct("v_user").alias("d"))
+        .collect()
+    )
+    expect = {r.h: (r.n, r.m, r.u, r.d) for r in batch}
+    assert got == expect
+    assert sum(x[2] for x in got.values()) > 0  # outer rows genuinely emitted
+    assert sum(x[1] for x in got.values()) > 0  # and real matches exist
