@@ -4350,6 +4350,98 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL calibration (Angelopoulos & Bates 2021) — the
+    distribution-free way to turn any score into a guaranteed-coverage
+    bound: on the md5-gated calibration half, q̂ = the ⌈(n+1)(1−α)⌉-th
+    smallest score (α=0.1); the held-out half then reports empirical
+    coverage P(score ≤ q̂) ≥ 90% by the finite-sample guarantee. Rank
+    k = ⌈9(n+1)/10⌉ in pure integer arithmetic (no float ceil boundary),
+    q̂ is an ACTUAL data element picked as min{v : cum(v) ≥ k} on the
+    distinct-score frame — everything hash-exact; coverage is one double
+    division.
+
+    Scale: the calibration fact folds to the distinct-score frame
+    (score-domain-bounded) before the one cumulative window; n_cal and
+    the 1-row q̂ frame broadcast to the test side — no fact-row sort, no
+    driver round-trip."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    scored = docs.select("n_chars", gate.alias("g"))
+    cal = scored.filter(F.col("g") == 0)
+    test = scored.filter(F.col("g") == 1)
+    per_v = cal.groupBy("n_chars").agg(F.count(F.lit(1)).alias("t"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    frame = per_v.select("n_chars", F.sum("t").over(w_cum).alias("cum"))
+    n_frame = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("(9 * (count(1) + 1) + 9) DIV 10").cast("bigint").alias("k_rank"),
+    )
+    qhat = (
+        frame.crossJoin(F.broadcast(n_frame))
+        .filter(F.col("cum") >= F.col("k_rank"))
+        .groupBy("n_cal", "k_rank")
+        .agg(F.min("n_chars").cast("bigint").alias("qhat"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "k_rank", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("n_chars") <= F.col("qhat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "k_rank",
+            "qhat",
+            "n_test",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+ORACLE_EVAL_CONFORMAL = """
+WITH base AS (
+    SELECT n_chars,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 AS g
+    FROM documents WHERE n_chars IS NOT NULL
+),
+cal AS (SELECT n_chars FROM base WHERE g = 0),
+tes AS (SELECT n_chars FROM base WHERE g = 1),
+n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cal,
+           CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k_rank
+    FROM cal
+),
+pv AS (SELECT n_chars, count(*) AS t FROM cal GROUP BY n_chars),
+cumf AS (
+    SELECT n_chars,
+           sum(t) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM pv
+),
+q AS (
+    SELECT n.n_cal, n.k_rank, CAST(min(cumf.n_chars) AS BIGINT) AS qhat
+    FROM cumf, n WHERE cumf.cum >= n.k_rank GROUP BY n.n_cal, n.k_rank
+)
+SELECT q.n_cal, q.k_rank, q.qhat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN tes.n_chars <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN tes.n_chars <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS coverage
+FROM tes, q
+GROUP BY q.n_cal, q.k_rank, q.qhat
+"""
+
+
 ORACLE_K_ANONYMITY = """
 WITH g AS (
     SELECT c_nationkey, c_mktsegment, year(o_orderdate) AS order_year,
@@ -4403,6 +4495,7 @@ PIPELINE_QUERIES = {
     "eval_pr_curve_points": q_eval_pr_curve_points,
     "eval_cohens_kappa": q_eval_cohens_kappa,
     "privacy_k_anonymity": q_privacy_k_anonymity,
+    "eval_conformal_coverage": q_eval_conformal_coverage,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
@@ -4501,6 +4594,7 @@ PIPELINE_ORACLE = {
     "eval_pr_curve_points": ORACLE_EVAL_PR_CURVE,
     "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,
+    "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,

@@ -1822,3 +1822,36 @@ def test_k_anonymity_matches_bruteforce(spark):
     assert out.violating_groups == int((sizes < 10).sum())
     assert out.rows_at_risk == int(sizes[sizes < 10].sum())
     assert out.min_group_size == int(sizes.min())
+
+
+def test_conformal_quantile_and_guarantee(spark):
+    """eval_conformal_coverage: q̂ equals numpy's ⌈(n+1)(1−α)⌉-th smallest
+    calibration score (an actual element), and empirical test coverage
+    meets the finite-sample bound within sampling noise of the exchange-
+    ability guarantee (≥ 0.9 − 3σ for the binomial at n_test)."""
+    import math
+
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_conformal_coverage
+
+    out = q_eval_conformal_coverage(spark, SF).collect()[0]
+    rows = (
+        load_table(spark, SF, "documents")
+        .select(
+            "n_chars",
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint")
+                % 2
+            ).alias("g"),
+        )
+        .collect()
+    )
+    cal = sorted(r.n_chars for r in rows if r.g == 0)
+    tes = [r.n_chars for r in rows if r.g == 1]
+    k = math.ceil(9 * (len(cal) + 1) / 10)
+    assert out.n_cal == len(cal) and out.k_rank == k
+    assert out.qhat == cal[k - 1]
+    assert out.n_test == len(tes)
+    assert out.n_covered == sum(1 for s in tes if s <= out.qhat)
+    sigma = math.sqrt(0.9 * 0.1 / len(tes))
+    assert out.coverage >= 0.9 - 3 * sigma
