@@ -4350,6 +4350,80 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_gini_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of document length per source — the inequality
+    diagnostic behind mixing decisions: a source whose token mass sits in
+    a few giant documents behaves differently under doc-level sampling
+    than its row count suggests. Uses the closed form over sorted values
+    G = 2Σᵢ i·xᵢ/(nS) − (n+1)/n, where the doubled rank-weighted sum
+    collapses EXACTLY onto the distinct-value frame via the tie identity
+    2Σᵢ∈group i = t·r2(v) (r2 = 2·cum_before + t + 1 — the r7 doubled-rank
+    recipe), so N2 = Σ_v v·t·r2 in DECIMAL(38,0)/HUGEINT and G is one
+    double chain — hash-exact, no rounding.
+
+    Scale: one partial+final agg to the per-source distinct-length frame
+    (value-domain-bounded); the cumulative window is partitioned BY
+    SOURCE over that frame; output is one row per source."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    per_v = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("t"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = F.coalesce(F.sum("t").over(w_cum), F.lit(0)) * 2 + F.col("t") + 1
+    agg = per_v.select(
+        "source",
+        "t",
+        "n_chars",
+        (
+            F.col("n_chars").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            * r2.cast("decimal(38,0)")
+        ).alias("n2_part"),
+    ).groupBy("source").agg(
+        F.sum("t").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("t")).alias("s"),
+        F.sum("n2_part").alias("n2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    gini = F.col("n2").cast("double") / (nd * F.col("s").cast("double")) - (
+        nd + F.lit(1.0)
+    ) / nd
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("s").cast("bigint").alias("total_chars"),
+        gini.alias("gini"),
+    ).orderBy("source")
+
+
+ORACLE_CORPUS_GINI = """
+WITH per_v AS (
+    SELECT source, n_chars, count(*) AS t
+    FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars
+),
+r AS (
+    SELECT source, n_chars, t,
+           coalesce(sum(t) OVER (PARTITION BY source ORDER BY n_chars
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+             + t + 1 AS r2
+    FROM per_v
+),
+agg AS (
+    SELECT source,
+           CAST(sum(t) AS BIGINT) AS n_docs,
+           sum(CAST(n_chars AS HUGEINT) * t) AS s,
+           sum(CAST(n_chars AS HUGEINT) * t * r2) AS n2
+    FROM r GROUP BY source
+)
+SELECT source, n_docs, CAST(s AS BIGINT) AS total_chars,
+       CAST(n2 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(s AS DOUBLE))
+         - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE) AS gini
+FROM agg ORDER BY source
+"""
+
+
 def q_eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLIT-CONFORMAL calibration (Angelopoulos & Bates 2021) — the
     distribution-free way to turn any score into a guaranteed-coverage
@@ -4496,6 +4570,7 @@ PIPELINE_QUERIES = {
     "eval_cohens_kappa": q_eval_cohens_kappa,
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "eval_conformal_coverage": q_eval_conformal_coverage,
+    "corpus_gini_doc_length": q_corpus_gini_doc_length,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
@@ -4595,6 +4670,7 @@ PIPELINE_ORACLE = {
     "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,
     "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
+    "corpus_gini_doc_length": ORACLE_CORPUS_GINI,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,

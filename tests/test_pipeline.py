@@ -1855,3 +1855,24 @@ def test_conformal_quantile_and_guarantee(spark):
     assert out.n_covered == sum(1 for s in tes if s <= out.qhat)
     sigma = math.sqrt(0.9 * 0.1 / len(tes))
     assert out.coverage >= 0.9 - 3 * sigma
+
+
+def test_gini_matches_numpy_definition(spark):
+    """corpus_gini_doc_length vs the sorted-values closed form computed in
+    numpy per source: G = 2Σ i·xᵢ/(nS) − (n+1)/n, 1-indexed ascending."""
+    from rocana_impala_udfs_spark.plans.pipeline import q_corpus_gini_doc_length
+
+    got = {r.source: (r.n_docs, r.total_chars, r.gini)
+           for r in q_corpus_gini_doc_length(spark, SF).collect()}
+    rows = load_table(spark, SF, "documents").select("source", "n_chars").collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    for src, xs in by_src.items():
+        xs = np.sort(np.array(xs, dtype=np.int64))
+        n, s = len(xs), int(xs.sum())
+        g = 2 * float((np.arange(1, n + 1) * xs).sum()) / (n * s) - (n + 1) / n
+        nd, tc, gini = got[src]
+        assert (nd, tc) == (n, s)
+        assert gini == pytest.approx(g, rel=1e-12)
+        assert 0.0 <= gini < 1.0
