@@ -585,6 +585,94 @@ SELECT * FROM ({body}) ORDER BY method
 ORACLE_ANN_RECALL = _oracle_ann_recall()
 
 
+def q_eval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN RECIPROCAL RANK scorecard — the companion eval to
+    ``ann_recall_report``: recall@5 says whether the true neighbor is in
+    the list, MRR says WHERE (rank 1 vs rank 5 matter differently to a
+    retrieval pipeline). Relevant item = the exact brute-force rank-1
+    neighbor per query; each ANN family's reciprocal rank is quantized to
+    the shared 1e-6 grid (round(1e6/rk) — rk ∈ 1..5 so both engines round
+    the identical double; a miss scores 0), summed as exact integers, and
+    MRR is one double chain — hash-exact.
+
+    Scale: same as the recall report — every input is k·n_queries-
+    bounded, the rank join touches two tiny frames, and the final agg is
+    3 rows."""
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute1 = (
+        similarity.brute_force_topk_np(emb, queries, k=5)
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_id").alias("rel_id"))
+    )
+    methods = [
+        ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
+        ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
+        ("pq_adc", pq_adc_topk(emb, n_probes=4, k=5), 4),
+    ]
+    reports = []
+    for name, appr, nq in methods:
+        t = brute1.filter(F.col("query_id") < nq)
+        j = t.join(
+            appr.select("query_id", F.col("neighbor_id").alias("rel_id"), "rk"),
+            ["query_id", "rel_id"],
+            "left",
+        )
+        rr6 = F.coalesce(
+            F.round(F.lit(1000000.0) / F.col("rk"), 0).cast("bigint"), F.lit(0)
+        )
+        reports.append(
+            j.agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                F.sum(rr6).cast("bigint").alias("sum_rr6"),
+                (
+                    F.sum(rr6).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(1000000.0)
+                ).alias("mrr"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+def _oracle_eval_mrr() -> str:
+    """Compose the per-method oracles against the brute-force rank-1
+    truth, mirroring the recall-report composition."""
+    methods = [
+        ("ivf_fixed", ORACLE_ANN_IVF_FIXED, 20),
+        ("lsh", ORACLE_ANN_LSH, 20),
+        ("pq_adc", ORACLE_ANN_PQ, 4),
+    ]
+    parts = []
+    for name, sql, nq in methods:
+        parts.append(
+            f"""
+SELECT '{name}' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(coalesce(round(1000000.0 / m.rk), 0)) AS BIGINT) AS sum_rr6,
+       CAST(CAST(sum(coalesce(round(1000000.0 / m.rk), 0)) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1000000.0 AS mrr
+FROM (SELECT query_id, rel_id FROM brute1 WHERE query_id < {nq}) b
+LEFT JOIN (SELECT query_id, neighbor_id, rk FROM ({sql})) m
+  ON b.query_id = m.query_id AND b.rel_id = m.neighbor_id"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH brute1 AS (
+    SELECT query_id, neighbor_id AS rel_id FROM ({ORACLE_ANN_TOP5}) WHERE rk = 1
+)
+SELECT * FROM ({body}) ORDER BY method
+"""
+
+
+ORACLE_EVAL_MRR = _oracle_eval_mrr()
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No SQL oracle: k-means cluster boundaries aren't SQL-reproducible and
     # recall < 1 by construction; pytest pins planted-pair behavior against
@@ -4571,6 +4659,7 @@ PIPELINE_QUERIES = {
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "eval_conformal_coverage": q_eval_conformal_coverage,
     "corpus_gini_doc_length": q_corpus_gini_doc_length,
+    "eval_mrr_report": q_eval_mrr_report,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
@@ -4671,6 +4760,7 @@ PIPELINE_ORACLE = {
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,
     "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
     "corpus_gini_doc_length": ORACLE_CORPUS_GINI,
+    "eval_mrr_report": ORACLE_EVAL_MRR,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,

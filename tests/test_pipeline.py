@@ -1876,3 +1876,38 @@ def test_gini_matches_numpy_definition(spark):
         assert (nd, tc) == (n, s)
         assert gini == pytest.approx(g, rel=1e-12)
         assert 0.0 <= gini < 1.0
+
+
+def test_mrr_matches_bruteforce_ranks(spark):
+    """eval_mrr_report: each method's MRR equals the numpy recomputation
+    from its own ranked list against the brute-force rank-1 truth, and
+    MRR ∈ [0, 1] with n_queries matching the method's probe set."""
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_mrr_report
+
+    got = {r.method: r for r in q_eval_mrr_report(spark, SF).collect()}
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk_np(emb, queries, k=5)
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    methods = {
+        "ivf_fixed": (similarity.ivf_fixed_topk(emb, queries, k=5), 20),
+        "lsh": (similarity.lsh_bucket_topk(emb, queries, k=5), 20),
+        "pq_adc": (pq_adc_topk(emb, n_probes=4, k=5), 4),
+    }
+    for name, (appr, nq) in methods.items():
+        ranks = {(r.query_id, r.neighbor_id): r.rk for r in appr.collect()}
+        rr6 = sum(
+            round(1e6 / ranks[(q, rel)]) if (q, rel) in ranks else 0
+            for q, rel in truth.items()
+            if q < nq
+        )
+        row = got[name]
+        assert row.n_queries == nq
+        assert row.sum_rr6 == rr6
+        assert row.mrr == pytest.approx(rr6 / nq / 1e6, rel=1e-12)
+        assert 0.0 <= row.mrr <= 1.0
