@@ -168,6 +168,19 @@ HEADLINE = [
     "corpus_source_overlap",
     "stats_bootstrap_ci_price",
     "ab_ratio_delta_ci",
+    # r9 session 2: classifier-eval + governance family (exact AUC / PR
+    # curve / kappa / conformal / Gini / MRR / k-anonymity), recursive-CTE
+    # month spine. All agg- or k-bounded — cheap adds.
+    "eval_auc_doc_length",
+    "eval_pr_curve_points",
+    "eval_cohens_kappa",
+    "eval_conformal_coverage",
+    "eval_mrr_report",
+    "corpus_gini_doc_length",
+    "privacy_k_anonymity",
+    "sql_recursive_month_spine",
+    # stream_join_left_outer_nulls is NOT benched — two-sided join state
+    # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its

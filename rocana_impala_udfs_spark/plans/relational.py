@@ -4347,15 +4347,23 @@ def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DATE DOMAIN — ~1,200 iterations per century, far from the fact
     path; the default 100-level limit covers the 80-month TPC-H range);
     the fact table folds once into the month-grain agg and the tiny spine
-    joins broadcast. Recursion never touches fact rows."""
+    joins broadcast. Recursion never touches fact rows. The hi bound is
+    CARRIED AS A FRONTIER COLUMN — a correlated `WHERE m < (SELECT max…)`
+    re-runs the bound subquery every iteration (80 orders scans, measured
+    7× slower). Residual cost is the per-iteration driver constant
+    (~25 ms × months — independent of data volume)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rsp_orders")
     return spark.sql(
         """
-        WITH RECURSIVE spine(m) AS (
-            SELECT date_trunc('month', min(o_orderdate)) FROM _rsp_orders
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                   date_trunc('month', max(o_orderdate)) AS hi
+            FROM _rsp_orders
+        ),
+        spine(m, hi) AS (
+            SELECT lo, hi FROM bounds
             UNION ALL
-            SELECT add_months(m, 1) FROM spine
-            WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM _rsp_orders)
+            SELECT add_months(m, 1), hi FROM spine WHERE m < hi
         ),
         monthly AS (
             SELECT date_trunc('month', o_orderdate) AS m,
@@ -4373,11 +4381,15 @@ def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_RECURSIVE_SPINE = """
-WITH RECURSIVE spine(m) AS (
-    SELECT date_trunc('month', min(o_orderdate)) FROM orders
+WITH RECURSIVE bounds AS (
+    SELECT date_trunc('month', min(o_orderdate)) AS lo,
+           date_trunc('month', max(o_orderdate)) AS hi
+    FROM orders
+),
+spine(m, hi) AS (
+    SELECT lo, hi FROM bounds
     UNION ALL
-    SELECT m + INTERVAL 1 MONTH FROM spine
-    WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+    SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
 ),
 monthly AS (
     SELECT date_trunc('month', o_orderdate) AS m,
