@@ -55,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_CHECKED = [
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
+    "ab_mutual_info_type_variant",
     "eval_mrr_report",
     "corpus_gini_doc_length",
     "eval_conformal_coverage",

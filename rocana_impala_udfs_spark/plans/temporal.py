@@ -1532,6 +1532,132 @@ FROM termed
 """
 
 
+def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
+    variant, with both marginal entropies and the normalized MI — the
+    information-theoretic dependence readout feature-selection and
+    leakage screens use where chi-square gives only a test statistic.
+    Same exact integer grid as ``ab_chi2_type_by_variant``; each cell/
+    marginal term is ONE identical double expression over exact integers
+    (p·ln with a single divide layout), summed by the FIXED-ORDER fold on
+    both engines; ln's last-bit engine variance is absorbed by one final
+    round-6 per statistic (the PMI precedent — never per-term rounding).
+
+    Scale: identical to the chi-square key — one map-side-combined count
+    shuffle to the |types|×2 grid; every fold input is domain-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint") % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("variant"),
+    )
+    cells = ev.groupBy("event_type", "variant").agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("variant").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+
+    def fold(frame, key_cols, term_col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct(*key_cols, term_col.alias("term")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        )
+
+    mi_term = (F.col("o").cast("double") / F.col("n_tot")) * F.log(
+        F.col("o").cast("double") * F.col("n_tot")
+        / (F.col("r_tot").cast("double") * F.col("c_tot"))
+    )
+    mi_frame = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "variant")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n_tot").cast("bigint").alias("n_total"),
+            fold(None, [F.col("event_type"), F.col("variant")], mi_term).alias("mi_raw"),
+        )
+    )
+    ht_term = -(F.col("r_tot").cast("double") / F.col("n_tot")) * F.log(
+        F.col("r_tot").cast("double") / F.col("n_tot")
+    )
+    ht = r.crossJoin(F.broadcast(n)).agg(
+        fold(None, [F.col("event_type")], ht_term).alias("ht_raw")
+    )
+    hv_term = -(F.col("c_tot").cast("double") / F.col("n_tot")) * F.log(
+        F.col("c_tot").cast("double") / F.col("n_tot")
+    )
+    hv = c.crossJoin(F.broadcast(n)).agg(
+        fold(None, [F.col("variant")], hv_term).alias("hv_raw")
+    )
+    return (
+        mi_frame.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hv))
+        .select(
+            "n_total",
+            F.round("mi_raw", 6).alias("mi_nats"),
+            F.round("ht_raw", 6).alias("h_type"),
+            F.round("hv_raw", 6).alias("h_variant"),
+            F.round(
+                F.col("mi_raw") / F.sqrt(F.col("ht_raw") * F.col("hv_raw")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+ORACLE_AB_MUTUAL_INFO = """
+WITH ev AS (
+    SELECT event_type,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events
+),
+cells AS (
+    SELECT event_type, variant, CAST(count(*) AS BIGINT) AS o
+    FROM ev GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT variant, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM cells),
+mi AS (
+    SELECT max(n_tot) AS n_total,
+           list_reduce(
+               [0.0] || list((CAST(o AS DOUBLE) / n_tot)
+                             * ln(CAST(o AS DOUBLE) * n_tot
+                                  / (CAST(r_tot AS DOUBLE) * c_tot))
+                             ORDER BY cells.event_type, cells.variant),
+               (acc, x) -> acc + x
+           ) AS mi_raw
+    FROM cells JOIN r USING (event_type) JOIN c USING (variant), n
+),
+ht AS (
+    SELECT list_reduce(
+               [0.0] || list(-(CAST(r_tot AS DOUBLE) / n_tot)
+                             * ln(CAST(r_tot AS DOUBLE) / n_tot)
+                             ORDER BY event_type),
+               (acc, x) -> acc + x
+           ) AS ht_raw
+    FROM r, n
+),
+hv AS (
+    SELECT list_reduce(
+               [0.0] || list(-(CAST(c_tot AS DOUBLE) / n_tot)
+                             * ln(CAST(c_tot AS DOUBLE) / n_tot)
+                             ORDER BY variant),
+               (acc, x) -> acc + x
+           ) AS hv_raw
+    FROM c, n
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       round(mi_raw, 6) AS mi_nats,
+       round(ht_raw, 6) AS h_type,
+       round(hv_raw, 6) AS h_variant,
+       round(mi_raw / sqrt(ht_raw * hv_raw), 6) AS nmi
+FROM mi, ht, hv
+"""
+
+
 def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test on the per-user value metric
     between the A/B variants (same deterministic md5 user gate as
@@ -3523,6 +3649,7 @@ TEMPORAL_QUERIES = {
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
+    "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
     "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
@@ -3598,6 +3725,7 @@ TEMPORAL_ORACLE = {
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
+    "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
     "stream_heavy_hitters_exact": ORACLE_STREAM_MG,

@@ -769,3 +769,65 @@ def test_ratio_delta_ci_matches_numpy_formula(spark):
         assert got.se == pytest.approx(np.sqrt(var_r), rel=1e-9)
         assert got.ci_lo < got.ratio < got.ci_hi
         assert got.ci_hi - got.ratio == pytest.approx(1.96 * got.se, rel=1e-12)
+
+
+def test_mutual_info_matches_numpy_and_zero_on_independence(spark, tmp_path):
+    """ab_mutual_info_type_variant: (1) MI/H/NMI match the numpy textbook
+    computation on the production data; (2) on a planted perfectly
+    independent grid MI == 0.0 exactly (every cell term ln(1) = 0)."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_mutual_info_type_variant
+
+    out = q_ab_mutual_info_type_variant(spark, SF).collect()[0]
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_type",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint")
+                % 2
+            ).alias("g"),
+        )
+        .collect()
+    )
+    types = sorted({r.event_type for r in ev})
+    grid = np.zeros((len(types), 2))
+    for r in ev:
+        grid[types.index(r.event_type), int(r.g)] += 1
+    p = grid / grid.sum()
+    pr, pc = p.sum(axis=1), p.sum(axis=0)
+    mi = float(sum(p[i, j] * np.log(p[i, j] / (pr[i] * pc[j]))
+                   for i in range(len(types)) for j in range(2) if p[i, j] > 0))
+    ht = float(-(pr * np.log(pr)).sum())
+    hv = float(-(pc * np.log(pc)).sum())
+    assert out.n_total == int(grid.sum())
+    assert out.mi_nats == pytest.approx(mi, abs=2e-6)
+    assert out.h_type == pytest.approx(ht, abs=2e-6)
+    assert out.h_variant == pytest.approx(hv, abs=2e-6)
+    assert out.nmi == pytest.approx(mi / np.sqrt(ht * hv), abs=2e-6)
+
+    # planted independence: reuse the chi2 fixture construction
+    probe = spark.createDataFrame([(i,) for i in range(1, 50)], "user_id long").withColumn(
+        "g",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % 2,
+    )
+    by_v = {int(r.g): r.user_id for r in probe.collect()}
+    rows, eid = [], 0
+    for u in (by_v[0], by_v[1]):
+        for et, cnt in (("view", 6), ("click", 3)):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, "2024-01-01 00:00:00", u, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import os
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/events.parquet")
+    ind = q_ab_mutual_info_type_variant(spark, d).collect()[0]
+    assert ind.mi_nats == 0.0 and ind.nmi == 0.0
