@@ -55,6 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_CHECKED = [
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
+    "stats_mad_price",
+    "quality_benford_price",
     "ab_mutual_info_type_variant",
     "eval_mrr_report",
     "corpus_gini_doc_length",

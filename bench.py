@@ -180,6 +180,8 @@ HEADLINE = [
     "privacy_k_anonymity",
     "sql_recursive_month_spine",
     "ab_mutual_info_type_variant",
+    "stats_mad_price",
+    "quality_benford_price",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_stream_interval_join is deliberately NOT benched: two-sided

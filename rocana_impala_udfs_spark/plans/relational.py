@@ -4335,6 +4335,140 @@ FROM rolled
 """
 
 
+def q_stats_mad_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION of the extended price — the robust scale
+    estimate outlier screens use where stddev is poisoned by the outliers
+    themselves; also reports σ̂ = 1.4826·MAD (the normal-consistent
+    scale). Two chained EXACT element picks, no driver round-trip: prices
+    land on the cents grid (round(x·100) — both engines round the same
+    double), the upper median (the reference's even-n rule,
+    median.cc:299-303) is min{v : cum(v) ≥ ⌊(n+2)/2⌋} on the distinct-
+    cents frame, the 1-row median broadcasts back, and the same pick runs
+    again on |x − m|. All integers until two final /100.0 divisions —
+    hash-exact, no rounding.
+
+    Scale: both cumulative windows run over DISTINCT-cents frames
+    (value-domain-bounded, ~10⁶ rows at any corpus size); the fact table
+    is scanned twice but only ever aggregated — no fact-row sort, no
+    collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+    )
+    n_frame = cents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("(count(1) + 2) DIV 2").cast("bigint").alias("k"),
+    )
+
+    def pick(vals):  # min value whose cumulative count reaches rank k
+        per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        framed = per_v.select("v", F.sum("t").over(w).alias("cum"))
+        return (
+            framed.crossJoin(F.broadcast(n_frame))
+            .filter(F.col("cum") >= F.col("k"))
+            .agg(F.min("v").alias("m"))
+        )
+
+    med = pick(cents)
+    dev = cents.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("v") - F.col("m")).alias("v")
+    )
+    mad = pick(dev).select(F.col("m").alias("d"))
+    return (
+        n_frame.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "n",
+            (F.col("m").cast("double") / F.lit(100.0)).alias("median_price"),
+            (F.col("d").cast("double") / F.lit(100.0)).alias("mad_price"),
+            (
+                F.lit(1.4826) * (F.col("d").cast("double") / F.lit(100.0))
+            ).alias("sigma_robust"),
+        )
+    )
+
+
+ORACLE_STATS_MAD = """
+WITH cents AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+nf AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST((count(*) + 2) // 2 AS BIGINT) AS k
+    FROM cents
+),
+cum1 AS (
+    SELECT v, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (SELECT v, count(*) AS t FROM cents GROUP BY v)
+),
+med AS (SELECT min(v) AS m FROM cum1, nf WHERE cum >= nf.k),
+dev AS (SELECT abs(v - (SELECT m FROM med)) AS v FROM cents),
+cum2 AS (
+    SELECT v, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (SELECT v, count(*) AS t FROM dev GROUP BY v)
+),
+mad AS (SELECT min(v) AS d FROM cum2, nf WHERE cum >= nf.k)
+SELECT nf.n,
+       CAST(med.m AS DOUBLE) / 100.0 AS median_price,
+       CAST(mad.d AS DOUBLE) / 100.0 AS mad_price,
+       1.4826 * (CAST(mad.d AS DOUBLE) / 100.0) AS sigma_robust
+FROM nf, med, mad
+"""
+
+
+def q_quality_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit screen over order prices — the classic
+    fabricated/synthetic-data tell auditors run on financial facts: the
+    observed leading-digit distribution vs the Benford expectation
+    log₁₀(1 + 1/d). The leading digit is extracted from the DECIMAL(18,2)
+    string rendering (prices ≥ 1, no scientific notation on either
+    engine), counts are exact integers, p_obs is one exact division, and
+    p_benford is the identical per-digit literal expression rounded once
+    to 6 dp (log₁₀'s last-bit engine variance — the PMI precedent).
+
+    Scale: one map-side-combined count agg to a 9-row digit frame; the
+    1-row total broadcasts."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    per_d = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = per_d.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    return (
+        per_d.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("n").cast("double")).alias("p_obs"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+            ).alias("p_benford"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_BENFORD = """
+WITH per_d AS (
+    SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM per_d)
+SELECT digit, n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford
+FROM per_d, tot
+ORDER BY digit
+"""
+
+
 def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE surface (Spark 4.x `WITH RECURSIVE`, SPARK-24497) —
     the month spine every reporting stack builds: recursion generates the
@@ -4407,6 +4541,8 @@ ORDER BY month
 
 QUERIES = {
     "sql_recursive_month_spine": q_sql_recursive_month_spine,
+    "stats_mad_price": q_stats_mad_price,
+    "quality_benford_price": q_quality_benford_price,
     "q1_pricing_summary": q1_pricing_summary,
     "bloom_semi_orders": q_bloom_semi_orders,
     "stats_rolling_corr_click_view": q_stats_rolling_corr,
@@ -4507,6 +4643,8 @@ QUERIES = {
 
 ORACLE = {
     "sql_recursive_month_spine": ORACLE_RECURSIVE_SPINE,
+    "stats_mad_price": ORACLE_STATS_MAD,
+    "quality_benford_price": ORACLE_BENFORD,
     "q1_pricing_summary": ORACLE_Q1,
     "bloom_semi_orders": ORACLE_BLOOM_SEMI,
     "stats_rolling_corr_click_view": ORACLE_ROLLING_CORR,

@@ -765,3 +765,48 @@ def test_recursive_month_spine_fills_gaps(spark, tmp_path):
     df.write.parquet(f"{d}/orders.parquet")
     out = {r.month: (r.n_orders, r.n_custs) for r in q_sql_recursive_month_spine(spark, d).collect()}
     assert out == {"2024-01": (2, 2), "2024-02": (0, 0), "2024-03": (1, 1)}
+
+
+def test_mad_matches_numpy(spark):
+    """stats_mad_price: median and MAD equal the numpy upper-median
+    recomputation on the cents grid (the reference's even-n rule)."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.relational import q_stats_mad_price
+
+    out = q_stats_mad_price(spark, SF).collect()[0]
+    qs = entry.queries()
+    import pyspark.sql.functions as F
+
+    vals = [
+        r.v
+        for r in qs["q1_pricing_summary"](spark, SF)
+        .sparkSession.read.parquet(f"{SF}/lineitem.parquet")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"))
+        .collect()
+    ]
+    v = np.sort(np.array(vals, dtype=np.int64))
+    k = (len(v) + 2) // 2
+    m = int(v[k - 1])
+    d = np.sort(np.abs(v - m))
+    mad = int(d[k - 1])
+    assert out.n == len(v)
+    assert out.median_price == m / 100.0
+    assert out.mad_price == mad / 100.0
+    assert out.sigma_robust == 1.4826 * (mad / 100.0)
+
+
+def test_benford_rows_sum_to_one(spark):
+    """quality_benford_price: 9 digit rows, observed shares sum to 1,
+    Benford shares match log10(1+1/d) and sum to ~1."""
+    import math
+
+    import pytest
+
+    from rocana_impala_udfs_spark.plans.relational import q_quality_benford_price
+
+    rows = q_quality_benford_price(spark, SF).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert sum(r.p_obs for r in rows) == pytest.approx(1.0, rel=1e-12)
+    for r in rows:
+        assert r.p_benford == pytest.approx(math.log10(1 + 1 / r.digit), abs=1e-6)
