@@ -606,6 +606,9 @@ def test_rank_stats_never_sort_fact_rows(spark):
         ("exact_weighted_median_price", 2),  # cum + total weight specs
         ("eval_auc_doc_length", 1),  # cum window over the distinct-score frame
         ("eval_pr_curve_points", 2),  # desc-cumulative + all-rows specs
+        ("eval_conformal_coverage", 1),  # cum window over the distinct-score frame
+        ("stats_mad_price", 3),  # median pick + its reuse in the dev branch + MAD pick
+        ("corpus_gini_doc_length", 1),  # source-partitioned cum over distinct lengths
     ):
         plan = _plan(spark, key)
         assert plan.count("Window [") == n_windows, (key, plan.count("Window ["))
