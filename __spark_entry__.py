@@ -55,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_CHECKED = [
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
+    "events_kaplan_meier_conversion",
     "stats_mad_price",
     "quality_benford_price",
     "ab_mutual_info_type_variant",

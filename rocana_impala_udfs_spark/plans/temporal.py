@@ -1532,6 +1532,127 @@ FROM termed
 """
 
 
+def q_events_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER product-limit estimator for time-to-first-purchase —
+    survival analysis with RIGHT CENSORING, the statistically correct way
+    to read conversion latency when many users haven't converted yet
+    (a plain funnel median silently drops them). Per user: duration =
+    days from first event to first purchase, censored at the corpus
+    horizon otherwise. Risk sets and event counts are exact integers on
+    the distinct-duration frame (censored users leave the risk set AFTER
+    their time, the standard convention); the survival curve
+    S(t) = Π(1 − dᵢ/nᵢ) is computed as exp of the ORDERED cumulative sum
+    of ln((nᵢ−dᵢ)/nᵢ) — each term one identical double chain, the
+    cumulative window is a fixed left-to-right fold on both engines, and
+    one final round-6 absorbs ln/exp last-bit variance (the PMI
+    precedent).
+
+    Scale: one user-keyed partial+final agg, then the duration frame is
+    DATE-DOMAIN-bounded — the cumulative windows never see fact rows; the
+    horizon is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc(
+            "day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        )
+        .cast("date")
+        .alias("dp"),
+    )
+    horizon = ev.agg(
+        F.date_trunc("day", F.max("ts")).cast("date").alias("gd")
+    )
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("dp").isNotNull(), F.datediff(F.col("dp"), F.col("d0"))
+        )
+        .otherwise(F.datediff(F.col("gd"), F.col("d0")))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    frame = dur.groupBy("dur").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("obs")).cast("bigint").alias("c"),
+    )
+    w_before = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    at_risk = frame.select(
+        "dur",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_before), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    events = at_risk.filter(F.col("d") > 0)
+    # S hits EXACT zero when an event time exhausts the risk set (d = n):
+    # ln(0) is ±error territory on both engines — carry an absorbing flag
+    # through the cumulative window instead and emit 0 from there on.
+    ln1m = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    zeroed = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    return events.select(
+        F.col("dur").alias("duration_day"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.when(zeroed == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(ln1m).over(w_cum)), 6))
+        .alias("s_km"),
+    ).orderBy("duration_day")
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+           CAST(date_trunc('day', min(CASE WHEN event_type = 'purchase' THEN ts END)) AS DATE) AS dp
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS gd FROM events),
+dur AS (
+    SELECT CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                ELSE datediff('day', d0, gd) END AS dur,
+           CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS obs
+    FROM per_user, horizon
+),
+frame AS (
+    SELECT dur, CAST(sum(obs) AS BIGINT) AS d, CAST(sum(1 - obs) AS BIGINT) AS c
+    FROM dur GROUP BY dur
+),
+at_risk AS (
+    SELECT dur, d,
+           CAST(sum(d + c) OVER ()
+                - coalesce(sum(d + c) OVER (ORDER BY dur
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+    FROM frame
+),
+ev AS (SELECT dur, d, n_risk FROM at_risk WHERE d > 0)
+SELECT dur AS duration_day, n_risk, d AS d_events,
+       CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp(sum(CASE WHEN d < n_risk
+                                    THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                                    ELSE 0.0 END)
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       END AS s_km
+FROM ev
+ORDER BY duration_day
+"""
+
+
 def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
     variant, with both marginal entropies and the normalized MI — the
@@ -3650,6 +3771,7 @@ TEMPORAL_QUERIES = {
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
     "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
+    "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
     "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
@@ -3726,6 +3848,7 @@ TEMPORAL_ORACLE = {
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
     "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
+    "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
     "stream_heavy_hitters_exact": ORACLE_STREAM_MG,

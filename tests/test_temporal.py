@@ -831,3 +831,38 @@ def test_mutual_info_matches_numpy_and_zero_on_independence(spark, tmp_path):
     df.write.parquet(f"{d}/events.parquet")
     ind = q_ab_mutual_info_type_variant(spark, d).collect()[0]
     assert ind.mi_nats == 0.0 and ind.nmi == 0.0
+
+
+def test_kaplan_meier_matches_lifelines_formula(spark):
+    """events_kaplan_meier_conversion vs a pure-python product-limit
+    recomputation (the lifelines KaplanMeierFitter formula) from the same
+    per-user durations; curve is monotone nonincreasing in [0, 1]."""
+    from rocana_impala_udfs_spark.plans.temporal import (
+        q_events_kaplan_meier_conversion,
+    )
+
+    got = q_events_kaplan_meier_conversion(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        .cast("date").alias("dp"),
+    ).collect()
+    gd = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("g")).collect()[0].g
+    durs = [((r.dp - r.d0).days, 1) if r.dp is not None else ((gd - r.d0).days, 0)
+            for r in pu]
+    n_at_risk = len(durs)
+    s = 1.0
+    expect = []
+    for t in sorted({d for d, o in durs if o == 1}):
+        d_t = sum(1 for d, o in durs if o == 1 and d == t)
+        n_t = sum(1 for d, o in durs if d >= t)
+        s = 0.0 if d_t >= n_t else s * (n_t - d_t) / n_t
+        expect.append((t, n_t, d_t, s))
+    assert len(got) == len(expect)
+    prev = 1.0
+    for row, (t, n_t, d_t, s) in zip(got, expect):
+        assert (row.duration_day, row.n_risk, row.d_events) == (t, n_t, d_t)
+        assert row.s_km == pytest.approx(s, abs=2e-6)
+        assert 0.0 <= row.s_km <= prev + 1e-12
+        prev = row.s_km
