@@ -60,6 +60,7 @@ _NEVER_DRIVER_CHECKED = [
     "quality_benford_price",
     "ab_mutual_info_type_variant",
     "eval_mrr_report",
+    "eval_ndcg_report",
     "corpus_gini_doc_length",
     "eval_conformal_coverage",
     "eval_auc_doc_length",

@@ -176,6 +176,7 @@ HEADLINE = [
     "eval_cohens_kappa",
     "eval_conformal_coverage",
     "eval_mrr_report",
+    "eval_ndcg_report",
     "corpus_gini_doc_length",
     "privacy_k_anonymity",
     "sql_recursive_month_spine",

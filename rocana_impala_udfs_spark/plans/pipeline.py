@@ -672,6 +672,99 @@ SELECT * FROM ({body}) ORDER BY method
 
 ORACLE_EVAL_MRR = _oracle_eval_mrr()
 
+# Per-position ideal DCG contributions (6−i)/log₂(i+1), HALF_UP-quantized to
+# the 1e-6 grid at authoring time so the identical integer literal is baked
+# into BOTH engines' texts (no cross-engine log2 surface at all for IDCG):
+# Σ i∈1..5 floor(1e6·(6−i)/log₂(i+1) + 0.5).
+_IDCG6_AT_5 = 10271925
+
+
+def q_eval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 scorecard — the GRADED companion to recall@5 and MRR:
+    relevance = 6 − brute-force rank (the exact cosine ordering as ground
+    truth), discount = log₂(position+1). Each position's contribution
+    rel/log₂(i+1) is quantized to the shared 1e-6 grid (both engines
+    round the identical double — rel, i are small ints), summed as exact
+    integers per query and across queries; IDCG is a single integer
+    literal baked into both texts; mean nDCG is one double chain —
+    hash-exact.
+
+    Scale: same as the recall/MRR reports — every frame is
+    k·n_queries-bounded, and the final agg is 3 rows."""
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    rel = similarity.brute_force_topk_np(emb, queries, k=5).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(6) - F.col("rk")).cast("int").alias("rel"),
+    )
+    methods = [
+        ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
+        ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
+        ("pq_adc", pq_adc_topk(emb, n_probes=4, k=5), 4),
+    ]
+    term6 = F.round(
+        F.lit(1000000.0)
+        * F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+        / F.log2(F.col("rk").cast("double") + F.lit(1.0)),
+        0,
+    ).cast("bigint")
+    reports = []
+    for name, appr, nq in methods:
+        j = appr.select("query_id", "neighbor_id", "rk").join(
+            rel, ["query_id", "neighbor_id"], "left"
+        )
+        reports.append(
+            j.agg(
+                F.lit(name).alias("method"),
+                F.lit(nq).cast("bigint").alias("n_queries"),
+                F.sum(term6).cast("bigint").alias("sum_dcg6"),
+                (
+                    F.sum(term6).cast("double")
+                    / F.lit(float(nq))
+                    / F.lit(float(_IDCG6_AT_5))
+                ).alias("mean_ndcg"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+def _oracle_eval_ndcg() -> str:
+    methods = [
+        ("ivf_fixed", ORACLE_ANN_IVF_FIXED, 20),
+        ("lsh", ORACLE_ANN_LSH, 20),
+        ("pq_adc", ORACLE_ANN_PQ, 4),
+    ]
+    term = (
+        "CAST(round(1000000.0 * CAST(coalesce(rel, 0) AS DOUBLE)"
+        " / log2(CAST(m.rk AS DOUBLE) + 1.0)) AS BIGINT)"
+    )
+    parts = []
+    for name, sql, nq in methods:
+        parts.append(
+            f"""
+SELECT '{name}' AS method, CAST({nq} AS BIGINT) AS n_queries,
+       CAST(sum({term}) AS BIGINT) AS sum_dcg6,
+       CAST(CAST(sum({term}) AS BIGINT) AS DOUBLE) / {float(nq)} / {float(_IDCG6_AT_5)} AS mean_ndcg
+FROM (SELECT query_id, neighbor_id, rk FROM ({sql})) m
+LEFT JOIN rel ON m.query_id = rel.query_id AND m.neighbor_id = rel.neighbor_id"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH rel AS (
+    SELECT query_id, neighbor_id, CAST(6 - rk AS INT) AS rel FROM ({ORACLE_ANN_TOP5})
+)
+SELECT * FROM ({body}) ORDER BY method
+"""
+
+
+ORACLE_EVAL_NDCG = _oracle_eval_ndcg()
+
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No SQL oracle: k-means cluster boundaries aren't SQL-reproducible and
@@ -4660,6 +4753,7 @@ PIPELINE_QUERIES = {
     "eval_conformal_coverage": q_eval_conformal_coverage,
     "corpus_gini_doc_length": q_corpus_gini_doc_length,
     "eval_mrr_report": q_eval_mrr_report,
+    "eval_ndcg_report": q_eval_ndcg_report,
     "resample_class_balance": q_resample_class_balance,
     "negative_sampling_pairs": q_negative_sampling_pairs,
     "text_readability_scores": q_text_readability_scores,
@@ -4761,6 +4855,7 @@ PIPELINE_ORACLE = {
     "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
     "corpus_gini_doc_length": ORACLE_CORPUS_GINI,
     "eval_mrr_report": ORACLE_EVAL_MRR,
+    "eval_ndcg_report": ORACLE_EVAL_NDCG,
     "resample_class_balance": ORACLE_CLASS_BALANCE,
     "negative_sampling_pairs": ORACLE_NEGATIVE_SAMPLING,
     "text_readability_scores": ORACLE_READABILITY,

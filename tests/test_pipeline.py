@@ -1911,3 +1911,38 @@ def test_mrr_matches_bruteforce_ranks(spark):
         assert row.sum_rr6 == rr6
         assert row.mrr == pytest.approx(rr6 / nq / 1e6, rel=1e-12)
         assert 0.0 <= row.mrr <= 1.0
+
+
+def test_ndcg_matches_bruteforce_formula(spark):
+    """eval_ndcg_report: each method's mean nDCG@5 equals the textbook
+    graded-relevance recomputation (rel = 6 − brute rank, log2 discounts,
+    per-term 1e-6 quantization) and sits in [0, 1]."""
+    import math
+
+    from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
+    from rocana_impala_udfs_spark.plans.pipeline import _IDCG6_AT_5, q_eval_ndcg_report
+
+    assert _IDCG6_AT_5 == sum(
+        math.floor(1e6 * (6 - i) / math.log2(i + 1) + 0.5) for i in range(1, 6)
+    )
+    got = {r.method: r for r in q_eval_ndcg_report(spark, SF).collect()}
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    rel = {
+        (r.query_id, r.neighbor_id): 6 - r.rk
+        for r in similarity.brute_force_topk_np(emb, queries, k=5).collect()
+    }
+    methods = {
+        "ivf_fixed": (similarity.ivf_fixed_topk(emb, queries, k=5), 20),
+        "lsh": (similarity.lsh_bucket_topk(emb, queries, k=5), 20),
+        "pq_adc": (pq_adc_topk(emb, n_probes=4, k=5), 4),
+    }
+    for name, (appr, nq) in methods.items():
+        s = 0
+        for r in appr.collect():
+            g = rel.get((r.query_id, r.neighbor_id), 0)
+            s += math.floor(1e6 * g / math.log2(r.rk + 1) + 0.5)
+        row = got[name]
+        assert row.sum_dcg6 == s
+        assert row.mean_ndcg == pytest.approx(s / nq / _IDCG6_AT_5, rel=1e-12)
+        assert 0.0 <= row.mean_ndcg <= 1.0
