@@ -56,6 +56,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
     "events_kaplan_meier_conversion",
+    "ab_logrank_conversion",
     "stats_mad_price",
     "quality_benford_price",
     "ab_mutual_info_type_variant",

@@ -184,6 +184,7 @@ HEADLINE = [
     "stats_mad_price",
     "quality_benford_price",
     "events_kaplan_meier_conversion",
+    "ab_logrank_conversion",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_stream_interval_join is deliberately NOT benched: two-sided

@@ -1653,6 +1653,162 @@ ORDER BY duration_day
 """
 
 
+def q_ab_logrank_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST comparing the time-to-first-purchase survival curves
+    between the md5 A/B variants — the censoring-correct experiment
+    readout for latency metrics (Welch on raw durations is biased by
+    censored users; the log-rank statistic isn't). Per distinct event
+    time: at-risk counts n_A/n_B and event counts d_A/d_B are exact
+    integers on the DATE-DOMAIN-bounded duration frame; the per-time
+    expectation d·n_A/n and hypergeometric variance
+    d·n_A·n_B·(n−d)/(n²·(n−1)) are each ONE identical double chain, and
+    both sums run as FIXED-ORDER folds (the chi-square recipe) — so
+    (O−E)²/V is bit-identical with NO rounding. The n=1 terminal time is
+    guarded to a 0 variance term on both engines.
+
+    Scale: one user-keyed agg, then everything lives on the bounded
+    duration frame — cumulative windows, folds, and a 1-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc(
+            "day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        )
+        .cast("date")
+        .alias("dp"),
+    )
+    horizon = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("gd"))
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("dp").isNotNull(), F.datediff(F.col("dp"), F.col("d0")))
+        .otherwise(F.datediff(F.col("gd"), F.col("d0")))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("obs"),
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint") % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("grp"),
+    )
+    frame = dur.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("obs")).otherwise(0)).cast("bigint").alias("d_a"),
+        F.sum(F.when(F.col("grp") == "B", F.col("obs")).otherwise(0)).cast("bigint").alias("d_b"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).cast("bigint").alias("t_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).cast("bigint").alias("t_b"),
+    )
+    w_before = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    at_risk = frame.select(
+        "dur",
+        "d_a",
+        "d_b",
+        (
+            F.sum("t_a").over(w_all)
+            - F.coalesce(F.sum("t_a").over(w_before), F.lit(0))
+        ).cast("bigint").alias("n_a"),
+        (
+            F.sum("t_b").over(w_all)
+            - F.coalesce(F.sum("t_b").over(w_before), F.lit(0))
+        ).cast("bigint").alias("n_b"),
+    ).filter(F.col("d_a") + F.col("d_b") > 0)
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    e_a = d * F.col("n_a") / n
+    v = F.when(
+        F.col("n_a") + F.col("n_b") > 1,
+        d
+        * F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * (n - d)
+        / (n * n * (n - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    termed = at_risk.select(
+        "dur",
+        "d_a",
+        "d_b",
+        (F.col("d_a").cast("double") - e_a).alias("diff"),
+        v.alias("v"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("dur", F.col(col).alias("x")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["x"],
+        )
+
+    agg = termed.agg(
+        F.sum("d_a").cast("bigint").alias("o_a"),
+        F.sum("d_b").cast("bigint").alias("o_b"),
+        fold("diff").alias("sum_diff"),
+        fold("v").alias("sum_v"),
+    )
+    return agg.select(
+        "o_a",
+        "o_b",
+        (F.col("sum_diff") * F.col("sum_diff") / F.col("sum_v")).alias("logrank_chi2"),
+    )
+
+
+ORACLE_AB_LOGRANK = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+           CAST(date_trunc('day', min(CASE WHEN event_type = 'purchase' THEN ts END)) AS DATE) AS dp
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS gd FROM events),
+dur AS (
+    SELECT CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                ELSE datediff('day', d0, gd) END AS dur,
+           CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS obs,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS grp
+    FROM per_user, horizon
+),
+frame AS (
+    SELECT dur,
+           CAST(sum(CASE WHEN grp = 'A' THEN obs ELSE 0 END) AS BIGINT) AS d_a,
+           CAST(sum(CASE WHEN grp = 'B' THEN obs ELSE 0 END) AS BIGINT) AS d_b,
+           CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+           CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+    FROM dur GROUP BY dur
+),
+at_risk AS (
+    SELECT dur, d_a, d_b,
+           CAST(sum(t_a) OVER ()
+                - coalesce(sum(t_a) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_a,
+           CAST(sum(t_b) OVER ()
+                - coalesce(sum(t_b) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_b
+    FROM frame
+),
+termed AS (
+    SELECT dur, d_a, d_b,
+           CAST(d_a AS DOUBLE)
+             - CAST(d_a + d_b AS DOUBLE) * n_a / CAST(n_a + n_b AS DOUBLE) AS diff,
+           CASE WHEN n_a + n_b > 1
+                THEN CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * (CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+                     / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+                        * (CAST(n_a + n_b AS DOUBLE) - 1.0))
+                ELSE 0.0 END AS v
+    FROM at_risk WHERE d_a + d_b > 0
+),
+agg AS (
+    SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+           CAST(sum(d_b) AS BIGINT) AS o_b,
+           list_reduce([0.0] || list(diff ORDER BY dur), (acc, x) -> acc + x) AS sum_diff,
+           list_reduce([0.0] || list(v ORDER BY dur), (acc, x) -> acc + x) AS sum_v
+    FROM termed
+)
+SELECT o_a, o_b, sum_diff * sum_diff / sum_v AS logrank_chi2
+FROM agg
+"""
+
+
 def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
     variant, with both marginal entropies and the normalized MI — the
@@ -3772,6 +3928,7 @@ TEMPORAL_QUERIES = {
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
     "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
     "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
+    "ab_logrank_conversion": q_ab_logrank_conversion,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
     "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
@@ -3849,6 +4006,7 @@ TEMPORAL_ORACLE = {
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
     "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
     "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
+    "ab_logrank_conversion": ORACLE_AB_LOGRANK,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
     "stream_heavy_hitters_exact": ORACLE_STREAM_MG,

@@ -866,3 +866,42 @@ def test_kaplan_meier_matches_lifelines_formula(spark):
         assert row.s_km == pytest.approx(s, abs=2e-6)
         assert 0.0 <= row.s_km <= prev + 1e-12
         prev = row.s_km
+
+
+def test_logrank_matches_textbook_formula(spark):
+    """ab_logrank_conversion vs a pure-python recomputation of the
+    log-rank statistic from the same per-user (duration, observed, group)
+    triples."""
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_logrank_conversion
+
+    out = q_ab_logrank_conversion(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc("day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        .cast("date").alias("dp"),
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint") % 2
+        ).alias("g"),
+    ).collect()
+    gd = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("m")).collect()[0].m
+    trip = [
+        ((r.dp - r.d0).days if r.dp else (gd - r.d0).days, 1 if r.dp else 0,
+         "A" if r.g == 0 else "B")
+        for r in pu
+    ]
+    o_a = sum(1 for d, o, g in trip if o and g == "A")
+    o_b = sum(1 for d, o, g in trip if o and g == "B")
+    sum_diff = sum_v = 0.0
+    for t in sorted({d for d, o, _ in trip if o}):
+        na = sum(1 for d, _, g in trip if d >= t and g == "A")
+        nb = sum(1 for d, _, g in trip if d >= t and g == "B")
+        da = sum(1 for d, o, g in trip if d == t and o and g == "A")
+        db = sum(1 for d, o, g in trip if d == t and o and g == "B")
+        n, dd = na + nb, da + db
+        sum_diff += da - dd * na / n
+        if n > 1:
+            sum_v += dd * na * nb * (n - dd) / (n * n * (n - 1))
+    assert (out.o_a, out.o_b) == (o_a, o_b)
+    assert out.logrank_chi2 == pytest.approx(sum_diff**2 / sum_v, rel=1e-9)
