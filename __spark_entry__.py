@@ -57,6 +57,7 @@ _NEVER_DRIVER_CHECKED = [
     "sql_recursive_month_spine",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
+    "events_top_trigram_paths",
     "stats_mad_price",
     "quality_benford_price",
     "ab_mutual_info_type_variant",

@@ -185,6 +185,7 @@ HEADLINE = [
     "quality_benford_price",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
+    "events_top_trigram_paths",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_stream_interval_join is deliberately NOT benched: two-sided

@@ -1653,6 +1653,60 @@ ORDER BY duration_day
 """
 
 
+def q_events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-10 THREE-EVENT PATHS within sessions — the path-analysis
+    complement of the Markov transition key: the most common
+    (e₁ → e₂ → e₃) sequences where consecutive gaps stay under the 30-min
+    session bound, ranked by exact count (ties → path lexicographic).
+    The flow report product analytics reads before funnel design.
+
+    Scale: the lag window partitions BY USER (high-cardinality key — each
+    partition is one user's bounded history, no global sort); counts are
+    one partial+final agg over the |types|³-bounded path grid; top-10 is
+    TakeOrdered (k-bounded), never a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("path_a"),
+        F.lag("event_type", 1).over(w).alias("path_b"),
+        F.col("event_type").alias("path_c"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("g1"),
+        (
+            F.unix_micros(F.lag("ts", 1).over(w))
+            - F.unix_micros(F.lag("ts", 2).over(w))
+        ).alias("g2"),
+    ).filter(
+        F.col("path_a").isNotNull()
+        & (F.col("g1") <= 1_800_000_000)
+        & (F.col("g2") <= 1_800_000_000)
+    )
+    counts = tri.groupBy("path_a", "path_b", "path_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return counts.orderBy(
+        F.desc("n"), F.asc("path_a"), F.asc("path_b"), F.asc("path_c")
+    ).limit(10)
+
+
+ORACLE_TRIGRAM_PATHS = """
+WITH tri AS (
+    SELECT lag(event_type, 2) OVER w AS path_a,
+           lag(event_type, 1) OVER w AS path_b,
+           event_type AS path_c,
+           epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS g1,
+           epoch_us(lag(ts, 1) OVER w) - epoch_us(lag(ts, 2) OVER w) AS g2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path_a, path_b, path_c, CAST(count(*) AS BIGINT) AS n
+FROM tri
+WHERE path_a IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000
+GROUP BY path_a, path_b, path_c
+ORDER BY n DESC, path_a ASC, path_b ASC, path_c ASC
+LIMIT 10
+"""
+
+
 def q_ab_logrank_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOG-RANK TEST comparing the time-to-first-purchase survival curves
     between the md5 A/B variants — the censoring-correct experiment
@@ -3929,6 +3983,7 @@ TEMPORAL_QUERIES = {
     "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
     "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
     "ab_logrank_conversion": q_ab_logrank_conversion,
+    "events_top_trigram_paths": q_events_top_trigram_paths,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
     "stream_heavy_hitters_exact": q_stream_heavy_hitters_exact,
@@ -4007,6 +4062,7 @@ TEMPORAL_ORACLE = {
     "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
     "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
     "ab_logrank_conversion": ORACLE_AB_LOGRANK,
+    "events_top_trigram_paths": ORACLE_TRIGRAM_PATHS,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,
     "stream_heavy_hitters_exact": ORACLE_STREAM_MG,

@@ -905,3 +905,33 @@ def test_logrank_matches_textbook_formula(spark):
             sum_v += dd * na * nb * (n - dd) / (n * n * (n - 1))
     assert (out.o_a, out.o_b) == (o_a, o_b)
     assert out.logrank_chi2 == pytest.approx(sum_diff**2 / sum_v, rel=1e-9)
+
+
+def test_trigram_paths_match_bruteforce_and_take_ordered(spark):
+    """events_top_trigram_paths: rows equal a pandas recomputation of
+    session-bounded trigram counts (ties → lexicographic), and the plan
+    ranks via TakeOrdered (k-bounded), not a global sort."""
+    from rocana_impala_udfs_spark.plans.temporal import q_events_top_trigram_paths
+
+    df = q_events_top_trigram_paths(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [(r.path_a, r.path_b, r.path_c, r.n) for r in df.collect()]
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    from collections import Counter
+
+    c: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        rows = list(g.itertuples())
+        for i in range(2, len(rows)):
+            g1 = (rows[i].ts - rows[i - 1].ts).total_seconds()
+            g2 = (rows[i - 1].ts - rows[i - 2].ts).total_seconds()
+            if g1 <= 1800 and g2 <= 1800:
+                c[(rows[i - 2].event_type, rows[i - 1].event_type, rows[i].event_type)] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(a, b, x, n) for (a, b, x), n in expect]
