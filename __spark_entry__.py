@@ -39,19 +39,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
 # budget (~50 keys/round), so the UNPROVEN set goes first. Round-9 order:
-# (1) the NEW r9 keys (stream-static broadcast join, Welch t-test,
-# streaming grouped top-k / CDC latest-wins / EWMA fold, chi-square
-# independence, sketch-stream promotions) — no driver row yet; (2) the two
-# stale-evidence keys VERDICT r8 front-loaded (appx_median_sql_onecall —
-# its r7 row predates the NaN-policy jar change; funnel_time_to_convert —
-# stats collect relocated to operators/selection this round); (3) the nine
-# float-sum-sweep keys whose aggregation switched to exact DECIMAL/HUGEINT
-# moments this round (values can shift in the last dp on former midpoints
-# — fresh rows required); (4) sql_text_monthly_nation_rank (oracle
-# reshaped to mirror the Spark rank-over-DECIMAL subquery; values
-# unchanged); then (5) the nine weak-by-design keys (rows-only is their
-# best evidence; they absorb any over-budget truncation harmlessly).
-# Everything else is driver-confirmed hash-green on its latest row.
+# (1) the NEW r9 keys — none has a driver row yet: the session-2 additions
+# (classifier-eval family: AUC / PR curve / kappa / conformal / MRR / nDCG;
+# governance: k-anonymity / Benford; robust stats: MAD / Gini / mutual
+# information; survival: Kaplan–Meier / log-rank; paths: trigram top-10;
+# SQL surface: recursive month spine; streaming: left-outer join null
+# rows), then the session-1 additions (stream-static broadcast join, Welch
+# t-test, ratio-metric delta CI, bootstrap CI, PCA projection, source
+# overlap, streaming grouped top-k / CDC / EWMA / sketch promotions,
+# chi-square); (2) the two stale-evidence keys VERDICT r8 front-loaded
+# (appx_median_sql_onecall — its r7 row predates the NaN-policy jar
+# change; funnel_time_to_convert — stats collect relocated to
+# operators/selection this round); (3) the nine float-sum-sweep keys whose
+# aggregation switched to exact DECIMAL/HUGEINT moments this round;
+# (4) sql_text_monthly_nation_rank (oracle reshaped, values unchanged);
+# then (5) the nine weak-by-design keys (rows-only is their best evidence;
+# they absorb any over-budget truncation harmlessly). Everything else is
+# driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
