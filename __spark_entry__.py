@@ -63,7 +63,6 @@ _NEVER_DRIVER_CHECKED = [
     "ab_logrank_conversion",
     "events_top_trigram_paths",
     "stats_mad_price",
-    "quality_benford_price",
     "ab_mutual_info_type_variant",
     "eval_mrr_report",
     "eval_ndcg_report",

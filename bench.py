@@ -182,7 +182,6 @@ HEADLINE = [
     "sql_recursive_month_spine",
     "ab_mutual_info_type_variant",
     "stats_mad_price",
-    "quality_benford_price",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
     "events_top_trigram_paths",

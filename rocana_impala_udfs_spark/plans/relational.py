@@ -4420,55 +4420,6 @@ FROM nf, med, mad
 """
 
 
-def q_quality_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENFORD'S-LAW first-digit screen over order prices — the classic
-    fabricated/synthetic-data tell auditors run on financial facts: the
-    observed leading-digit distribution vs the Benford expectation
-    log₁₀(1 + 1/d). The leading digit is extracted from the DECIMAL(18,2)
-    string rendering (prices ≥ 1, no scientific notation on either
-    engine), counts are exact integers, p_obs is one exact division, and
-    p_benford is the identical per-digit literal expression rounded once
-    to 6 dp (log₁₀'s last-bit engine variance — the PMI precedent).
-
-    Scale: one map-side-combined count agg to a 9-row digit frame; the
-    1-row total broadcasts."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
-    digit = F.substring(
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
-    ).cast("int")
-    per_d = o.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs")
-    )
-    tot = per_d.agg(F.sum("n_obs").cast("bigint").alias("n"))
-    return (
-        per_d.crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            "n_obs",
-            (F.col("n_obs").cast("double") / F.col("n").cast("double")).alias("p_obs"),
-            F.round(
-                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
-            ).alias("p_benford"),
-        )
-        .orderBy("digit")
-    )
-
-
-ORACLE_BENFORD = """
-WITH per_d AS (
-    SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit,
-           CAST(count(*) AS BIGINT) AS n_obs
-    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
-),
-tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM per_d)
-SELECT digit, n_obs,
-       CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
-       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford
-FROM per_d, tot
-ORDER BY digit
-"""
-
-
 def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE surface (Spark 4.x `WITH RECURSIVE`, SPARK-24497) —
     the month spine every reporting stack builds: recursion generates the
@@ -4542,7 +4493,6 @@ ORDER BY month
 QUERIES = {
     "sql_recursive_month_spine": q_sql_recursive_month_spine,
     "stats_mad_price": q_stats_mad_price,
-    "quality_benford_price": q_quality_benford_price,
     "q1_pricing_summary": q1_pricing_summary,
     "bloom_semi_orders": q_bloom_semi_orders,
     "stats_rolling_corr_click_view": q_stats_rolling_corr,
@@ -4644,7 +4594,6 @@ QUERIES = {
 ORACLE = {
     "sql_recursive_month_spine": ORACLE_RECURSIVE_SPINE,
     "stats_mad_price": ORACLE_STATS_MAD,
-    "quality_benford_price": ORACLE_BENFORD,
     "q1_pricing_summary": ORACLE_Q1,
     "bloom_semi_orders": ORACLE_BLOOM_SEMI,
     "stats_rolling_corr_click_view": ORACLE_ROLLING_CORR,

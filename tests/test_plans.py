@@ -797,19 +797,3 @@ def test_mad_matches_numpy(spark):
     assert out.median_price == m / 100.0
     assert out.mad_price == mad / 100.0
     assert out.sigma_robust == 1.4826 * (mad / 100.0)
-
-
-def test_benford_rows_sum_to_one(spark):
-    """quality_benford_price: 9 digit rows, observed shares sum to 1,
-    Benford shares match log10(1+1/d) and sum to ~1."""
-    import math
-
-    import pytest
-
-    from rocana_impala_udfs_spark.plans.relational import q_quality_benford_price
-
-    rows = q_quality_benford_price(spark, SF).collect()
-    assert [r.digit for r in rows] == list(range(1, 10))
-    assert sum(r.p_obs for r in rows) == pytest.approx(1.0, rel=1e-12)
-    for r in rows:
-        assert r.p_benford == pytest.approx(math.log10(1 + 1 / r.digit), abs=1e-6)
