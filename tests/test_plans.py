@@ -797,3 +797,27 @@ def test_mad_matches_numpy(spark):
     assert out.median_price == m / 100.0
     assert out.mad_price == mad / 100.0
     assert out.sigma_robust == 1.4826 * (mad / 100.0)
+
+
+def test_no_duplicate_module_level_oracle_constants():
+    """A module-level ORACLE_* constant defined twice silently shadows the
+    first definition and mis-oracles whichever key bound the earlier one
+    (the r9 Benford/changepoint collision class). Guard: every plans/
+    module defines each ORACLE_*/QUERIES/ORACLE name at most once."""
+    import ast
+    import pathlib
+
+    plans_dir = pathlib.Path(__file__).resolve().parents[1] / "rocana_impala_udfs_spark" / "plans"
+    for p in plans_dir.glob("*.py"):
+        seen: dict = {}
+        dups = []
+        for node in ast.parse(p.read_text()).body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and (
+                        t.id.startswith("ORACLE") or t.id in ("QUERIES",)
+                    ):
+                        if t.id in seen:
+                            dups.append((p.name, t.id, seen[t.id], node.lineno))
+                        seen[t.id] = node.lineno
+        assert not dups, dups
