@@ -1946,3 +1946,28 @@ def test_ndcg_matches_bruteforce_formula(spark):
         assert row.sum_dcg6 == s
         assert row.mean_ndcg == pytest.approx(s / nq / _IDCG6_AT_5, rel=1e-12)
         assert 0.0 <= row.mean_ndcg <= 1.0
+
+
+def test_auc_invariant_under_monotone_transform(spark, tmp_path):
+    """Property: AUC depends only on the score ORDER — writing a corpus
+    whose n_chars are squared (a strictly monotone transform on the
+    nonneg grid) must leave every output of eval_auc_doc_length identical
+    except u2/auc recomputed over the same ranks (i.e. equal values)."""
+    import os
+
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_auc_doc_length
+
+    base = q_eval_auc_doc_length(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source", (F.col("n_chars") * F.col("n_chars")).alias("n_chars")
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.parquet(f"{d}/documents.parquet")
+    sq = q_eval_auc_doc_length(spark, d).collect()[0]
+    assert (sq.n_pos, sq.n_neg, sq.u2_stat, sq.auc) == (
+        base.n_pos,
+        base.n_neg,
+        base.u2_stat,
+        base.auc,
+    )

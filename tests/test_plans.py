@@ -821,3 +821,17 @@ def test_no_duplicate_module_level_oracle_constants():
                             dups.append((p.name, t.id, seen[t.id], node.lineno))
                         seen[t.id] = node.lineno
         assert not dups, dups
+
+
+def test_survival_and_mi_folds_are_grid_bounded(spark):
+    """The r9 fold keys (mutual information, log-rank) run their sorted
+    folds over domain-bounded frames: collect_list sits above aggregates
+    (the grid / duration frame), never above fact rows; Kaplan–Meier's
+    windows likewise consume the aggregated duration frame."""
+    for key in ("ab_mutual_info_type_variant", "ab_logrank_conversion"):
+        plan = _plan(spark, key)
+        assert "collect_list" in plan, key
+        assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2, key
+    km = _plan(spark, "events_kaplan_meier_conversion")
+    below = km.split("Window [")[-1].split("Scan parquet")[0]
+    assert "Aggregate" in below
