@@ -187,6 +187,8 @@ HEADLINE = [
     "events_top_trigram_paths",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
+    # stream_checkpoint_restart_counts is NOT benched — it measures restart
+    # machinery (two query startups + checkpoint IO), not an operator.
     # stream_stream_interval_join is deliberately NOT benched: two-sided
     # join state across 4 triggers costs ~15 s at sf0.1 — a fixed
     # streaming-machinery price out of proportion for the suite; its

@@ -1863,6 +1863,46 @@ FROM agg
 """
 
 
+def q_stream_checkpoint_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY, driver-checked — the production property no
+    other streaming key certifies: a complete-mode aggregation processes
+    half the replay, the query STOPS, and a fresh query restarts from the
+    SAME checkpoint over the grown directory. The file source's committed
+    offsets must prevent re-reading (no double count) and the HDFS-backed
+    state store must restore the aggregation state (no loss) — so the
+    final sink equals the batch aggregate of everything, which IS the
+    oracle. Counts and DECIMAL(18,6) value sums are arrival-order-exact;
+    one final cast to DOUBLE.
+
+    Scale: state is one row per event_type; recovery cost is reading the
+    latest state snapshot — independent of data volume (the point of
+    checkpointing)."""
+    from rocana_impala_udfs_spark.streaming.replay import run_with_restart
+
+    def agg(stream):
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+        )
+
+    sink = run_with_restart(spark, sf_dir, agg)
+    return sink.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+
+
+ORACLE_STREAM_RESTART = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
     variant, with both marginal entropies and the normalized MI — the
@@ -3983,6 +4023,7 @@ TEMPORAL_QUERIES = {
     "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
     "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
     "ab_logrank_conversion": q_ab_logrank_conversion,
+    "stream_checkpoint_restart_counts": q_stream_checkpoint_restart_counts,
     "events_top_trigram_paths": q_events_top_trigram_paths,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
@@ -4062,6 +4103,7 @@ TEMPORAL_ORACLE = {
     "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
     "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
     "ab_logrank_conversion": ORACLE_AB_LOGRANK,
+    "stream_checkpoint_restart_counts": ORACLE_STREAM_RESTART,
     "events_top_trigram_paths": ORACLE_TRIGRAM_PATHS,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,

@@ -143,3 +143,56 @@ def cleanup(path: str) -> None:
             del _REPLAY_DIRS[k]
     if path and os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
+
+
+def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
+    """CHECKPOINT-RECOVERY harness: run a complete-mode aggregation over
+    the first half of the replay files, STOP the query, add the remaining
+    files, and restart a fresh query from the SAME checkpoint. The file
+    source's committed offsets prevent re-reading (no double counting)
+    and the state store restores the aggregation state (no loss) — so the
+    final table must equal the batch aggregate of everything, which is
+    the oracle. ``build_agg`` maps the stream DataFrame to the complete-
+    mode aggregation."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F  # noqa: F401 (callers' lambdas)
+
+    ev = load_table(spark, sf_dir, "events")
+    _, src = replay_events_stream(spark, sf_dir)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    stage = tempfile.mkdtemp(prefix="restart_stage_")
+    cp = tempfile.mkdtemp(prefix="restart_cp_")
+
+    def run_once():
+        s = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        name = "restart_" + _uuid.uuid4().hex[:12]
+        q = (
+            build_agg(s)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return name
+
+    try:
+        for f in files[: max(len(files) // 2, 1)]:
+            shutil.copy(os.path.join(src, f), os.path.join(stage, f))
+        run_once()  # phase 1: half the data, then a clean stop
+        for f in files[max(len(files) // 2, 1):]:
+            shutil.copy(os.path.join(src, f), os.path.join(stage, f))
+        name = run_once()  # phase 2: recovered state + only the new files
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        # keep cp until process exit: the memory table lazily re-reads state

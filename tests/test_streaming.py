@@ -834,3 +834,25 @@ def test_stream_left_outer_join_emits_null_rows_and_matches_batch(spark):
     assert got == expect
     assert sum(x[2] for x in got.values()) > 0  # outer rows genuinely emitted
     assert sum(x[1] for x in got.values()) > 0  # and real matches exist
+
+
+def test_checkpoint_restart_recovers_state_without_double_count(spark):
+    """stream_checkpoint_restart_counts: the restarted query must resume
+    from the checkpoint — phase-1 files are never re-read (offsets) and
+    phase-1 state is not lost (state store) — so the final table equals
+    the batch aggregate exactly."""
+    from rocana_impala_udfs_spark.plans.temporal import (
+        q_stream_checkpoint_restart_counts,
+    )
+
+    got = {(r.event_type): (r.n_events, r.sum_value)
+           for r in q_stream_checkpoint_restart_counts(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    exp = {
+        r.event_type: (r.n, float(r.s))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert got == exp
