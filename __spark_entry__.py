@@ -58,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
     "stream_checkpoint_restart_counts",
+    "stream_rocksdb_state_counts",
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
     "events_kaplan_meier_conversion",

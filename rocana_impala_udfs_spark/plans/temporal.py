@@ -1903,6 +1903,71 @@ ORDER BY event_type
 """
 
 
+def q_stream_rocksdb_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCKSDB STATE STORE, driver-checked — the state backend a 100 TB
+    deployment actually runs (bounded executor heap, state spills to
+    local disk + changelog, no full-state JVM maps): the same complete-
+    mode aggregation as the default-backend keys, executed with
+    ``RocksDBStateStoreProvider``, must equal the batch aggregate (the
+    oracle). Grouping by (event_type, user bucket) puts real multi-row
+    state through the backend; the tiny sink re-aggregates to event_type
+    batch-side. The provider conf is set for the query's start and
+    restored in a ``finally`` (it's read at query start, so the scope is
+    exact).
+
+    Scale: this key certifies the backend swap is semantics-preserving —
+    the production knob is one conf line, not a plan change."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream, _d = replay_events_stream(spark, sf_dir)
+        agg = stream.groupBy(
+            "event_type", (F.col("user_id") % 16).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+        sink = run_to_table(agg, mode="complete")
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_ROCKSDB = """
+WITH b AS (
+    SELECT event_type, user_id % 16 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(s) AS DOUBLE) AS sum_value
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
     variant, with both marginal entropies and the normalized MI — the
@@ -4024,6 +4089,7 @@ TEMPORAL_QUERIES = {
     "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
     "ab_logrank_conversion": q_ab_logrank_conversion,
     "stream_checkpoint_restart_counts": q_stream_checkpoint_restart_counts,
+    "stream_rocksdb_state_counts": q_stream_rocksdb_state_counts,
     "events_top_trigram_paths": q_events_top_trigram_paths,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
@@ -4104,6 +4170,7 @@ TEMPORAL_ORACLE = {
     "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
     "ab_logrank_conversion": ORACLE_AB_LOGRANK,
     "stream_checkpoint_restart_counts": ORACLE_STREAM_RESTART,
+    "stream_rocksdb_state_counts": ORACLE_STREAM_ROCKSDB,
     "events_top_trigram_paths": ORACLE_TRIGRAM_PATHS,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,

@@ -856,3 +856,27 @@ def test_checkpoint_restart_recovers_state_without_double_count(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_rocksdb_state_backend_matches_batch_and_restores_conf(spark):
+    """stream_rocksdb_state_counts: the RocksDB backend produces the batch
+    answer, and the provider conf is restored after the query (other
+    streaming tests in this session must keep the default backend)."""
+    from rocana_impala_udfs_spark.plans.temporal import q_stream_rocksdb_state_counts
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    got = {r.event_type: (r.n_events, r.n_buckets, round(r.sum_value, 4))
+           for r in q_stream_rocksdb_state_counts(spark, SF).collect()}
+    assert spark.conf.get(conf_key, None) == before
+    ev = load_table(spark, SF, "events")
+    exp = {
+        r.event_type: (r.n, r.b, round(float(r.s), 4))
+        for r in ev.groupBy("event_type", (F.col("user_id") % 16).alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.count(F.lit(1)).alias("b"),
+             F.sum("s").cast("double").alias("s"))
+        .collect()
+    }
+    assert got == exp
