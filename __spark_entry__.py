@@ -61,6 +61,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_rocksdb_state_counts",
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
+    "sql_parameterized_segment",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
     "events_top_trigram_paths",

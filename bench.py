@@ -180,6 +180,7 @@ HEADLINE = [
     "corpus_gini_doc_length",
     "privacy_k_anonymity",
     "sql_recursive_month_spine",
+    "sql_parameterized_segment",
     "ab_mutual_info_type_variant",
     "stats_mad_price",
     "events_kaplan_meier_conversion",

@@ -4420,6 +4420,42 @@ FROM nf, med, mad
 """
 
 
+def q_sql_parameterized_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (named parameter markers, SPARK-44140) — the
+    injection-safe way production services template queries: the segment
+    and price floor arrive as ``args`` bound server-side, never
+    string-interpolated. Certifies `spark.sql(text, args=...)` end to
+    end; the oracle inlines the same literals.
+
+    Scale: a broadcast dim filter + one priority-grouped partial+final
+    agg — the parameter binding is purely a driver-side API surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_prm_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_prm_customer")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM _prm_orders o JOIN _prm_customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = :seg AND o.o_totalprice >= :floor
+        GROUP BY o.o_orderpriority
+        ORDER BY priority
+        """,
+        args={"seg": "BUILDING", "floor": 1000.0},
+    )
+
+
+ORACLE_PARAMETERIZED = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
 def q_sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE surface (Spark 4.x `WITH RECURSIVE`, SPARK-24497) —
     the month spine every reporting stack builds: recursion generates the
@@ -4492,6 +4528,7 @@ ORDER BY month
 
 QUERIES = {
     "sql_recursive_month_spine": q_sql_recursive_month_spine,
+    "sql_parameterized_segment": q_sql_parameterized_segment,
     "stats_mad_price": q_stats_mad_price,
     "q1_pricing_summary": q1_pricing_summary,
     "bloom_semi_orders": q_bloom_semi_orders,
@@ -4593,6 +4630,7 @@ QUERIES = {
 
 ORACLE = {
     "sql_recursive_month_spine": ORACLE_RECURSIVE_SPINE,
+    "sql_parameterized_segment": ORACLE_PARAMETERIZED,
     "stats_mad_price": ORACLE_STATS_MAD,
     "q1_pricing_summary": ORACLE_Q1,
     "bloom_semi_orders": ORACLE_BLOOM_SEMI,

@@ -835,3 +835,19 @@ def test_survival_and_mi_folds_are_grid_bounded(spark):
     km = _plan(spark, "events_kaplan_meier_conversion")
     below = km.split("Window [")[-1].split("Scan parquet")[0]
     assert "Aggregate" in below
+
+
+def test_parameterized_sql_binds_server_side(spark):
+    """sql_parameterized_segment: the named markers bind as literals in
+    the optimized plan (pushed to the dimension scan) and a hostile
+    string value stays data, never SQL."""
+    from rocana_impala_udfs_spark.plans.relational import q_sql_parameterized_segment
+
+    plan = _plan(spark, "sql_parameterized_segment")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to the scan
+    # injection probe: a quote-laden arg must parse as a plain value
+    rows = spark.sql(
+        "SELECT count(*) AS n FROM _prm_customer WHERE c_mktsegment = :seg",
+        args={"seg": "x' OR '1'='1"},
+    ).collect()
+    assert rows[0].n == 0
