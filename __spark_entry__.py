@@ -62,6 +62,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_join_left_outer_nulls",
     "sql_recursive_month_spine",
     "sql_parameterized_segment",
+    "appx_sample_sum_ci",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
     "events_top_trigram_paths",

@@ -181,6 +181,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "sql_recursive_month_spine",
     "sql_parameterized_segment",
+    "appx_sample_sum_ci",
     "ab_mutual_info_type_variant",
     "stats_mad_price",
     "events_kaplan_meier_conversion",

@@ -4420,6 +4420,102 @@ FROM nf, med, mad
 """
 
 
+def q_appx_sample_sum_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLING-BASED APPROXIMATE QUERY PROCESSING with error bounds
+    (the BlinkDB recipe): estimate total order revenue from the
+    DETERMINISTIC 1% md5 sample, with the CLT 95% interval
+    T̂ ± 1.96·N·√(s²/n). The report joins the exact total (the luxury a
+    correctness harness has; production reads N from table metadata and
+    never scans the full fact) so the driver check certifies estimator +
+    interval math end to end — sample membership is content-addressed,
+    moments are exact DECIMAL(38,0)/HUGEINT cents, estimate/se/bounds are
+    each one identical double chain, and the coverage flag is exact.
+
+    Scale: the sample aggregate reads 1% of rows behind a hash filter
+    (predicate-evaluated at the scan, no shuffle beyond the 1-row agg);
+    the exact side is one partial+final sum."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    samp = o.filter(gate == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    exact = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("true_total"),
+    )
+    j = samp.crossJoin(F.broadcast(exact))
+    ns = F.col("n_sample").cast("decimal(38,0)")
+    mean_c = F.col("s").cast("double") / F.col("n_sample")
+    var_c = (ns * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        ns * (ns - F.lit(1))
+    ).cast("double")
+    est = F.col("n_total").cast("double") * mean_c / F.lit(100.0)
+    se = (
+        F.col("n_total").cast("double")
+        * F.sqrt(var_c / F.col("n_sample").cast("double"))
+        / F.lit(100.0)
+    )
+    lo = est - F.lit(1.96) * se
+    hi = est + F.lit(1.96) * se
+    return j.select(
+        "n_total",
+        "n_sample",
+        "true_total",
+        est.alias("estimate"),
+        lo.alias("ci_lo"),
+        hi.alias("ci_hi"),
+        ((lo <= F.col("true_total")) & (F.col("true_total") <= hi)).alias("covered"),
+    )
+
+
+ORACLE_SAMPLE_SUM_CI = """
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100) AS HUGEINT) AS c,
+           CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS g
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+samp AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_sample, sum(c) AS s, sum(c * c) AS ss
+    FROM o WHERE g = 0
+),
+exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(c) AS DOUBLE) / 100.0 AS true_total
+    FROM o
+)
+SELECT n_total, n_sample, true_total,
+       CAST(n_total AS DOUBLE) * (CAST(s AS DOUBLE) / n_sample) / 100.0 AS estimate,
+       CAST(n_total AS DOUBLE) * (CAST(s AS DOUBLE) / n_sample) / 100.0
+         - 1.96 * (CAST(n_total AS DOUBLE)
+                   * sqrt((CAST(CAST(n_sample AS HUGEINT) * ss - s * s AS DOUBLE)
+                           / CAST(CAST(n_sample AS HUGEINT) * (n_sample - 1) AS DOUBLE))
+                          / CAST(n_sample AS DOUBLE)) / 100.0) AS ci_lo,
+       CAST(n_total AS DOUBLE) * (CAST(s AS DOUBLE) / n_sample) / 100.0
+         + 1.96 * (CAST(n_total AS DOUBLE)
+                   * sqrt((CAST(CAST(n_sample AS HUGEINT) * ss - s * s AS DOUBLE)
+                           / CAST(CAST(n_sample AS HUGEINT) * (n_sample - 1) AS DOUBLE))
+                          / CAST(n_sample AS DOUBLE)) / 100.0) AS ci_hi,
+       (CAST(n_total AS DOUBLE) * (CAST(s AS DOUBLE) / n_sample) / 100.0
+         - 1.96 * (CAST(n_total AS DOUBLE)
+                   * sqrt((CAST(CAST(n_sample AS HUGEINT) * ss - s * s AS DOUBLE)
+                           / CAST(CAST(n_sample AS HUGEINT) * (n_sample - 1) AS DOUBLE))
+                          / CAST(n_sample AS DOUBLE)) / 100.0)) <= true_total
+       AND true_total <= (CAST(n_total AS DOUBLE) * (CAST(s AS DOUBLE) / n_sample) / 100.0
+         + 1.96 * (CAST(n_total AS DOUBLE)
+                   * sqrt((CAST(CAST(n_sample AS HUGEINT) * ss - s * s AS DOUBLE)
+                           / CAST(CAST(n_sample AS HUGEINT) * (n_sample - 1) AS DOUBLE))
+                          / CAST(n_sample AS DOUBLE)) / 100.0)) AS covered
+FROM samp, exact
+"""
+
+
 def q_sql_parameterized_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARAMETERIZED SQL (named parameter markers, SPARK-44140) — the
     injection-safe way production services template queries: the segment
@@ -4529,6 +4625,7 @@ ORDER BY month
 QUERIES = {
     "sql_recursive_month_spine": q_sql_recursive_month_spine,
     "sql_parameterized_segment": q_sql_parameterized_segment,
+    "appx_sample_sum_ci": q_appx_sample_sum_ci,
     "stats_mad_price": q_stats_mad_price,
     "q1_pricing_summary": q1_pricing_summary,
     "bloom_semi_orders": q_bloom_semi_orders,
@@ -4631,6 +4728,7 @@ QUERIES = {
 ORACLE = {
     "sql_recursive_month_spine": ORACLE_RECURSIVE_SPINE,
     "sql_parameterized_segment": ORACLE_PARAMETERIZED,
+    "appx_sample_sum_ci": ORACLE_SAMPLE_SUM_CI,
     "stats_mad_price": ORACLE_STATS_MAD,
     "q1_pricing_summary": ORACLE_Q1,
     "bloom_semi_orders": ORACLE_BLOOM_SEMI,

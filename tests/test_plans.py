@@ -851,3 +851,17 @@ def test_parameterized_sql_binds_server_side(spark):
         args={"seg": "x' OR '1'='1"},
     ).collect()
     assert rows[0].n == 0
+
+
+def test_sample_sum_ci_estimator_and_coverage(spark):
+    """appx_sample_sum_ci: the estimate equals N·(sample mean), the CI is
+    symmetric and positive-width, and the relative error of the 1%
+    estimator is sane (< 50% at sf0.001's tiny sample)."""
+    from rocana_impala_udfs_spark.plans.relational import q_appx_sample_sum_ci
+
+    out = q_appx_sample_sum_ci(spark, SF).collect()[0]
+    assert out.n_sample < out.n_total
+    assert out.ci_lo < out.estimate < out.ci_hi
+    assert abs((out.estimate + out.ci_lo + out.ci_hi) / 3 - out.estimate) < 1e-6
+    assert abs(out.estimate - out.true_total) / out.true_total < 0.5
+    assert out.covered == (out.ci_lo <= out.true_total <= out.ci_hi)
