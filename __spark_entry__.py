@@ -90,6 +90,8 @@ _NEVER_DRIVER_CHECKED = [
     "stream_ewma_user_value",
     "ab_chi2_type_by_variant",
     "stream_dedup_within_watermark",
+    "tumbling_hourly_event_stats",
+    "sliding_window_event_rates",
     "appx_median_sql_onecall",
     "funnel_time_to_convert",
     "q1_pricing_summary",

@@ -3159,7 +3159,15 @@ FROM events GROUP BY event_type
 
 
 def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly stats. avg_value follows the exact-moment recipe
+    (round(value·1e6) integers summed in DECIMAL(38,0), ONE double chain,
+    NO final round): `round(avg,4)` hit exact 4-dp midpoints at sf0.1
+    where Spark rounds the shortest-string decimal (BigDecimal.valueOf)
+    while DuckDB rounds the binary double — the engines legitimately
+    disagree on such values, so the final round is the bug, not the sum
+    (found by the r9 multi-SF sweep; invisible at the driver's sf0.01)."""
     ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
     out = tumbling_agg(
         ev,
         "ts",
@@ -3167,19 +3175,26 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(v6).alias("s6"),
             F.round(F.max("value"), 4).alias("max_value"),
         ],
     )
     return out.select(
-        F.unix_micros("window_start").alias("window_start_us"), "event_type", "n", "avg_value", "max_value"
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        (F.col("s6").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+            "avg_value"
+        ),
+        "max_value",
     )
 
 
 ORACLE_HOURLY_STATS = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
        event_type, count(*) AS n,
-       round(avg(value), 4) AS avg_value,
+       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY 1, 2
 """
@@ -3577,14 +3592,17 @@ def q_sliding_window_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator Structured Streaming uses, so this plan is streaming-portable.
     Window starts cross the compare boundary as unix micros."""
     ev = load_table(spark, sf_dir, "events")
+    v6 = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(v6).alias("s6"))
         .select(
             F.unix_micros(F.col("w.start")).alias("win_start_us"),
             "event_type",
             "n",
-            "avg_value",
+            (F.col("s6").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+                "avg_value"
+            ),
         )
     )
 
@@ -3598,7 +3616,9 @@ expanded AS (
     FROM ev, (SELECT unnest(range(4)) AS i) hops
 )
 SELECT epoch_us(win_start) AS win_start_us, event_type,
-       count(*) AS n, round(avg(value), 4) AS avg_value
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_value
 FROM expanded GROUP BY 1, 2
 """
 
