@@ -68,6 +68,7 @@ _NEVER_DRIVER_CHECKED = [
     "events_top_trigram_paths",
     "stats_mad_price",
     "ab_mutual_info_type_variant",
+    "ab_sequential_peeks",
     "eval_mrr_report",
     "eval_ndcg_report",
     "corpus_gini_doc_length",

@@ -183,6 +183,7 @@ HEADLINE = [
     "sql_parameterized_segment",
     "appx_sample_sum_ci",
     "ab_mutual_info_type_variant",
+    "ab_sequential_peeks",
     "stats_mad_price",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",

@@ -1968,6 +1968,142 @@ FROM b GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_ab_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B MONITORING — the daily-peek table an
+    experimentation platform renders instead of a single end-of-test
+    readout: after each day, the cumulative Welch z between the md5
+    variants against an O'Brien–Fleming-shaped spending boundary
+    z₀.₀₂₅·√(K/k) (conservative early, nominal at the horizon — Lan &
+    DeMets 1983), with the crossing flag per peek. z₀.₀₂₅ =
+    1.959963984540054 is a frozen literal baked into BOTH texts (stdlib
+    NormalDist at authoring time — no runtime quantile surface).
+
+    Exactness: daily per-variant moments (n, Σv·1e6, Σ(v·1e6)²) are exact
+    DECIMAL(38,0)/HUGEINT integers; the cumulative windows run over the
+    DATE-DOMAIN-bounded (day × 2) frame; each peek's mean/var/z and the
+    boundary are ONE identical double chain — hash-exact, no rounding.
+
+    Scale: one day×variant partial+final agg collapses the fact table,
+    then everything is windows over the bounded daily frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v6 = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint") % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    daily = ev.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        variant.alias("g"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v6).alias("s"),
+        F.sum(v6 * v6).alias("ss"),
+    )
+    pivoted = daily.groupBy("day_us").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("g") == g, F.col(c))),
+                F.lit(0).cast("decimal(38,0)") if c != "n" else F.lit(0),
+            ).alias(f"{c}_{g.lower()}")
+            for g in ("A", "B")
+            for c in ("n", "s", "ss")
+        ]
+    )
+    w_cum = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = pivoted.select(
+        "day_us",
+        F.row_number().over(Window.orderBy("day_us")).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("k_total"),
+        *[
+            F.sum(f"{c}_{g}").over(w_cum).alias(f"c{c}_{g}")
+            for g in ("a", "b")
+            for c in ("n", "s", "ss")
+        ],
+    )
+
+    def welch_z(side: str):
+        n = F.col(f"cn_{side}").cast("decimal(38,0)")
+        mean = F.col(f"cs_{side}").cast("double") / F.col(f"cn_{side}") / 1000000.0
+        var = (n * F.col(f"css_{side}") - F.col(f"cs_{side}") * F.col(f"cs_{side}")).cast(
+            "double"
+        ) / (n * (n - F.lit(1))).cast("double") / 1000000000000.0
+        return mean, var
+
+    mean_a, var_a = welch_z("a")
+    mean_b, var_b = welch_z("b")
+    z = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("cn_a").cast("double") + var_b / F.col("cn_b").cast("double")
+    )
+    boundary = F.lit(1.959963984540054) * F.sqrt(
+        F.col("k_total").cast("double") / F.col("k").cast("double")
+    )
+    return cum.select(
+        "day_us",
+        F.col("k").cast("int").alias("peek"),
+        F.col("cn_a").cast("bigint").alias("n_a"),
+        F.col("cn_b").cast("bigint").alias("n_b"),
+        z.alias("z"),
+        boundary.alias("boundary"),
+        (F.abs(z) > boundary).alias("crossed"),
+    ).orderBy("day_us")
+
+
+ORACLE_AB_SEQUENTIAL = """
+WITH ev AS (
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g,
+           CAST(round(value * 1000000) AS HUGEINT) AS v6
+    FROM events WHERE value IS NOT NULL
+),
+daily AS (
+    SELECT day_us, g, count(*) AS n, sum(v6) AS s, sum(v6 * v6) AS ss
+    FROM ev GROUP BY 1, 2
+),
+pivoted AS (
+    SELECT day_us,
+           coalesce(max(CASE WHEN g = 'a' THEN n END), 0) AS n_a,
+           coalesce(max(CASE WHEN g = 'a' THEN s END), 0) AS s_a,
+           coalesce(max(CASE WHEN g = 'a' THEN ss END), 0) AS ss_a,
+           coalesce(max(CASE WHEN g = 'b' THEN n END), 0) AS n_b,
+           coalesce(max(CASE WHEN g = 'b' THEN s END), 0) AS s_b,
+           coalesce(max(CASE WHEN g = 'b' THEN ss END), 0) AS ss_b
+    FROM daily GROUP BY day_us
+),
+cum AS (
+    SELECT day_us,
+           row_number() OVER (ORDER BY day_us) AS k,
+           count(*) OVER () AS k_total,
+           sum(n_a) OVER w AS cn_a, sum(s_a) OVER w AS cs_a, sum(ss_a) OVER w AS css_a,
+           sum(n_b) OVER w AS cn_b, sum(s_b) OVER w AS cs_b, sum(ss_b) OVER w AS css_b
+    FROM pivoted
+    WINDOW w AS (ORDER BY day_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day_us, CAST(k AS INT) AS peek,
+       CAST(cn_a AS BIGINT) AS n_a, CAST(cn_b AS BIGINT) AS n_b,
+       (CAST(cs_a AS DOUBLE) / cn_a / 1000000.0 - CAST(cs_b AS DOUBLE) / cn_b / 1000000.0)
+         / sqrt((CAST(CAST(cn_a AS HUGEINT) * css_a - cs_a * cs_a AS DOUBLE)
+                 / CAST(CAST(cn_a AS HUGEINT) * (cn_a - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(cn_a AS DOUBLE)
+                + (CAST(CAST(cn_b AS HUGEINT) * css_b - cs_b * cs_b AS DOUBLE)
+                   / CAST(CAST(cn_b AS HUGEINT) * (cn_b - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(cn_b AS DOUBLE)) AS z,
+       1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS boundary,
+       abs((CAST(cs_a AS DOUBLE) / cn_a / 1000000.0 - CAST(cs_b AS DOUBLE) / cn_b / 1000000.0)
+         / sqrt((CAST(CAST(cn_a AS HUGEINT) * css_a - cs_a * cs_a AS DOUBLE)
+                 / CAST(CAST(cn_a AS HUGEINT) * (cn_a - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(cn_a AS DOUBLE)
+                + (CAST(CAST(cn_b AS HUGEINT) * css_b - cs_b * cs_b AS DOUBLE)
+                   / CAST(CAST(cn_b AS HUGEINT) * (cn_b - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(cn_b AS DOUBLE)))
+         > 1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS crossed
+FROM cum ORDER BY day_us
+"""
+
+
 def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
     variant, with both marginal entropies and the normalized MI — the
@@ -4110,6 +4246,7 @@ TEMPORAL_QUERIES = {
     "ab_logrank_conversion": q_ab_logrank_conversion,
     "stream_checkpoint_restart_counts": q_stream_checkpoint_restart_counts,
     "stream_rocksdb_state_counts": q_stream_rocksdb_state_counts,
+    "ab_sequential_peeks": q_ab_sequential_peeks,
     "events_top_trigram_paths": q_events_top_trigram_paths,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
@@ -4191,6 +4328,7 @@ TEMPORAL_ORACLE = {
     "ab_logrank_conversion": ORACLE_AB_LOGRANK,
     "stream_checkpoint_restart_counts": ORACLE_STREAM_RESTART,
     "stream_rocksdb_state_counts": ORACLE_STREAM_ROCKSDB,
+    "ab_sequential_peeks": ORACLE_AB_SEQUENTIAL,
     "events_top_trigram_paths": ORACLE_TRIGRAM_PATHS,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,

@@ -935,3 +935,38 @@ def test_trigram_paths_match_bruteforce_and_take_ordered(spark):
                 c[(rows[i - 2].event_type, rows[i - 1].event_type, rows[i].event_type)] += 1
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == [(a, b, x, n) for (a, b, x), n in expect]
+
+
+def test_sequential_peeks_matches_numpy_and_boundary_shape(spark):
+    """ab_sequential_peeks: the final peek's z equals the full-sample
+    Welch z (the last cumulative window is everything), the boundary
+    decays as √(K/k) hitting 1.96 at the horizon, and crossed is exactly
+    |z| > boundary per row."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_sequential_peeks
+
+    rows = q_ab_sequential_peeks(spark, SF).collect()
+    K = rows[-1].peek
+    for r in rows:
+        assert r.boundary == pytest.approx(1.959963984540054 * np.sqrt(K / r.peek), rel=1e-12)
+        assert r.crossed == (abs(r.z) > r.boundary)
+    last = rows[-1]
+    assert last.boundary == pytest.approx(1.959963984540054, rel=1e-12)
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+            ).alias("g"),
+        )
+        .collect()
+    )
+    ya = np.array([round(r.value * 1e6) for r in ev if r.g == 0]) / 1e6
+    yb = np.array([round(r.value * 1e6) for r in ev if r.g == 1]) / 1e6
+    se = np.sqrt(ya.var(ddof=1) / len(ya) + yb.var(ddof=1) / len(yb))
+    assert last.n_a == len(ya) and last.n_b == len(yb)
+    assert last.z == pytest.approx((ya.mean() - yb.mean()) / se, rel=1e-9)
