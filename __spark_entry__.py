@@ -69,6 +69,7 @@ _NEVER_DRIVER_CHECKED = [
     "stats_mad_price",
     "ab_mutual_info_type_variant",
     "ab_sequential_peeks",
+    "ab_power_mde",
     "eval_mrr_report",
     "eval_ndcg_report",
     "corpus_gini_doc_length",

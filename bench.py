@@ -184,6 +184,7 @@ HEADLINE = [
     "appx_sample_sum_ci",
     "ab_mutual_info_type_variant",
     "ab_sequential_peeks",
+    "ab_power_mde",
     "stats_mad_price",
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",

@@ -1968,6 +1968,122 @@ FROM b GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT — the pre-test power readout that decides
+    whether an experiment is worth running at the current traffic: at
+    α=0.05 (two-sided) and 80% power, MDE = (z₀.₀₂₅ + z₀.₈)·SE with both
+    normal quantiles FROZEN LITERALS in both texts (stdlib NormalDist at
+    authoring). SE comes from the same exact per-user DECIMAL micro-unit
+    moments as the Welch key; MDE absolute and relative (vs the pooled
+    mean) are each one double chain — hash-exact, no rounding. Completes
+    the experimentation arc: power planning → SRM → CUPED → Welch /
+    delta-CI / bootstrap → sequential monitoring → (censored) log-rank.
+
+    Scale: one user-keyed partial+final agg + a 2-row variant agg —
+    nothing downstream grows with the data."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("y")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+                == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    y6 = F.round(F.col("y") * 1000000).cast("decimal(38,0)")
+    mv = per_user.select("variant", y6.alias("y6")).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y6").alias("s"),
+        F.sum(F.col("y6") * F.col("y6")).alias("ss"),
+    )
+    one = mv.agg(
+        *[
+            F.max(F.when(F.col("variant") == g, F.col(c))).alias(f"{c}_{g.lower()}")
+            for g in ("A", "B")
+            for c in ("n", "s", "ss")
+        ]
+    )
+
+    def var(side: str):
+        n = F.col(f"n_{side}").cast("decimal(38,0)")
+        return (n * F.col(f"ss_{side}") - F.col(f"s_{side}") * F.col(f"s_{side}")).cast(
+            "double"
+        ) / (n * (n - F.lit(1))).cast("double") / 1000000000000.0
+
+    se = F.sqrt(
+        var("a") / F.col("n_a").cast("double") + var("b") / F.col("n_b").cast("double")
+    )
+    # z_{0.025} + z_{0.20} quantiles, frozen at authoring time
+    mde = F.lit(1.959963984540054 + 0.8416212335729143) * se
+    pooled_mean = (F.col("s_a") + F.col("s_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double") / 1000000.0
+    return one.select(
+        "n_a",
+        "n_b",
+        se.alias("se"),
+        mde.alias("mde_abs"),
+        (mde / pooled_mean).alias("mde_rel"),
+    )
+
+
+ORACLE_AB_POWER = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE) AS y,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'a' ELSE 'b' END AS variant
+    FROM events GROUP BY user_id
+),
+u AS (SELECT variant, CAST(round(y * 1000000) AS HUGEINT) AS y6 FROM per_user),
+mv AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS n, sum(y6) AS s, sum(y6 * y6) AS ss
+    FROM u GROUP BY variant
+),
+one AS (
+    SELECT max(CASE WHEN variant = 'a' THEN n END) AS n_a,
+           max(CASE WHEN variant = 'a' THEN s END) AS s_a,
+           max(CASE WHEN variant = 'a' THEN ss END) AS ss_a,
+           max(CASE WHEN variant = 'b' THEN n END) AS n_b,
+           max(CASE WHEN variant = 'b' THEN s END) AS s_b,
+           max(CASE WHEN variant = 'b' THEN ss END) AS ss_b
+    FROM mv
+)
+SELECT n_a, n_b,
+       sqrt((CAST(CAST(n_a AS HUGEINT) * ss_a - s_a * s_a AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) / 1000000000000.0)
+            / CAST(n_a AS DOUBLE)
+            + (CAST(CAST(n_b AS HUGEINT) * ss_b - s_b * s_b AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) / 1000000000000.0)
+            / CAST(n_b AS DOUBLE)) AS se,
+       2.8015852181129683
+         * sqrt((CAST(CAST(n_a AS HUGEINT) * ss_a - s_a * s_a AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(n_a AS DOUBLE)
+                + (CAST(CAST(n_b AS HUGEINT) * ss_b - s_b * s_b AS DOUBLE)
+                   / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(n_b AS DOUBLE)) AS mde_abs,
+       (2.8015852181129683
+         * sqrt((CAST(CAST(n_a AS HUGEINT) * ss_a - s_a * s_a AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(n_a AS DOUBLE)
+                + (CAST(CAST(n_b AS HUGEINT) * ss_b - s_b * s_b AS DOUBLE)
+                   / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) / 1000000000000.0)
+                / CAST(n_b AS DOUBLE)))
+         / (CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) / 1000000.0) AS mde_rel
+FROM one
+"""
+
+
 def q_ab_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-SEQUENTIAL A/B MONITORING — the daily-peek table an
     experimentation platform renders instead of a single end-of-test
@@ -4247,6 +4363,7 @@ TEMPORAL_QUERIES = {
     "stream_checkpoint_restart_counts": q_stream_checkpoint_restart_counts,
     "stream_rocksdb_state_counts": q_stream_rocksdb_state_counts,
     "ab_sequential_peeks": q_ab_sequential_peeks,
+    "ab_power_mde": q_ab_power_mde,
     "events_top_trigram_paths": q_events_top_trigram_paths,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
@@ -4329,6 +4446,7 @@ TEMPORAL_ORACLE = {
     "stream_checkpoint_restart_counts": ORACLE_STREAM_RESTART,
     "stream_rocksdb_state_counts": ORACLE_STREAM_ROCKSDB,
     "ab_sequential_peeks": ORACLE_AB_SEQUENTIAL,
+    "ab_power_mde": ORACLE_AB_POWER,
     "events_top_trigram_paths": ORACLE_TRIGRAM_PATHS,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,

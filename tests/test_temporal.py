@@ -970,3 +970,32 @@ def test_sequential_peeks_matches_numpy_and_boundary_shape(spark):
     se = np.sqrt(ya.var(ddof=1) / len(ya) + yb.var(ddof=1) / len(yb))
     assert last.n_a == len(ya) and last.n_b == len(yb)
     assert last.z == pytest.approx((ya.mean() - yb.mean()) / se, rel=1e-9)
+
+
+def test_power_mde_matches_numpy(spark):
+    """ab_power_mde: SE equals the Welch SE from numpy and
+    MDE = (z_{.025}+z_{.8})·SE with the frozen quantile sum."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_power_mde
+
+    out = q_ab_power_mde(spark, SF).collect()[0]
+    per_user = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0)).cast("double").alias("y"))
+        .withColumn(
+            "g",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint") % 2,
+        )
+        .collect()
+    )
+    ya = np.array([round(r.y * 1e6) for r in per_user if r.g == 0]) / 1e6
+    yb = np.array([round(r.y * 1e6) for r in per_user if r.g == 1]) / 1e6
+    se = np.sqrt(ya.var(ddof=1) / len(ya) + yb.var(ddof=1) / len(yb))
+    assert (out.n_a, out.n_b) == (len(ya), len(yb))
+    assert out.se == pytest.approx(se, rel=1e-9)
+    assert out.mde_abs == pytest.approx(2.8015852181129683 * se, rel=1e-9)
+    pooled = (ya.sum() + yb.sum()) / (len(ya) + len(yb))
+    assert out.mde_rel == pytest.approx(out.mde_abs / pooled, rel=1e-9)
