@@ -74,6 +74,7 @@ _NEVER_DRIVER_CHECKED = [
     "eval_ndcg_report",
     "corpus_gini_doc_length",
     "eval_conformal_coverage",
+    "dedup_incremental_minhash",
     "eval_auc_doc_length",
     "eval_pr_curve_points",
     "eval_cohens_kappa",

@@ -853,3 +853,88 @@ SELECT doc_id,
        round(CAST(sum(span_len) AS DOUBLE) / max(n_words), 4) AS dup_frac
 FROM spans GROUP BY doc_id
 """
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: the new ``delta`` batch against the
+    existing ``corpus`` — the production re-index shape (a daily crawl
+    lands; only ITS bands probe the standing index, the corpus is never
+    self-joined again).
+
+    Same banding math as :func:`minhash_lsh_pairs`, but the candidate join
+    is delta-bands × corpus-bands: cost O(|delta| · bands) probe rows
+    against the bucket index instead of the full self-join. Verification
+    re-shingles only the candidate ids from each side. Returns
+    (new_id, dup_of, jaccard ≥ threshold)."""
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = signatures_from_shingles(raw_shingles(df, text_col, id_col, k), num_hashes)
+        cols = [
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        wide = sig.select("id", *cols)
+        return wide.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select("id", "bh.band_idx", "bh.band_hash")
+
+    d, c = banded(delta).alias("d"), banded(corpus).alias("c")
+    candidates = (
+        d.join(
+            c,
+            (F.col("d.band_idx") == F.col("c.band_idx"))
+            & (F.col("d.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("d.id").alias("new_id"), F.col("c.id").alias("dup_of"))
+        .distinct()
+        .cache()
+    )
+    d_ids = candidates.select(F.col("new_id").alias(id_col)).distinct()
+    c_ids = candidates.select(F.col("dup_of").alias(id_col)).distinct()
+    d_sh = shingle_sets(delta.join(F.broadcast(d_ids), id_col), text_col, id_col, k)
+    c_sh = shingle_sets(corpus.join(F.broadcast(c_ids), id_col), text_col, id_col, k)
+    d_sz = d_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    c_sz = c_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b2 = d_sh.alias("a"), c_sh.alias("b")
+    inter = (
+        F.broadcast(candidates)
+        .join(a, F.col("new_id") == F.col("a.id"))
+        .join(b2, (F.col("dup_of") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    si, sj = d_sz.alias("si"), c_sz.alias("sj")
+    return (
+        inter.join(F.broadcast(si), F.col("new_id") == F.col("si.id"))
+        .join(F.broadcast(sj), F.col("dup_of") == F.col("sj.id"))
+        .select(
+            "new_id",
+            "dup_of",
+            F.round(
+                F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

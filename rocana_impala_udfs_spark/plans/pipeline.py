@@ -4282,6 +4282,52 @@ FROM scored GROUP BY source ORDER BY source
 # --- classifier-eval + governance (r9) ---------------------------------------
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the daily-crawl re-index shape:
+    the new batch (doc_id % 10 = 0 plays the arriving delta) LSH-probes
+    the standing corpus (the rest) instead of re-self-joining everything.
+    Banding math identical to `dedup_minhash_pairs`; candidate join is
+    delta-bands × corpus-bands (cost O(|delta|·bands) probe rows — the
+    corpus pays only the bucket lookup), exact-Jaccard verification on
+    candidates only. Oracle = the exact all-pairs delta×corpus Jaccard
+    (recall 1 at these ≈0.96+ dup levels, same no-false-negative contract
+    as the other banded dedup keys).
+
+    Scale: at 100 TB the standing side's bands are a maintained index;
+    each day's work is proportional to the DELTA, not the corpus — this
+    key certifies that plan shape end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_minhash_pairs(corpus, delta, threshold=0.8).orderBy(
+        "new_id", "dup_of"
+    )
+
+
+ORACLE_DEDUP_INCR_MINHASH = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+    SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3
+),
+shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS dup_of, count(*) AS both_cnt
+    FROM shingles a JOIN shingles b
+      ON a.s = b.s AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    GROUP BY 1, 2
+)
+SELECT new_id, dup_of,
+       round(both_cnt * 1.0 / (si.n + sj.n - both_cnt), 6) AS jaccard
+FROM inter
+JOIN sizes si ON si.doc_id = new_id
+JOIN sizes sj ON sj.doc_id = dup_of
+WHERE both_cnt * 1.0 / (si.n + sj.n - both_cnt) >= 0.8
+ORDER BY new_id, dup_of
+"""
+
+
 def q_eval_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC AUC of a ranking signal (``n_chars``) against a binary
     label (``lang = 'en'``) — the eval every quality/language classifier
@@ -4747,6 +4793,7 @@ PIPELINE_QUERIES = {
     "split_leakage_audit": q_split_leakage_audit,
     "corpus_source_overlap": q_corpus_source_overlap,
     "eval_auc_doc_length": q_eval_auc_doc_length,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "eval_pr_curve_points": q_eval_pr_curve_points,
     "eval_cohens_kappa": q_eval_cohens_kappa,
     "privacy_k_anonymity": q_privacy_k_anonymity,
@@ -4849,6 +4896,7 @@ PIPELINE_ORACLE = {
     "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
     "corpus_source_overlap": ORACLE_SOURCE_OVERLAP,
     "eval_auc_doc_length": ORACLE_EVAL_AUC,
+    "dedup_incremental_minhash": ORACLE_DEDUP_INCR_MINHASH,
     "eval_pr_curve_points": ORACLE_EVAL_PR_CURVE,
     "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,

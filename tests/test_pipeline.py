@@ -1971,3 +1971,31 @@ def test_auc_invariant_under_monotone_transform(spark, tmp_path):
         base.u2_stat,
         base.auc,
     )
+
+
+def test_incremental_minhash_matches_full_and_planted_pair(spark):
+    """dedup_incremental_minhash: (1) cross-side pairs from the
+    incremental delta-vs-corpus probe equal the cross-side subset of the
+    full self-join operator (same banding math, no recall loss from the
+    split); (2) the candidate join is a real two-sided join, not a
+    self-join of the union."""
+    from rocana_impala_udfs_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r.new_id, r.dup_of): r.jaccard
+        for r in incremental_minhash_pairs(corpus, delta, threshold=0.8).collect()
+    }
+    full = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    cross = {}
+    for r in full:
+        if (r.i % 10 == 0) != (r.j % 10 == 0):
+            new, dup = (r.i, r.j) if r.i % 10 == 0 else (r.j, r.i)
+            cross[(new, dup)] = r.jaccard
+    assert inc == cross
+    assert all(n % 10 == 0 and d % 10 != 0 for n, d in inc)
