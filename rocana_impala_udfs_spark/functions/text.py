@@ -310,3 +310,17 @@ def register(spark: SparkSession) -> None:
     fingerprints are table-level transforms (they aggregate over tokens),
     not scalar UDFs — see :func:`simhash_fingerprints`."""
     spark.udf.register("lang_id", make_lang_id_udf())
+
+
+def md5_bucket(col: Column | str, mod: int) -> Column:
+    """Deterministic content-addressed bucket: first 48 bits of md5(col
+    as string) mod ``mod``. THE experiment/sampling gate used across the
+    A/B and split keys — one definition so a typo can't silently put one
+    key's buckets out of sync with the rest (and with their oracles).
+    DuckDB mirror: ``CAST(concat('0x', substring(md5(CAST(x AS VARCHAR)),
+    1, 12)) AS BIGINT) % mod``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("bigint")
+        % mod
+    )

@@ -147,14 +147,13 @@ def ngram_jaccard_pairs(
     return (
         inter.join(F.broadcast(si), F.col("i") == F.col("si.id"))
         .join(F.broadcast(sj), F.col("j") == F.col("sj.id"))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt")), 6
-            ).alias("jaccard"),
+        .withColumn(
+            "_jac_raw", F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt"))
         )
-        .filter(F.col("jaccard") >= threshold)
+        # filter on the UNROUNDED ratio — the oracle's predicate; rounding
+        # first would admit pairs in [threshold - 5e-7, threshold)
+        .filter(F.col("_jac_raw") >= threshold)
+        .select("i", "j", F.round("_jac_raw", 6).alias("jaccard"))
     )
 
 
@@ -291,14 +290,13 @@ def minhash_lsh_pairs(
     return (
         inter.join(F.broadcast(si), F.col("i") == F.col("si.id"))
         .join(F.broadcast(sj), F.col("j") == F.col("sj.id"))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt")), 6
-            ).alias("jaccard"),
+        .withColumn(
+            "_jac_raw", F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt"))
         )
-        .filter(F.col("jaccard") >= threshold)
+        # filter on the UNROUNDED ratio — the oracle's predicate; rounding
+        # first would admit pairs in [threshold - 5e-7, threshold)
+        .filter(F.col("_jac_raw") >= threshold)
+        .select("i", "j", F.round("_jac_raw", 6).alias("jaccard"))
     )
 
 
@@ -913,8 +911,8 @@ def incremental_minhash_pairs(
     )
     d_ids = candidates.select(F.col("new_id").alias(id_col)).distinct()
     c_ids = candidates.select(F.col("dup_of").alias(id_col)).distinct()
-    d_sh = shingle_sets(delta.join(F.broadcast(d_ids), id_col), text_col, id_col, k)
-    c_sh = shingle_sets(corpus.join(F.broadcast(c_ids), id_col), text_col, id_col, k)
+    d_sh = shingle_sets(delta.join(F.broadcast(d_ids), id_col), text_col, id_col, k).cache()
+    c_sh = shingle_sets(corpus.join(F.broadcast(c_ids), id_col), text_col, id_col, k).cache()
     d_sz = d_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     c_sz = c_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b2 = d_sh.alias("a"), c_sh.alias("b")
@@ -929,12 +927,9 @@ def incremental_minhash_pairs(
     return (
         inter.join(F.broadcast(si), F.col("new_id") == F.col("si.id"))
         .join(F.broadcast(sj), F.col("dup_of") == F.col("sj.id"))
-        .select(
-            "new_id",
-            "dup_of",
-            F.round(
-                F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt")), 6
-            ).alias("jaccard"),
+        .withColumn(
+            "_jac_raw", F.col("both_cnt") / (F.col("si.n") + F.col("sj.n") - F.col("both_cnt"))
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_jac_raw") >= threshold)
+        .select("new_id", "dup_of", F.round("_jac_raw", 6).alias("jaccard"))
     )

@@ -4667,12 +4667,7 @@ def q_eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row q̂ frame broadcast to the test side — no fact-row sort, no
     driver round-trip."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
-    gate = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        % 2
-    )
-    scored = docs.select("n_chars", gate.alias("g"))
+    scored = docs.select("n_chars", T.md5_bucket("doc_id", 2).alias("g"))
     cal = scored.filter(F.col("g") == 0)
     test = scored.filter(F.col("g") == 1)
     per_v = cal.groupBy("n_chars").agg(F.count(F.lit(1)).alias("t"))

@@ -4434,14 +4434,11 @@ def q_appx_sample_sum_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sample aggregate reads 1% of rows behind a hash filter
     (predicate-evaluated at the scan, no shuffle beyond the 1-row agg);
     the exact side is one partial+final sum."""
+    from rocana_impala_udfs_spark.functions.text import md5_bucket
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
-    gate = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    samp = o.filter(gate == 0).agg(
+    samp = o.filter(md5_bucket("o_orderkey", 100) == 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sample"),
         F.sum(cents).alias("s"),
         F.sum(cents * cents).alias("ss"),

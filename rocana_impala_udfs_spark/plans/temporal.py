@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from rocana_impala_udfs_spark.functions.text import md5_bucket
 from rocana_impala_udfs_spark.operators.skew import salted_agg
 from rocana_impala_udfs_spark.operators.temporal import (
     as_of_join,
@@ -1532,6 +1533,30 @@ FROM termed
 """
 
 
+def _survival_durations(ev: DataFrame) -> DataFrame:
+    """Shared survival frame: per user, days from first event to first
+    purchase (obs=1) or to the corpus horizon (right-censored, obs=0).
+    One definition for Kaplan–Meier and the log-rank test so the two can
+    never disagree about what a duration is."""
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
+        F.date_trunc(
+            "day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        )
+        .cast("date")
+        .alias("dp"),
+    )
+    horizon = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("gd"))
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(F.col("dp").isNotNull(), F.datediff(F.col("dp"), F.col("d0")))
+        .otherwise(F.datediff(F.col("gd"), F.col("d0")))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+
+
 def q_events_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN–MEIER product-limit estimator for time-to-first-purchase —
     survival analysis with RIGHT CENSORING, the statistically correct way
@@ -1551,26 +1576,7 @@ def q_events_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFr
     DATE-DOMAIN-bounded — the cumulative windows never see fact rows; the
     horizon is a 1-row broadcast."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
-        F.date_trunc(
-            "day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        )
-        .cast("date")
-        .alias("dp"),
-    )
-    horizon = ev.agg(
-        F.date_trunc("day", F.max("ts")).cast("date").alias("gd")
-    )
-    dur = per_user.crossJoin(F.broadcast(horizon)).select(
-        F.when(
-            F.col("dp").isNotNull(), F.datediff(F.col("dp"), F.col("d0"))
-        )
-        .otherwise(F.datediff(F.col("gd"), F.col("d0")))
-        .cast("bigint")
-        .alias("dur"),
-        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("obs"),
-    )
+    dur = _survival_durations(ev)
     frame = dur.groupBy("dur").agg(
         F.sum("obs").cast("bigint").alias("d"),
         F.sum(F.lit(1) - F.col("obs")).cast("bigint").alias("c"),
@@ -1723,27 +1729,12 @@ def q_ab_logrank_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-keyed agg, then everything lives on the bounded
     duration frame — cumulative windows, folds, and a 1-row result."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).cast("date").alias("d0"),
-        F.date_trunc(
-            "day", F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        )
-        .cast("date")
-        .alias("dp"),
-    )
-    horizon = ev.agg(F.date_trunc("day", F.max("ts")).cast("date").alias("gd"))
-    dur = per_user.crossJoin(F.broadcast(horizon)).select(
-        F.when(F.col("dp").isNotNull(), F.datediff(F.col("dp"), F.col("d0")))
-        .otherwise(F.datediff(F.col("gd"), F.col("d0")))
-        .cast("bigint")
-        .alias("dur"),
-        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("obs"),
-        F.when(
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-            .cast("bigint") % 2
-            == 0,
-            F.lit("A"),
-        ).otherwise(F.lit("B")).alias("grp"),
+    dur = _survival_durations(ev).select(
+        "dur",
+        "obs",
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
     )
     frame = dur.groupBy("dur").agg(
         F.sum(F.when(F.col("grp") == "A", F.col("obs")).otherwise(0)).cast("bigint").alias("d_a"),
@@ -1991,12 +1982,7 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "variant",
-            F.when(
-                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-                .cast("bigint") % 2
-                == 0,
-                F.lit("A"),
-            ).otherwise(F.lit("B")),
+            F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(F.lit("B")),
         )
     )
     y6 = F.round(F.col("y") * 1000000).cast("decimal(38,0)")
@@ -2103,12 +2089,7 @@ def q_ab_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     then everything is windows over the bounded daily frame."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v6 = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
-    variant = F.when(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint") % 2
-        == 0,
-        F.lit("A"),
-    ).otherwise(F.lit("B"))
+    variant = F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(F.lit("B"))
     daily = ev.groupBy(
         F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
         variant.alias("g"),
@@ -2235,19 +2216,16 @@ def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame
     shuffle to the |types|×2 grid; every fold input is domain-bounded."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.when(
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-            .cast("bigint") % 2
-            == 0,
-            F.lit("A"),
-        ).otherwise(F.lit("B")).alias("variant"),
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
     )
     cells = ev.groupBy("event_type", "variant").agg(F.count(F.lit(1)).alias("o"))
     r = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
     c = cells.groupBy("variant").agg(F.sum("o").alias("c_tot"))
     n = cells.agg(F.sum("o").alias("n_tot"))
 
-    def fold(frame, key_cols, term_col):
+    def fold(key_cols, term_col):
         return F.aggregate(
             F.sort_array(F.collect_list(F.struct(*key_cols, term_col.alias("term")))),
             F.lit(0.0),
@@ -2264,20 +2242,20 @@ def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(n))
         .agg(
             F.max("n_tot").cast("bigint").alias("n_total"),
-            fold(None, [F.col("event_type"), F.col("variant")], mi_term).alias("mi_raw"),
+            fold([F.col("event_type"), F.col("variant")], mi_term).alias("mi_raw"),
         )
     )
     ht_term = -(F.col("r_tot").cast("double") / F.col("n_tot")) * F.log(
         F.col("r_tot").cast("double") / F.col("n_tot")
     )
     ht = r.crossJoin(F.broadcast(n)).agg(
-        fold(None, [F.col("event_type")], ht_term).alias("ht_raw")
+        fold([F.col("event_type")], ht_term).alias("ht_raw")
     )
     hv_term = -(F.col("c_tot").cast("double") / F.col("n_tot")) * F.log(
         F.col("c_tot").cast("double") / F.col("n_tot")
     )
     hv = c.crossJoin(F.broadcast(n)).agg(
-        fold(None, [F.col("variant")], hv_term).alias("hv_raw")
+        fold([F.col("variant")], hv_term).alias("hv_raw")
     )
     return (
         mi_frame.crossJoin(F.broadcast(ht))
@@ -3427,6 +3405,7 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("nv"),
             F.sum(v6).alias("s6"),
             F.round(F.max("value"), 4).alias("max_value"),
         ],
@@ -3435,7 +3414,9 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("window_start").alias("window_start_us"),
         "event_type",
         "n",
-        (F.col("s6").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+        # divide by the NON-NULL count — avg(value) semantics (sum skips
+        # NULLs; count(*) would silently shift the mean on NULL-bearing data)
+        (F.col("s6").cast("double") / F.col("nv") / F.lit(1000000.0)).alias(
             "avg_value"
         ),
         "max_value",
@@ -3446,7 +3427,7 @@ ORACLE_HOURLY_STATS = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
        event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
-             / count(*) / 1000000.0 AS avg_value,
+             / count(value) / 1000000.0 AS avg_value,
        round(max(value), 4) AS max_value
 FROM events GROUP BY 1, 2
 """
@@ -3847,12 +3828,16 @@ def q_sliding_window_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(v6).alias("s6"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("nv"),
+            F.sum(v6).alias("s6"),
+        )
         .select(
             F.unix_micros(F.col("w.start")).alias("win_start_us"),
             "event_type",
             "n",
-            (F.col("s6").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+            (F.col("s6").cast("double") / F.col("nv") / F.lit(1000000.0)).alias(
                 "avg_value"
             ),
         )
@@ -3870,7 +3855,7 @@ expanded AS (
 SELECT epoch_us(win_start) AS win_start_us, event_type,
        count(*) AS n,
        CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
-             / count(*) / 1000000.0 AS avg_value
+             / count(value) / 1000000.0 AS avg_value
 FROM expanded GROUP BY 1, 2
 """
 

@@ -156,8 +156,6 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
     mode aggregation."""
     import uuid as _uuid
 
-    from pyspark.sql import functions as F  # noqa: F401 (callers' lambdas)
-
     ev = load_table(spark, sf_dir, "events")
     _, src = replay_events_stream(spark, sf_dir)
     files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
@@ -195,4 +193,6 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-        # keep cp until process exit: the memory table lazily re-reads state
+        # cp is left behind (a few KB in /tmp) — cleaning it here would be
+        # fine for the materialized memory table, but a harmless leak beats
+        # deleting a checkpoint another in-flight query name could reference

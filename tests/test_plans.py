@@ -777,14 +777,14 @@ def test_mad_matches_numpy(spark):
 
     from rocana_impala_udfs_spark.plans.relational import q_stats_mad_price
 
-    out = q_stats_mad_price(spark, SF).collect()[0]
-    qs = entry.queries()
     import pyspark.sql.functions as F
 
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    out = q_stats_mad_price(spark, SF).collect()[0]
     vals = [
         r.v
-        for r in qs["q1_pricing_summary"](spark, SF)
-        .sparkSession.read.parquet(f"{SF}/lineitem.parquet")
+        for r in load_table(spark, SF, "lineitem")
         .select(F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"))
         .collect()
     ]
