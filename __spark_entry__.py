@@ -70,6 +70,7 @@ _NEVER_DRIVER_CHECKED = [
     "ab_mutual_info_type_variant",
     "ab_sequential_peeks",
     "ab_power_mde",
+    "ab_cramers_v",
     "eval_mrr_report",
     "eval_ndcg_report",
     "corpus_gini_doc_length",

@@ -185,6 +185,7 @@ HEADLINE = [
     "ab_mutual_info_type_variant",
     "ab_sequential_peeks",
     "ab_power_mde",
+    "ab_cramers_v",
     "dedup_incremental_minhash",
     "stats_mad_price",
     "events_kaplan_meier_conversion",

@@ -1448,6 +1448,93 @@ FROM t ORDER BY variant
 """
 
 
+def q_ab_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V — the EFFECT SIZE the chi-square key's test statistic
+    needs next to it (significance without magnitude is how experiment
+    reviews get fooled at scale: at 100 TB everything is 'significant'):
+    V = √(χ² / (N·min(r−1, c−1))) over the same exact integer grid and
+    fixed-order fold as `ab_chi2_type_by_variant`, plus the χ² and grid
+    dims for context — one extra double chain, hash-exact.
+
+    Scale: identical to the chi-square key — one map-side-combined count
+    shuffle to the |types|×2 grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(md5_bucket("user_id", 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+    )
+    cells = ev.groupBy("event_type", "variant").agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("variant").agg(F.sum("o").alias("c_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n_tot")
+    termed = (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "variant")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", e)
+        .withColumn(
+            "term",
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
+        )
+    )
+    agg = termed.agg(
+        F.max("n_tot").cast("bigint").alias("n_total"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows_grid"),
+        F.countDistinct("variant").cast("bigint").alias("n_cols_grid"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "variant", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n_total").cast("double")
+            * F.least(F.col("n_rows_grid") - 1, F.col("n_cols_grid") - 1).cast("double")
+        )
+    )
+    return agg.select("n_total", "n_rows_grid", "n_cols_grid", "chi2", v.alias("cramers_v"))
+
+
+ORACLE_AB_CRAMERS_V = """
+WITH ev AS (
+    SELECT event_type,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS variant
+    FROM events
+),
+cells AS (
+    SELECT event_type, variant, CAST(count(*) AS BIGINT) AS o
+    FROM ev GROUP BY 1, 2
+),
+r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT variant, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM cells),
+termed AS (
+    SELECT cells.event_type, cells.variant, cells.o,
+           CAST(r_tot AS DOUBLE) * c_tot / n_tot AS e
+    FROM cells JOIN r USING (event_type) JOIN c USING (variant), n
+),
+agg AS (
+    SELECT (SELECT n_tot FROM n) AS n_total,
+           (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM cells) AS n_rows_grid,
+           (SELECT CAST(count(DISTINCT variant) AS BIGINT) FROM cells) AS n_cols_grid,
+           list_reduce(
+               [0.0] || list((o - e) * (o - e) / e ORDER BY event_type, variant),
+               (acc, x) -> acc + x
+           ) AS chi2
+    FROM termed
+)
+SELECT n_total, n_rows_grid, n_cols_grid, chi2,
+       sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                    * CAST(least(n_rows_grid - 1, n_cols_grid - 1) AS DOUBLE))) AS cramers_v
+FROM agg
+"""
+
+
 def q_ab_chi2_type_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence between event_type and A/B variant
     (the same deterministic md5 user gate as ``ab_cuped_adjusted``) — the
@@ -4349,6 +4436,7 @@ TEMPORAL_QUERIES = {
     "stream_rocksdb_state_counts": q_stream_rocksdb_state_counts,
     "ab_sequential_peeks": q_ab_sequential_peeks,
     "ab_power_mde": q_ab_power_mde,
+    "ab_cramers_v": q_ab_cramers_v,
     "events_top_trigram_paths": q_events_top_trigram_paths,
     "stream_bitmap_distinct_users": q_stream_bitmap_distinct_users,
     "stream_kmv_distinct_exact": q_stream_kmv_distinct_exact,
@@ -4432,6 +4520,7 @@ TEMPORAL_ORACLE = {
     "stream_rocksdb_state_counts": ORACLE_STREAM_ROCKSDB,
     "ab_sequential_peeks": ORACLE_AB_SEQUENTIAL,
     "ab_power_mde": ORACLE_AB_POWER,
+    "ab_cramers_v": ORACLE_AB_CRAMERS_V,
     "events_top_trigram_paths": ORACLE_TRIGRAM_PATHS,
     "stream_bitmap_distinct_users": ORACLE_STREAM_BITMAP,
     "stream_kmv_distinct_exact": ORACLE_STREAM_KMV,

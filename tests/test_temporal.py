@@ -999,3 +999,22 @@ def test_power_mde_matches_numpy(spark):
     assert out.mde_abs == pytest.approx(2.8015852181129683 * se, rel=1e-9)
     pooled = (ya.sum() + yb.sum()) / (len(ya) + len(yb))
     assert out.mde_rel == pytest.approx(out.mde_abs / pooled, rel=1e-9)
+
+
+def test_cramers_v_consistent_with_chi2(spark):
+    """ab_cramers_v: χ² matches the chi-square key's statistic on the same
+    grid, and V = sqrt(chi2/(N·min(r−1,c−1))) lies in [0, 1]."""
+    import math
+
+    from rocana_impala_udfs_spark.plans.temporal import (
+        q_ab_chi2_type_by_variant,
+        q_ab_cramers_v,
+    )
+
+    v = q_ab_cramers_v(spark, SF).collect()[0]
+    chi = q_ab_chi2_type_by_variant(spark, SF).collect()[0]
+    assert v.chi2 == chi.chi2
+    assert v.n_total == chi.n_total
+    expect = math.sqrt(v.chi2 / (v.n_total * min(v.n_rows_grid - 1, v.n_cols_grid - 1)))
+    assert v.cramers_v == pytest.approx(expect, rel=1e-12)
+    assert 0.0 <= v.cramers_v <= 1.0
