@@ -262,9 +262,9 @@ def ppm_decode_stats(media: DataFrame) -> DataFrame:
         "media_id",
         "img_w",
         "img_h",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
     )
 
 
@@ -553,9 +553,9 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
         "media_id",
         "img_w",
         "img_h",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
     )
 
 
@@ -1396,7 +1396,7 @@ def jpeg_progressive_stats(media: DataFrame) -> DataFrame:
     out = _spread(media.select("media_id", "payload")).mapInPandas(
         run, schema="media_id bigint, img_w int, img_h int, mean_gray double"
     )
-    return out.select("media_id", "img_w", "img_h", F.round("mean_gray", 4).alias("mean_gray"))
+    return out.select("media_id", "img_w", "img_h", "mean_gray")
 
 
 def synthetic_jpeg_images(
@@ -1452,7 +1452,7 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
     out = _spread(media.select("media_id", "payload")).mapInPandas(
         run, schema="media_id bigint, img_w int, img_h int, mean_gray double"
     )
-    return out.select("media_id", "img_w", "img_h", F.round("mean_gray", 4).alias("mean_gray"))
+    return out.select("media_id", "img_w", "img_h", "mean_gray")
 
 
 # --- color (YCbCr 4:2:0) baseline JPEG ------------------------------------
@@ -1764,9 +1764,9 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
         "media_id",
         "img_w",
         "img_h",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
     )
 
 
@@ -1947,9 +1947,9 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
         "media_id",
         "sample_rate",
         "n_samples",
-        F.round("duration_ms", 4).alias("duration_ms"),
-        F.round("mean_amp", 4).alias("mean_amp"),
-        F.round("rms", 4).alias("rms"),
+        "duration_ms",
+        "mean_amp",
+        "rms",
     )
 
 
@@ -2016,8 +2016,8 @@ def wav_downsample_stats(media: DataFrame, factor: int = 4) -> DataFrame:
         "n_in",
         "n_out",
         "out_rate",
-        F.round("mean_amp", 4).alias("mean_amp"),
-        F.round("rms", 4).alias("rms"),
+        "mean_amp",
+        "rms",
     )
 
 
@@ -2776,7 +2776,7 @@ def gif_decode_stats(media: DataFrame) -> DataFrame:
         "media_id",
         "img_w",
         "img_h",
-        F.round("mean_px", 4).alias("mean_px"),
+        "mean_px",
         "n_levels",
     )
 
@@ -3164,6 +3164,6 @@ def flac_decode_stats(media: DataFrame) -> DataFrame:
         "media_id",
         "sample_rate",
         "n_samples",
-        F.round("mean_amp", 4).alias("mean_amp"),
-        F.round("rms", 4).alias("rms"),
+        "mean_amp",
+        "rms",
     )

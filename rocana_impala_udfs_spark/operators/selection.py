@@ -210,7 +210,12 @@ def stats_with_exact_median(df: DataFrame, value_col: str) -> dict:
     ``finally:`` so repeated harness/bench runs never leak storage.
 
     Returns ``{"n": int, "min": .., "max": .., "mean": float|None,
-    "median": ..|None}`` with mean rounded to 4 dp (HALF_UP, engine-side).
+    "median": ..|None}``. ``mean`` is the RAW quotient of the exact
+    integer sum (r10): a trailing round(x, 4) was the final-round
+    midpoint class — Spark rounds the shortest-string decimal via
+    BigDecimal.valueOf while DuckDB rounds the binary double, so an
+    exact 4-dp-midpoint quotient legitimately flips the hash; with an
+    exact numerator the raw IEEE quotient is bit-identical cross-engine.
     """
     cached = df.persist()
     try:
@@ -219,9 +224,9 @@ def stats_with_exact_median(df: DataFrame, value_col: str) -> dict:
             F.count(value_col).cast("bigint").alias("n"),
             F.min(value_col).alias("mn"),
             F.max(value_col).alias("mx"),
-            F.round(
-                F.try_divide(F.sum(value_col).cast("double"), F.count(value_col)), 4
-            ).alias("mean"),
+            F.try_divide(F.sum(value_col).cast("double"), F.count(value_col)).alias(
+                "mean"
+            ),
         ).collect()[0]
     finally:
         cached.unpersist()

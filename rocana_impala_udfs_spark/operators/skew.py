@@ -34,11 +34,20 @@ def salted_agg(
     n_salts: int = 8,
 ) -> DataFrame:
     """sum/count/avg/min/max of ``value_col`` per key, skew-spread over
-    ``n_salts`` partial reducers."""
+    ``n_salts`` partial reducers.
+
+    ``value_avg`` follows the exact-moment recipe (r10): per-row
+    round(value·1e6) integers summed in DECIMAL(38,0) across BOTH salt
+    stages, then ONE double divide — a double partial-sum numerator would
+    wobble with the salt/combine order and a trailing round(x, 4) sits on
+    the shortest-string-vs-binary midpoint class. The decimal partial
+    rides the same salted shuffle, so the skew-spread shape is unchanged."""
     all_cols = [F.col(c) for c in df.columns]
+    v6 = F.round(F.col(value_col) * 1000000).cast("decimal(38,0)")
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*all_cols), F.lit(n_salts)))
     partial = salted.groupBy(*key_cols, "_salt").agg(
         F.sum(value_col).alias("_sum"),
+        F.sum(v6).alias("_sum6"),
         F.count(value_col).alias("_cnt"),
         F.min(value_col).alias("_min"),
         F.max(value_col).alias("_max"),
@@ -46,7 +55,7 @@ def salted_agg(
     return partial.groupBy(*key_cols).agg(
         F.sum("_sum").alias("value_sum"),
         F.sum("_cnt").alias("value_count"),
-        (F.sum("_sum") / F.sum("_cnt")).alias("value_avg"),
+        (F.sum("_sum6").cast("double") / F.sum("_cnt") / F.lit(1000000.0)).alias("value_avg"),
         F.min("_min").alias("value_min"),
         F.max("_max").alias("value_max"),
     )

@@ -1032,9 +1032,19 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 6).alias(
-                "avg_logp"
-            ),
+            # r10 exact-moment recipe: per-bigram log-prob quantized to the
+            # shared 1e-6 grid (both engines round the identical double),
+            # exact DECIMAL sum, ONE raw double divide — round(avg, 6) was
+            # the final-round midpoint class.
+            (
+                F.sum(
+                    F.round(
+                        F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))) * 1000000
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("avg_logp"),
         )
     )
 
@@ -1050,7 +1060,8 @@ WITH toks AS (
 ctx AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
 vocab AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks))
 SELECT b.doc_id, count(*) AS n_bigrams,
-       round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
+       CAST(sum(CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000) AS HUGEINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_logp
 FROM bigrams b JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
 GROUP BY 1
 """
@@ -1139,7 +1150,9 @@ def q_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tc").cast("bigint").alias("total_tokens"),
-        F.round(F.avg("tc"), 4).alias("mean_tokens"),
+        # r10: exact integer numerator, one RAW double divide — the former
+        # round(avg, 4) was the final-round midpoint class.
+        (F.sum("tc").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
         quantile_agg(spark, "tc", 0.5).alias("p50_tokens"),
         quantile_agg(spark, "tc", 0.9).alias("p90_tokens"),
         quantile_agg(spark, "tc", 0.99).alias("p99_tokens"),
@@ -1153,7 +1166,7 @@ WITH tc AS (
   FROM documents
 )
 SELECT count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens,
-       round(avg(tc), 4) AS mean_tokens,
+       CAST(sum(tc) AS DOUBLE) / count(*) AS mean_tokens,
        quantile_cont(tc, 0.5) AS p50_tokens,
        quantile_cont(tc, 0.9) AS p90_tokens,
        quantile_cont(tc, 0.99) AS p99_tokens
@@ -1848,7 +1861,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "container",
         F.size("features").alias("dim"),
         F.size(F.filter(F.transform("features", lambda x: x.cast("double")), lambda x: x > 0)).alias("nnz"),
-        F.round("mean_px", 4).alias("mean_px"),
+        "mean_px",
     )
 
 
@@ -1931,9 +1944,9 @@ px AS (
     FROM imgs
 )
 SELECT media_id, img_w, img_h,
-       round(avg(CASE WHEN i % 3 = 0 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_r,
-       round(avg(CASE WHEN i % 3 = 1 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_g,
-       round(avg(CASE WHEN i % 3 = 2 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_b
+       avg(CASE WHEN i % 3 = 0 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END) AS mean_r,
+       avg(CASE WHEN i % 3 = 1 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END) AS mean_g,
+       avg(CASE WHEN i % 3 = 2 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END) AS mean_b
 FROM px GROUP BY 1, 2, 3
 """
 
@@ -2007,9 +2020,9 @@ px AS (
     FROM imgs
 )
 SELECT media_id, img_w, img_h,
-       round(avg(CASE WHEN i % 3 = 0 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_r,
-       round(avg(CASE WHEN i % 3 = 1 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_g,
-       round(avg(CASE WHEN i % 3 = 2 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END), 4) AS mean_b
+       avg(CASE WHEN i % 3 = 0 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END) AS mean_r,
+       avg(CASE WHEN i % 3 = 1 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END) AS mean_g,
+       avg(CASE WHEN i % 3 = 2 THEN ascii(substring(pix, CAST(i AS INT) + 1, 1)) END) AS mean_b
 FROM px GROUP BY 1, 2, 3
 """
 
@@ -2078,7 +2091,7 @@ px AS (
     FROM imgs, unnest(range(nb)) AS t(i)
 )
 SELECT media_id, img_w, img_h,
-       round(avg(lvl), 4) AS mean_gray
+       avg(lvl) AS mean_gray
 FROM px GROUP BY 1, 2, 3
 """
 
@@ -2144,9 +2157,9 @@ rgb AS (
     FROM chan
 )
 SELECT media_id, img_w, img_h,
-       round(avg(r), 4) AS mean_r,
-       round(avg(g), 4) AS mean_g,
-       round(avg(b), 4) AS mean_b
+       avg(r) AS mean_r,
+       avg(g) AS mean_g,
+       avg(b) AS mean_b
 FROM rgb GROUP BY 1, 2, 3
 """
 
@@ -2174,7 +2187,7 @@ px AS (
 )
 SELECT media_id, container, 32 AS dim,
        CAST(count(DISTINCT v // 8) AS INT) AS nnz,
-       round(avg(v), 4) AS mean_px
+       avg(v) AS mean_px
 FROM px GROUP BY 1, 2
 """
 
@@ -2211,9 +2224,9 @@ smp AS (
     FROM au, unnest(range(n)) AS t(i)
 )
 SELECT media_id, 8000 AS sample_rate, n AS n_samples,
-       round(n * 1000.0 / 8000, 4) AS duration_ms,
-       round(avg(v), 4) AS mean_amp,
-       round(sqrt(avg(v * v)), 4) AS rms
+       n * 1000.0 / 8000 AS duration_ms,
+       avg(v) AS mean_amp,
+       sqrt(avg(v * v)) AS rms
 FROM smp GROUP BY media_id, n
 """
 
@@ -2478,7 +2491,7 @@ px AS (
     FROM imgs, unnest(range(img_w * img_h)) AS t(i)
 )
 SELECT media_id, img_w, img_h,
-       round(avg(v), 4) AS mean_px,
+       avg(v) AS mean_px,
        CAST(count(DISTINCT v) AS INT) AS n_levels
 FROM px GROUP BY media_id, img_w, img_h
 """.replace("imgs_src", "documents")
@@ -2551,8 +2564,8 @@ smp AS (
     FROM au, unnest(range(n)) AS t(i)
 )
 SELECT media_id, 8000 AS sample_rate, n AS n_samples,
-       round(avg(v), 4) AS mean_amp,
-       round(sqrt(avg(v * v)), 4) AS rms
+       avg(v) AS mean_amp,
+       sqrt(avg(v * v)) AS rms
 FROM smp GROUP BY media_id, n
 """
 
@@ -2682,8 +2695,8 @@ SELECT media_id,
        n AS n_in,
        CAST(n // 4 AS INT) AS n_out,
        2000 AS out_rate,
-       round(avg(v), 4) AS mean_amp,
-       round(sqrt(avg(v * v)), 4) AS rms
+       avg(v) AS mean_amp,
+       sqrt(avg(v * v)) AS rms
 FROM smp GROUP BY media_id, n
 """
 

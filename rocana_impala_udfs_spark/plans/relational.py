@@ -32,9 +32,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the off-grid aggregates accumulate in DECIMAL so the rounded total
     cannot flip on a half-cent/half-bp midpoint when the combine order
     changes — `sum_disc_price` (4-dp products → DECIMAL(18,4)),
-    `sum_charge` (6-dp products → DECIMAL(18,6)), and the price/discount
-    means (exact DECIMAL numerator, ONE double divide, then round — both
-    engines round the identical double).  `sum_qty` stays a double sum:
+    `sum_charge` (6-dp products → DECIMAL(18,6)), and the qty/price/
+    discount means (exact numerator, ONE double divide, emitted RAW —
+    r10: the former trailing round(x, 4) was the final-round midpoint
+    class: Spark rounds the shortest-string decimal via
+    BigDecimal.valueOf while DuckDB rounds the binary double, so an
+    exact 4-dp-midpoint quotient flips the hash; with identical integer
+    numerator and denominator the raw IEEE quotient is bit-identical in
+    both engines and needs no round).  `sum_qty` stays a double sum:
     quantities are integers, every partial sum is exact in double, so
     order cannot change the value; `sum_base_price` stays double because
     2-dp addends keep the true total ON the 0.01 grid — a ~1e-9
@@ -56,12 +61,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc4), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(charge6), 2).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n, 4
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n
             ).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / n, 4
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / n
             ).alias("avg_disc"),
             n.alias("count_order"),
         )
@@ -75,9 +80,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -139,7 +144,13 @@ def q_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # r10: exact DECIMAL cents numerator, ONE double divide, RAW
+            # emit — rounding the double mean at 4 dp was the final-round
+            # midpoint class (Spark shortest-string vs DuckDB binary).
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -149,7 +160,7 @@ def q_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BRAND_PRICES = """
 SELECT p_brand,
-       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -849,7 +860,16 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_discounted"),
-        F.round(F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4).alias("avg_f_price"),
+        # r10 midpoint-class fix: exact cents numerator over the non-NULL
+        # count, one double divide, no trailing round.
+        (
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).cast(
+                    "decimal(18,2)"
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")))
+        ).alias("avg_f_price"),
     )
 
 
@@ -857,7 +877,8 @@ ORACLE_CONDITIONAL_AGG = """
 SELECT l_returnflag,
        CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
        CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-       round(avg(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 4) AS avg_f_price
+       CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE)
+         / count(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END) AS avg_f_price
 FROM lineitem GROUP BY l_returnflag
 """
 

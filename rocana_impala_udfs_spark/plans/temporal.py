@@ -286,7 +286,11 @@ def q_ops_session_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
-        F.sum("value").alias("session_value"),
+        # exact micro-unit session value (r10): the class-level mean below
+        # needs an exact integer numerator so its RAW quotient is
+        # bit-identical cross-engine (round(avg, 4) was the final-round
+        # midpoint class).
+        F.sum(F.round(F.col("value") * 1000000).cast("decimal(38,0)")).alias("sv6"),
     )
     classed = sess.withColumn(
         "size_class",
@@ -297,7 +301,9 @@ def q_ops_session_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_upper_median(classed, "duration_us", ["size_class"], out="median_duration_us")
     stats = classed.groupBy("size_class").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("session_value"), 4).alias("avg_session_value"),
+        (
+            F.sum("sv6").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
+        ).alias("avg_session_value"),
     )
     return stats.join(F.broadcast(med), "size_class")
 
@@ -321,7 +327,7 @@ sessioned AS (
 sess AS (
     SELECT user_id, session_seq, count(*) AS n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-           sum(value) AS session_value
+           sum(CAST(round(value * 1000000) AS HUGEINT)) AS sv6
     FROM sessioned GROUP BY 1, 2
 ),
 classed AS (
@@ -341,7 +347,7 @@ med AS (
 SELECT s.size_class, s.n_sessions, s.avg_session_value, m.median_duration_us
 FROM (
     SELECT size_class, count(*) AS n_sessions,
-           round(avg(session_value), 4) AS avg_session_value
+           CAST(sum(sv6) AS DOUBLE) / count(*) / 1000000.0 AS avg_session_value
     FROM classed GROUP BY 1
 ) s JOIN med m USING (size_class)
 """
@@ -3438,7 +3444,7 @@ ranked AS (
 SELECT CAST(count(*) AS BIGINT) AS n_converted,
        CAST(min(dt_us) AS BIGINT) AS min_us,
        CAST(max(dt_us) AS BIGINT) AS max_us,
-       round(CAST(sum(dt_us) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS mean_us,
+       CAST(sum(dt_us) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_us,
        (SELECT dt_us FROM ranked WHERE rn = n // 2 + 1) AS median_us
 FROM conv
 """
@@ -3589,7 +3595,9 @@ def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value_sum", 2).alias("value_sum"),
         "value_count",
-        F.round("value_avg", 4).alias("value_avg"),
+        # r10: value_avg is the operator's exact-moment quotient, emitted
+        # RAW — round(x, 4) was the final-round midpoint class.
+        "value_avg",
         F.round("value_min", 4).alias("value_min"),
         F.round("value_max", 4).alias("value_max"),
     )
@@ -3599,7 +3607,8 @@ ORACLE_SALTED_AGG = """
 SELECT event_type,
        round(sum(value), 2) AS value_sum,
        count(value) AS value_count,
-       round(sum(value) / count(value), 4) AS value_avg,
+       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
+             / count(value) / 1000000.0 AS value_avg,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max
 FROM events GROUP BY event_type
@@ -3628,7 +3637,13 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # r10 exact-moment recipe: round(avg, 4) was the final-round
+            # midpoint class (Spark shortest-string vs DuckDB binary).
+            (
+                F.sum(F.round(F.col("value") * 1000000).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("avg_value"),
         )
         .orderBy("band")
     )
@@ -3638,7 +3653,9 @@ _BANDS_SQL = " , ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
 
 ORACLE_RANGE_JOIN = f"""
 WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
-SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+SELECT band, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band ORDER BY band
 """

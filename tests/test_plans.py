@@ -148,6 +148,29 @@ def test_no_driver_collect_in_query_plans():
     assert not offenders, offenders
 
 
+def test_no_round_of_avg_in_plans_or_operators():
+    """The final-round midpoint class is CLOSED (r10): `round(avg(x), k)` /
+    `F.round(F.avg(x), k)` over a quotient legitimately disagrees between
+    engines when the exact value lands on a k-dp midpoint (Spark rounds the
+    shortest-string decimal via BigDecimal.valueOf, DuckDB rounds the binary
+    double — found by the r9 multi-SF sweep). The recipe is an exact integer
+    /decimal numerator and ONE raw double divide on both sides. This guard
+    keeps the class from creeping back in."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "rocana_impala_udfs_spark"
+    pat = re.compile(r"round\s*\(\s*(F\.)?avg\s*\(", re.IGNORECASE)
+    offenders = [
+        f"{p.relative_to(pkg)}:{i}"
+        for sub in ("plans", "operators", "functions")
+        for p in (pkg / sub).glob("*.py")
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert not offenders, offenders
+
+
 def test_entry_contract_consistency():
     """Every oracle key must have a matching queries() entry (driver pairs
     them by key), and keys are unique, non-empty strings."""
