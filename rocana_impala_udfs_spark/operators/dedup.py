@@ -853,6 +853,64 @@ FROM spans GROUP BY doc_id
 """
 
 
+def minhash_band_index(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """The standing LSH band index of a corpus: long-format
+    ``(id, band_idx, band_hash)`` rows, one per document per band — the
+    same banding math as :func:`minhash_lsh_pairs` (shingle → 64 minhash →
+    per-band xxhash64), factored out so the result can be PERSISTED as a
+    first-class artifact (``sources.io.ensure_minhash_band_index`` writes
+    it bucketed by ``band_hash``) and probed by incremental batches
+    without ever re-signaturing the corpus."""
+    rows_per_band = num_hashes // bands
+    sig = signatures_from_shingles(raw_shingles(df, text_col, id_col, k), num_hashes)
+    cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    wide = sig.select("id", *cols)
+    return wide.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band_idx", "bh.band_hash")
+
+
+def incremental_candidates(delta_bands: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """The probe join of incremental dedup: delta band rows against the
+    standing corpus band index on ``(band_idx, band_hash)``. Cost is
+    O(|delta| · bands) probe rows — the corpus side is a plain (ideally
+    bucketed) table read with NO shingle/signature stage, which
+    ``tests/test_dedup.py::test_incremental_probe_plan_never_signatures_corpus``
+    pins on the explain output."""
+    d, c = delta_bands.alias("d"), corpus_bands.alias("c")
+    return (
+        d.join(
+            c,
+            (F.col("d.band_idx") == F.col("c.band_idx"))
+            & (F.col("d.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("d.id").alias("new_id"), F.col("c.id").alias("dup_of"))
+        .distinct()
+    )
+
+
 def incremental_minhash_pairs(
     corpus: DataFrame,
     delta: DataFrame,
@@ -862,57 +920,38 @@ def incremental_minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: the new ``delta`` batch against the
     existing ``corpus`` — the production re-index shape (a daily crawl
     lands; only ITS bands probe the standing index, the corpus is never
     self-joined again).
 
-    Same banding math as :func:`minhash_lsh_pairs`, but the candidate join
-    is delta-bands × corpus-bands: cost O(|delta| · bands) probe rows
-    against the bucket index instead of the full self-join. Verification
-    re-shingles only the candidate ids from each side. Returns
-    (new_id, dup_of, jaccard ≥ threshold)."""
-    rows_per_band = num_hashes // bands
+    ``corpus_bands`` is the standing band index (persist it once with
+    ``sources.io.ensure_minhash_band_index``; it must have been built with
+    the same ``num_hashes``/``bands``/``k``). When provided, the corpus
+    text is touched ONLY to verify candidate ids (a broadcast-semi-join
+    point read), so incremental cost is genuinely O(|delta|): band
+    computation for the delta, a bucket probe of the index, and exact
+    Jaccard on the candidates. When omitted, the index is derived inline
+    from ``corpus`` (one-shot usage; same results, full-corpus signature
+    cost — ``tests/test_dedup.py`` pins index-probe == recompute-probe).
 
-    def banded(df: DataFrame) -> DataFrame:
-        sig = signatures_from_shingles(raw_shingles(df, text_col, id_col, k), num_hashes)
-        cols = [
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ]
-        wide = sig.select("id", *cols)
-        return wide.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bh"),
-        ).select("id", "bh.band_idx", "bh.band_hash")
+    Returns (new_id, dup_of, jaccard ≥ threshold).
 
-    d, c = banded(delta).alias("d"), banded(corpus).alias("c")
-    candidates = (
-        d.join(
-            c,
-            (F.col("d.band_idx") == F.col("c.band_idx"))
-            & (F.col("d.band_hash") == F.col("c.band_hash")),
-        )
-        .select(F.col("d.id").alias("new_id"), F.col("c.id").alias("dup_of"))
-        .distinct()
-        .cache()
-    )
+    The candidate set is materialized eagerly via ``localCheckpoint`` —
+    it is bounded (id pairs) and consumed three times downstream; unlike
+    ``cache()`` the checkpoint blocks are released by the ContextCleaner
+    once the DataFrame is garbage-collected, so repeated harness/bench
+    invocations do not accumulate storage (the r9 ADVICE leak)."""
+    if corpus_bands is None:
+        corpus_bands = minhash_band_index(corpus, num_hashes, bands, text_col, id_col, k)
+    delta_bands = minhash_band_index(delta, num_hashes, bands, text_col, id_col, k)
+    candidates = incremental_candidates(delta_bands, corpus_bands).localCheckpoint(eager=True)
     d_ids = candidates.select(F.col("new_id").alias(id_col)).distinct()
     c_ids = candidates.select(F.col("dup_of").alias(id_col)).distinct()
-    d_sh = shingle_sets(delta.join(F.broadcast(d_ids), id_col), text_col, id_col, k).cache()
-    c_sh = shingle_sets(corpus.join(F.broadcast(c_ids), id_col), text_col, id_col, k).cache()
+    d_sh = shingle_sets(delta.join(F.broadcast(d_ids), id_col), text_col, id_col, k)
+    c_sh = shingle_sets(corpus.join(F.broadcast(c_ids), id_col), text_col, id_col, k)
     d_sz = d_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     c_sz = c_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b2 = d_sh.alias("a"), c_sh.alias("b")

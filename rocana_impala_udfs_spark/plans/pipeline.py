@@ -11,6 +11,8 @@ weaker rows-only check and pytest covers them against in-engine baselines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4306,15 +4308,28 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall 1 at these ≈0.96+ dup levels, same no-false-negative contract
     as the other banded dedup keys).
 
-    Scale: at 100 TB the standing side's bands are a maintained index;
-    each day's work is proportional to the DELTA, not the corpus — this
-    key certifies that plan shape end to end."""
+    Scale: at 100 TB the standing side's bands are a MAINTAINED index —
+    r10 makes that literal: the corpus band table is persisted once as a
+    parquet table bucketed on band_hash
+    (``sources.io.ensure_minhash_band_index``; first run builds it,
+    every later run probes it in place), so each day's work is
+    proportional to the DELTA, not the corpus. The probe-plan shape (one
+    documents scan — the delta's — plus a bucketed index read, no
+    corpus-side shingle/signature stage) is pinned in
+    ``tests/test_dedup.py``, and index-probe == recompute-probe equality
+    is pinned there too."""
+    from rocana_impala_udfs_spark.sources.io import ensure_minhash_band_index
+
     docs = load_table(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return dedup.incremental_minhash_pairs(corpus, delta, threshold=0.8).orderBy(
-        "new_id", "dup_of"
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    index = ensure_minhash_band_index(
+        spark, corpus, table=f"minhash_band_index_{tag}"
     )
+    return dedup.incremental_minhash_pairs(
+        corpus, delta, threshold=0.8, corpus_bands=index
+    ).orderBy("new_id", "dup_of")
 
 
 ORACLE_DEDUP_INCR_MINHASH = f"""

@@ -123,6 +123,51 @@ def write_bloom_parquet(
     w.parquet(path)
 
 
+def ensure_minhash_band_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    table: str,
+    buckets: int = 16,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """The standing LSH band index as a FIRST-CLASS persisted artifact:
+    build ``(id, band_idx, band_hash)`` once from the corpus, write it as a
+    parquet table bucketed (and sorted) on ``band_hash``, and return the
+    table read. Subsequent calls (and subsequent harness/bench runs in the
+    same warehouse) skip the build entirely — the daily-delta probe join
+    then reads buckets in place, so incremental dedup cost is genuinely
+    O(|delta|) instead of a full-corpus re-signature per run (the r9
+    VERDICT perf finding).
+
+    Bucketing on ``band_hash`` satisfies the probe join's clustered
+    distribution (band_hash ⊆ join keys), so only the small delta side
+    shuffles. Size ``buckets`` for the corpus: ≈ one bucket per executor
+    core at the target scale.
+
+    The table is content-stamped only by its NAME — callers must encode
+    the corpus identity (e.g. the sf_dir tag) in ``table``; a changed
+    corpus under the same name must be dropped first. That is the standard
+    contract of any persisted index."""
+    if not spark.catalog.tableExists(table):
+        from rocana_impala_udfs_spark.operators.dedup import minhash_band_index
+
+        idx = minhash_band_index(
+            corpus, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col, k=k
+        )
+        (
+            idx.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "band_hash")
+            .sortBy("band_hash")
+            .saveAsTable(table)
+        )
+    return spark.table(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

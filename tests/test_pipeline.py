@@ -1999,3 +1999,76 @@ def test_incremental_minhash_matches_full_and_planted_pair(spark):
             cross[(new, dup)] = r.jaccard
     assert inc == cross
     assert all(n % 10 == 0 and d % 10 != 0 for n, d in inc)
+
+
+def test_incremental_minhash_index_probe_equals_recompute(spark):
+    """The persisted-band-index probe path (corpus_bands=) returns exactly
+    what the inline-recompute path returns — the r10 incrementality rework
+    is value-preserving, and ensure_minhash_band_index is build-once (a
+    second call returns the stored table without a rebuild)."""
+    from rocana_impala_udfs_spark.operators.dedup import incremental_minhash_pairs
+    from rocana_impala_udfs_spark.sources.io import ensure_minhash_band_index
+
+    docs = load_table(spark, SF, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    tbl = "minhash_band_index_pytest"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        idx = ensure_minhash_band_index(spark, corpus, table=tbl)
+        probed = sorted(
+            (r.new_id, r.dup_of, r.jaccard)
+            for r in incremental_minhash_pairs(
+                corpus, delta, threshold=0.8, corpus_bands=idx
+            ).collect()
+        )
+        recomputed = sorted(
+            (r.new_id, r.dup_of, r.jaccard)
+            for r in incremental_minhash_pairs(corpus, delta, threshold=0.8).collect()
+        )
+        assert probed == recomputed and probed
+        # build-once: a second ensure call must serve the existing table,
+        # not rewrite it (part-file names are write-unique, so an identical
+        # on-disk listing proves no rebuild happened).
+        import os as _os
+
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+            if r.col_name == "Location"
+        ).replace("file:", "")
+        files_before = sorted(_os.listdir(loc))
+        ensure_minhash_band_index(spark, corpus, table=tbl)
+        files_after = sorted(_os.listdir(loc))
+        assert files_before == files_after
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_incremental_probe_plan_never_signatures_corpus(spark):
+    """Plan guard for the O(|delta|) claim: with the standing index
+    persisted, the candidate-probe plan scans exactly ONE documents
+    parquet (the delta's shingle/signature input) plus the bucketed index
+    table — no corpus-side shingle/signature stage exists anywhere in the
+    plan, so probe cost cannot scale with the corpus."""
+    from rocana_impala_udfs_spark.operators.dedup import (
+        incremental_candidates,
+        minhash_band_index,
+    )
+    from rocana_impala_udfs_spark.sources.io import ensure_minhash_band_index
+
+    docs = load_table(spark, SF, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    tbl = "minhash_band_index_pytest_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        idx = ensure_minhash_band_index(spark, corpus, table=tbl)
+        cand = incremental_candidates(minhash_band_index(delta), idx)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 1, plan
+        assert tbl in plan, plan
+        # exactly two file scans: the delta documents read + the index read
+        assert plan.count("FileScan parquet") == 2, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
