@@ -38,9 +38,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 DEFAULT_SEED = 42
 
@@ -100,7 +101,12 @@ class ReservoirState:
 
     # -- update: Algorithm-R accumulate (median.cc:128-163) -----------------
 
-    def update(self, values: np.ndarray, max_samples: int | None = None) -> None:
+    def update(
+        self,
+        values: np.ndarray,
+        max_samples: int | None = None,
+        null_mask: np.ndarray | None = None,
+    ) -> None:
         """Absorb a batch of non-null values (vectorized Algorithm R).
 
         The first ``max_samples`` values fill the reservoir
@@ -108,22 +114,27 @@ class ReservoirState:
         replaces a uniformly random slot with probability ``max_samples / i``
         (``median.cc:151-153``). ``max_samples`` ratchets up, never down
         (``median.cc:157-162``).
+
+        NULL skip (``median.cc:130``): when ``null_mask`` is given (True =
+        SQL NULL) only genuine NULLs are dropped and NaN *data* values are
+        sampled like any double — exactly the reference (which skips only
+        ``is_null``, ``median.cc:130-131``) and the JVM UDAF
+        (``AppxMedianBounded.java:61``, ``Double.compare`` total order, NaN
+        sorts last — as does ``np.sort``). The registered SQL UDAFs pass
+        this mask since r10 (they receive ``pyarrow.Array`` batches, whose
+        validity bitmap distinguishes NULL from NaN), closing the r9
+        NaN-divergence note. Without a mask (legacy pandas callers, where
+        the Arrow→pandas bridge conflates NULL and NaN into NaN) all NaN
+        are dropped — fine for every NaN-free fixture and driver key, and
+        pinned as the documented fallback in tests/test_median.py.
         """
         if max_samples is not None and int(max_samples) > self.max_samples:
             self.max_samples = int(max_samples)
         values = np.asarray(values, dtype=np.float64)
-        # NULL skip (median.cc:130). DIVERGENCE NOTE: the Arrow/pandas
-        # bridge delivers SQL NULL doubles as NaN, so this mask necessarily
-        # drops genuine NaN *data* values too — unlike the reference (which
-        # skips only is_null; median.cc:130-131) and unlike the JVM UDAF
-        # (AppxMedianBounded.java:61, which sees real nulls and samples NaN
-        # like any double under Double.compare's total order). On
-        # NaN-containing input `appx_median_bounded` (this path) and
-        # `appx_median_bounded_1call` (JVM) can therefore disagree; NaN-free
-        # input — every fixture and every driver key — is identical. A
-        # caller needing reference-exact NaN handling should use the JVM
-        # UDAF or pre-filter NaN explicitly.
-        values = values[~np.isnan(values)]
+        if null_mask is not None:
+            values = values[~np.asarray(null_mask, dtype=bool)]
+        else:
+            values = values[~np.isnan(values)]
         if values.size == 0:
             return
         k = self.max_samples
@@ -215,13 +226,25 @@ class ReservoirState:
 # ---------------------------------------------------------------------------
 
 
-def _median_of_group(x, k) -> float | None:
-    ks = np.asarray(k, dtype=np.float64)
-    ks = ks[~np.isnan(ks)]
+def _group_state(x, k) -> ReservoirState:
+    """Build the per-group reservoir from Arrow arrays (x = values,
+    k = per-row max_samples). The Arrow validity bitmap distinguishes SQL
+    NULL from NaN data, so NULLs are skipped and NaN is sampled — the
+    reference's exact rule (``median.cc:130-131``) and bit-for-bit the JVM
+    UDAF's behavior (``AppxMedianBounded.java:61``)."""
+    import pyarrow.compute as pc
+
+    ks = np.asarray(k.drop_null(), dtype=np.float64)
     max_samples = int(ks.max()) if ks.size else 100
     state = ReservoirState(max_samples)
-    state.update(np.asarray(x, dtype=np.float64))
-    return state.finalize()
+    vals = x.to_numpy(zero_copy_only=False)
+    mask = pc.is_null(x, nan_is_null=False).to_numpy(zero_copy_only=False)
+    state.update(vals, null_mask=mask)
+    return state
+
+
+def _median_of_group(x, k) -> float | None:
+    return _group_state(x, k).finalize()
 
 
 def make_appx_median_bounded_udf():
@@ -238,10 +261,15 @@ def make_appx_median_bounded_udf():
     aggregation). Fine for moderate groups; for 100 TB use
     :func:`appx_median_bounded` or the two-phase operator in
     ``operators/reservoir.py``.
+
+    r10: grouped-agg **arrow_udf** (Spark 4.1) instead of pandas_udf — the
+    ``pyarrow.Array`` input keeps the validity bitmap, so SQL NULL and NaN
+    data are distinguished and NaN is sampled exactly like the reference
+    and the JVM path (parity pinned in tests/test_median.py).
     """
 
-    @pandas_udf("double")
-    def appx_median_bounded_udf(x: pd.Series, k: pd.Series) -> float:
+    @arrow_udf("double")
+    def appx_median_bounded_udf(x: pa.Array, k: pa.Array) -> float:
         return _median_of_group(x, k)
 
     return appx_median_bounded_udf
@@ -264,8 +292,8 @@ def make_appx_median_bounded_str_udf(cpp_format: bool = False):
     ``%.6g`` is the same algorithm (shortest-of-fixed/scientific, trailing
     zeros stripped), so the bytes match the C++ output."""
 
-    @pandas_udf("string")
-    def appx_median_bounded_str_udf(x: pd.Series, k: pd.Series) -> str:
+    @arrow_udf("string")
+    def appx_median_bounded_str_udf(x: pa.Array, k: pa.Array) -> str:
         m = _median_of_group(x, k)
         if m is None:
             return None
@@ -281,21 +309,15 @@ def make_appx_percentile_bounded_udf():
     exactly). ``p`` is a per-call constant column (max over the group, like
     the k ratchet)."""
 
-    @pandas_udf("double")
-    def appx_percentile_bounded_udf(x: pd.Series, p: pd.Series, k: pd.Series) -> float:
-        ks = np.asarray(k, dtype=np.float64)
-        ks = ks[~np.isnan(ks)]
-        max_samples = int(ks.max()) if ks.size else 100
-        ps = np.asarray(p, dtype=np.float64)
-        ps = ps[~np.isnan(ps)]
+    @arrow_udf("double")
+    def appx_percentile_bounded_udf(x: pa.Array, p: pa.Array, k: pa.Array) -> float:
+        ps = np.asarray(p.drop_null(), dtype=np.float64)
         pct = float(ps.max()) if ps.size else 0.5
         # finalize_percentile also validates; check here so a bad SQL
         # literal fails with the argument name, not an index error
         if not 0.0 <= pct <= 1.0:
             raise ValueError(f"percentile p must be in [0, 1], got {pct}")
-        state = ReservoirState(max_samples)
-        state.update(np.asarray(x, dtype=np.float64))
-        return state.finalize_percentile(pct)
+        return _group_state(x, k).finalize_percentile(pct)
 
     return appx_percentile_bounded_udf
 
@@ -340,14 +362,9 @@ def make_reservoir_partial_udf():
     intermediate state ≤ S × max_samples values per group regardless of
     input row count."""
 
-    @pandas_udf("array<double>")
-    def reservoir_partial_udf(x: pd.Series, k: pd.Series) -> list:
-        ks = np.asarray(k, dtype=np.float64)
-        ks = ks[~np.isnan(ks)]
-        max_samples = int(ks.max()) if ks.size else 100
-        state = ReservoirState(max_samples)
-        state.update(np.asarray(x, dtype=np.float64))
-        return serialize_reservoir_state(state)
+    @arrow_udf("array<double>")
+    def reservoir_partial_udf(x: pa.Array, k: pa.Array) -> list:
+        return serialize_reservoir_state(_group_state(x, k))
 
     return reservoir_partial_udf
 
@@ -380,14 +397,11 @@ def make_reservoir_sample_udf():
     the group's non-null values (sorted for determinism of the unsaturated
     case). Reusable building block the reference keeps internal."""
 
-    @pandas_udf("array<double>")
-    def reservoir_sample_udf(x: pd.Series, k: pd.Series) -> list:
-        ks = np.asarray(k, dtype=np.float64)
-        ks = ks[~np.isnan(ks)]
-        max_samples = int(ks.max()) if ks.size else 100
-        state = ReservoirState(max_samples)
-        state.update(np.asarray(x, dtype=np.float64))
-        return sorted(state.sample_values().tolist())
+    @arrow_udf("array<double>")
+    def reservoir_sample_udf(x: pa.Array, k: pa.Array) -> list:
+        # np.sort (not Python sorted): NaN data values sort last, matching
+        # Double.compare / the reference's total order.
+        return np.sort(_group_state(x, k).sample_values()).tolist()
 
     return reservoir_sample_udf
 

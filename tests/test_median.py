@@ -87,6 +87,40 @@ def test_all_null_is_null(spark):
     assert appx_median_bounded_agg(df, "x", 10).collect()[0][0] is None
 
 
+def test_nan_parity_python_vs_jvm_udaf(spark):
+    """r10 NaN-divergence closure (VERDICT r9 #3): the Python UDAF now
+    receives pyarrow Arrays whose validity bitmap distinguishes SQL NULL
+    from NaN data, so — exactly like the reference (median.cc:130-131
+    skips only is_null) and the JVM path (AppxMedianBounded.java, NaN
+    sampled under Double.compare's total order, sorts last) — NULLs are
+    skipped and NaN is SAMPLED. Both registered paths must agree on
+    NaN-bearing input; the pre-r10 pandas path returned 2.0 here (NaN
+    silently dropped)."""
+    import math
+
+    rows = [(1.0,), (2.0,), (float("nan"),), (3.0,), (None,)]
+    spark.createDataFrame(rows, "x double").createOrReplaceTempView("_nan_parity")
+    py = spark.sql(
+        "SELECT CAST(appx_median_bounded(x, 100) AS DOUBLE) AS m FROM _nan_parity"
+    ).collect()[0].m
+    jvm = spark.sql(
+        "SELECT CAST(appx_median_bounded_1call(x, 100) AS DOUBLE) AS m FROM _nan_parity"
+    ).collect()[0].m
+    # upper median of [1, 2, 3, NaN] under the total order: index 4//2 = 2
+    assert py == 3.0 and jvm == 3.0
+    # NaN lands AS the median when the total order puts it at n // 2
+    spark.createDataFrame([(1.0,), (float("nan"),)], "x double").createOrReplaceTempView(
+        "_nan_median"
+    )
+    py2 = spark.sql(
+        "SELECT CAST(appx_median_bounded(x, 100) AS DOUBLE) AS m FROM _nan_median"
+    ).collect()[0].m
+    jvm2 = spark.sql(
+        "SELECT CAST(appx_median_bounded_1call(x, 100) AS DOUBLE) AS m FROM _nan_median"
+    ).collect()[0].m
+    assert math.isnan(py2) and math.isnan(jvm2)
+
+
 # -- gap: even-count upper median, no interpolation (median.cc:301) ---------
 
 
