@@ -38,77 +38,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-9 order:
-# (1) the NEW r9 keys — none has a driver row yet: the session-2 additions
-# (classifier-eval family: AUC / PR curve / kappa / conformal / MRR / nDCG;
-# governance: k-anonymity / Benford; robust stats: MAD / Gini / mutual
-# information; survival: Kaplan–Meier / log-rank; paths: trigram top-10;
-# SQL surface: recursive month spine; streaming: left-outer join null
-# rows), then the session-1 additions (stream-static broadcast join, Welch
-# t-test, ratio-metric delta CI, bootstrap CI, PCA projection, source
-# overlap, streaming grouped top-k / CDC / EWMA / sketch promotions,
-# chi-square); (2) the two stale-evidence keys VERDICT r8 front-loaded
-# (appx_median_sql_onecall — its r7 row predates the NaN-policy jar
-# change; funnel_time_to_convert — stats collect relocated to
-# operators/selection this round); (3) the nine float-sum-sweep keys whose
-# aggregation switched to exact DECIMAL/HUGEINT moments this round;
-# (4) sql_text_monthly_nation_rank (oracle reshaped, values unchanged);
-# then (5) the nine weak-by-design keys (rows-only is their best evidence;
-# they absorb any over-budget truncation harmlessly). Everything else is
-# driver-confirmed hash-green on its latest row.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-10 order:
+# (1) the NEW r10 keys (stream_tws_ewma_user_value — the Spark 4
+# transformWithStateInPandas surface, skip-guarded fallback in this
+# container; plus the r10 growth keys); (2) the nineteen keys whose VALUES
+# changed in the r10 final-round-midpoint-class closure (every
+# round(avg(x), k) over a quotient converted to an exact numerator with a
+# RAW double divide — q1/brand/conditional means, session/salted/band
+# averages, bigram log-prob, corpus mean tokens, funnel mean, and the
+# eleven multimodal decode means/durations/rms); (3)
+# sql_text_monthly_nation_rank (oracle reshaped in r9; its latest green
+# row is r8 — VERDICT r9 #2 front-loads it); (4) value-preserving rework
+# keys: dedup_incremental_minhash (now probes the persisted bucketed band
+# index — plan changed, values identical) and the five keys riding the
+# pandas→arrow UDAF conversion (NaN-parity fix; NaN-free values
+# identical); then (5) the nine weak-by-design keys (rows-only is their
+# best evidence; they absorb any over-budget truncation harmlessly).
+# Everything else is driver-confirmed hash-green on its latest row.
 _NEVER_DRIVER_CHECKED = [
-    "stream_checkpoint_restart_counts",
-    "stream_rocksdb_state_counts",
-    "stream_join_left_outer_nulls",
-    "sql_recursive_month_spine",
-    "sql_parameterized_segment",
-    "appx_sample_sum_ci",
-    "events_kaplan_meier_conversion",
-    "ab_logrank_conversion",
-    "events_top_trigram_paths",
-    "stats_mad_price",
-    "ab_mutual_info_type_variant",
-    "ab_sequential_peeks",
-    "ab_power_mde",
-    "ab_cramers_v",
-    "eval_mrr_report",
-    "eval_ndcg_report",
-    "corpus_gini_doc_length",
-    "eval_conformal_coverage",
-    "dedup_incremental_minhash",
-    "eval_auc_doc_length",
-    "eval_pr_curve_points",
-    "eval_cohens_kappa",
-    "privacy_k_anonymity",
-    "stream_static_enrich_join",
-    "ab_welch_ttest",
-    "emb_pca_project",
-    "corpus_source_overlap",
-    "stats_bootstrap_ci_price",
-    "ab_ratio_delta_ci",
-    "stream_topk_events_per_type",
-    "stream_bitmap_distinct_users",
-    "stream_kmv_distinct_exact",
-    "stream_heavy_hitters_exact",
-    "stream_cdc_latest_state",
-    "stream_ewma_user_value",
-    "ab_chi2_type_by_variant",
-    "stream_dedup_within_watermark",
-    "tumbling_hourly_event_stats",
-    "sliding_window_event_rates",
-    "appx_median_sql_onecall",
-    "funnel_time_to_convert",
+    # (1) new r10 keys
+    "stream_tws_ewma_user_value",
+    # (2) value-changed: midpoint-class closure
     "q1_pricing_summary",
-    "join_revenue_by_nation",
-    "join_q3_shipping_priority",
-    "subquery_q17_small_qty_revenue",
-    "stats_price_quantity",
-    "winsorized_stats_price",
-    "events_value_outliers",
-    "ab_cuped_adjusted",
-    "zipf_token_fit",
+    "join_broadcast_brand_prices",
+    "conditional_agg",
+    "ops_session_health",
+    "salted_skew_agg",
+    "range_join_value_bands",
+    "text_bigram_lm_scores",
+    "corpus_length_report",
+    "funnel_time_to_convert",
+    "multimodal_ppm_decode_stats",
+    "multimodal_png_decode_stats",
+    "multimodal_jpeg_decode_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg_color_stats",
+    "multimodal_feature_extract",
+    "multimodal_wav_decode_stats",
+    "multimodal_wav_downsample",
+    "multimodal_gif_decode_stats",
+    "audio_flac_decode_stats",
+    # (3) stale-evidence carryover from r9
     "sql_text_monthly_nation_rank",
-    # weak-by-design tail:
+    # (4) value-preserving rework
+    "dedup_incremental_minhash",
+    "appx_median_sql_udaf",
+    "appx_median_sql_twophase",
+    "appx_percentile_sql_udaf",
+    "reservoir_sample_quantity",
+    "window_median_quantity",
+    # (5) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from rocana_impala_udfs_spark import get_spark
@@ -191,6 +192,10 @@ HEADLINE = [
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
     "events_top_trigram_paths",
+    # stream_tws_ewma_user_value is NOT benched — in this container it
+    # falls back to the same applyInPandasWithState plan stream_ewma_user_value
+    # already measures (protobuf absent), so benching it would double-count
+    # one plan under two names.
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_checkpoint_restart_counts is NOT benched — it measures restart
@@ -208,8 +213,53 @@ HEADLINE = [
 ]
 
 
+def _idle_evidence(check_loadavg: bool = True) -> dict:
+    """Machine-idleness provenance, embedded in the output JSON (VERDICT r9
+    #4): three rounds of official-bench elevation turned out to be
+    bench-window CPU contention, not regressions — so every bench line now
+    carries the evidence needed to adjudicate that inline. ``idle`` is the
+    verdict (1-min loadavg below 25% of the cores AND no foreign running
+    process on a CPU); the raw samples ship alongside so a reviewer can
+    re-judge. Our own process group (this script + its Spark JVM child) is
+    excluded from the foreign-process scan; the post-run sample skips the
+    loadavg criterion because our own 32-thread run inflates it. A
+    non-idle run still completes — the driver needs its JSON — but prints
+    a loud stderr warning and is self-labeled untrustworthy."""
+    ncpu = os.cpu_count() or 1
+    loadavg = list(os.getloadavg())
+    my_pgrp = os.getpgrp()
+    competing: list[str] = []
+    for _ in range(3):  # three samples 0.2 s apart: catch bursty competitors
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                state, pgrp = parts[0], int(parts[2])
+                with open(f"/proc/{pid}/comm") as fh:
+                    comm = fh.read().strip()
+            except (OSError, IndexError, ValueError):
+                continue
+            # 'R' = on a CPU right now; skip our own process group
+            if state == "R" and pgrp != my_pgrp:
+                tag = f"{pid}:{comm}"
+                if tag not in competing:
+                    competing.append(tag)
+        time.sleep(0.2)
+    idle = (not check_loadavg or loadavg[0] < 0.25 * ncpu) and not competing
+    if not idle:
+        print(
+            f"bench: MACHINE NOT IDLE (loadavg={loadavg}, competing={competing}) — "
+            "timings untrustworthy, rerun on an idle machine",
+            file=sys.stderr,
+        )
+    return {"idle": idle, "loadavg": [round(x, 2) for x in loadavg], "competing": competing}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idle_before = _idle_evidence()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     except ValueError:
@@ -244,6 +294,8 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "sf": sf,
+                "idle_before": idle_before,
+                "idle_after": _idle_evidence(check_loadavg=False),
             }
         )
     )

@@ -996,6 +996,59 @@ FROM per ORDER BY user_id
 """
 
 
+def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` (Spark 4's successor stateful API),
+    driver-checked (r10, VERDICT r9 #6) — the same per-user EWMA fold as
+    ``stream_ewma_user_value`` but held in a typed ``ValueState`` handle
+    inside a ``StatefulProcessor``. Fold math, state tuple, replay
+    ordering, and final-answer selection are IDENTICAL to the
+    applyInPandasWithState key, so the same list_reduce oracle applies
+    bit-for-bit.
+
+    Skip-guard: the tws Python driver worker imports ``google.protobuf``
+    and needs the RocksDB state-store provider; where the runtime lacks
+    protobuf (this container), the key runs the applyInPandasWithState
+    twin instead — the two paths are pinned identical by
+    ``tests/test_streaming.py::test_running_ewma_transform_with_state``
+    (which skips in the same environments for the same reason). On a
+    protobuf-bearing cluster this key exercises the new API end to end."""
+    from rocana_impala_udfs_spark.streaming.ewma_stream import (
+        running_ewma_stream,
+        running_ewma_tws,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        has_tws = True
+    except ImportError:
+        has_tws = False
+    stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+    if has_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = running_ewma_tws(stream, alpha=0.1)
+    else:
+        out = running_ewma_stream(stream, alpha=0.1)
+    sink = run_to_table(out, mode="update")
+    mx = sink.groupBy(F.col("user_id").alias("u")).agg(F.max("n_events").alias("mx"))
+    return (
+        sink.join(
+            F.broadcast(mx),
+            (sink["user_id"] == mx["u"]) & (sink["n_events"] == mx["mx"]),
+        )
+        .select("user_id", "ewma", F.col("n_events").cast("bigint").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 def q_stream_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING EXACT DISTINCT via bitmap state, driver-checked (r9) —
     promotes the pytest-pinned ``running_bitmap_distinct_stream`` to an
@@ -4443,6 +4496,7 @@ TEMPORAL_QUERIES = {
     "stream_stream_interval_join": q_stream_stream_interval_join,
     "stream_join_left_outer_nulls": q_stream_join_left_outer_nulls,
     "stream_topk_events_per_type": q_stream_topk_events_per_type,
+    "stream_tws_ewma_user_value": q_stream_tws_ewma_user_value,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
@@ -4527,6 +4581,7 @@ TEMPORAL_ORACLE = {
     "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_join_left_outer_nulls": ORACLE_STREAM_LEFT_OUTER,
     "stream_topk_events_per_type": ORACLE_STREAM_TOPK,
+    "stream_tws_ewma_user_value": ORACLE_STREAM_EWMA,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,

@@ -151,8 +151,25 @@ def ensure_minhash_band_index(
     The table is content-stamped only by its NAME — callers must encode
     the corpus identity (e.g. the sf_dir tag) in ``table``; a changed
     corpus under the same name must be dropped first. That is the standard
-    contract of any persisted index."""
+    contract of any persisted index.
+
+    Build-once is per CATALOG: with the default in-memory catalog the
+    table registration dies with the session while its warehouse
+    directory survives on disk, and ``saveAsTable`` refuses to adopt an
+    existing location (LOCATION_ALREADY_EXISTS). A stale location without
+    catalog metadata is also USELESS as an index — the bucket spec lives
+    in the catalog, so reading the bare parquet would silently lose the
+    shuffle-free probe join. So: catalog-unknown + location-on-disk ⇒
+    remove the stale directory and rebuild. With a persistent (Hive)
+    metastore the build genuinely runs once across sessions."""
     if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(urlparse(warehouse).path, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
         from rocana_impala_udfs_spark.operators.dedup import minhash_band_index
 
         idx = minhash_band_index(

@@ -74,3 +74,66 @@ def running_ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_ewma_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """The same running EWMA on ``transformWithStateInPandas`` — Spark 4's
+    successor stateful API (typed state handles, per-key processors).
+    State is the identical ``(acc, n)`` tuple and the fold is the identical
+    IEEE chain, so the two implementations must emit identical values;
+    ``tests/test_streaming.py`` pins that (skipping where the runtime lacks
+    ``google.protobuf``, which the tws Python driver worker imports), and
+    the driver key ``stream_tws_ewma_user_value`` routes through this path
+    wherever the runtime supports it.
+
+    Runtime requirements beyond the applyInPandasWithState path: the
+    RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            acc: float | None = None
+            n = 0
+            if self._state.exists():
+                acc, n = self._state.get()
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values([ts_col, order_tiebreak], kind="mergesort")
+            for x in pdf[value_col].astype(float):
+                acc = x if acc is None else alpha * x + (1 - alpha) * acc
+                n += 1
+            self._state.update((float(acc) if acc is not None else None, n))
+            yield pd.DataFrame([{key_col: key[0], "ewma": acc, "n_events": n}])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.col(value_col),
+        )
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            EwmaProcessor(),
+            outputStructType=output_schema(key_col),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -159,6 +159,17 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     _, src = replay_events_stream(spark, sf_dir)
     files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    # The two-phase split needs at least one file on EACH side: with a
+    # single file, phase 2 would copy nothing, the restarted query would
+    # run zero micro-batches, and its fresh memory sink would come back
+    # EMPTY — a silently wrong result rather than an error (r9 ADVICE).
+    # Unreachable with the current 4-file replay layout; fail loudly if
+    # the layout ever changes.
+    if len(files) < 2:
+        raise ValueError(
+            f"run_with_restart needs >= 2 replay files to split across the "
+            f"restart, found {len(files)} in {src}"
+        )
     stage = tempfile.mkdtemp(prefix="restart_stage_")
     cp = tempfile.mkdtemp(prefix="restart_cp_")
 

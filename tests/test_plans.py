@@ -171,6 +171,29 @@ def test_no_round_of_avg_in_plans_or_operators():
     assert not offenders, offenders
 
 
+def test_plans_md_not_stale():
+    """PLANS.md drift guard (VERDICT r9 #7): the dump embeds an md5 over
+    every plan-affecting source file; if the sources changed since the
+    last `python tools/dump_plans.py`, this goes red — a plan-shape change
+    can no longer ship with a stale dump. Deliberately over-strict (any
+    package edit demands a regen); regeneration is one command."""
+    import importlib.util
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("_dump_plans", root / "tools" / "dump_plans.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    text = (root / "PLANS.md").read_text()
+    m = re.search(r"Source-hash: `([0-9a-f]{32})`", text)
+    assert m, "PLANS.md lacks a Source-hash marker — run: python tools/dump_plans.py"
+    assert m.group(1) == mod.source_hash(str(root)), (
+        "PLANS.md is STALE (sources changed since the last dump) — "
+        "run: python tools/dump_plans.py"
+    )
+
+
 def test_entry_contract_consistency():
     """Every oracle key must have a matching queries() entry (driver pairs
     them by key), and keys are unique, non-empty strings."""

@@ -880,3 +880,38 @@ def test_rocksdb_state_backend_matches_batch_and_restores_conf(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_running_ewma_transform_with_state(spark, event_stream_dir):
+    """transformWithStateInPandas EWMA must equal the applyInPandasWithState
+    EWMA bit-for-bit (identical (acc, n) state and IEEE fold chain) — the
+    twin contract behind the stream_tws_ewma_user_value driver key's
+    in-container fallback."""
+    # The tws Python driver worker imports google.protobuf; skip where the
+    # container lacks it (the fallback twin stays fully tested).
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.ewma_stream import (
+        running_ewma_stream,
+        running_ewma_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    _run_stream(running_ewma_tws(stream, alpha=0.1), "tws_ewma")
+    stream2 = spark.readStream.schema(schema).parquet(event_stream_dir)
+    _run_stream(running_ewma_stream(stream2, alpha=0.1), "apis_ewma")
+
+    def final(table):
+        rows = spark.table(table).collect()
+        best = {}
+        for r in rows:
+            if r.user_id not in best or r.n_events > best[r.user_id].n_events:
+                best[r.user_id] = r
+        return {u: (r.ewma, r.n_events) for u, r in best.items()}
+
+    got, expect = final("tws_ewma"), final("apis_ewma")
+    assert got == expect and len(expect) > 0
