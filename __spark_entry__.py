@@ -58,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_CHECKED = [
     # (1) new r10 keys
     "stream_tws_ewma_user_value",
+    "ab_cuped_sequential_peeks",
     # (2) value-changed: midpoint-class closure
     "q1_pricing_summary",
     "join_broadcast_brand_prices",

@@ -185,6 +185,7 @@ HEADLINE = [
     "appx_sample_sum_ci",
     "ab_mutual_info_type_variant",
     "ab_sequential_peeks",
+    "ab_cuped_sequential_peeks",
     "ab_power_mde",
     "ab_cramers_v",
     "dedup_incremental_minhash",

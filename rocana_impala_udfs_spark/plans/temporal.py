@@ -2347,6 +2347,267 @@ FROM cum ORDER BY day_us
 """
 
 
+def q_ab_cuped_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-ADJUSTED GROUP-SEQUENTIAL MONITORING (r10, VERDICT r9 #8) —
+    the combined readout a mature experimentation platform renders: at
+    each daily peek of the post period, the Welch z between the md5
+    variants on BOTH the raw metric and the CUPED-adjusted metric
+    (Deng et al. 2013), against the same O'Brien–Fleming-shaped boundary
+    as ``ab_sequential_peeks``, plus the per-peek realized
+    variance-reduction ratio — variance reduction is exactly what makes a
+    sequential test cross earlier, so the two belong in one table.
+
+    Covariate x = each user's PRE-period (first timeline half) value sum;
+    metric y_k = the user's cumulative POST-period sum through peek day k.
+    θ_k is re-fit at every peek from the pooled cumulative moments.
+
+    Exactness — the cross-user second moments at peek k are NOT
+    day-decomposable (Σᵤ y_k(u)² needs each user's running sum), so they
+    accumulate via the exact per-(user,day) DELTA identity
+    Σy² gains 2·y_prev·v + v² and Σx·y gains x·v, where y_prev comes from
+    the per-user cumulative window over that user's ACTIVE days only
+    (sparse — inactive users change nothing). Every delta is an integer
+    micro-unit product in DECIMAL(38,0)/HUGEINT; daily delta sums
+    cumulate over the date-domain-bounded frame; θ, means, variances
+    (var_adj via the var(y−θx) linearity identity), both z's, the
+    boundary, and the reduction ratio are each ONE identical double
+    chain — hash-exact, raw emit, no rounding anywhere.
+
+    Scale: the fact table collapses once to (user,day) partials; the only
+    per-user window is partitioned by user (bounded by that user's active
+    days); the x-join is user-keyed; everything after the daily delta agg
+    lives on the day×variant-bounded frame. Headroom: Σ 2·y_prev·v in
+    micro² stays under 38 digits while per-user |y|·1e6 < ~1e15 and
+    users < ~1e7 — the documented 100 TB bound."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+            F.round(F.col("value") * 1000000).cast("decimal(38,0)").alias("v6"),
+        )
+    )
+    bounds = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    ev = ev.crossJoin(F.broadcast(bounds))
+    variant = F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(F.lit("B"))
+    # per-user pre-period covariate + per-variant x-moment constants
+    per_user_x = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts_us") <= F.col("mid"), F.col("v6"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("x6"),
+        F.first(variant).alias("g"),
+    )
+    xmom = per_user_x.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x6").alias("sx"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    xconst = xmom.groupBy().pivot("g", ["A", "B"]).agg(
+        F.first("n_users").alias("n"), F.first("sx").alias("sx"), F.first("sxx").alias("sxx")
+    )
+    # per-(user, day) post-period partials → per-user running sum → deltas
+    userday = (
+        ev.filter(F.col("ts_us") > F.col("mid"))
+        .groupBy("user_id", "day_us")
+        .agg(F.sum("v6").alias("v"))
+        .join(per_user_x.select("user_id", "x6", "g"), "user_id")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("day_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    two = F.lit(2).cast("decimal(38,0)")
+    deltas = userday.select(
+        "day_us",
+        "g",
+        F.col("v").alias("dy"),
+        (
+            two * (F.sum("v").over(w_user) - F.col("v")) * F.col("v")
+            + F.col("v") * F.col("v")
+        ).alias("dyy"),
+        (F.col("x6") * F.col("v")).alias("dxy"),
+    )
+    daily = (
+        deltas.groupBy("day_us")
+        .pivot("g", ["A", "B"])
+        .agg(
+            F.coalesce(F.sum("dy"), F.lit(0).cast("decimal(38,0)")).alias("dy"),
+            F.coalesce(F.sum("dyy"), F.lit(0).cast("decimal(38,0)")).alias("dyy"),
+            F.coalesce(F.sum("dxy"), F.lit(0).cast("decimal(38,0)")).alias("dxy"),
+        )
+    )
+    w_cum = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = daily.select(
+        "day_us",
+        F.row_number().over(Window.orderBy("day_us")).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("k_total"),
+        *[
+            F.coalesce(F.sum(f"{g}_{c}").over(w_cum), F.lit(0).cast("decimal(38,0)")).alias(
+                f"c{c}_{g.lower()}"
+            )
+            for g in ("A", "B")
+            for c in ("dy", "dyy", "dxy")
+        ],
+    ).crossJoin(F.broadcast(xconst))
+
+    def dbl(c):
+        return c.cast("double")
+
+    n_a, n_b = F.col("A_n"), F.col("B_n")
+    ng = (n_a + n_b).cast("decimal(38,0)")
+    gx = F.col("A_sx") + F.col("B_sx")
+    gxx = F.col("A_sxx") + F.col("B_sxx")
+    gy = F.col("cdy_a") + F.col("cdy_b")
+    gxy = F.col("cdxy_a") + F.col("cdxy_b")
+    theta = dbl(ng * gxy - gx * gy) / dbl(ng * gxx - gx * gx)
+    x_bar = dbl(gx) / dbl(ng) / 1000000.0
+
+    def variant_stats(side: str, n_col):
+        nv = n_col.cast("decimal(38,0)")
+        sx, sxx = F.col(f"{side.upper()}_sx"), F.col(f"{side.upper()}_sxx")
+        cy, cyy, cxy = (
+            F.col(f"cdy_{side}"),
+            F.col(f"cdyy_{side}"),
+            F.col(f"cdxy_{side}"),
+        )
+        nn1 = dbl(nv * (nv - F.lit(1).cast("decimal(38,0)")))
+        mean_raw = dbl(cy) / dbl(n_col) / 1000000.0
+        mean_adj = mean_raw - theta * (dbl(sx) / dbl(n_col) / 1000000.0 - x_bar)
+        var_raw = dbl(nv * cyy - cy * cy) / nn1 / 1e12
+        var_adj = (
+            dbl(nv * cyy - cy * cy)
+            - F.lit(2.0) * theta * dbl(nv * cxy - sx * cy)
+            + theta * theta * dbl(nv * sxx - sx * sx)
+        ) / nn1 / 1e12
+        return mean_raw, mean_adj, var_raw, var_adj
+
+    mr_a, ma_a, vr_a, va_a = variant_stats("a", n_a)
+    mr_b, ma_b, vr_b, va_b = variant_stats("b", n_b)
+    se2_raw = vr_a / dbl(n_a) + vr_b / dbl(n_b)
+    se2_adj = va_a / dbl(n_a) + va_b / dbl(n_b)
+    z_raw = (mr_a - mr_b) / F.sqrt(se2_raw)
+    z_cuped = (ma_a - ma_b) / F.sqrt(se2_adj)
+    boundary = F.lit(1.959963984540054) * F.sqrt(
+        F.col("k_total").cast("double") / F.col("k").cast("double")
+    )
+    return cum.select(
+        "day_us",
+        F.col("k").cast("int").alias("peek"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        theta.alias("theta"),
+        z_raw.alias("z_raw"),
+        z_cuped.alias("z_cuped"),
+        boundary.alias("boundary"),
+        (F.abs(z_cuped) > boundary).alias("crossed"),
+        (F.lit(1.0) - se2_adj / se2_raw).alias("var_reduction"),
+    ).orderBy("day_us")
+
+
+ORACLE_AB_CUPED_SEQUENTIAL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           epoch_us(date_trunc('day', ts)) AS day_us,
+           CAST(round(value * 1000000) AS HUGEINT) AS v6,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'a' ELSE 'b' END AS g
+    FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT) AS mid FROM ev),
+per_user_x AS (
+    SELECT user_id, any_value(g) AS g,
+           coalesce(sum(CASE WHEN ts_us <= mid THEN v6 END), 0) AS x6
+    FROM ev, bounds GROUP BY user_id
+),
+xconst AS (
+    SELECT
+      CAST(count(*) FILTER (g = 'a') AS BIGINT) AS n_a,
+      CAST(count(*) FILTER (g = 'b') AS BIGINT) AS n_b,
+      coalesce(sum(x6) FILTER (g = 'a'), 0) AS sx_a,
+      coalesce(sum(x6) FILTER (g = 'b'), 0) AS sx_b,
+      coalesce(sum(x6 * x6) FILTER (g = 'a'), 0) AS sxx_a,
+      coalesce(sum(x6 * x6) FILTER (g = 'b'), 0) AS sxx_b
+    FROM per_user_x
+),
+userday AS (
+    SELECT ev.user_id, day_us, px.g, px.x6, sum(v6) AS v
+    FROM ev, bounds, per_user_x px
+    WHERE ev.ts_us > bounds.mid AND px.user_id = ev.user_id
+    GROUP BY ev.user_id, day_us, px.g, px.x6
+),
+deltas AS (
+    SELECT day_us, g, v AS dy,
+           2 * (sum(v) OVER (PARTITION BY user_id ORDER BY day_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v) * v
+             + v * v AS dyy,
+           x6 * v AS dxy
+    FROM userday
+),
+daily AS (
+    SELECT day_us,
+           coalesce(sum(dy) FILTER (g = 'a'), 0) AS dy_a,
+           coalesce(sum(dyy) FILTER (g = 'a'), 0) AS dyy_a,
+           coalesce(sum(dxy) FILTER (g = 'a'), 0) AS dxy_a,
+           coalesce(sum(dy) FILTER (g = 'b'), 0) AS dy_b,
+           coalesce(sum(dyy) FILTER (g = 'b'), 0) AS dyy_b,
+           coalesce(sum(dxy) FILTER (g = 'b'), 0) AS dxy_b
+    FROM deltas GROUP BY day_us
+),
+cum AS (
+    SELECT day_us,
+           row_number() OVER (ORDER BY day_us) AS k,
+           count(*) OVER () AS k_total,
+           sum(dy_a) OVER w AS cdy_a, sum(dyy_a) OVER w AS cdyy_a, sum(dxy_a) OVER w AS cdxy_a,
+           sum(dy_b) OVER w AS cdy_b, sum(dyy_b) OVER w AS cdyy_b, sum(dxy_b) OVER w AS cdxy_b
+    FROM daily
+    WINDOW w AS (ORDER BY day_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (
+    SELECT cum.*, xconst.*,
+           CAST(CAST(CAST(n_a + n_b AS HUGEINT) * (cdxy_a + cdxy_b)
+                  - (sx_a + sx_b) * (cdy_a + cdy_b) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_a + n_b AS HUGEINT) * (sxx_a + sxx_b)
+                  - (sx_a + sx_b) * (sx_a + sx_b) AS VARCHAR) AS DOUBLE) AS theta_d,
+           CAST(CAST(sx_a + sx_b AS VARCHAR) AS DOUBLE) / CAST(CAST(n_a + n_b AS VARCHAR) AS DOUBLE) / 1000000.0 AS x_bar
+    FROM cum, xconst
+),
+s AS (
+    SELECT t.*,
+           CAST(CAST(cdy_a AS VARCHAR) AS DOUBLE) / n_a / 1000000.0 AS mr_a,
+           CAST(CAST(cdy_b AS VARCHAR) AS DOUBLE) / n_b / 1000000.0 AS mr_b,
+           CAST(CAST(cdy_a AS VARCHAR) AS DOUBLE) / n_a / 1000000.0
+             - theta_d * (CAST(CAST(sx_a AS VARCHAR) AS DOUBLE) / n_a / 1000000.0 - x_bar) AS ma_a,
+           CAST(CAST(cdy_b AS VARCHAR) AS DOUBLE) / n_b / 1000000.0
+             - theta_d * (CAST(CAST(sx_b AS VARCHAR) AS DOUBLE) / n_b / 1000000.0 - x_bar) AS ma_b,
+           CAST(CAST(CAST(n_a AS HUGEINT) * cdyy_a - cdy_a * cdy_a AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS VARCHAR) AS DOUBLE) / 1e12 AS vr_a,
+           CAST(CAST(CAST(n_b AS HUGEINT) * cdyy_b - cdy_b * cdy_b AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS VARCHAR) AS DOUBLE) / 1e12 AS vr_b,
+           (CAST(CAST(CAST(n_a AS HUGEINT) * cdyy_a - cdy_a * cdy_a AS VARCHAR) AS DOUBLE)
+              - 2.0 * theta_d * CAST(CAST(CAST(n_a AS HUGEINT) * cdxy_a - sx_a * cdy_a AS VARCHAR) AS DOUBLE)
+              + theta_d * theta_d * CAST(CAST(CAST(n_a AS HUGEINT) * sxx_a - sx_a * sx_a AS VARCHAR) AS DOUBLE))
+             / CAST(CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS VARCHAR) AS DOUBLE) / 1e12 AS va_a,
+           (CAST(CAST(CAST(n_b AS HUGEINT) * cdyy_b - cdy_b * cdy_b AS VARCHAR) AS DOUBLE)
+              - 2.0 * theta_d * CAST(CAST(CAST(n_b AS HUGEINT) * cdxy_b - sx_b * cdy_b AS VARCHAR) AS DOUBLE)
+              + theta_d * theta_d * CAST(CAST(CAST(n_b AS HUGEINT) * sxx_b - sx_b * sx_b AS VARCHAR) AS DOUBLE))
+             / CAST(CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS VARCHAR) AS DOUBLE) / 1e12 AS va_b
+    FROM t
+)
+SELECT day_us, CAST(k AS INT) AS peek, n_a, n_b, theta_d AS theta,
+       (mr_a - mr_b) / sqrt(vr_a / CAST(n_a AS DOUBLE) + vr_b / CAST(n_b AS DOUBLE)) AS z_raw,
+       (ma_a - ma_b) / sqrt(va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE)) AS z_cuped,
+       1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS boundary,
+       abs((ma_a - ma_b) / sqrt(va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE)))
+         > 1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS crossed,
+       1.0 - (va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE))
+           / (vr_a / CAST(n_a AS DOUBLE) + vr_b / CAST(n_b AS DOUBLE)) AS var_reduction
+FROM s ORDER BY day_us
+"""
+
+
 def q_ab_mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (nats) between event_type and the md5 A/B
     variant, with both marginal entropies and the normalized MI — the
@@ -4500,6 +4761,7 @@ TEMPORAL_QUERIES = {
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
+    "ab_cuped_sequential_peeks": q_ab_cuped_sequential_peeks,
     "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
     "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
     "ab_logrank_conversion": q_ab_logrank_conversion,
@@ -4585,6 +4847,7 @@ TEMPORAL_ORACLE = {
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
+    "ab_cuped_sequential_peeks": ORACLE_AB_CUPED_SEQUENTIAL,
     "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
     "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
     "ab_logrank_conversion": ORACLE_AB_LOGRANK,

@@ -972,6 +972,71 @@ def test_sequential_peeks_matches_numpy_and_boundary_shape(spark):
     assert last.z == pytest.approx((ya.mean() - yb.mean()) / se, rel=1e-9)
 
 
+def test_cuped_sequential_peeks_matches_numpy(spark):
+    """ab_cuped_sequential_peeks: every peek's theta, z_raw, z_cuped and
+    var_reduction match a direct numpy recomputation (per-user cumulative
+    post sums against the pre-period covariate, theta re-fit per peek),
+    the boundary decays as √(K/k), crossed is |z_cuped| > boundary, and
+    CUPED cuts the pooled SE² whenever x correlates with y."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_cuped_sequential_peeks
+
+    rows = q_ab_cuped_sequential_peeks(spark, SF).collect()
+    assert rows
+    K = rows[-1].peek
+    for r in rows:
+        assert r.boundary == pytest.approx(1.959963984540054 * np.sqrt(K / r.peek), rel=1e-12)
+        assert r.crossed == (abs(r.z_cuped) > r.boundary)
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+            "value",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+                .cast("bigint") % 2
+            ).alias("g"),
+        )
+        .collect()
+    )
+    mid = (min(r.ts_us for r in ev) + max(r.ts_us for r in ev)) // 2
+    users = sorted({r.user_id for r in ev})
+    gmap = {r.user_id: r.g for r in ev}
+    x = {u: 0 for u in users}
+    for r in ev:
+        if r.ts_us <= mid:
+            x[r.user_id] += round(r.value * 1e6)
+    days = sorted({r.day_us for r in ev if r.ts_us > mid})
+    assert len(rows) == len(days)
+    y = {u: 0 for u in users}
+    for peek_row, day in zip(rows, days):
+        for r in ev:
+            if r.ts_us > mid and r.day_us == day:
+                y[r.user_id] += round(r.value * 1e6)
+        xv = np.array([x[u] for u in users], dtype=float) / 1e6
+        yv = np.array([y[u] for u in users], dtype=float) / 1e6
+        gv = np.array([gmap[u] for u in users])
+        theta = np.cov(xv, yv, ddof=1)[0, 1] / np.var(xv, ddof=1)
+        y_adj = yv - theta * (xv - xv.mean())
+        za, zb = gv == 0, gv == 1
+        assert (peek_row.n_a, peek_row.n_b) == (int(za.sum()), int(zb.sum()))
+        assert peek_row.theta == pytest.approx(theta, rel=1e-9)
+        se2_raw = yv[za].var(ddof=1) / za.sum() + yv[zb].var(ddof=1) / zb.sum()
+        se2_adj = y_adj[za].var(ddof=1) / za.sum() + y_adj[zb].var(ddof=1) / zb.sum()
+        assert peek_row.z_raw == pytest.approx(
+            (yv[za].mean() - yv[zb].mean()) / np.sqrt(se2_raw), rel=1e-9
+        )
+        assert peek_row.z_cuped == pytest.approx(
+            (y_adj[za].mean() - y_adj[zb].mean()) / np.sqrt(se2_adj), rel=1e-9
+        )
+        assert peek_row.var_reduction == pytest.approx(1.0 - se2_adj / se2_raw, rel=1e-9)
+
+
 def test_power_mde_matches_numpy(spark):
     """ab_power_mde: SE equals the Welch SE from numpy and
     MDE = (z_{.025}+z_{.8})·SE with the frozen quantile sum."""
