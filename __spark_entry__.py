@@ -59,6 +59,9 @@ _NEVER_DRIVER_CHECKED = [
     # (1) new r10 keys
     "stream_tws_ewma_user_value",
     "ab_cuped_sequential_peeks",
+    "stats_stratified_bootstrap_ci",
+    "eval_calibration_ece",
+    "ab_srm_check",
     # (2) value-changed: midpoint-class closure
     "q1_pricing_summary",
     "join_broadcast_brand_prices",

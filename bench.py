@@ -168,6 +168,7 @@ HEADLINE = [
     "emb_pca_project",
     "corpus_source_overlap",
     "stats_bootstrap_ci_price",
+    "stats_stratified_bootstrap_ci",
     "ab_ratio_delta_ci",
     # r9 session 2: classifier-eval + governance family (exact AUC / PR
     # curve / kappa / conformal / Gini / MRR / k-anonymity), recursive-CTE
@@ -175,6 +176,7 @@ HEADLINE = [
     "eval_auc_doc_length",
     "eval_pr_curve_points",
     "eval_cohens_kappa",
+    "eval_calibration_ece",
     "eval_conformal_coverage",
     "eval_mrr_report",
     "eval_ndcg_report",
@@ -186,6 +188,7 @@ HEADLINE = [
     "ab_mutual_info_type_variant",
     "ab_sequential_peeks",
     "ab_cuped_sequential_peeks",
+    "ab_srm_check",
     "ab_power_mde",
     "ab_cramers_v",
     "dedup_incremental_minhash",

@@ -4493,6 +4493,124 @@ FROM cur ORDER BY threshold
 """
 
 
+def q_eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM + EXPECTED CALIBRATION ERROR (r10) — the
+    calibration readout that belongs next to AUC/PR/kappa in the
+    classifier-eval family (Guo et al. 2017): a pseudo-probability
+    p = tc/(tc+50) from the whitespace token count scores "is English",
+    truth is the ``lang`` column; docs land in ten equal-width
+    probability bins, each reporting count, positives, accuracy,
+    mean confidence and |gap|, plus the n-weighted ECE constant.
+
+    Exactness: p is a RATIONAL of the exact integer token count, so the
+    corpus collapses to its DISTINCT-tc frame first (the r7 rank-stats
+    recipe); per-bin confidence sums fold cnt·p terms IN ASCENDING tc
+    ORDER on both engines (`aggregate(sort_array(collect_list))` vs
+    `list_reduce([0.0] || list(... ORDER BY tc))`), and the ECE is the
+    same fixed-order fold over the ≤10 bin rows — identical doubles,
+    identical order, raw emit, no rounding.
+
+    Scale: one fact scan into a distinct-tc partial+final agg; every
+    fold runs on token-count-domain-bounded frames (thousands of
+    distinct values, never fact rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text").cast("int")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    dist = (
+        docs.select(tc.alias("tc"), y.alias("y"))
+        .groupBy("tc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    p = F.col("tc") / (F.col("tc") + F.lit(50.0))
+    d2 = dist.select(
+        "tc",
+        "cnt",
+        "pos",
+        F.least(F.floor(p * 10), F.lit(9)).cast("int").alias("bin"),
+        (F.col("cnt").cast("double") * p).alias("term"),
+    )
+    bins = d2.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("tc"), F.col("term")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("conf_sum"),
+    )
+    acc_ = F.col("n_pos").cast("double") / F.col("n_docs")
+    conf = F.col("conf_sum") / F.col("n_docs")
+    b2 = bins.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        acc_.alias("accuracy"),
+        conf.alias("confidence"),
+        F.abs(acc_ - conf).alias("abs_gap"),
+    )
+    tot = b2.agg(F.sum("n_docs").cast("bigint").alias("nn"))
+    e = (
+        b2.crossJoin(F.broadcast(tot))
+        .select(
+            F.struct(F.col("bin"), (F.col("n_docs").cast("double") / F.col("nn") * F.col("abs_gap")).alias("t")).alias("s")
+        )
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("s")), F.lit(0.0), lambda acc, s: acc + s["t"]
+            ).alias("ece")
+        )
+    )
+    return (
+        b2.crossJoin(F.broadcast(e))
+        .select("bin", "n_docs", "n_pos", "accuracy", "confidence", "abs_gap", "ece")
+        .orderBy("bin")
+    )
+
+
+ORACLE_EVAL_CALIBRATION = f"""
+WITH base AS (
+    SELECT CASE WHEN length(t) = 0 THEN 0
+                ELSE len(string_split(t, ' ')) END AS tc,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM (SELECT {_NORM} AS t, lang FROM documents)
+),
+dist AS (
+    SELECT tc, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+    FROM base GROUP BY tc
+),
+d2 AS (
+    SELECT tc, cnt, pos,
+           CAST(least(floor((tc / (tc + 50.0)) * 10), 9) AS INT) AS bin,
+           CAST(cnt AS DOUBLE) * (tc / (tc + 50.0)) AS term
+    FROM dist
+),
+bins AS (
+    SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos,
+           list_reduce([0.0] || list(term ORDER BY tc), (acc, x) -> acc + x) AS conf_sum
+    FROM d2 GROUP BY bin
+),
+b2 AS (
+    SELECT bin, n_docs, n_pos,
+           CAST(n_pos AS DOUBLE) / n_docs AS accuracy,
+           conf_sum / n_docs AS confidence,
+           abs(CAST(n_pos AS DOUBLE) / n_docs - conf_sum / n_docs) AS abs_gap
+    FROM bins
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM b2),
+e AS (
+    SELECT list_reduce(
+             [0.0] || list(CAST(n_docs AS DOUBLE) / nn * abs_gap ORDER BY bin),
+             (acc, x) -> acc + x) AS ece
+    FROM b2, tot
+)
+SELECT bin, n_docs, n_pos, accuracy, confidence, abs_gap, ece
+FROM b2, e ORDER BY bin
+"""
+
+
 def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COHEN'S KAPPA inter-annotator agreement between a cheap rule
     labeler (predict 'en' when the normalized text contains the word
@@ -4819,6 +4937,7 @@ PIPELINE_QUERIES = {
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "eval_pr_curve_points": q_eval_pr_curve_points,
     "eval_cohens_kappa": q_eval_cohens_kappa,
+    "eval_calibration_ece": q_eval_calibration_ece,
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "eval_conformal_coverage": q_eval_conformal_coverage,
     "corpus_gini_doc_length": q_corpus_gini_doc_length,
@@ -4922,6 +5041,7 @@ PIPELINE_ORACLE = {
     "dedup_incremental_minhash": ORACLE_DEDUP_INCR_MINHASH,
     "eval_pr_curve_points": ORACLE_EVAL_PR_CURVE,
     "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
+    "eval_calibration_ece": ORACLE_EVAL_CALIBRATION,
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,
     "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
     "corpus_gini_doc_length": ORACLE_CORPUS_GINI,

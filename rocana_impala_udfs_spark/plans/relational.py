@@ -2837,6 +2837,187 @@ FROM base
 ORACLE_BOOTSTRAP_CI = _oracle_bootstrap_ci()
 
 
+def q_stats_stratified_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED deterministic Poisson bootstrap 95% CI for the mean
+    order price (r10, VERDICT r9 #8's variance-reduction arc) — the
+    estimator a pipeline uses when strata (here o_orderpriority) have
+    known population shares: each replicate resamples WITHIN every
+    stratum and recombines the per-stratum means with the FIXED
+    population weights n_h/n, so cross-stratum composition noise is
+    removed from the interval (the stratified CI is never wider than the
+    plain bootstrap's on the same draws).
+
+    Same scale discipline as ``stats_bootstrap_ci_price``: one md5 per
+    (row, 5 replicates) yields five 24-bit draws that stay COLUMNS until
+    the per-(j, stratum) aggregate; the only exchange carries exactly
+    B×5 stratum rows; the replicate estimate is an explicit FIXED-ORDER
+    five-term chain of BIGINT-exact sums (priority 1→5, identical text
+    both engines), and the CI bounds are element picks at ranks
+    ⌈0.025B⌉/⌈0.975B⌉ over the B-row frame — raw doubles, no rounding.
+    Σw·cents per stratum stays under BIGINT to ~1e17 cents-mass;
+    DECIMAL(38,0) is the documented swap beyond."""
+    B = 100
+    ths = _poisson1_cdf_thresholds()
+    hex_ths = [format(t, "06x") for t in ths]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.substring("o_orderpriority", 1, 1).alias("p"),
+    )
+    seeded = o.select(
+        "o_orderkey",
+        "cents",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(B // 5 - 1))).alias("j"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat_ws(
+                "_s_", F.col("o_orderkey").cast("string"), F.col("j").cast("string")
+            )
+        ),
+    )
+
+    def _w(i: int):
+        d = F.substring(F.col("h"), 1 + 6 * i, 6)
+        t = [F.lit(x) for x in hex_ths]
+        return (
+            F.when(d < t[1], F.when(d < t[0], 0).otherwise(1))
+            .otherwise(
+                F.when(d < t[3], F.when(d < t[2], 2).otherwise(3)).otherwise(
+                    F.when(d < t[5], F.when(d < t[4], 4).otherwise(5)).otherwise(
+                        F.when(d < t[6], 6).otherwise(
+                            F.when(d < t[7], 7).otherwise(8)
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+        )
+
+    wcols = [_w(i).alias(f"w{i}") for i in range(5)]
+    per_j = (
+        seeded.select("j", "p", "cents", *wcols)
+        .groupBy("j", "p")
+        .agg(
+            *[F.sum(f"w{i}").alias(f"sw{i}") for i in range(5)],
+            *[F.sum(F.col(f"w{i}") * F.col("cents")).alias(f"swx{i}") for i in range(5)],
+        )
+    )
+    per_b = per_j.select(
+        "p",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("j") * 5 + i).alias("b"),
+                        F.col(f"sw{i}").alias("sw"),
+                        F.col(f"swx{i}").alias("swx"),
+                    )
+                    for i in range(5)
+                ]
+            )
+        ).alias("r"),
+    ).select("r.b", "p", "r.sw", "r.swx")
+    wide = per_b.groupBy("b").pivot("p", [str(i) for i in range(1, 6)]).agg(
+        F.first("sw").alias("sw"), F.first("swx").alias("swx")
+    )
+    counts = (
+        o.groupBy()
+        .pivot("p", [str(i) for i in range(1, 6)])
+        .agg(F.count(F.lit(1)))
+        # single-agg pivot names columns by the bare pivot value
+        .select(*[F.col(str(i)).alias(f"{i}_n") for i in range(1, 6)])
+    )
+    j = wide.crossJoin(F.broadcast(counts))
+    # fixed-order five-term recombination: identical text in the oracle
+    est = (
+        F.col("1_n").cast("double") * (F.col("1_swx").cast("double") / F.col("1_sw"))
+        + F.col("2_n").cast("double") * (F.col("2_swx").cast("double") / F.col("2_sw"))
+        + F.col("3_n").cast("double") * (F.col("3_swx").cast("double") / F.col("3_sw"))
+        + F.col("4_n").cast("double") * (F.col("4_swx").cast("double") / F.col("4_sw"))
+        + F.col("5_n").cast("double") * (F.col("5_swx").cast("double") / F.col("5_sw"))
+    ) / (
+        F.col("1_n") + F.col("2_n") + F.col("3_n") + F.col("4_n") + F.col("5_n")
+    ).cast("double")
+    ranked = j.select("b", est.alias("m")).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("m"), F.col("b")))
+    )
+    lo_rk, hi_rk = 3, 98
+    picks = ranked.agg(
+        F.max(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("hi"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").alias("sc"),
+    )
+    return base.crossJoin(F.broadcast(picks)).select(
+        "n_orders",
+        F.lit(B).cast("int").alias("b_replicates"),
+        (F.col("sc").cast("double") / F.col("n_orders") / 100.0).alias("mean_price"),
+        (F.col("lo") / 100.0).alias("ci_lo"),
+        (F.col("hi") / 100.0).alias("ci_hi"),
+    )
+
+
+def _oracle_stratified_bootstrap_ci() -> str:
+    ths = _poisson1_cdf_thresholds()
+    w_expr = " + ".join(
+        f"(CASE WHEN draw >= '{format(t, '06x')}' THEN 1 ELSE 0 END)" for t in ths
+    )
+    est_num = " + ".join(
+        f"CAST(n{i} AS DOUBLE) * (CAST(swx{i} AS DOUBLE) / sw{i})" for i in range(1, 6)
+    )
+    piv_sw = ", ".join(
+        f"max(CASE WHEN p = '{i}' THEN sw END) AS sw{i}, "
+        f"max(CASE WHEN p = '{i}' THEN swx END) AS swx{i}"
+        for i in range(1, 6)
+    )
+    piv_n = ", ".join(
+        f"CAST(count(*) FILTER (p = '{i}') AS BIGINT) AS n{i}" for i in range(1, 6)
+    )
+    return f"""
+WITH o AS (
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           substring(o_orderpriority, 1, 1) AS p
+    FROM orders
+),
+seeded AS (
+    SELECT cents, p, j,
+           md5(concat(CAST(o_orderkey AS VARCHAR), '_s_', CAST(j AS VARCHAR))) AS h
+    FROM o CROSS JOIN (SELECT unnest(range(20)) AS j)
+),
+drawn AS (
+    SELECT j * 5 + i AS b, cents, p,
+           substring(h, CAST(1 + 6 * i AS INT), 6) AS draw
+    FROM seeded CROSS JOIN (SELECT unnest(range(5)) AS i)
+),
+weighted AS (SELECT b, cents, p, CAST({w_expr} AS BIGINT) AS w FROM drawn),
+per_bp AS (
+    SELECT b, p, CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * cents) AS BIGINT) AS swx
+    FROM weighted GROUP BY b, p
+),
+wide AS (SELECT b, {piv_sw} FROM per_bp GROUP BY b),
+counts AS (SELECT {piv_n} FROM o),
+m AS (
+    SELECT b, ({est_num})
+             / CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE) AS m
+    FROM wide, counts
+),
+r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(cents) AS BIGINT) AS sc FROM o)
+SELECT n_orders, CAST(100 AS INT) AS b_replicates,
+       CAST(sc AS DOUBLE) / n_orders / 100.0 AS mean_price,
+       (SELECT max(CASE WHEN rk = 3 THEN m END) FROM r) / 100.0 AS ci_lo,
+       (SELECT max(CASE WHEN rk = 98 THEN m END) FROM r) / 100.0 AS ci_hi
+FROM base
+"""
+
+
+ORACLE_STRATIFIED_BOOTSTRAP_CI = _oracle_stratified_bootstrap_ci()
+
+
 def q_stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value concentration per order status —
     the revenue-inequality metric: G = (2·Σ(i·x_i) − (n+1)·Σx_i) /
@@ -4718,6 +4899,7 @@ QUERIES = {
     "sql_text_monthly_nation_rank": q_sql_text_monthly_nation_rank,
     "stats_gini_order_values": q_stats_gini_order_values,
     "stats_bootstrap_ci_price": q_stats_bootstrap_ci_price,
+    "stats_stratified_bootstrap_ci": q_stats_stratified_bootstrap_ci,
     "notin_null_semantics_probe": q_notin_null_semantics_probe,
     "events_iqr_outliers": q_events_iqr_outliers,
     "window_rank_semantics_probe": q_window_rank_semantics_probe,
@@ -4826,6 +5008,7 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
     "sql_text_monthly_nation_rank": ORACLE_SQL_TEXT_RANK,
     "stats_gini_order_values": ORACLE_GINI,
     "stats_bootstrap_ci_price": ORACLE_BOOTSTRAP_CI,
+    "stats_stratified_bootstrap_ci": ORACLE_STRATIFIED_BOOTSTRAP_CI,
     "notin_null_semantics_probe": ORACLE_NOTIN_NULL,
     "events_iqr_outliers": ORACLE_IQR_OUTLIERS,
     "window_rank_semantics_probe": ORACLE_RANK_SEMANTICS,

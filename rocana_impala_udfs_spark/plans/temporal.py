@@ -2507,6 +2507,62 @@ def q_ab_cuped_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_us")
 
 
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH GUARD (r10) — the first gate every
+    experiment readout must pass (Fabijan et al. 2019): under a 50/50
+    md5 assignment the unit-count imbalance z = (n_a − n_b)/√N is
+    standard normal, and |z| above the α=1e-4 two-sided quantile
+    (3.89059188641312, a frozen stdlib-NormalDist literal baked into
+    both texts — no runtime quantile surface) flags a broken gate,
+    bot filtering skew, or logging loss; every downstream A/B key in
+    this engine assumes this check is green. Assignment unit = user
+    (one vote per user_id, not per event — SRM is about units).
+
+    Exactness: distinct-user counts are exact integers from one
+    partial+final agg; ratio and z are each ONE raw double chain.
+    Scale: a user-keyed distinct collapse then a 1-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(md5_bucket("user_id", 2) == 0, F.lit("A")).otherwise(F.lit("B"))
+    per_user = ev.select(F.col("user_id"), variant.alias("g")).distinct()
+    agg = per_user.agg(
+        F.sum(F.when(F.col("g") == "A", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("g") == "B", 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    z = (F.col("n_a") - F.col("n_b")).cast("double") / F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")).alias(
+            "ratio_a"
+        ),
+        z.alias("z"),
+        (F.abs(z) > F.lit(3.89059188641312)).alias("srm"),
+    )
+
+
+ORACLE_AB_SRM = """
+WITH per_user AS (
+    SELECT DISTINCT user_id,
+           CASE WHEN CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS g
+    FROM events
+),
+agg AS (
+    SELECT CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM per_user
+)
+SELECT n_a, n_b,
+       CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS ratio_a,
+       CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)) AS z,
+       abs(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)))
+         > 3.89059188641312 AS srm
+FROM agg
+"""
+
+
 ORACLE_AB_CUPED_SEQUENTIAL = """
 WITH ev AS (
     SELECT user_id, epoch_us(ts) AS ts_us,
@@ -4762,6 +4818,7 @@ TEMPORAL_QUERIES = {
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
     "ab_cuped_sequential_peeks": q_ab_cuped_sequential_peeks,
+    "ab_srm_check": q_ab_srm_check,
     "ab_mutual_info_type_variant": q_ab_mutual_info_type_variant,
     "events_kaplan_meier_conversion": q_events_kaplan_meier_conversion,
     "ab_logrank_conversion": q_ab_logrank_conversion,
@@ -4848,6 +4905,7 @@ TEMPORAL_ORACLE = {
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
     "ab_cuped_sequential_peeks": ORACLE_AB_CUPED_SEQUENTIAL,
+    "ab_srm_check": ORACLE_AB_SRM,
     "ab_mutual_info_type_variant": ORACLE_AB_MUTUAL_INFO,
     "events_kaplan_meier_conversion": ORACLE_KAPLAN_MEIER,
     "ab_logrank_conversion": ORACLE_AB_LOGRANK,

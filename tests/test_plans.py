@@ -789,6 +789,99 @@ def test_bootstrap_ci_brackets_mean_and_is_partitioning_invariant(spark):
     assert row2 == row
 
 
+def test_stratified_bootstrap_matches_python_recomputation(spark):
+    """stats_stratified_bootstrap_ci: the CI bounds are exactly the
+    3rd/98th ranked replicate estimates recomputed in pure Python from
+    the same md5 draws (hashlib) and fixed stratum weights — the whole
+    deterministic chain, not a statistical approximation — and the CI
+    brackets the point estimate."""
+    import hashlib
+    import math
+
+    from rocana_impala_udfs_spark.plans.relational import (
+        _poisson1_cdf_thresholds,
+        q_stats_stratified_bootstrap_ci,
+    )
+
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    row = q_stats_stratified_bootstrap_ci(spark, SF).collect()[0]
+    assert row.ci_lo < row.mean_price < row.ci_hi
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).collect()
+    ths = _poisson1_cdf_thresholds()
+    strata = sorted({r.o_orderpriority[0] for r in orders})
+    assert strata == ["1", "2", "3", "4", "5"]
+    n_h = {p: 0 for p in strata}
+    sw = {(b, p): 0 for b in range(100) for p in strata}
+    swx = {(b, p): 0 for b in range(100) for p in strata}
+    for r in orders:
+        p = r.o_orderpriority[0]
+        cents = math.floor(r.o_totalprice * 100)
+        n_h[p] += 1
+        for j in range(20):
+            h = hashlib.md5(f"{r.o_orderkey}_s_{j}".encode()).hexdigest()
+            for i in range(5):
+                draw = int(h[6 * i : 6 * i + 6], 16)
+                w = sum(1 for t in ths if draw >= t)
+                b = j * 5 + i
+                sw[(b, p)] += w
+                swx[(b, p)] += w * cents
+    n = sum(n_h.values())
+    ests = sorted(
+        (
+            sum(n_h[p] * (swx[(b, p)] / sw[(b, p)]) for p in strata) / n,
+            b,
+        )
+        for b in range(100)
+    )
+    assert row.n_orders == n
+    assert row.ci_lo == ests[2][0] / 100.0
+    assert row.ci_hi == ests[97][0] / 100.0
+
+
+def test_calibration_ece_matches_python_recomputation(spark):
+    """eval_calibration_ece: bins, accuracy, confidence and the ECE match
+    a pure-Python recomputation from the same (token_count, lang) pairs
+    (float tolerance only for the fold-order-free Python sums), bin
+    coverage partitions the corpus, and ECE is the n-weighted mean gap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.functions import text as T
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_calibration_ece
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    rows = q_eval_calibration_ece(spark, SF).collect()
+    assert rows and all(0.0 <= r.ece <= 1.0 for r in rows)
+    assert len({r.ece for r in rows}) == 1  # one constant across bins
+    docs = (
+        load_table(spark, SF, "documents")
+        .select(
+            T.token_count("text").cast("int").alias("tc"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+        .collect()
+    )
+    bins = {}
+    for r in docs:
+        p = r.tc / (r.tc + 50.0)
+        b = min(int(p * 10), 9)
+        n, pos, conf = bins.get(b, (0, 0, 0.0))
+        bins[b] = (n + 1, pos + r.y, conf + p)
+    assert sum(n for n, _, _ in bins.values()) == len(docs)
+    got = {r.bin: r for r in rows}
+    assert set(got) == set(bins)
+    ece = 0.0
+    for b, (n, pos, conf) in sorted(bins.items()):
+        assert got[b].n_docs == n and got[b].n_pos == pos
+        assert got[b].accuracy == pytest.approx(pos / n, abs=1e-12)
+        assert got[b].confidence == pytest.approx(conf / n, abs=1e-12)
+        ece += n / len(docs) * abs(pos / n - conf / n)
+    assert rows[0].ece == pytest.approx(ece, abs=1e-12)
+
+
 def test_recursive_month_spine_fills_gaps(spark, tmp_path):
     """sql_recursive_month_spine: a month with no orders must still appear
     as an explicit (month, 0, 0) row — the recursion generates the full

@@ -1037,6 +1037,30 @@ def test_cuped_sequential_peeks_matches_numpy(spark):
         assert peek_row.var_reduction == pytest.approx(1.0 - se2_adj / se2_raw, rel=1e-9)
 
 
+def test_srm_check_matches_python_gate_recomputation(spark):
+    """ab_srm_check: counts equal a pure-Python md5-gate recomputation
+    over distinct users, z is exactly (n_a-n_b)/sqrt(N), and the flag is
+    |z| against the frozen 1e-4 quantile."""
+    import hashlib
+    import math
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_srm_check
+
+    row = q_ab_srm_check(spark, SF).collect()[0]
+    users = {
+        r.user_id
+        for r in load_table(spark, SF, "events").select("user_id").distinct().collect()
+    }
+    n_a = sum(
+        1 for u in users if int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16) % 2 == 0
+    )
+    n_b = len(users) - n_a
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.z == (n_a - n_b) / math.sqrt(n_a + n_b)
+    assert row.ratio_a == n_a / (n_a + n_b)
+    assert row.srm == (abs(row.z) > 3.89059188641312)
+
+
 def test_power_mde_matches_numpy(spark):
     """ab_power_mde: SE equals the Welch SE from numpy and
     MDE = (z_{.025}+z_{.8})·SE with the frozen quantile sum."""
