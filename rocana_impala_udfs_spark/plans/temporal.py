@@ -2373,10 +2373,12 @@ def q_ab_cuped_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, and the reduction ratio are each ONE identical double
     chain — hash-exact, raw emit, no rounding anywhere.
 
-    Scale: the fact table collapses once to (user,day) partials; the only
-    per-user window is partitioned by user (bounded by that user's active
-    days); the x-join is user-keyed; everything after the daily delta agg
-    lives on the day×variant-bounded frame. Headroom: Σ 2·y_prev·v in
+    Scale: three column-pruned aggregation-only fact passes (timeline
+    bounds, the per-user covariate rollup, the (user,day) partials — the
+    stats_mad_price precedent: no fact sorts, no fact-row windows); the
+    only per-user window is partitioned by user (bounded by that user's
+    active days); the x-join is user-keyed; everything after the daily
+    delta agg lives on the day×variant-bounded frame. Headroom: Σ 2·y_prev·v in
     micro² stays under 38 digits while per-user |y|·1e6 < ~1e15 and
     users < ~1e7 — the documented 100 TB bound."""
     ev = (
