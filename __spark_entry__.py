@@ -62,6 +62,8 @@ _NEVER_DRIVER_CHECKED = [
     "stats_stratified_bootstrap_ci",
     "eval_calibration_ece",
     "ab_srm_check",
+    "eval_matryoshka_recall",
+    "eval_brier_decomposition",
     # (2) value-changed: midpoint-class closure
     "q1_pricing_summary",
     "join_broadcast_brand_prices",

@@ -177,6 +177,8 @@ HEADLINE = [
     "eval_pr_curve_points",
     "eval_cohens_kappa",
     "eval_calibration_ece",
+    "eval_matryoshka_recall",
+    "eval_brier_decomposition",
     "eval_conformal_coverage",
     "eval_mrr_report",
     "eval_ndcg_report",

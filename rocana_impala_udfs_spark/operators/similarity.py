@@ -91,6 +91,7 @@ def brute_force_topk_np(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, BLAS path.
 
@@ -106,11 +107,17 @@ def brute_force_topk_np(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if dims is not None:
+        # matryoshka-style PREFIX truncation: cosine over the first
+        # `dims` components (norms recomputed on the prefix)
+        Q = Q[:, :dims]
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
 
     def score(batches):
         for pdf in batches:
             V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if dims is not None:
+                V = V[:, :dims]
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             sims = Vn @ Qn.T  # (batch, n_queries)
             n_ids = pdf[id_col].to_numpy()

@@ -587,6 +587,88 @@ SELECT * FROM ({body}) ORDER BY method
 ORACLE_ANN_RECALL = _oracle_ann_recall()
 
 
+def q_eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA DIMENSION-TRUNCATION recall curve (r10) — the ablation a
+    retrieval owner runs before shipping truncated embeddings (Kusupati
+    et al. 2022, MRL): recall@5 of exact cosine search over the FIRST d
+    components (d = 8, 16, 32, 64) against the full-dimension exact
+    top-5, quantifying how much ranking quality each prefix retains —
+    i.e. how far storage/bandwidth can shrink before retrieval degrades.
+    The d=64 row re-runs the full kernel and must come back at recall 1.0
+    (a live determinism sanity row).
+
+    Oracle-EXACT via the recall-report composition recipe: each prefix's
+    oracle is the brute-force oracle with a list SLICE `v[1:d]`
+    (DuckDB 1-based inclusive == numpy ``[:, :d]``); the hit join is on
+    (query, neighbor) ids only and recall is an exact small-int rational
+    emitted raw. Scale: each prefix search is the same broadcast-queries
+    BLAS sweep over Arrow batches (cheaper at smaller d), every joined
+    frame is k·n_queries-bounded, final agg is 4 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = similarity.brute_force_topk_np(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    reports = []
+    for d in (8, 16, 32, 64):
+        appr = similarity.brute_force_topk_np(emb, queries, k=5, dims=d).select(
+            "query_id", "neighbor_id"
+        )
+        hits = appr.join(brute, ["query_id", "neighbor_id"], "inner")
+        reports.append(
+            hits.agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.lit(20).cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("hits"),
+                (F.count(F.lit(1)).cast("double") / F.lit(100.0)).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("dim")
+
+
+def _oracle_matryoshka_recall() -> str:
+    """Per-prefix brute-force oracles composed against the full-dim
+    truth, mirroring ``_oracle_ann_recall``."""
+
+    def brute_sql(d: int | None) -> str:
+        sl = f"[1:{d}]" if d is not None else ""
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, (embedding::DOUBLE[]){sl} AS qv FROM embeddings WHERE vec_id < 20),
+v AS (SELECT vec_id AS neighbor_id, (embedding::DOUBLE[]){sl} AS nv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS c
+    FROM v, q WHERE query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5"""
+
+    parts = []
+    for d in (8, 16, 32, 64):
+        parts.append(
+            f"""
+SELECT CAST({d} AS INT) AS dim, CAST(20 AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(count(*) AS DOUBLE) / 100.0 AS recall_at_5
+FROM ({brute_sql(d)}) m
+JOIN brute USING (query_id, neighbor_id)"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH brute AS ({brute_sql(None)})
+SELECT * FROM ({body}) ORDER BY dim
+"""
+
+
+ORACLE_EVAL_MATRYOSHKA = _oracle_matryoshka_recall()
+
+
 def q_eval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEAN RECIPROCAL RANK scorecard — the companion eval to
     ``ann_recall_report``: recall@5 says whether the true neighbor is in
@@ -4611,6 +4693,155 @@ FROM b2, e ORDER BY bin
 """
 
 
+def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE + MURPHY DECOMPOSITION (r10) — the proper-scoring-rule
+    companion to ``eval_calibration_ece`` on the same forecaster
+    (p = tc/(tc+50) scoring "is English"): the raw Brier score
+    (1/N)Σ(pᵢ−yᵢ)² plus the binned reliability / resolution / uncertainty
+    split (Murphy 1973) over the same ten probability bins —
+    reliability is what ECE squares, resolution is what a useful
+    forecaster earns back, uncertainty is the base-rate floor, and
+    brier_binned = REL − RES + UNC reconstructs the score exactly for a
+    bin-constant forecaster (emitted beside the raw score so the binning
+    approximation is visible, not hidden).
+
+    Exactness: p is a rational of the exact token count, so every sum
+    collapses to the DISTINCT-tc frame; the raw-Brier fold runs in
+    ascending tc order and the rel/res folds in ascending bin order on
+    both engines; base rate and uncertainty are one double chain over
+    exact BIGINT counts — raw emit, no rounding.
+
+    Scale: one fact scan into the distinct-tc partial+final agg; all
+    folds on token-count- or bin-domain-bounded frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text").cast("int")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    dist = (
+        docs.select(tc.alias("tc"), y.alias("y"))
+        .groupBy("tc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+    )
+    p = F.col("tc") / (F.col("tc") + F.lit(50.0))
+    d2 = dist.select(
+        "tc",
+        "cnt",
+        "pos",
+        F.least(F.floor(p * 10), F.lit(9)).cast("int").alias("bin"),
+        (F.col("cnt").cast("double") * p).alias("term"),
+        (
+            F.col("pos").cast("double") * (p - F.lit(1.0)) * (p - F.lit(1.0))
+            + (F.col("cnt") - F.col("pos")).cast("double") * p * p
+        ).alias("bterm"),
+    )
+    tot = d2.agg(
+        F.sum("cnt").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("pp"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("tc"), F.col("bterm")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["bterm"],
+        ).alias("brier_sum"),
+    )
+    bins = d2.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("tc"), F.col("term")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("conf_sum"),
+    )
+    acc_ = F.col("n_pos").cast("double") / F.col("n_docs")
+    conf = F.col("conf_sum") / F.col("n_docs")
+    ybar = F.col("pp").cast("double") / F.col("nn")
+    w = F.col("n_docs").cast("double") / F.col("nn")
+    folds = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            F.struct(
+                F.col("bin"),
+                (w * (conf - acc_) * (conf - acc_)).alias("relterm"),
+                (w * (acc_ - ybar) * (acc_ - ybar)).alias("resterm"),
+            ).alias("s")
+        )
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("s")), F.lit(0.0), lambda a, s: a + s["relterm"]
+            ).alias("reliability"),
+            F.aggregate(
+                F.sort_array(F.collect_list("s")), F.lit(0.0), lambda a, s: a + s["resterm"]
+            ).alias("resolution"),
+        )
+    )
+    unc = ybar * (F.lit(1.0) - ybar)
+    return tot.crossJoin(F.broadcast(folds)).select(
+        F.col("nn").alias("n_docs"),
+        F.col("pp").alias("n_pos"),
+        ybar.alias("base_rate"),
+        (F.col("brier_sum") / F.col("nn")).alias("brier"),
+        "reliability",
+        "resolution",
+        unc.alias("uncertainty"),
+        (F.col("reliability") - F.col("resolution") + unc).alias("brier_binned"),
+    )
+
+
+ORACLE_EVAL_BRIER = f"""
+WITH base AS (
+    SELECT CASE WHEN length(t) = 0 THEN 0
+                ELSE len(string_split(t, ' ')) END AS tc,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM (SELECT {_NORM} AS t, lang FROM documents)
+),
+dist AS (
+    SELECT tc, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+    FROM base GROUP BY tc
+),
+d2 AS (
+    SELECT tc, cnt, pos,
+           CAST(least(floor((tc / (tc + 50.0)) * 10), 9) AS INT) AS bin,
+           CAST(cnt AS DOUBLE) * (tc / (tc + 50.0)) AS term,
+           CAST(pos AS DOUBLE) * ((tc / (tc + 50.0)) - 1.0) * ((tc / (tc + 50.0)) - 1.0)
+             + CAST(cnt - pos AS DOUBLE) * (tc / (tc + 50.0)) * (tc / (tc + 50.0)) AS bterm
+    FROM dist
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp,
+           list_reduce([0.0] || list(bterm ORDER BY tc), (acc, x) -> acc + x) AS brier_sum
+    FROM d2
+),
+bins AS (
+    SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_docs, CAST(sum(pos) AS BIGINT) AS n_pos,
+           list_reduce([0.0] || list(term ORDER BY tc), (acc, x) -> acc + x) AS conf_sum
+    FROM d2 GROUP BY bin
+),
+folds AS (
+    SELECT
+      list_reduce([0.0] || list(
+        CAST(n_docs AS DOUBLE) / nn
+          * (conf_sum / n_docs - CAST(n_pos AS DOUBLE) / n_docs)
+          * (conf_sum / n_docs - CAST(n_pos AS DOUBLE) / n_docs)
+        ORDER BY bin), (acc, x) -> acc + x) AS reliability,
+      list_reduce([0.0] || list(
+        CAST(n_docs AS DOUBLE) / nn
+          * (CAST(n_pos AS DOUBLE) / n_docs - CAST(pp AS DOUBLE) / nn)
+          * (CAST(n_pos AS DOUBLE) / n_docs - CAST(pp AS DOUBLE) / nn)
+        ORDER BY bin), (acc, x) -> acc + x) AS resolution
+    FROM bins, tot
+)
+SELECT nn AS n_docs, pp AS n_pos,
+       CAST(pp AS DOUBLE) / nn AS base_rate,
+       brier_sum / nn AS brier,
+       reliability, resolution,
+       CAST(pp AS DOUBLE) / nn * (1.0 - CAST(pp AS DOUBLE) / nn) AS uncertainty,
+       reliability - resolution + CAST(pp AS DOUBLE) / nn * (1.0 - CAST(pp AS DOUBLE) / nn) AS brier_binned
+FROM tot, folds
+"""
+
+
 def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COHEN'S KAPPA inter-annotator agreement between a cheap rule
     labeler (predict 'en' when the normalized text contains the word
@@ -4938,6 +5169,8 @@ PIPELINE_QUERIES = {
     "eval_pr_curve_points": q_eval_pr_curve_points,
     "eval_cohens_kappa": q_eval_cohens_kappa,
     "eval_calibration_ece": q_eval_calibration_ece,
+    "eval_matryoshka_recall": q_eval_matryoshka_recall,
+    "eval_brier_decomposition": q_eval_brier_decomposition,
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "eval_conformal_coverage": q_eval_conformal_coverage,
     "corpus_gini_doc_length": q_corpus_gini_doc_length,
@@ -5042,6 +5275,8 @@ PIPELINE_ORACLE = {
     "eval_pr_curve_points": ORACLE_EVAL_PR_CURVE,
     "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
     "eval_calibration_ece": ORACLE_EVAL_CALIBRATION,
+    "eval_matryoshka_recall": ORACLE_EVAL_MATRYOSHKA,
+    "eval_brier_decomposition": ORACLE_EVAL_BRIER,
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,
     "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
     "corpus_gini_doc_length": ORACLE_CORPUS_GINI,

@@ -1610,6 +1610,41 @@ def test_ann_recall_report_consistency(spark):
     assert rows["lsh"].recall_at_5 > 0.2
 
 
+def test_matryoshka_recall_matches_numpy(spark):
+    """eval_matryoshka_recall: every dim's recall equals a local numpy
+    recomputation (prefix-normalized cosine, same (cos desc, id) tiebreak),
+    and the full-dimension row is exactly 1.0 — the kernel-determinism
+    sanity row."""
+    import __spark_entry__ as entry
+
+    rows = {r.dim: r for r in entry.queries()["eval_matryoshka_recall"](spark, SF).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64].recall_at_5 == 1.0
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.asarray([r.embedding for r in emb], dtype=np.float64)
+
+    def top5(d):
+        Xd = X[:, :d]
+        Xn = Xd / np.maximum(np.linalg.norm(Xd, axis=1, keepdims=True), 1e-12)
+        out = {}
+        for qi in np.where(ids < 20)[0]:
+            sims = Xn @ Xn[qi]
+            order = sorted(
+                (i for i in range(len(ids)) if ids[i] != ids[qi]),
+                key=lambda i: (-sims[i], ids[i]),
+            )[:5]
+            out[int(ids[qi])] = {int(ids[i]) for i in order}
+        return out
+
+    truth = top5(X.shape[1])
+    for d in (8, 16, 32, 64):
+        approx = top5(d)
+        hits = sum(len(approx[q] & truth[q]) for q in truth)
+        assert rows[d].hits == hits
+        assert rows[d].recall_at_5 == hits / 100.0
+
+
 def test_hybrid_rrf_fusion_arithmetic(spark):
     """search_hybrid_rrf_top10: 10 rows, descending fused score, doc 0 (the
     query document) excluded, every returned doc ranked by at least one arm,

@@ -882,6 +882,50 @@ def test_calibration_ece_matches_python_recomputation(spark):
     assert rows[0].ece == pytest.approx(ece, abs=1e-12)
 
 
+def test_brier_decomposition_matches_python(spark):
+    """eval_brier_decomposition: raw Brier, reliability, resolution and
+    uncertainty all match a pure-Python recomputation from (token_count,
+    label) pairs, and REL − RES + UNC equals the binned Brier identity
+    computed directly (Murphy 1973)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.functions import text as T
+    from rocana_impala_udfs_spark.plans.pipeline import q_eval_brier_decomposition
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    row = q_eval_brier_decomposition(spark, SF).collect()[0]
+    docs = (
+        load_table(spark, SF, "documents")
+        .select(
+            T.token_count("text").cast("int").alias("tc"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+        .collect()
+    )
+    N = len(docs)
+    P = sum(r.y for r in docs)
+    ybar = P / N
+    brier = sum((r.tc / (r.tc + 50.0) - r.y) ** 2 for r in docs) / N
+    bins = {}
+    for r in docs:
+        p = r.tc / (r.tc + 50.0)
+        b = min(int(p * 10), 9)
+        n, pos, conf = bins.get(b, (0, 0, 0.0))
+        bins[b] = (n + 1, pos + r.y, conf + p)
+    rel = sum(n / N * (conf / n - pos / n) ** 2 for n, pos, conf in bins.values())
+    res = sum(n / N * (pos / n - ybar) ** 2 for n, pos, conf in bins.values())
+    assert (row.n_docs, row.n_pos) == (N, P)
+    assert row.base_rate == pytest.approx(ybar, abs=1e-15)
+    assert row.brier == pytest.approx(brier, abs=1e-12)
+    assert row.reliability == pytest.approx(rel, abs=1e-12)
+    assert row.resolution == pytest.approx(res, abs=1e-12)
+    assert row.uncertainty == pytest.approx(ybar * (1 - ybar), abs=1e-15)
+    assert row.brier_binned == pytest.approx(
+        row.reliability - row.resolution + row.uncertainty, abs=1e-15
+    )
+
+
 def test_recursive_month_spine_fills_gaps(spark, tmp_path):
     """sql_recursive_month_spine: a month with no orders must still appear
     as an explicit (month, 0, 0) row — the recursion generates the full
