@@ -93,6 +93,18 @@ _NEVER_DRIVER_CHECKED = [
     "appx_percentile_sql_udaf",
     "reservoir_sample_quantity",
     "window_median_quantity",
+    # (4b) r10 review pass: the two-phase reservoir partial now carries an
+    # explicit null flag (NaN-sampling parity with the arrow/JVM paths) —
+    # NaN-free fixtures make these value-identical, but the partial's code
+    # changed, so re-certify; the tws/EWMA pair shares a refactored
+    # final-answer helper (values identical)
+    "appx_median_price_global",
+    "appx_median_price_by_returnflag",
+    "appx_median_totalprice_by_status",
+    "appx_median_value_by_event_type",
+    "appx_median_value_by_day",
+    "appx_p90_value_by_event_type",
+    "stream_ewma_user_value",
     # (5) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",

@@ -56,7 +56,15 @@ def reservoir_partials(
     """
     group_cols = list(group_cols or [])
     proj = [F.col(c).cast("string").alias(c) for c in group_cols]
-    src = df.select(*proj, F.col(value_col).cast("double").alias("_v"))
+    # carry an explicit null flag: the Arrow→pandas bridge conflates SQL
+    # NULL and NaN into NaN, and the reference skips only is_null
+    # (median.cc:130-131) — NaN data must be SAMPLED, like the arrow-UDF
+    # and JVM paths since r10 (NaN-divergence closure)
+    src = df.select(
+        *proj,
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(value_col).isNull().alias("_vnull"),
+    )
     schema = (
         ", ".join(f"`{c}` string" for c in group_cols)
         + (", " if group_cols else "")
@@ -85,7 +93,10 @@ def reservoir_partials(
                 if st is None:
                     st = ReservoirState(max_samples, seed=_stable_seed(seed, (pid, *gk)))
                     states[gk] = st
-                st.update(sub["_v"].to_numpy(dtype=np.float64))
+                st.update(
+                    sub["_v"].to_numpy(dtype=np.float64),
+                    null_mask=sub["_vnull"].to_numpy(dtype=bool),
+                )
         rows = []
         for gk, st in states.items():
             st.assign_keys()

@@ -347,7 +347,7 @@ med AS (
 SELECT s.size_class, s.n_sessions, s.avg_session_value, m.median_duration_us
 FROM (
     SELECT size_class, count(*) AS n_sessions,
-           CAST(sum(sv6) AS DOUBLE) / count(*) / 1000000.0 AS avg_session_value
+           CAST(CAST(sum(sv6) AS VARCHAR) AS DOUBLE) / count(*) / 1000000.0 AS avg_session_value
     FROM classed GROUP BY 1
 ) s JOIN med m USING (size_class)
 """
@@ -970,7 +970,14 @@ def q_stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
     out = running_ewma_stream(stream, alpha=0.1)
-    sink = run_to_table(out, mode="update")
+    return _ewma_final_answer(run_to_table(out, mode="update"))
+
+
+def _ewma_final_answer(sink: DataFrame) -> DataFrame:
+    """Final answer per user from an update-mode EWMA sink: its
+    max-``n_events`` emission (n_events is a monotone stamp). Shared by
+    the applyInPandasWithState key and its transformWithStateInPandas
+    twin so the selection rule cannot desynchronize between them."""
     mx = sink.groupBy(F.col("user_id").alias("u")).agg(F.max("n_events").alias("mx"))
     return (
         sink.join(
@@ -1012,10 +1019,7 @@ def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_streaming.py::test_running_ewma_transform_with_state``
     (which skips in the same environments for the same reason). On a
     protobuf-bearing cluster this key exercises the new API end to end."""
-    from rocana_impala_udfs_spark.streaming.ewma_stream import (
-        running_ewma_stream,
-        running_ewma_tws,
-    )
+    from rocana_impala_udfs_spark.streaming.ewma_stream import running_ewma_tws
     from rocana_impala_udfs_spark.streaming.replay import (
         replay_events_stream_ordered,
         run_to_table,
@@ -1023,30 +1027,27 @@ def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         import google.protobuf.descriptor  # noqa: F401
-
-        has_tws = True
     except ImportError:
-        has_tws = False
+        # no tws runtime here: delegate to the applyInPandasWithState twin
+        return q_stream_ewma_user_value(spark, sf_dir)
     stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
-    if has_tws:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        out = running_ewma_tws(stream, alpha=0.1)
-    else:
-        out = running_ewma_stream(stream, alpha=0.1)
-    sink = run_to_table(out, mode="update")
-    mx = sink.groupBy(F.col("user_id").alias("u")).agg(F.max("n_events").alias("mx"))
-    return (
-        sink.join(
-            F.broadcast(mx),
-            (sink["user_id"] == mx["u"]) & (sink["n_events"] == mx["mx"]),
-        )
-        .select("user_id", "ewma", F.col("n_events").cast("bigint").alias("n_events"))
-        .orderBy("user_id")
+    # tws needs the RocksDB state store; save/restore the session conf so
+    # later streaming keys in the same session keep the backend they were
+    # validated under (the q_stream_rocksdb_state_counts discipline).
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        sink = run_to_table(running_ewma_tws(stream, alpha=0.1), mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return _ewma_final_answer(sink)
 
 
 def q_stream_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3979,7 +3980,7 @@ ORACLE_SALTED_AGG = """
 SELECT event_type,
        round(sum(value), 2) AS value_sum,
        count(value) AS value_count,
-       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
+       CAST(CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
              / count(value) / 1000000.0 AS value_avg,
        round(min(value), 4) AS value_min,
        round(max(value), 4) AS value_max
@@ -4026,7 +4027,7 @@ _BANDS_SQL = " , ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
 ORACLE_RANGE_JOIN = f"""
 WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
 SELECT band, count(*) AS n,
-       CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS DOUBLE)
+       CAST(CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS VARCHAR) AS DOUBLE)
              / count(*) / 1000000.0 AS avg_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band ORDER BY band

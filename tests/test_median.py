@@ -119,6 +119,14 @@ def test_nan_parity_python_vs_jvm_udaf(spark):
         "SELECT CAST(appx_median_bounded_1call(x, 100) AS DOUBLE) AS m FROM _nan_median"
     ).collect()[0].m
     assert math.isnan(py2) and math.isnan(jvm2)
+    # and the TWO-PHASE operator path (reservoir_partials carries an
+    # explicit null flag across mapInPandas since the r10 review pass) —
+    # all three members of the family must agree on NaN-bearing input
+    from rocana_impala_udfs_spark.operators.reservoir import appx_median_bounded_agg
+
+    df = spark.createDataFrame(rows, "x double")
+    two_phase = appx_median_bounded_agg(df, "x", 100).collect()[0].median
+    assert two_phase == 3.0
 
 
 # -- gap: even-count upper median, no interpolation (median.cc:301) ---------

@@ -895,13 +895,21 @@ def test_running_ewma_transform_with_state(spark, event_stream_dir):
         running_ewma_tws,
     )
 
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    schema = load_table(spark, SF, "events").schema
-    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
-    _run_stream(running_ewma_tws(stream, alpha=0.1), "tws_ewma")
+    try:
+        schema = load_table(spark, SF, "events").schema
+        stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+        _run_stream(running_ewma_tws(stream, alpha=0.1), "tws_ewma")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
     stream2 = spark.readStream.schema(schema).parquet(event_stream_dir)
     _run_stream(running_ewma_stream(stream2, alpha=0.1), "apis_ewma")
 
