@@ -38,23 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-10 order:
-# (1) the NEW r10 keys (stream_tws_ewma_user_value — the Spark 4
-# transformWithStateInPandas surface, skip-guarded fallback in this
-# container; plus the r10 growth keys); (2) the nineteen keys whose VALUES
-# changed in the r10 final-round-midpoint-class closure (every
-# round(avg(x), k) over a quotient converted to an exact numerator with a
-# RAW double divide — q1/brand/conditional means, session/salted/band
-# averages, bigram log-prob, corpus mean tokens, funnel mean, and the
-# eleven multimodal decode means/durations/rms); (3)
-# sql_text_monthly_nation_rank (oracle reshaped in r9; its latest green
-# row is r8 — VERDICT r9 #2 front-loads it); (4) value-preserving rework
-# keys: dedup_incremental_minhash (now probes the persisted bucketed band
-# index — plan changed, values identical) and the five keys riding the
-# pandas→arrow UDAF conversion (NaN-parity fix; NaN-free values
-# identical); then (5) the nine weak-by-design keys (rows-only is their
-# best evidence; they absorb any over-budget truncation harmlessly).
-# Everything else is driver-confirmed hash-green on its latest row.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-10 order
+# (exactly 50 keys): (1) the EIGHT new r10 keys (the tws streaming surface
+# + the experimentation/eval/dedup growth keys, none has a driver row);
+# (2) the nineteen keys whose VALUES changed in the r10
+# final-round-midpoint-class closure (round(avg(x), k) over a quotient →
+# exact numerator with a RAW double divide); (3)
+# sql_text_monthly_nation_rank (oracle reshaped in r9; latest green row
+# r8 — VERDICT r9 #2 front-loads it); (4) value-preserving rework:
+# dedup_incremental_minhash (persisted band index — plan changed, values
+# identical), the five arrow-UDAF-conversion keys (NaN-parity fix), and
+# — from the r10 self-review pass, 4b — the six reservoir-path median
+# keys (the two-phase partial now carries an explicit null flag) plus
+# the refactored EWMA twin; then (5) the nine weak-by-design keys
+# (rows-only is their best evidence; they absorb any over-budget
+# truncation harmlessly). Everything else is driver-confirmed hash-green
+# on its latest row.
 _NEVER_DRIVER_CHECKED = [
     # (1) new r10 keys
     "stream_tws_ewma_user_value",
@@ -64,6 +63,7 @@ _NEVER_DRIVER_CHECKED = [
     "ab_srm_check",
     "eval_matryoshka_recall",
     "eval_brier_decomposition",
+    "dedup_jaccard_threshold_sweep",
     # (2) value-changed: midpoint-class closure
     "q1_pricing_summary",
     "join_broadcast_brand_prices",

@@ -77,6 +77,7 @@ HEADLINE = [
     # BLAS contamination screen, keyed interval self-overlap join.
     "kmv_distinct_users_by_type",
     "dedup_prefix_filter_pairs",
+    "dedup_jaccard_threshold_sweep",
     "emb_decontaminate_hits",
     "interval_overlap_pairs",
     # Flagship composition: fuzzy-link + connected components + canonicalize.

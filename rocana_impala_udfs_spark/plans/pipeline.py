@@ -79,6 +79,87 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP THRESHOLD SWEEP (r10) — the tuning readout an index owner
+    reads before fixing a dedup threshold: for each Jaccard cutoff
+    (0.5…0.9), how many verified pairs survive and how many distinct
+    documents they touch. One EXACT pair computation at the floor
+    threshold feeds every bucket — the PPJoin prefix-filter operator, NOT
+    the banded-LSH one, because banding tuned for 0.8 has real false
+    negatives at 0.5 (P(candidate | J=0.5) ≈ 0.64 with 16×4 bands) while
+    prefix filtering is recall-1 at any threshold.
+
+    Exactness: each pair's 6-dp Jaccard is a quotient of identical exact
+    integers on both engines, the sweep compares that identical double
+    against identical literal cutoffs, and the counts are exact integers
+    (zero-pair cutoffs kept as explicit 0 rows via a left join from the
+    threshold spine) — raw emit, hash-exact.
+
+    Scale: the pair frame (tiny — verified near-dups only, but expensive
+    to derive) is materialized once via eager localCheckpoint and the
+    sweep re-reads it per cutoff; PPJoin itself is one ranking window +
+    one rare-shingle prefix join + one verify join (operator docstring)."""
+    pairs = (
+        dedup.prefix_filter_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=_SWEEP_THRESHOLDS[0]
+        )
+        .localCheckpoint(eager=True)
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    expanded = thr.join(pairs, pairs["jaccard"] >= thr["threshold"], "left")
+    n_pairs = expanded.groupBy("threshold").agg(
+        F.count("jaccard").cast("bigint").alias("n_pairs")
+    )
+    ids = expanded.select("threshold", F.col("i").alias("d")).unionByName(
+        expanded.select("threshold", F.col("j").alias("d"))
+    )
+    docs_affected = ids.groupBy("threshold").agg(
+        F.count_distinct("d").cast("bigint").alias("docs_affected")
+    )
+    return (
+        n_pairs.join(docs_affected, "threshold")
+        .select("threshold", "n_pairs", "docs_affected")
+        .orderBy("threshold")
+    )
+
+
+def _oracle_threshold_sweep() -> str:
+    floor = _SWEEP_THRESHOLDS[0]
+    vals = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    ctes = _JACCARD_CTES.replace(">= 0.8", f">= {floor}", 1)
+    return f"""
+WITH {ctes},
+thr(threshold) AS (VALUES {vals}),
+expanded AS (
+    SELECT threshold, i, j, jaccard
+    FROM thr LEFT JOIN jac_pairs ON jaccard >= threshold
+),
+np AS (
+    SELECT threshold, CAST(count(jaccard) AS BIGINT) AS n_pairs
+    FROM expanded GROUP BY threshold
+),
+ids AS (
+    SELECT threshold, i AS d FROM expanded
+    UNION ALL
+    SELECT threshold, j AS d FROM expanded
+),
+da AS (
+    SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS docs_affected
+    FROM ids GROUP BY threshold
+)
+SELECT threshold, n_pairs, docs_affected
+FROM np JOIN da USING (threshold) ORDER BY threshold
+"""
+
+
+ORACLE_THRESHOLD_SWEEP = _oracle_threshold_sweep()
+
+
 def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-SPAN report (operators/dedup.py:duplicated_spans)
     — the word-granular EXACTSUBSTR of Lee et al. 2022: maximal >=15-word
@@ -5144,6 +5225,7 @@ PIPELINE_QUERIES = {
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
+    "dedup_jaccard_threshold_sweep": q_dedup_jaccard_threshold_sweep,
     "dedup_ngram_jaccard_pairs": q_dedup_ngram_jaccard,
     "dedup_prefix_filter_pairs": q_dedup_prefix_filter,
     "dedup_duplicated_spans": q_dedup_duplicated_spans,
@@ -5256,6 +5338,7 @@ PIPELINE_ORACLE = {
     "llm_corpus_pipeline": ORACLE_LLM_PIPELINE,
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_minhash_pairs": _ORACLE_JACCARD,
+    "dedup_jaccard_threshold_sweep": ORACLE_THRESHOLD_SWEEP,
     "dedup_ngram_jaccard_pairs": _ORACLE_JACCARD,
     "dedup_prefix_filter_pairs": _ORACLE_JACCARD,
     "dedup_duplicated_spans": _oracle_dup_spans(),

@@ -1610,6 +1610,41 @@ def test_ann_recall_report_consistency(spark):
     assert rows["lsh"].recall_at_5 > 0.2
 
 
+def test_threshold_sweep_matches_python_allpairs(spark):
+    """dedup_jaccard_threshold_sweep: every bucket matches a pure-Python
+    ALL-PAIRS shingle-Jaccard recomputation (no prefix filtering — the
+    recall-1 contract), and both counts are non-increasing in the
+    threshold."""
+    import itertools
+    import re
+
+    import __spark_entry__ as entry
+
+    def _norm(text):
+        return re.sub(r"\s+", " ", text.lower()).strip()
+
+    rows = entry.queries()["dedup_jaccard_threshold_sweep"](spark, SF).collect()
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs and a.docs_affected >= b.docs_affected
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        w = _norm(r.text).split()
+        sets[r.doc_id] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+    pairs = []
+    for i, j in itertools.combinations(sorted(sets), 2):
+        si, sj = sets[i], sets[j]
+        both = len(si & sj)
+        union = len(si) + len(sj) - both
+        if union and both / union >= 0.5:
+            pairs.append((i, j, round(both / union, 6)))
+    for r in rows:
+        want = [(i, j) for i, j, jac in pairs if jac >= r.threshold]
+        assert r.n_pairs == len(want)
+        assert r.docs_affected == len({d for p in want for d in p})
+
+
 def test_matryoshka_recall_matches_numpy(spark):
     """eval_matryoshka_recall: every dim's recall equals a local numpy
     recomputation (prefix-normalized cosine, same (cos desc, id) tiebreak),
