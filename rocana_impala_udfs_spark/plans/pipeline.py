@@ -130,7 +130,10 @@ def q_dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
 
 def _oracle_threshold_sweep() -> str:
     floor = _SWEEP_THRESHOLDS[0]
-    vals = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    # CAST each spine literal: a bare VALUES list types as DECIMAL(2,1) in
+    # DuckDB while the Spark column is DOUBLE — the numeric-class split the
+    # schema guard exists to catch
+    vals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _SWEEP_THRESHOLDS)
     ctes = _JACCARD_CTES.replace(">= 0.8", f">= {floor}", 1)
     return f"""
 WITH {ctes},
