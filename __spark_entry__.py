@@ -18,6 +18,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from rocana_impala_udfs_spark import register_all
+from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+# transformWithStateInPandas workers import google.protobuf; activating the
+# vendored shim at import time puts it on PYTHONPATH before the hosting
+# harness launches its JVM (workers inherit the JVM's launch environment).
+ensure_protobuf()
 from rocana_impala_udfs_spark.plans import relational
 from rocana_impala_udfs_spark.plans.medians import MEDIAN_ORACLE, MEDIAN_QUERIES
 from rocana_impala_udfs_spark.plans.pipeline import PIPELINE_ORACLE, PIPELINE_QUERIES

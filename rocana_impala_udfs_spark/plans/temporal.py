@@ -1003,6 +1003,37 @@ FROM per ORDER BY user_id
 """
 
 
+def _workers_can_import_protobuf(spark: SparkSession) -> bool:
+    """True iff a JVM-spawned Python worker can import google.protobuf.
+
+    The driver process activating the pbshim is not enough: workers inherit
+    the PYTHONPATH the JVM was LAUNCHED with, so a harness that built its
+    SparkSession before importing this package needs the fallback. One
+    1-partition job, ~0.1 s, memoized per SparkContext."""
+    sc = spark.sparkContext
+    cached = _PB_WORKER_PROBE.get(id(sc))
+    if cached is not None:
+        return cached
+    try:
+        ok = bool(
+            sc.parallelize([0], 1)
+            .map(lambda _: __import__("google.protobuf.descriptor") is not None)
+            .first()
+        )
+    except Exception:
+        ok = False
+    _PB_WORKER_PROBE[id(sc)] = ok
+    return ok
+
+
+_PB_WORKER_PROBE: dict = {}
+
+# executed physical plans captured from the tws driver key (newest last);
+# tests/test_plans.py pins that the key really ran
+# TransformWithStateInPandasExec, not the fallback twin.
+TWS_EXECUTED_PLANS: list = []
+
+
 def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``transformWithStateInPandas`` (Spark 4's successor stateful API),
     driver-checked (r10, VERDICT r9 #6) — the same per-user EWMA fold as
@@ -1012,23 +1043,28 @@ def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState key, so the same list_reduce oracle applies
     bit-for-bit.
 
-    Skip-guard: the tws Python driver worker imports ``google.protobuf``
-    and needs the RocksDB state-store provider; where the runtime lacks
-    protobuf (this container), the key runs the applyInPandasWithState
-    twin instead — the two paths are pinned identical by
-    ``tests/test_streaming.py::test_running_ewma_transform_with_state``
-    (which skips in the same environments for the same reason). On a
-    protobuf-bearing cluster this key exercises the new API end to end."""
+    Runtime gate: the tws Python workers (executor-side and the driver
+    worker the JVM spawns) import ``google.protobuf``. This repo vendors a
+    clean-room minimal runtime (``vendor/pbshim`` — public wire-format
+    spec) that ``session.get_spark`` and ``__spark_entry__`` activate via
+    PYTHONPATH before the JVM launches, so the genuine
+    ``TransformWithStateInPandasExec`` plan runs here end to end (pinned by
+    ``tests/test_plans.py``). The gate below PROBES worker-side
+    importability with a one-partition job — only if the hosting harness
+    launched its JVM without the shim on PYTHONPATH does the key fall back
+    to the value-identical applyInPandasWithState twin
+    (``tests/test_streaming.py::test_running_ewma_transform_with_state``
+    pins the two paths bit-identical)."""
     from rocana_impala_udfs_spark.streaming.ewma_stream import running_ewma_tws
     from rocana_impala_udfs_spark.streaming.replay import (
         replay_events_stream_ordered,
         run_to_table,
     )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
 
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-    except ImportError:
-        # no tws runtime here: delegate to the applyInPandasWithState twin
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        # tws workers could not import protobuf in this JVM: delegate to
+        # the applyInPandasWithState twin
         return q_stream_ewma_user_value(spark, sf_dir)
     stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
     # tws needs the RocksDB state store; save/restore the session conf so
@@ -1041,7 +1077,11 @@ def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        sink = run_to_table(running_ewma_tws(stream, alpha=0.1), mode="update")
+        sink = run_to_table(
+            running_ewma_tws(stream, alpha=0.1),
+            mode="update",
+            capture_plan=TWS_EXECUTED_PLANS,
+        )
     finally:
         if old is None:
             spark.conf.unset(key)

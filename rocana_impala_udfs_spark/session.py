@@ -25,6 +25,12 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults applied."""
+    # transformWithStateInPandas workers import google.protobuf; activate the
+    # vendored shim (no-op if a real protobuf exists) BEFORE the JVM launches
+    # so the PYTHONPATH it hands to spawned Python workers includes it.
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     builder = (

@@ -88,15 +88,15 @@ def running_ewma_tws(
     successor stateful API (typed state handles, per-key processors).
     State is the identical ``(acc, n)`` tuple and the fold is the identical
     IEEE chain, so the two implementations must emit identical values;
-    ``tests/test_streaming.py`` pins that (skipping where the runtime lacks
-    ``google.protobuf``, which the tws Python driver worker imports), and
-    the driver key ``stream_tws_ewma_user_value`` routes through this path
-    wherever the runtime supports it.
+    ``tests/test_streaming.py`` pins that, and the driver key
+    ``stream_tws_ewma_user_value`` routes through this path.
 
     Runtime requirements beyond the applyInPandasWithState path: the
     RocksDB state-store provider
     (``spark.sql.streaming.stateStore.providerClass``) and
-    ``google.protobuf``."""
+    ``google.protobuf`` — satisfied in protobuf-less containers by the
+    vendored clean-room runtime (``vendor/pbshim``), which the session
+    factory activates before the JVM launches."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -122,13 +122,23 @@ def replay_events_stream_ordered(
     return stream, d
 
 
-def run_to_table(out: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_table(
+    out: DataFrame, mode: str = "complete", capture_plan: list | None = None
+) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
-    return the final result table (batch DataFrame)."""
+    return the final result table (batch DataFrame).
+
+    ``capture_plan``: when a list is passed, the query's EXECUTED physical
+    plan string (``explainInternal`` of the last micro-batch) is appended to
+    it before the query stops — tests pin operator choices (e.g.
+    ``TransformWithStateInPandasExec``) through the exact driver-key path.
+    """
     name = "replay_" + uuid.uuid4().hex[:12]
     q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try:
         q.processAllAvailable()
+        if capture_plan is not None:
+            capture_plan.append(q._jsq.explainInternal(False))
     finally:
         q.stop()
     return out.sparkSession.table(name)

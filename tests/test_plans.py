@@ -1048,3 +1048,29 @@ def test_sample_sum_ci_estimator_and_coverage(spark):
     assert abs((out.estimate + out.ci_lo + out.ci_hi) / 3 - out.estimate) < 1e-6
     assert abs(out.estimate - out.true_total) / out.true_total < 0.5
     assert out.covered == (out.ci_lo <= out.true_total <= out.ci_hi)
+
+
+def test_tws_driver_key_executes_transform_with_state_exec(spark):
+    """stream_tws_ewma_user_value must run the GENUINE Spark 4
+    transformWithStateInPandas operator (VERDICT r10 #1): the captured
+    executed plan of the driver key's own streaming query contains
+    TransformWithStateInPandasExec — evidence the vendored protobuf shim
+    carried the state-server protocol end to end, not the
+    applyInPandasWithState fallback twin."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PLANS)
+    out = _plan(spark, "stream_tws_ewma_user_value")  # runs the stream
+    assert len(temporal.TWS_EXECUTED_PLANS) > before, (
+        "tws key fell back to the applyInPandasWithState twin; batch plan:\n"
+        + out
+    )
+    executed = temporal.TWS_EXECUTED_PLANS[-1]
+    # Spark 4.1 names the executed python-tws operator
+    # TransformWithStateInPySpark (earlier 4.x: TransformWithStateInPandasExec)
+    assert (
+        "TransformWithStateInPySpark" in executed
+        or "TransformWithStateInPandas" in executed
+    ), executed
+    assert "state info" in executed, executed  # stateful operator, real state
+    assert "FlatMapGroupsInPandasWithState" not in executed, executed
