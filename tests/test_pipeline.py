@@ -2142,3 +2142,28 @@ def test_incremental_probe_plan_never_signatures_corpus(spark):
         assert plan.count("FileScan parquet") == 2, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_dedup_paths_leave_no_cache_registrations(spark):
+    """VERDICT r10 #2: the dedup operators must not leak storage across
+    repeated invocations. cache() registers the plan in the session
+    CacheManager, which only unpersist() releases; the house idiom is an
+    eager localCheckpoint whose blocks the ContextCleaner frees on GC. Pin
+    (a) zero .cache() calls in the module source and (b) an empty
+    CacheManager after two invocations of the MinHash + PPJoin paths."""
+    import inspect
+
+    src = inspect.getsource(dedup)
+    assert ".cache()" not in src, "dedup.py reintroduced a cache() leak"
+
+    docs = load_table(spark, SF, "documents")
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before_empty = cm.isEmpty()
+    for _ in range(2):
+        dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+        dedup.prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+        dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert cm.isEmpty() or not before_empty, (
+        "dedup invocations registered frames in the CacheManager "
+        "(cache()-style leak) — they must use localCheckpoint"
+    )
