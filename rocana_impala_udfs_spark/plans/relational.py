@@ -48,27 +48,83 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     group at 1e5-scale addends before overflow — fine at 100 TB where
     group count grows with the data."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc4 = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    charge6 = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+    # Split-word BIGINT sums instead of DECIMAL aggregate buffers (r11,
+    # VERDICT r10 #3): integer units are exact per row (2/4/6-dp rationals;
+    # round() kills the *10^k ulp), but a single BIGINT sum of 1e9-scale
+    # 4-dp units would overflow at 100 TB (~7e10 rows/group × 1e9 ≈ 7e19 >
+    # 2^63). Summing the 1e6-quotient and 1e6-remainder separately keeps
+    # both partials ≤ ~7e16 and the agg buffers pure longs (no per-agg
+    # ~0.35 s janino DECIMAL codegen constant — q1's 0.76→1.89 s r10
+    # regression); the exact total T = hi·1e6 + lo is reconstructed in
+    # DECIMAL(38,0) only in the 6-row final projection, where half-up cent
+    # rounding is integer math: cents = (T + half_unit) DIV unit. Emitted
+    # double = double(cents)/100, bit-identical on both engines and to the
+    # old DECIMAL-agg value while cents < 2^53 (≈4e11 rows/group at 1e7
+    # cents/row — beyond even 100 TB; past it, a documented 1-ulp bound).
+    u4 = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0
+    ).cast("bigint")
+    u6 = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+        * 1000000,
+        0,
+    ).cast("bigint")
     n = F.count(F.lit(1))
+
+    def _cents(hi: F.Column, lo: F.Column, unit: int) -> F.Column:
+        total = hi.cast("decimal(38,0)") * 1000000 + lo
+        return (
+            F.floor((total + unit // 100 // 2) / (unit // 100)).cast("double")
+            / F.lit(100.0)
+        )
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-31"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc4), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge6), 2).cast("double").alias("sum_charge"),
+            F.sum(F.floor(u4 / 1000000).cast("bigint")).alias("_d_hi"),
+            F.sum(u4 % 1000000).alias("_d_lo"),
+            F.sum(F.floor(u6 / 1000000).cast("bigint")).alias("_c_hi"),
+            F.sum(u6 % 1000000).alias("_c_lo"),
             (F.sum("l_quantity") / n).alias("avg_qty"),
+            # BIGINT-cent numerators, not DECIMAL (r11): each DECIMAL agg
+            # costs ~0.35 s of janino codegen PER FRESH PLAN (measured r9),
+            # and bench.py rebuilds per run — q1 regressed 0.76→1.89 s with
+            # four of them (VERDICT r10 #3). Cents are exact per row (2-dp
+            # inputs; round() kills the *100 ulp), the long sum is
+            # overflow-safe at 100 TB (≤1e7 cents/row × ~7e10 rows/group
+            # ≈ 7e17 < 2^63), and double(cents)/100/n is bit-identical to
+            # the old double(decimal_sum)/n (both are the correctly-rounded
+            # double of cents/100, then one shared divide) — a
+            # value-preserving rework. sum_disc_price/sum_charge stay
+            # DECIMAL: their 1e9-unit rows would overflow BIGINT at scale.
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                .cast("double")
+                / F.lit(100.0)
+                / n
             ).alias("avg_price"),
             (
-                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / n
+                F.sum(F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+                .cast("double")
+                / F.lit(100.0)
+                / n
             ).alias("avg_disc"),
             n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            _cents(F.col("_d_hi"), F.col("_d_lo"), 10000).alias("sum_disc_price"),
+            _cents(F.col("_c_hi"), F.col("_c_lo"), 1000000).alias("sum_charge"),
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -78,11 +134,15 @@ ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       CAST(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) // 1000000) * 1000000
+                  + sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) % 1000000)
+                  + 50) // 100 AS VARCHAR) AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(CAST((sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT) // 1000000) * 1000000
+                  + sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT) % 1000000)
+                  + 5000) // 10000 AS VARCHAR) AS DOUBLE) / 100 AS sum_charge,
        sum(l_quantity) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100 / count(*) AS avg_price,
+       CAST(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100 / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -144,11 +204,18 @@ def q_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            # r10: exact DECIMAL cents numerator, ONE double divide, RAW
-            # emit — rounding the double mean at 4 dp was the final-round
-            # midpoint class (Spark shortest-string vs DuckDB binary).
+            # r10: exact cents numerator, RAW emit — rounding the double
+            # mean at 4 dp was the final-round midpoint class (Spark
+            # shortest-string vs DuckDB binary). r11: the cents sum is a
+            # BIGINT agg, not DECIMAL — same correctly-rounded double value
+            # (double(cents)/100/n == double(decimal_sum)/n bit-for-bit),
+            # minus the ~0.35 s/agg janino codegen constant that regressed
+            # this key 0.64→1.07 s (VERDICT r10 #3). Overflow-safe at
+            # 100 TB: ≤1e7 cents/row × per-brand rows ≪ 2^63.
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                .cast("double")
+                / F.lit(100.0)
                 / F.count(F.lit(1))
             ).alias("avg_price"),
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
@@ -160,7 +227,7 @@ def q_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BRAND_PRICES = """
 SELECT p_brand,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100 / count(*) AS avg_price,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
