@@ -44,74 +44,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-10 order
-# (exactly 50 keys): (1) the EIGHT new r10 keys (the tws streaming surface
-# + the experimentation/eval/dedup growth keys, none has a driver row);
-# (2) the nineteen keys whose VALUES changed in the r10
-# final-round-midpoint-class closure (round(avg(x), k) over a quotient →
-# exact numerator with a RAW double divide); (3)
-# sql_text_monthly_nation_rank (oracle reshaped in r9; latest green row
-# r8 — VERDICT r9 #2 front-loads it); (4) value-preserving rework:
-# dedup_incremental_minhash (persisted band index — plan changed, values
-# identical), the five arrow-UDAF-conversion keys (NaN-parity fix), and
-# — from the r10 self-review pass, 4b — the six reservoir-path median
-# keys (the two-phase partial now carries an explicit null flag) plus
-# the refactored EWMA twin; then (5) the nine weak-by-design keys
-# (rows-only is their best evidence; they absorb any over-budget
-# truncation harmlessly). Everything else is driver-confirmed hash-green
-# on its latest row.
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-11 order:
+# (1) the two NEW r11 keys (PII scrub report, quality keep-threshold
+# sweep — no driver row yet); (2) keys whose ORACLE TEXT or EXECUTED PLAN
+# changed in r11 with values pinned identical: the tws streaming key (now
+# runs the genuine TransformWithStateInPySpark operator instead of the
+# fallback twin), q1 + join_broadcast (DECIMAL aggregate buffers → exact
+# split-word BIGINT sums; oracles rewritten to match), and the dedup
+# family (five cache() sites → eager localCheckpoint; plan-only, oracles
+# untouched); then (3) the nine weak-by-design keys (rows-only is their
+# best evidence; they absorb any over-budget truncation harmlessly).
+# Everything else enters r11 driver-confirmed hash-green on its latest
+# row (VERDICT r10: 314/314 oracle keys green across the r1-r10 union).
 _NEVER_DRIVER_CHECKED = [
-    # (1) new r10 keys
+    # (1) new r11 keys
+    "quality_pii_report",
+    "quality_keep_threshold_sweep",
+    # (2) oracle- or plan-changed in r11, values pinned identical
     "stream_tws_ewma_user_value",
-    "ab_cuped_sequential_peeks",
-    "stats_stratified_bootstrap_ci",
-    "eval_calibration_ece",
-    "ab_srm_check",
-    "eval_matryoshka_recall",
-    "eval_brier_decomposition",
-    "dedup_jaccard_threshold_sweep",
-    # (2) value-changed: midpoint-class closure
     "q1_pricing_summary",
     "join_broadcast_brand_prices",
-    "conditional_agg",
-    "ops_session_health",
-    "salted_skew_agg",
-    "range_join_value_bands",
-    "text_bigram_lm_scores",
-    "corpus_length_report",
-    "funnel_time_to_convert",
-    "multimodal_ppm_decode_stats",
-    "multimodal_png_decode_stats",
-    "multimodal_jpeg_decode_stats",
-    "multimodal_jpeg_progressive_stats",
-    "multimodal_jpeg_color_stats",
-    "multimodal_feature_extract",
-    "multimodal_wav_decode_stats",
-    "multimodal_wav_downsample",
-    "multimodal_gif_decode_stats",
-    "audio_flac_decode_stats",
-    # (3) stale-evidence carryover from r9
-    "sql_text_monthly_nation_rank",
-    # (4) value-preserving rework
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_containment_pairs",
+    "dedup_jaccard_threshold_sweep",
+    "dedup_survivors_best_quality",
+    "dedup_incremental_new_docs",
     "dedup_incremental_minhash",
-    "appx_median_sql_udaf",
-    "appx_median_sql_twophase",
-    "appx_percentile_sql_udaf",
-    "reservoir_sample_quantity",
-    "window_median_quantity",
-    # (4b) r10 review pass: the two-phase reservoir partial now carries an
-    # explicit null flag (NaN-sampling parity with the arrow/JVM paths) —
-    # NaN-free fixtures make these value-identical, but the partial's code
-    # changed, so re-certify; the tws/EWMA pair shares a refactored
-    # final-answer helper (values identical)
-    "appx_median_price_global",
-    "appx_median_price_by_returnflag",
-    "appx_median_totalprice_by_status",
-    "appx_median_value_by_event_type",
-    "appx_median_value_by_day",
-    "appx_p90_value_by_event_type",
-    "stream_ewma_user_value",
-    # (5) weak-by-design tail
+    # (3) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",

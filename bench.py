@@ -97,6 +97,8 @@ HEADLINE = [
     # quality-argmax survivor selection, real Y4M scene-cut detection.
     "sketch_hll_users_by_type",
     "quality_model_scores",
+    "quality_pii_report",
+    "quality_keep_threshold_sweep",
     "dedup_survivors_best_quality",
     "multimodal_y4m_scene_cuts",
     # Flagship composition: per-source corpus-health dashboard.
@@ -199,10 +201,10 @@ HEADLINE = [
     "events_kaplan_meier_conversion",
     "ab_logrank_conversion",
     "events_top_trigram_paths",
-    # stream_tws_ewma_user_value is NOT benched — in this container it
-    # falls back to the same applyInPandasWithState plan stream_ewma_user_value
-    # already measures (protobuf absent), so benching it would double-count
-    # one plan under two names.
+    # stream_tws_ewma_user_value: benched since r11 — the vendored protobuf
+    # shim makes it run the GENUINE TransformWithStateInPySpark plan, a
+    # different operator from the applyInPandasWithState twin.
+    "stream_tws_ewma_user_value",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_checkpoint_restart_counts is NOT benched — it measures restart

@@ -317,6 +317,10 @@ SELECT cluster_size, count(*) AS n_clusters FROM csizes GROUP BY 1 ORDER BY 1
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_URL = r"https?://[A-Za-z0-9./_%-]+"
 _PII_LONGNUM = r"[0-9]{7,}"
+# NANP-ish planted-phone shape; no lookaround (RE2-compatible so the DuckDB
+# oracle matches span-for-span), no alternation (leftmost-first vs
+# leftmost-longest cannot diverge)
+_PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
 def q_text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3107,6 +3111,126 @@ FROM documents
 """
 
 
+def q_quality_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub REPORT (VERDICT r10 missing #2) — the release gate a real
+    training-data pipeline runs before shipping a corpus: per-SOURCE hit
+    counts for email / phone / long-numeric-ID regex classes plus
+    redacted-character stats, i.e. "which ingest feeds leak contact data
+    and how much text the scrub removes".
+
+    The driver corpus carries no organic PII (verified: zero matches), so
+    the report would be degenerate; contacts are PLANTED deterministically
+    from ``doc_id`` arithmetic (doc_id%3 → email, %5 → NANP phone, %7 →
+    9-digit account id) — both engines derive the identical spans, making
+    the detection+redaction machinery itself the thing under test.
+    Patterns are RE2-compatible (no lookaround/alternation) so Java and
+    DuckDB match span-for-span; redaction applies email → phone → number
+    in a fixed order so the digit rule cannot eat a phone's groups first.
+
+    Scale: pure per-row JVM regex (zero Python), one 20-group partial+final
+    aggregation; the redacted corpus itself never leaves the executors —
+    only per-source counters do."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" call +1-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((did * 13) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((did * 17) % 10000).cast("string"), 4, "0"),
+    )
+    acct = F.concat(
+        F.lit(" account "),
+        F.lpad(((did * 104729) % 1000000000).cast("string"), 9, "0"),
+    )
+    body = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).otherwise(F.lit("")),
+        F.when(did % 5 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 7 == 0, acct).otherwise(F.lit("")),
+    )
+    n_e = F.regexp_count(body, F.lit(_PII_EMAIL))
+    n_p = F.regexp_count(body, F.lit(_PII_PHONE))
+    n_n = F.regexp_count(body, F.lit(_PII_LONGNUM))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return (
+        docs.select(
+            "source",
+            n_e.alias("n_e"),
+            n_p.alias("n_p"),
+            n_n.alias("n_n"),
+            (F.length(body) - F.length(red)).alias("cut"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_e") + F.col("n_p") + F.col("n_n") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("n_e").cast("bigint").alias("email_hits"),
+            F.sum("n_p").cast("bigint").alias("phone_hits"),
+            F.sum("n_n").cast("bigint").alias("id_hits"),
+            F.sum("cut").cast("bigint").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII_REPORT = f"""
+WITH planted AS (
+    SELECT source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' call +1-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' account ' || lpad(CAST((doc_id * 104729) % 1000000000 AS VARCHAR), 9, '0')
+                ELSE '' END AS body
+    FROM documents
+),
+hits AS (
+    SELECT source,
+           len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_e,
+           len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_p,
+           len(regexp_extract_all(body, '{_PII_LONGNUM}')) AS n_n,
+           length(body) - length(regexp_replace(regexp_replace(regexp_replace(
+               body, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_PHONE}', '<PHONE>', 'g'),
+                     '{_PII_LONGNUM}', '<NUM>', 'g')) AS cut
+    FROM planted
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_e + n_p + n_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_e) AS BIGINT) AS email_hits,
+       CAST(sum(n_p) AS BIGINT) AS phone_hits,
+       CAST(sum(n_n) AS BIGINT) AS id_hits,
+       CAST(sum(cut) AS BIGINT) AS chars_redacted
+FROM hits
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_index_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build — the search-engine core structure: for the 50
     highest-document-frequency tokens, the sorted posting list of documents
@@ -3275,6 +3399,113 @@ scored AS (
     FROM feats
 )
 SELECT doc_id, model_score, model_score >= 0.5 AS kept FROM scored
+"""
+
+
+# spine spans the frozen model's observed score range over this corpus
+# (0.16–0.31 at sf0.01) so every cutoff discriminates; a 0.5-centered spine
+# would put the whole corpus in one bucket
+_QKEEP_THRESHOLDS = (0.18, 0.21, 0.24, 0.27, 0.30)
+
+
+def q_quality_keep_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER THRESHOLD SWEEP (VERDICT r10 missing #3) — the tuning
+    readout a corpus owner reads before fixing a quality cutoff: for each
+    keep-threshold over the frozen-weight classifier score
+    (``quality_model_scores``' logistic model, weights committed as
+    literals), how many documents and tokens survive, how many sources
+    still contribute, and the keep-rate. Closes the loop with
+    ``eval_calibration_ece`` / ``eval_brier_decomposition``, which grade
+    the same forecaster's probabilities.
+
+    Exactness: the 6-dp ROUNDED score is compared against identical double
+    literals on BOTH engines (the dedup sweep's representation-parity rule
+    — never rounded on one side and raw on the other); counts/token sums
+    are exact integers; keep_rate is one double divide of identical
+    integers, raw-emitted. Zero-survivor cutoffs stay as explicit rows via
+    the left join from the threshold spine (spine literals CAST to DOUBLE
+    in the oracle — the DECIMAL(2,1) VALUES trap).
+
+    Scale: scoring is pure JVM row expressions over one corpus scan; the
+    spine join fans each doc into its ≤5 qualifying buckets (bounded ×5
+    blowup), then one partial+final aggregate per threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = T.token_count("text")
+    nc = F.length("text")
+    sr = T.stopword_ratio("text")
+    pr = T.punct_ratio("text")
+    mwl = nc / F.greatest(nt, F.lit(1))
+    z = (
+        F.lit(-1.2)
+        + F.lit(0.004) * nt
+        + F.lit(3.0) * sr
+        - F.lit(6.0) * pr
+        - F.lit(0.08) * mwl
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        score.alias("s"),
+        nt.cast("bigint").alias("n_tok"),
+    )
+    totals = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    thr = spark.createDataFrame(
+        [(t,) for t in _QKEEP_THRESHOLDS], "threshold double"
+    )
+    expanded = thr.join(scored, scored["s"] >= thr["threshold"], "left")
+    per_thr = expanded.groupBy("threshold").agg(
+        F.count("s").cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.count_distinct("source").cast("bigint").alias("sources_surviving"),
+    )
+    return (
+        per_thr.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("keep_rate"),
+            "kept_tokens",
+            "sources_surviving",
+        )
+        .orderBy("threshold")
+    )
+
+
+def _oracle_quality_keep_sweep() -> str:
+    spine = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _QKEEP_THRESHOLDS)
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, text, {_NORM} AS t FROM documents
+),
+feats AS (
+    SELECT doc_id, source,
+           CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS nt,
+           length(text) AS nc,
+           CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+                ELSE len(list_filter(string_split(t, ' '), x -> list_contains({_SW}, x))) * 1.0
+                     / len(string_split(t, ' ')) END AS sr,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0
+                     / length(text) END AS pr
+    FROM base
+),
+scored AS (
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tok,
+           round(1.0 / (1.0 + exp(-(-1.2 + 0.004 * nt + 3.0 * sr - 6.0 * pr
+                                    - 0.08 * (nc / greatest(nt, 1))))), 6) AS s
+    FROM feats
+),
+thr(threshold) AS (VALUES {spine}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM scored)
+SELECT threshold,
+       CAST(count(s) AS BIGINT) AS n_kept,
+       CAST(count(s) AS BIGINT) * 1.0 / (SELECT n_total FROM tot) AS keep_rate,
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS kept_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS sources_surviving
+FROM thr LEFT JOIN scored ON s >= threshold
+GROUP BY threshold
+ORDER BY threshold
 """
 
 
@@ -5223,6 +5454,8 @@ FROM g
 
 PIPELINE_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
+    "quality_pii_report": q_quality_pii_report,
+    "quality_keep_threshold_sweep": q_quality_keep_threshold_sweep,
     "index_token_postings": q_index_token_postings,
     "sketch_countmin_tokens": q_sketch_countmin_tokens,
     "llm_corpus_pipeline": q_llm_corpus_pipeline,
@@ -5336,6 +5569,8 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLE = {
     "text_pii_redact": ORACLE_PII_REDACT,
+    "quality_pii_report": ORACLE_PII_REPORT,
+    "quality_keep_threshold_sweep": _oracle_quality_keep_sweep(),
     "index_token_postings": ORACLE_TOKEN_POSTINGS,
     "sketch_countmin_tokens": ORACLE_COUNTMIN,
     "llm_corpus_pipeline": ORACLE_LLM_PIPELINE,

@@ -2167,3 +2167,80 @@ def test_dedup_paths_leave_no_cache_registrations(spark):
         "dedup invocations registered frames in the CacheManager "
         "(cache()-style leak) — they must use localCheckpoint"
     )
+
+
+def test_quality_keep_sweep_matches_numpy_recomputation(spark):
+    """quality_keep_threshold_sweep parity vs an independent numpy/pandas
+    recomputation of the frozen logistic model (VERDICT r10 #5's Done
+    condition): same features, same 6-dp rounded sigmoid, same cutoffs."""
+    import math
+
+    from rocana_impala_udfs_spark.plans.pipeline import (
+        _QKEEP_THRESHOLDS,
+        q_quality_keep_threshold_sweep,
+        q_quality_model_scores,
+    )
+
+    got = {
+        r.threshold: (r.n_kept, r.kept_tokens, r.sources_surviving, r.keep_rate)
+        for r in q_quality_keep_threshold_sweep(spark, SF).collect()
+    }
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    stop = {
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "for", "on", "with", "as", "at", "by",
+    }
+    punct = set(r"!\"#$%&'()*+,-./:;<=>?@[\]^_`{|}~")
+
+    def score_and_tokens(text: str) -> tuple[float, int]:
+        norm = " ".join(text.lower().split())
+        toks = norm.split(" ") if norm else []
+        nt = len(toks)
+        nc = len(text)
+        sr = (sum(1 for w in toks if w in stop) / nt) if nt else 0.0
+        pr = (sum(1 for c in text if c in punct) / nc) if nc else 0.0
+        mwl = nc / max(nt, 1)
+        z = -1.2 + 0.004 * nt + 3.0 * sr - 6.0 * pr - 0.08 * mwl
+        s = 1.0 / (1.0 + math.exp(-z))
+        # HALF_UP 6dp like F.round (python round() is banker's)
+        return math.floor(s * 1e6 + 0.5) / 1e6, nt
+
+    scored = [(d.source, *score_and_tokens(d.text)) for d in docs]
+    n_total = len(scored)
+    for t in _QKEEP_THRESHOLDS:
+        kept = [(src, s, nt) for (src, s, nt) in scored if s >= t]
+        exp = (
+            len(kept),
+            sum(nt for _, _, nt in kept),
+            len({src for src, _, _ in kept}),
+            len(kept) / n_total,
+        )
+        assert got[t] == exp, (t, got[t], exp)
+
+    # the sweep's score column is the quality_model_scores artifact
+    model = {r.doc_id: r.model_score for r in q_quality_model_scores(spark, SF).collect()}
+    recomputed = {d.doc_id: score_and_tokens(d.text)[0] for d in docs}
+    assert model == recomputed
+
+
+def test_quality_pii_report_planted_arithmetic(spark):
+    """quality_pii_report invariants: planted spans follow the doc_id
+    arithmetic exactly — email hits = |{doc_id % 3 == 0}|, phone hits =
+    |{doc_id % 5 == 0}|, id hits = |{doc_id % 7 == 0}| (the corpus itself
+    carries no organic matches), and every source reports."""
+    from rocana_impala_udfs_spark.plans.pipeline import q_quality_pii_report
+
+    rows = q_quality_pii_report(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    assert {r.source for r in rows} == {d.source for d in docs}
+    assert sum(r.email_hits for r in rows) == sum(1 for d in docs if d.doc_id % 3 == 0)
+    assert sum(r.phone_hits for r in rows) == sum(1 for d in docs if d.doc_id % 5 == 0)
+    assert sum(r.id_hits for r in rows) == sum(1 for d in docs if d.doc_id % 7 == 0)
+    assert sum(r.docs_with_pii for r in rows) == sum(
+        1 for d in docs if d.doc_id % 3 == 0 or d.doc_id % 5 == 0 or d.doc_id % 7 == 0
+    )
+    # redaction must strictly shrink any doc with a hit: every planted span
+    # is longer than its placeholder token
+    assert all(r.chars_redacted > 0 for r in rows if r.docs_with_pii > 0)
+    assert all(r.chars_redacted == 0 for r in rows if r.docs_with_pii == 0)
