@@ -235,27 +235,54 @@ def _idle_evidence(check_loadavg: bool = True) -> dict:
     non-idle run still completes — the driver needs its JSON — but prints
     a loud stderr warning and is self-labeled untrustworthy."""
     ncpu = os.cpu_count() or 1
-    loadavg = list(os.getloadavg())
     my_pgrp = os.getpgrp()
+    my_pid = os.getpid()
+
+    def _stat(pid: str):
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        return parts[0], int(parts[1]), int(parts[2])  # state, ppid, pgrp
+
+    # Our own descendants by ppid walk, not just process-group equality: a
+    # JVM launched via setsid lands in a different pgrp and would otherwise
+    # self-flag the bench as not idle (ADVICE r10 #5).
+    mine = {my_pid}
+    changed = True
+    while changed:
+        changed = False
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) in mine:
+                continue
+            try:
+                _, ppid, _ = _stat(pid)
+            except (OSError, IndexError, ValueError):
+                continue
+            if ppid in mine:
+                mine.add(int(pid))
+                changed = True
+
+    loadavgs: list[float] = []
     competing: list[str] = []
     for _ in range(3):  # three samples 0.2 s apart: catch bursty competitors
+        # re-read loadavg per sample (one pre-loop read missed competitors
+        # spawned between the read and the scan — ADVICE r10 #5)
+        loadavgs.append(os.getloadavg()[0])
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
                 continue
             try:
-                with open(f"/proc/{pid}/stat") as fh:
-                    parts = fh.read().rsplit(")", 1)[1].split()
-                state, pgrp = parts[0], int(parts[2])
+                state, _ppid, pgrp = _stat(pid)
                 with open(f"/proc/{pid}/comm") as fh:
                     comm = fh.read().strip()
             except (OSError, IndexError, ValueError):
                 continue
-            # 'R' = on a CPU right now; skip our own process group
-            if state == "R" and pgrp != my_pgrp:
+            # 'R' = on a CPU right now; skip our own group AND descendants
+            if state == "R" and pgrp != my_pgrp and int(pid) not in mine:
                 tag = f"{pid}:{comm}"
                 if tag not in competing:
                     competing.append(tag)
         time.sleep(0.2)
+    loadavg = [max(loadavgs)] + list(os.getloadavg())[1:]
     idle = (not check_loadavg or loadavg[0] < 0.25 * ncpu) and not competing
     if not idle:
         print(

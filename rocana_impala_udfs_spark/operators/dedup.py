@@ -721,14 +721,17 @@ def prefix_filter_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("both_cnt"))
     )
     return (
-        inter.select(
-            "i",
-            "j",
-            F.round(
-                F.col("both_cnt") / (F.col("ni") + F.col("nj") - F.col("both_cnt")), 6
-            ).alias("jaccard"),
+        inter.withColumn(
+            "_jac_raw",
+            F.col("both_cnt") / (F.col("ni") + F.col("nj") - F.col("both_cnt")),
         )
-        .filter(F.col("jaccard") >= t)
+        # filter on the UNROUNDED ratio — the oracle's predicate and
+        # ngram_jaccard_pairs' convention; filtering the 6-dp ROUNDED value
+        # would admit pairs with raw Jaccard in [t - 5e-7, t) that the
+        # oracle excludes (ADVICE r10 #1 — unreachable at fixture shingle
+        # sizes, but the boundary classes stay closed repo-wide)
+        .filter(F.col("_jac_raw") >= t)
+        .select("i", "j", F.round("_jac_raw", 6).alias("jaccard"))
     )
 
 

@@ -41,7 +41,17 @@ def salted_agg(
     stages, then ONE double divide — a double partial-sum numerator would
     wobble with the salt/combine order and a trailing round(x, 4) sits on
     the shortest-string-vs-binary midpoint class. The decimal partial
-    rides the same salted shuffle, so the skew-spread shape is unchanged."""
+    rides the same salted shuffle, so the skew-spread shape is unchanged.
+
+    Contract note (ADVICE r10 #3): ``value_avg`` is the mean of values
+    QUANTIZED to the 1e-6 grid, not sum(value)/count — each value carries
+    up to 5e-7 of quantization bias, which is the price of a combine-order
+    -invariant mean. The quantization itself is exact only while
+    |value|·1e6 < 2^52, i.e. |value| < ~4.5e9 (past that, Spark's
+    shortest-string rounding of the per-row product and another engine's
+    binary-double rounding can pick different grid points). Consumers
+    needing the raw double mean can divide the emitted ``value_sum`` /
+    ``value_count`` themselves, accepting combine-order wobble."""
     all_cols = [F.col(c) for c in df.columns]
     v6 = F.round(F.col(value_col) * 1000000).cast("decimal(38,0)")
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*all_cols), F.lit(n_salts)))

@@ -2922,7 +2922,18 @@ def q_stats_stratified_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFra
     both engines), and the CI bounds are element picks at ranks
     ⌈0.025B⌉/⌈0.975B⌉ over the B-row frame — raw doubles, no rounding.
     Σw·cents per stratum stays under BIGINT to ~1e17 cents-mass;
-    DECIMAL(38,0) is the documented swap beyond."""
+    DECIMAL(38,0) is the documented swap beyond.
+
+    Degenerate-replicate bound (ADVICE r10 #4): the per-stratum mean
+    divides by the replicate weight sum ``sw`` with no zero guard; a
+    replicate where EVERY order of a stratum draws Poisson weight 0 has
+    probability e^(−n_h), and the smallest stratum at the smallest
+    supported fixture (sf0.001, ~1.5k orders over 5 priorities) has
+    n_h ≈ 300, i.e. P ≈ 1e-130 per (replicate, stratum) — unreachable.
+    The contract therefore requires n_h ≥ ~50 per stratum (P < 2e-22);
+    below that, pin the behavior by coalescing sw=0 to NULL in BOTH
+    engine texts (Spark double/0 → NULL vs DuckDB ±inf under
+    ieee_floating_point_ops would otherwise desynchronize the rank pick)."""
     B = 100
     ths = _poisson1_cdf_thresholds()
     hex_ths = [format(t, "06x") for t in ths]

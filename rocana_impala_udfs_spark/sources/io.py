@@ -160,28 +160,66 @@ def ensure_minhash_band_index(
     catalog metadata is also USELESS as an index — the bucket spec lives
     in the catalog, so reading the bare parquet would silently lose the
     shuffle-free probe join. So: catalog-unknown + location-on-disk ⇒
-    remove the stale directory and rebuild. With a persistent (Hive)
-    metastore the build genuinely runs once across sessions."""
-    if not spark.catalog.tableExists(table):
-        import shutil
-        from urllib.parse import urlparse
+    retire the stale directory and rebuild. With a persistent (Hive)
+    metastore the build genuinely runs once across sessions.
 
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc = os.path.join(urlparse(warehouse).path, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
-        from rocana_impala_udfs_spark.operators.dedup import minhash_band_index
+    Safety hardening (ADVICE r10 #2): the retire is an ATOMIC RENAME to a
+    unique ``.stale-*`` sibling before deletion — two sessions sharing one
+    warehouse can race here, and rename-then-delete means the loser gets a
+    clean miss instead of reading a half-deleted directory; the target is
+    also asserted to live INSIDE the session warehouse before anything is
+    removed. And because the name-only content stamp can silently serve a
+    stale index when the corpus changes under the same tag, the build
+    stores a corpus fingerprint (row count + max id) as table properties
+    and every read re-checks it, dropping and rebuilding on mismatch."""
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
 
-        idx = minhash_band_index(
-            corpus, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col, k=k
-        )
-        (
-            idx.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(buckets, "band_hash")
-            .sortBy("band_hash")
-            .saveAsTable(table)
-        )
+    fp_row = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
+    ).collect()[0]
+    fingerprint = f"{fp_row['n']}:{fp_row['mx']}"
+
+    if spark.catalog.tableExists(table):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if props.get("corpus_fingerprint") == fingerprint:
+            return spark.table(table)
+        # same tag, different corpus: the documented silent-staleness hole —
+        # drop (which also removes the managed location) and rebuild
+        spark.sql(f"DROP TABLE {table}")
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = os.path.realpath(urlparse(warehouse).path)
+    loc = os.path.realpath(os.path.join(wh_path, table.lower()))
+    if os.path.isdir(loc):
+        # never delete outside the warehouse, whatever the table name decodes to
+        assert loc.startswith(wh_path + os.sep), (loc, wh_path)
+        retired = f"{loc}.stale-{uuid.uuid4().hex[:12]}"
+        try:
+            os.rename(loc, retired)  # atomic: concurrent readers keep their dir
+        except OSError:
+            retired = None  # another session already retired it
+        if retired is not None:
+            shutil.rmtree(retired, ignore_errors=True)
+    from rocana_impala_udfs_spark.operators.dedup import minhash_band_index
+
+    idx = minhash_band_index(
+        corpus, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col, k=k
+    )
+    (
+        idx.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(table)
+    )
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('corpus_fingerprint' = '{fingerprint}')"
+    )
     return spark.table(table)
 
 

@@ -2244,3 +2244,30 @@ def test_quality_pii_report_planted_arithmetic(spark):
     # is longer than its placeholder token
     assert all(r.chars_redacted > 0 for r in rows if r.docs_with_pii > 0)
     assert all(r.chars_redacted == 0 for r in rows if r.docs_with_pii == 0)
+
+
+def test_band_index_fingerprint_rebuilds_on_corpus_change(spark):
+    """ADVICE r10 #2: the standing band index stores a corpus fingerprint
+    (row count + max id) in table properties and re-checks it per read —
+    a changed corpus under the same table tag must trigger a rebuild, not
+    silently serve the stale index."""
+    from rocana_impala_udfs_spark.sources.io import ensure_minhash_band_index
+
+    docs = load_table(spark, SF, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    tbl = "minhash_band_index_pytest_fp"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        ids_a = {r.id for r in ensure_minhash_band_index(spark, a, table=tbl).select("id").distinct().collect()}
+        assert ids_a and all(i % 2 == 0 for i in ids_a)
+        # same tag, different corpus -> fingerprint mismatch -> rebuild
+        ids_b = {r.id for r in ensure_minhash_band_index(spark, b, table=tbl).select("id").distinct().collect()}
+        assert ids_b and all(i % 2 == 1 for i in ids_b)
+        # same corpus again -> served from the table (fingerprint match)
+        props = {r["key"]: r["value"] for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()}
+        assert "corpus_fingerprint" in props
+        ids_b2 = {r.id for r in ensure_minhash_band_index(spark, b, table=tbl).select("id").distinct().collect()}
+        assert ids_b2 == ids_b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
