@@ -204,6 +204,9 @@ HEADLINE = [
     # stream_tws_ewma_user_value: benched since r11 — the vendored protobuf
     # shim makes it run the GENUINE TransformWithStateInPySpark plan, a
     # different operator from the applyInPandasWithState twin.
+    # stream_tws_bitmap_map_state / stream_tws_topk_list_state are NOT
+    # benched: same fixed replay machinery, and the tws operator cost is
+    # already represented by the EWMA key (the r9 promotion discipline).
     "stream_tws_ewma_user_value",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.

@@ -1067,26 +1067,14 @@ def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the applyInPandasWithState twin
         return q_stream_ewma_user_value(spark, sf_dir)
     stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
-    # tws needs the RocksDB state store; save/restore the session conf so
-    # later streaming keys in the same session keep the backend they were
-    # validated under (the q_stream_rocksdb_state_counts discipline).
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        sink = run_to_table(
+    sink = _with_rocksdb_state_store(
+        spark,
+        lambda: run_to_table(
             running_ewma_tws(stream, alpha=0.1),
             mode="update",
             capture_plan=TWS_EXECUTED_PLANS,
-        )
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        ),
+    )
     return _ewma_final_answer(sink)
 
 
@@ -1130,6 +1118,127 @@ SELECT event_type,
 FROM events WHERE user_id IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def _with_rocksdb_state_store(spark: SparkSession, run):
+    """Run a streaming build under the RocksDB state-store provider,
+    restoring the previous provider afterwards (the
+    q_stream_rocksdb_state_counts discipline — later streaming keys in the
+    same session must keep the backend they were validated under)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def q_stream_tws_bitmap_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACT DISTINCT on ``transformWithStateInPandas`` with the
+    sparse word→bits dictionary in a typed ``MapState`` (r11) — certifies
+    the MAP-state wire protocol (getMapState / containsKey / getValue /
+    updateValue / iterator) end to end through the vendored protobuf
+    runtime, on top of the ValueState certification the EWMA key gives.
+    Same OR-monoid as ``stream_bitmap_distinct_users`` (arrival-order- and
+    duplication-invariant), same monotone final-answer selection, same
+    count(DISTINCT) oracle. MapState point-writes only the TOUCHED words
+    per batch — O(touched) state IO versus the twin's full-dictionary
+    rewrite, the access pattern that matters at a 100 TB universe.
+
+    Same probe-gated fallback to the applyInPandasWithState twin as
+    ``stream_tws_ewma_user_value`` (values pinned identical in pytest)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_bitmap_distinct_stream,
+        running_bitmap_distinct_tws,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        sink = run_to_table(
+            running_bitmap_distinct_stream(stream, "user_id", "event_type"),
+            mode="update",
+        )
+    else:
+        sink = _with_rocksdb_state_store(
+            spark,
+            lambda: run_to_table(
+                running_bitmap_distinct_tws(stream, "user_id", "event_type"),
+                mode="update",
+                capture_plan=TWS_EXECUTED_PLANS,
+            ),
+        )
+    return (
+        sink.groupBy(F.col("group").alias("event_type"))
+        .agg(
+            F.max("n_distinct").cast("bigint").alias("n_distinct"),
+            F.max("n_words").cast("int").alias("n_words"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_stream_tws_topk_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING GROUPED TOP-K on ``transformWithStateInPandas`` with the
+    k rows in a typed ``ListState`` plus the cumulative count in a second
+    ``ValueState`` (r11) — certifies the LIST-state wire protocol
+    (listStateGet / listStatePut) and multi-variable state handles end to
+    end through the vendored protobuf runtime. Top-k of a union under the
+    total order (value DESC, event_id ASC) is batch-split-invariant, so
+    the final state equals the batch rank window — the same oracle as
+    ``stream_topk_events_per_type``; final answer = max-``n_seen``
+    emission per group from the update-mode sink.
+
+    Same probe-gated fallback to the applyInPandasWithState twin as
+    ``stream_tws_ewma_user_value`` (values pinned identical in pytest)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.topk_stream import (
+        running_grouped_topk_stream,
+        running_grouped_topk_tws_list,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        sink = run_to_table(running_grouped_topk_stream(stream, k=5), mode="update")
+    else:
+        sink = _with_rocksdb_state_store(
+            spark,
+            lambda: run_to_table(
+                running_grouped_topk_tws_list(stream, k=5),
+                mode="update",
+                capture_plan=TWS_EXECUTED_PLANS,
+            ),
+        )
+    mx = sink.groupBy(F.col("group").alias("g")).agg(F.max("n_seen").alias("mx"))
+    return (
+        sink.join(
+            F.broadcast(mx),
+            (sink["group"] == mx["g"]) & (sink["n_seen"] == mx["mx"]),
+        )
+        .select(
+            F.col("group").alias("event_type"),
+            "rk",
+            "event_id",
+            "value",
+            F.col("n_seen").cast("bigint").alias("n_seen"),
+        )
+        .orderBy("event_type", "rk")
+    )
 
 
 def q_stream_kmv_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4857,6 +4966,8 @@ TEMPORAL_QUERIES = {
     "stream_join_left_outer_nulls": q_stream_join_left_outer_nulls,
     "stream_topk_events_per_type": q_stream_topk_events_per_type,
     "stream_tws_ewma_user_value": q_stream_tws_ewma_user_value,
+    "stream_tws_bitmap_map_state": q_stream_tws_bitmap_map_state,
+    "stream_tws_topk_list_state": q_stream_tws_topk_list_state,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
@@ -4944,6 +5055,8 @@ TEMPORAL_ORACLE = {
     "stream_join_left_outer_nulls": ORACLE_STREAM_LEFT_OUTER,
     "stream_topk_events_per_type": ORACLE_STREAM_TOPK,
     "stream_tws_ewma_user_value": ORACLE_STREAM_EWMA,
+    "stream_tws_bitmap_map_state": ORACLE_STREAM_BITMAP,
+    "stream_tws_topk_list_state": ORACLE_STREAM_TOPK,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,

@@ -197,3 +197,71 @@ def running_bitmap_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_bitmap_distinct_tws(
+    events: DataFrame,
+    value_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """The exact bitmap distinct-count on ``transformWithStateInPandas``
+    with the sparse (word → bits) dictionary held in a typed ``MapState``
+    — the state shape the API was designed for, and (r11) the key that
+    exercises the MAP-state wire protocol (getMapState / containsKey /
+    getValue / updateValue / iterator) end to end through the vendored
+    protobuf runtime. Per-batch masks are pre-ORed vectorized; only
+    TOUCHED words round-trip to the state store (point reads/writes),
+    unlike the applyInPandasWithState twin which rewrites the whole
+    dictionary every trigger — at a 100 TB universe that point-access
+    pattern is the difference between O(touched) and O(universe/64) state
+    IO per batch. Same OR-monoid, so values are pinned identical to
+    ``running_bitmap_distinct_stream`` and the batch bitmap aggregate.
+
+    Requires the RocksDB state-store provider and ``google.protobuf``
+    (vendored shim suffices)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BitmapMapStateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._words = handle.getMapState("words", "word bigint", "bits bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            merged: dict[int, int] = {}
+            for pdf in rows:
+                batch = pdf.groupby("word")["bits"].apply(
+                    lambda s: int(np.bitwise_or.reduce(s.to_numpy(dtype=np.int64)))
+                )
+                for w, b in batch.items():
+                    merged[int(w)] = merged.get(int(w), 0) | int(b)
+            for w, b in merged.items():
+                if self._words.containsKey((w,)):
+                    b |= int(self._words.getValue((w,))[0])
+                self._words.updateValue((w,), (b,))
+            n = 0
+            n_words = 0
+            for _wk, wv in self._words.iterator():
+                n_words += 1
+                n += int(wv[0] & ((1 << 64) - 1)).bit_count()
+            yield pd.DataFrame(
+                [{"group": key[0], "n_distinct": n, "n_words": n_words}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    derived = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.expr(f"div({value_col}, 64)").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({value_col} % 64 AS INT))"
+        ).alias("bits"),
+    )
+    return derived.groupBy(group_col).transformWithStateInPandas(
+        BitmapMapStateProcessor(),
+        outputStructType=BITMAP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

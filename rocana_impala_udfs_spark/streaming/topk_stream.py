@@ -169,3 +169,81 @@ def running_grouped_topk_tws(
             timeMode="None",
         )
     )
+
+
+def running_grouped_topk_tws_list(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 5,
+) -> DataFrame:
+    """The running grouped top-k with the k rows held in a typed
+    ``ListState`` (plus the cumulative count in a ``ValueState``) — (r11)
+    the key that exercises the LIST-state wire protocol (getListState /
+    listStateGet / listStatePut) and MULTIPLE state variables per
+    processor end to end through the vendored protobuf runtime. The k-row
+    list is the natural ListState shape: ``put`` replaces exactly the
+    k rows that survive the merge, so state IO is O(k) per (group, batch)
+    regardless of history. Top-k of a union under the total order
+    (value DESC, event_id ASC) is batch-split-invariant, so the final
+    state equals the batch rank window — values pinned identical to
+    ``running_grouped_topk_stream`` and ``running_grouped_topk_tws``.
+
+    Requires the RocksDB state-store provider and ``google.protobuf``
+    (vendored shim suffices)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    class TopKListStateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", "value double, event_id bigint")
+            self._n = handle.getValueState("n_seen", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            held = [(float(v), int(i)) for v, i in self._top.get()]
+            cur = pd.DataFrame(held, columns=["value", "event_id"]).astype(
+                {"value": "float64", "event_id": "int64"}
+            )
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                batch = pdf[[value_col, id_col]].rename(
+                    columns={value_col: "value", id_col: "event_id"}
+                )
+                cur = batch if cur.empty else pd.concat([cur, batch], ignore_index=True)
+                cur = cur.sort_values(
+                    ["value", "event_id"], ascending=[False, True]
+                ).head(k)
+            self._top.put(
+                [(float(v), int(i)) for v, i in zip(cur["value"], cur["event_id"])]
+            )
+            self._n.update((n,))
+            out = cur.reset_index(drop=True)
+            out.insert(0, "group", key[0])
+            out.insert(1, "rk", range(1, len(out) + 1))
+            out["n_seen"] = n
+            yield out[["group", "rk", "event_id", "value", "n_seen"]]
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            TopKListStateProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -1074,3 +1074,21 @@ def test_tws_driver_key_executes_transform_with_state_exec(spark):
     ), executed
     assert "state info" in executed, executed  # stateful operator, real state
     assert "FlatMapGroupsInPandasWithState" not in executed, executed
+
+
+def test_tws_map_and_list_state_keys_execute_tws_operator(spark):
+    """stream_tws_bitmap_map_state / stream_tws_topk_list_state must run
+    the genuine tws operator (MapState and ListState wire-protocol
+    certification), not their applyInPandasWithState twins."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    for key in ("stream_tws_bitmap_map_state", "stream_tws_topk_list_state"):
+        before = len(temporal.TWS_EXECUTED_PLANS)
+        _plan(spark, key)
+        assert len(temporal.TWS_EXECUTED_PLANS) > before, f"{key} fell back"
+        executed = temporal.TWS_EXECUTED_PLANS[-1]
+        assert (
+            "TransformWithStateInPySpark" in executed
+            or "TransformWithStateInPandas" in executed
+        ), (key, executed)
+        assert "state info" in executed, (key, executed)

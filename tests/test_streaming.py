@@ -923,3 +923,85 @@ def test_running_ewma_transform_with_state(spark, event_stream_dir):
 
     got, expect = final("tws_ewma"), final("apis_ewma")
     assert got == expect and len(expect) > 0
+
+
+def test_running_bitmap_distinct_tws_matches_twin_and_batch(spark, event_stream_dir):
+    """MapState tws bitmap distinct must equal the applyInPandasWithState
+    twin AND batch count(DISTINCT) — the OR-monoid is arrival-order-
+    invariant, so any divergence is a state-protocol bug (this is the
+    MapState certification behind stream_tws_bitmap_map_state)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.sketch_stream import (
+        running_bitmap_distinct_stream,
+        running_bitmap_distinct_tws,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+        _run_stream(running_bitmap_distinct_tws(stream), "tws_bitmap")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    stream2 = spark.readStream.schema(schema).parquet(event_stream_dir)
+    _run_stream(running_bitmap_distinct_stream(stream2), "apis_bitmap")
+    final = """
+        SELECT group, max(n_distinct) AS nd, max(n_words) AS nw
+        FROM {t} GROUP BY group ORDER BY group"""
+    got = spark.sql(final.format(t="tws_bitmap")).collect()
+    twin = spark.sql(final.format(t="apis_bitmap")).collect()
+    assert got == twin and got
+    batch = {
+        (r.event_type, r.nd)
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert {(r.group, r.nd) for r in got} == batch
+
+
+def test_running_grouped_topk_tws_list_state_matches_twin(spark, event_stream_dir):
+    """ListState tws top-k (plus a second ValueState for n_seen) must equal
+    the applyInPandasWithState twin row-for-row — the ListState + multi-
+    variable certification behind stream_tws_topk_list_state."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.topk_stream import (
+        running_grouped_topk_stream,
+        running_grouped_topk_tws_list,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+        _run_stream(running_grouped_topk_tws_list(stream, k=5), "tws_topk_list")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    stream2 = spark.readStream.schema(schema).parquet(event_stream_dir)
+    _run_stream(running_grouped_topk_stream(stream2, k=5), "apis_topk")
+    final = """
+        WITH mx AS (SELECT group, max(n_seen) AS m FROM {t} GROUP BY group)
+        SELECT t.group, t.rk, t.event_id, t.value
+        FROM {t} t JOIN mx ON t.group = mx.group AND t.n_seen = mx.m
+        ORDER BY t.group, t.rk"""
+    got = spark.sql(final.format(t="tws_topk_list")).collect()
+    twin = spark.sql(final.format(t="apis_topk")).collect()
+    assert got == twin and got
