@@ -1241,6 +1241,134 @@ def q_stream_tws_topk_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_MIN = 720  # 12 h — sits inside the per-user gap distribution
+_SESSION_DELAY_MIN = 30
+
+
+def _batch_session_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands twin of ``running_session_gap_tws`` including
+    the watermark-tail rule (a user's final session only counts when its
+    timer would have fired before the final watermark, at Spark's ms
+    granularity) — the probe-gated fallback for protobuf-less harnesses."""
+    gap_us = _SESSION_GAP_MIN * 60_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    isl = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("brk").over(w))
+    sess = isl.groupBy("user_id", "sid").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = ev.agg(F.max("us").alias("mxus"))
+    last = sess.groupBy(F.col("user_id").alias("u2")).agg(F.max("sid").alias("last_sid"))
+    return (
+        sess.join(F.broadcast(last), (sess["user_id"] == last["u2"]))
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("sid") < F.col("last_sid"))
+            | (
+                F.floor(F.col("session_end_us") / 1000)
+                + F.lit(_SESSION_GAP_MIN * 60_000)
+                <= F.floor(F.col("mxus") / 1000) - F.lit(_SESSION_DELAY_MIN * 60_000)
+            )
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
+def q_stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP SESSIONIZATION VIA EVENT-TIME TIMERS on tws (r11) — certifies
+    the last uncovered tws protocol surface: registerTimer / deleteTimer /
+    handleExpiredTimer / TimerValues, through the vendored protobuf
+    runtime. Per user, a session closes inline when the next event's gap
+    exceeds 12 h, or by its ``last_ts + gap`` event-time timer once the
+    watermark passes; each closed session is emitted exactly once and
+    open-tail sessions are never emitted — the timer-driven form of the
+    append-mode finalization contract ``stream_hourly_append_watermark``
+    pins for windowed aggregation.
+
+    Oracle: batch gaps-and-islands sessions, minus each user's final
+    session unless ``floor(last_us/1000) + gap_ms <= floor(max_us/1000) −
+    delay_ms`` (Spark watermarks are ms-granular) — a deterministic
+    function of the data because the ordered replay makes no row late and
+    input rows process before expired timers within a batch.
+
+    Probe-gated fallback to a value-identical batch gaps-and-islands plan
+    where the hosting JVM lacks protobuf (pytest pins the two equal)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.session_tws import (
+        running_session_gap_tws,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        sink = _batch_session_fallback(spark, sf_dir)
+    else:
+        stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+        sink = _with_rocksdb_state_store(
+            spark,
+            lambda: run_to_table(
+                running_session_gap_tws(
+                    stream,
+                    gap_minutes=_SESSION_GAP_MIN,
+                    delay=f"{_SESSION_DELAY_MIN} minutes",
+                ),
+                mode="append",
+                capture_plan=TWS_EXECUTED_PLANS,
+            ),
+        )
+    return sink.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    ).orderBy("user_id", "session_start_us")
+
+
+ORACLE_STREAM_SESSION_TIMERS = f"""
+WITH e AS (
+    SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS us
+    FROM events WHERE user_id IS NOT NULL
+),
+g AS (
+    SELECT user_id, us,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                     OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                        > {_SESSION_GAP_MIN * 60_000_000}
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+),
+isl AS (SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM g),
+sess AS (
+    SELECT user_id, sid, min(us) AS session_start_us, max(us) AS session_end_us,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+),
+mx AS (SELECT max(us) AS mxus FROM e),
+lastsess AS (SELECT user_id AS u2, max(sid) AS last_sid FROM sess GROUP BY user_id)
+SELECT s.user_id, s.session_start_us, s.session_end_us,
+       CAST(s.n_events AS BIGINT) AS n_events
+FROM sess s JOIN lastsess ls ON s.user_id = ls.u2, mx
+WHERE s.sid < ls.last_sid
+   OR (s.session_end_us // 1000 + {_SESSION_GAP_MIN * 60_000})
+      <= (mx.mxus // 1000 - {_SESSION_DELAY_MIN * 60_000})
+ORDER BY s.user_id, s.session_start_us
+"""
+
+
 def q_stream_kmv_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING KMV DISTINCT in its exact regime, driver-checked (r9):
     the k-minimum-values sketch (k=4096) per event_type over user_id —
@@ -4968,6 +5096,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_ewma_user_value": q_stream_tws_ewma_user_value,
     "stream_tws_bitmap_map_state": q_stream_tws_bitmap_map_state,
     "stream_tws_topk_list_state": q_stream_tws_topk_list_state,
+    "stream_tws_session_timers": q_stream_tws_session_timers,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
@@ -5057,6 +5186,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_ewma_user_value": ORACLE_STREAM_EWMA,
     "stream_tws_bitmap_map_state": ORACLE_STREAM_BITMAP,
     "stream_tws_topk_list_state": ORACLE_STREAM_TOPK,
+    "stream_tws_session_timers": ORACLE_STREAM_SESSION_TIMERS,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,

@@ -1092,3 +1092,19 @@ def test_tws_map_and_list_state_keys_execute_tws_operator(spark):
             or "TransformWithStateInPandas" in executed
         ), (key, executed)
         assert "state info" in executed, (key, executed)
+
+
+def test_tws_session_timer_key_executes_tws_operator(spark):
+    """stream_tws_session_timers must run the genuine tws operator — the
+    event-time-timer protocol certification, not the batch fallback."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PLANS)
+    _plan(spark, "stream_tws_session_timers")
+    assert len(temporal.TWS_EXECUTED_PLANS) > before, "fell back to batch plan"
+    executed = temporal.TWS_EXECUTED_PLANS[-1]
+    assert (
+        "TransformWithStateInPySpark" in executed
+        or "TransformWithStateInPandas" in executed
+    ), executed
+    assert "state info" in executed, executed

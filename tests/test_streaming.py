@@ -1005,3 +1005,56 @@ def test_running_grouped_topk_tws_list_state_matches_twin(spark, event_stream_di
     got = spark.sql(final.format(t="tws_topk_list")).collect()
     twin = spark.sql(final.format(t="apis_topk")).collect()
     assert got == twin and got
+
+
+def test_session_timers_tws_matches_batch_fallback(spark):
+    """The event-time-timer sessionizer (registerTimer / deleteTimer /
+    handleExpiredTimer certification behind stream_tws_session_timers)
+    must equal the batch gaps-and-islands fallback row-for-row, including
+    the ms-granular watermark-tail rule."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.plans.temporal import (
+        _batch_session_fallback,
+        _SESSION_DELAY_MIN,
+        _SESSION_GAP_MIN,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.streaming.session_tws import (
+        running_session_gap_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream, _d = replay_events_stream_ordered(spark, SF)
+        sink = run_to_table(
+            running_session_gap_tws(
+                stream,
+                gap_minutes=_SESSION_GAP_MIN,
+                delay=f"{_SESSION_DELAY_MIN} minutes",
+            ),
+            mode="append",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sink.collect()
+    )
+    exp = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in _batch_session_fallback(spark, SF).collect()
+    )
+    assert got == exp and got
+    # every session respects the gap invariant; multi-event sessions exist
+    assert any(n > 1 for *_rest, n in got)
