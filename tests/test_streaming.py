@@ -1058,3 +1058,181 @@ def test_session_timers_tws_matches_batch_fallback(spark):
     assert got == exp and got
     # every session respects the gap invariant; multi-event sessions exist
     assert any(n > 1 for *_rest, n in got)
+
+
+def test_tws_value_state_with_ttl_config(spark, event_stream_dir):
+    """TTL-configured ValueState must work through the protobuf shim — the
+    StateCallCommand.ttl submessage is the one wire path (auto-vivified
+    nested message presence) no other tws key exercises. A TTL far longer
+    than the run cannot evict anything, so results must equal the no-TTL
+    EWMA twin exactly."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from typing import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TtlEwma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # one day in ms: never expires within the test
+            self._state = handle.getValueState(
+                "ewma", "acc double, n bigint", ttlDurationMs=86_400_000
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> _It[_pd.DataFrame]:
+            acc, n = (None, 0)
+            if self._state.exists():
+                acc, n = self._state.get()
+            pdf = _pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for x in pdf["value"].astype(float):
+                acc = x if acc is None else 0.1 * x + 0.9 * acc
+                n += 1
+            self._state.update((float(acc) if acc is not None else None, n))
+            yield _pd.DataFrame([{"user_id": key[0], "ewma": acc, "n_events": n}])
+
+        def close(self) -> None:
+            pass
+
+    from rocana_impala_udfs_spark.streaming.ewma_stream import (
+        output_schema,
+        running_ewma_stream,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+        out = (
+            stream.select(
+                F.col("user_id").cast("string").alias("user_id"),
+                "ts",
+                "event_id",
+                "value",
+            )
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                TtlEwma(),
+                outputStructType=output_schema(),
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+        )
+        # TTL + ProcessingTime keeps scheduling "cleaning up state" batches,
+        # so processAllAvailable never returns — poll the sink for the full
+        # event count instead, then stop.
+        import time as _time
+
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ttl_ewma")
+            .outputMode("update")
+            .start()
+        )
+        n_total = load_table(spark, SF, "events").count()
+        try:
+            for _ in range(240):
+                done = spark.sql(
+                    "SELECT coalesce(sum(m), 0) AS s FROM (SELECT max(n_events) AS m "
+                    "FROM ttl_ewma GROUP BY user_id)"
+                ).collect()[0].s
+                if done == n_total:
+                    break
+                _time.sleep(0.5)
+            else:
+                raise AssertionError(f"sink never reached {n_total} events")
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    stream2 = spark.readStream.schema(schema).parquet(event_stream_dir)
+    _run_stream(running_ewma_stream(stream2, alpha=0.1), "apis_ewma_ttl_twin")
+    final = """
+        WITH mx AS (SELECT user_id AS u, max(n_events) AS m FROM {t} GROUP BY user_id)
+        SELECT t.user_id, t.ewma, t.n_events FROM {t} t
+        JOIN mx ON t.user_id = mx.u AND t.n_events = mx.m
+        ORDER BY t.user_id"""
+    got = spark.sql(final.format(t="ttl_ewma")).collect()
+    twin = spark.sql(final.format(t="apis_ewma_ttl_twin")).collect()
+    assert got == twin and got
+
+
+def test_tws_map_state_large_dictionary_roundtrip(spark):
+    """Stress the MapState wire path with a wide dictionary (3k entries
+    for one key): exercises multi-kvPair response frames and — wherever the
+    JVM's iterator batch threshold sits below 3k — the requireNextFetch
+    pagination protocol, both through the protobuf shim. (Each updateValue
+    is a synchronous socket round-trip, so N is kept test-sized.)"""
+    pytest.importorskip("google.protobuf.descriptor")
+    import tempfile as _tf
+
+    from typing import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    N = 3_000
+
+    class WideMap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState("m", "k bigint", "v bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> _It[_pd.DataFrame]:
+            for pdf in rows:
+                for k, v in zip(pdf["k"].astype("int64"), pdf["v"].astype("int64")):
+                    self._m.updateValue((int(k),), (int(v),))
+            total = 0
+            count = 0
+            for (mk,), (mv,) in self._m.iterator():
+                count += 1
+                total += int(mk) + int(mv)
+            yield _pd.DataFrame([{"g": key[0], "n_keys": count, "checksum": total}])
+
+        def close(self) -> None:
+            pass
+
+    src = spark.range(N).select(
+        F.lit("one").alias("g"), F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    d = _tf.mkdtemp(prefix="widemap_")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(src.schema).parquet(d)
+        out = stream.groupBy("g").transformWithStateInPandas(
+            WideMap(),
+            outputStructType="g string, n_keys bigint, checksum bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_stream(out, "wide_map")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    row = spark.sql(
+        "SELECT n_keys, checksum FROM wide_map ORDER BY n_keys DESC LIMIT 1"
+    ).collect()[0]
+    assert row.n_keys == N
+    assert row.checksum == sum(i + i * 7 for i in range(N))
