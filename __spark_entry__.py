@@ -74,6 +74,10 @@ _NEVER_DRIVER_CHECKED = [
     "dedup_survivors_best_quality",
     "dedup_incremental_new_docs",
     "dedup_incremental_minhash",
+    "dedup_prefix_filter_pairs",
+    "dedup_survivors",
+    "dedup_cluster_sizes",
+    "llm_corpus_pipeline",
     # (3) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",

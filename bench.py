@@ -249,26 +249,30 @@ def _idle_evidence(check_loadavg: bool = True) -> dict:
     # Our own descendants by ppid walk, not just process-group equality: a
     # JVM launched via setsid lands in a different pgrp and would otherwise
     # self-flag the bench as not idle (ADVICE r10 #5).
-    mine = {my_pid}
-    changed = True
-    while changed:
-        changed = False
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) in mine:
-                continue
-            try:
-                _, ppid, _ = _stat(pid)
-            except (OSError, IndexError, ValueError):
-                continue
-            if ppid in mine:
-                mine.add(int(pid))
-                changed = True
+    def _descendants() -> set:
+        mine = {my_pid}
+        changed = True
+        while changed:
+            changed = False
+            for pid in os.listdir("/proc"):
+                if not pid.isdigit() or int(pid) in mine:
+                    continue
+                try:
+                    _, ppid, _ = _stat(pid)
+                except (OSError, IndexError, ValueError):
+                    continue
+                if ppid in mine:
+                    mine.add(int(pid))
+                    changed = True
+        return mine
 
     loadavgs: list[float] = []
     competing: list[str] = []
     for _ in range(3):  # three samples 0.2 s apart: catch bursty competitors
-        # re-read loadavg per sample (one pre-loop read missed competitors
-        # spawned between the read and the scan — ADVICE r10 #5)
+        # re-read loadavg AND the descendant walk per sample: a descendant
+        # spawned mid-loop (fresh Python worker under a setsid JVM) must not
+        # be misread as a competitor
+        mine = _descendants()
         loadavgs.append(os.getloadavg()[0])
         for pid in os.listdir("/proc"):
             if not pid.isdigit():

@@ -1011,7 +1011,11 @@ def _workers_can_import_protobuf(spark: SparkSession) -> bool:
     SparkSession before importing this package needs the fallback. One
     1-partition job, ~0.1 s, memoized per SparkContext."""
     sc = spark.sparkContext
-    cached = _PB_WORKER_PROBE.get(id(sc))
+    # key by (applicationId, startTime), NOT id(sc): CPython recycles freed
+    # object addresses across context restarts, which would serve a stale
+    # verdict to a brand-new JVM
+    memo_key = (sc.applicationId, sc.startTime)
+    cached = _PB_WORKER_PROBE.get(memo_key)
     if cached is not None:
         return cached
     try:
@@ -1022,7 +1026,7 @@ def _workers_can_import_protobuf(spark: SparkSession) -> bool:
         )
     except Exception:
         ok = False
-    _PB_WORKER_PROBE[id(sc)] = ok
+    _PB_WORKER_PROBE[memo_key] = ok
     return ok
 
 
@@ -1251,9 +1255,15 @@ def _batch_session_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     timer would have fired before the final watermark, at Spark's ms
     granularity) — the probe-gated fallback for protobuf-less harnesses."""
     gap_us = _SESSION_GAP_MIN * 60_000_000
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("user_id"),
-        F.unix_micros("ts").alias("us"),
+    # NULL keys excluded like the tws path and the oracle (fixtures carry
+    # none, but the three texts must agree on any corpus)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.unix_micros("ts").alias("us"),
+        )
     )
     w = Window.partitionBy("user_id").orderBy("us")
     isl = ev.withColumn(

@@ -14,6 +14,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# per-(session, table, corpus-plan) band-index fingerprint memo — see
+# ensure_minhash_band_index
+_BAND_INDEX_FP_MEMO: dict = {}
+
 TABLES = [
     "region",
     "nation",
@@ -176,10 +180,24 @@ def ensure_minhash_band_index(
     import uuid
     from urllib.parse import urlparse
 
-    fp_row = corpus.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
-    ).collect()[0]
-    fingerprint = f"{fp_row['n']}:{fp_row['mx']}"
+    # one id-column scan per (session, table, corpus-plan) — the
+    # fingerprint guards CROSS-session staleness; within a session the
+    # same corpus plan under a given table tag is stable, so repeated
+    # index reads (harness rounds, bench iterations) must not re-pay the
+    # scan. semanticHash distinguishes a DIFFERENT corpus under the same
+    # tag without running a job.
+    memo_key = (
+        spark.sparkContext.applicationId,
+        table,
+        corpus._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    fingerprint = _BAND_INDEX_FP_MEMO.get(memo_key)
+    if fingerprint is None:
+        fp_row = corpus.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
+        ).collect()[0]
+        fingerprint = f"{fp_row['n']}:{fp_row['mx']}"
+        _BAND_INDEX_FP_MEMO[memo_key] = fingerprint
 
     if spark.catalog.tableExists(table):
         props = {
@@ -196,8 +214,10 @@ def ensure_minhash_band_index(
     wh_path = os.path.realpath(urlparse(warehouse).path)
     loc = os.path.realpath(os.path.join(wh_path, table.lower()))
     if os.path.isdir(loc):
-        # never delete outside the warehouse, whatever the table name decodes to
-        assert loc.startswith(wh_path + os.sep), (loc, wh_path)
+        # never delete outside the warehouse, whatever the table name
+        # decodes to (ValueError, not assert: asserts vanish under -O)
+        if not loc.startswith(wh_path + os.sep):
+            raise ValueError(f"refusing to retire {loc}: outside warehouse {wh_path}")
         retired = f"{loc}.stale-{uuid.uuid4().hex[:12]}"
         try:
             os.rename(loc, retired)  # atomic: concurrent readers keep their dir

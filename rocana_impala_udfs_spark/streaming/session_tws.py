@@ -105,7 +105,8 @@ def running_session_gap_tws(
             pass
 
     return (
-        events.withWatermark(ts_col, delay)
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark(ts_col, delay)
         .select(
             F.col(key_col).cast("string").alias(key_col),
             F.col(ts_col),

@@ -2158,12 +2158,16 @@ def test_dedup_paths_leave_no_cache_registrations(spark):
 
     docs = load_table(spark, SF, "documents")
     cm = spark._jsparkSession.sharedState().cacheManager()
-    before_empty = cm.isEmpty()
+    # start from a known-empty CacheManager so the post-condition is a real
+    # pin, never vacuous (clearing only costs other tests recomputation)
+    if not cm.isEmpty():
+        spark.catalog.clearCache()
+    assert cm.isEmpty()
     for _ in range(2):
         dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
         dedup.prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
         dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
-    assert cm.isEmpty() or not before_empty, (
+    assert cm.isEmpty(), (
         "dedup invocations registered frames in the CacheManager "
         "(cache()-style leak) — they must use localCheckpoint"
     )
