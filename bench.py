@@ -284,7 +284,9 @@ def _idle_evidence(check_loadavg: bool = True) -> dict:
             except (OSError, IndexError, ValueError):
                 continue
             # 'R' = on a CPU right now; skip our own group AND descendants
-            if state == "R" and pgrp != my_pgrp and int(pid) not in mine:
+            # AND kernel threads (pgrp 0 — e.g. rcu_preempt, which briefly
+            # runs after our own 32-thread burst and is not a competitor)
+            if state == "R" and pgrp not in (0, my_pgrp) and int(pid) not in mine:
                 tag = f"{pid}:{comm}"
                 if tag not in competing:
                     competing.append(tag)
