@@ -1379,6 +1379,87 @@ ORDER BY s.user_id, s.session_start_us
 """
 
 
+def q_stream_tws_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING LSH INDEX MAINTENANCE (r11) — the ingest-time half of
+    incremental near-dup detection: documents arrive in doc_id order, each
+    is banded statelessly (md5-string MinHash, 16 hashes × 4 bands), and a
+    tws ``ListState`` per (band_idx, band_hash) bucket emits candidate
+    pairs against all prior members the moment a document lands
+    (``streaming/dedup_stream.py:running_lsh_index_tws``). The batch
+    bucketed-table probe (`dedup_incremental_minhash`) answers the daily-
+    delta form of the same question; this certifies the per-arrival form.
+
+    Oracle-exact BY CONSTRUCTION, not probabilistically: md5-hex-string
+    minima are engine-portable (unlike xxhash64), so DuckDB reproduces
+    every band hash bit-for-bit and the candidate SET (distinct pairs,
+    dup_of < new_id by arrival order = id order) matches exactly —
+    banding false-negative rates are irrelevant when both sides band
+    identically.
+
+    Probe-gated fallback: the batch band self-join over the same
+    md5_band_columns (value-identical — pinned in pytest along with the
+    stream==batch==DuckDB three-way parity)."""
+    from rocana_impala_udfs_spark.streaming.dedup_stream import (
+        md5_band_columns,
+        running_lsh_index_tws,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_documents_stream_ordered,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    docs = load_table(spark, sf_dir, "documents")
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        b = md5_band_columns(docs)
+        a, c = b.alias("a"), b.alias("b")
+        pairs = (
+            a.join(
+                c,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("dup_of"), F.col("b.id").alias("new_id"))
+        )
+    else:
+        stream, _d = replay_documents_stream_ordered(spark, sf_dir)  # memoized
+        sink = _with_rocksdb_state_store(
+            spark,
+            lambda: run_to_table(
+                running_lsh_index_tws(stream),
+                mode="update",
+                capture_plan=TWS_EXECUTED_PLANS,
+            ),
+        )
+        pairs = sink.select("dup_of", "new_id")
+    return pairs.distinct().orderBy("dup_of", "new_id")
+
+
+ORACLE_STREAM_LSH_INDEX = """
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3),
+shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s FROM sh),
+seeds AS (SELECT unnest(range(16)) AS seed),
+mins AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+    FROM shingles, seeds GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 4 AS band_idx, md5(string_agg(h, '' ORDER BY seed)) AS bh
+    FROM mins GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS dup_of, b.doc_id AS new_id
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+ORDER BY dup_of, new_id
+"""
+
+
 def q_stream_kmv_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING KMV DISTINCT in its exact regime, driver-checked (r9):
     the k-minimum-values sketch (k=4096) per event_type over user_id —
@@ -5107,6 +5188,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_bitmap_map_state": q_stream_tws_bitmap_map_state,
     "stream_tws_topk_list_state": q_stream_tws_topk_list_state,
     "stream_tws_session_timers": q_stream_tws_session_timers,
+    "stream_tws_lsh_index_candidates": q_stream_tws_lsh_index_candidates,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
@@ -5197,6 +5279,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_bitmap_map_state": ORACLE_STREAM_BITMAP,
     "stream_tws_topk_list_state": ORACLE_STREAM_TOPK,
     "stream_tws_session_timers": ORACLE_STREAM_SESSION_TIMERS,
+    "stream_tws_lsh_index_candidates": ORACLE_STREAM_LSH_INDEX,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,

@@ -217,3 +217,46 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
         # cp is left behind (a few KB in /tmp) — cleaning it here would be
         # fine for the materialized memory table, but a harmless leak beats
         # deleting a checkpoint another in-flight query name could reference
+
+
+def replay_documents_stream_ordered(
+    spark: SparkSession, sf_dir: str, files: int = 3
+) -> tuple[DataFrame, str]:
+    """Doc-id-ordered bounded replay of the documents table — the ingest
+    feed for streaming index-maintenance operators (arrival order :=
+    doc_id order, one contiguous id range per micro-batch file, ascending
+    mtimes like :func:`replay_events_stream_ordered`). Memoized."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (sf_dir, "docs_ordered", files)
+    d = _REPLAY_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="replay_docs_ord_")
+        qs = [i / files for i in range(1, files)]
+        cuts = docs.approxQuantile("doc_id", qs, 0.0) if files > 1 else []
+        bounds = [None, *cuts, None]
+        seen: set = set()
+        t0 = None
+        for i in range(files):
+            part = docs
+            if bounds[i] is not None:
+                part = part.filter(F.col("doc_id") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.col("doc_id") <= bounds[i + 1])
+            part.coalesce(1).write.mode("append" if i else "overwrite").parquet(d)
+            for f in sorted(os.listdir(d)):
+                p = os.path.join(d, f)
+                if f.endswith(".parquet") and f not in seen:
+                    seen.add(f)
+                    if t0 is None:
+                        t0 = os.path.getmtime(p)
+                    os.utime(p, (t0 + i, t0 + i))
+        _REPLAY_DIRS[key] = d
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    return stream, d

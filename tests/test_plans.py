@@ -1108,3 +1108,18 @@ def test_tws_session_timer_key_executes_tws_operator(spark):
         or "TransformWithStateInPandas" in executed
     ), executed
     assert "state info" in executed, executed
+
+
+def test_tws_lsh_index_key_executes_tws_operator(spark):
+    """stream_tws_lsh_index_candidates must run the genuine tws operator
+    (ListState bucket index), not the batch band self-join fallback."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PLANS)
+    _plan(spark, "stream_tws_lsh_index_candidates")
+    assert len(temporal.TWS_EXECUTED_PLANS) > before, "fell back to batch plan"
+    executed = temporal.TWS_EXECUTED_PLANS[-1]
+    assert (
+        "TransformWithStateInPySpark" in executed
+        or "TransformWithStateInPandas" in executed
+    ), executed

@@ -1236,3 +1236,130 @@ def test_tws_map_state_large_dictionary_roundtrip(spark):
     ).collect()[0]
     assert row.n_keys == N
     assert row.checksum == sum(i + i * 7 for i in range(N))
+
+
+def test_transform_with_state_row_api_matches_pandas_api(spark, event_stream_dir):
+    """The ROW-based transformWithState (Spark 4.1's non-pandas variant)
+    must emit the same EWMA results as the pandas tws path — same state
+    protocol through the protobuf shim, different (Row) serializer."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from typing import Iterator as _It
+
+    from pyspark.sql import Row
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RowEwma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma", "acc double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> _It[Row]:
+            acc, n = (None, 0)
+            if self._state.exists():
+                acc, n = self._state.get()
+            buf = sorted(rows, key=lambda r: (r["ts"], r["event_id"]))
+            for r in buf:
+                x = float(r["value"])
+                acc = x if acc is None else 0.1 * x + 0.9 * acc
+                n += 1
+            self._state.update((float(acc) if acc is not None else None, n))
+            yield Row(user_id=key[0], ewma=acc, n_events=n)
+
+        def close(self) -> None:
+            pass
+
+    from rocana_impala_udfs_spark.streaming.ewma_stream import (
+        output_schema,
+        running_ewma_stream,
+    )
+
+    schema = load_table(spark, SF, "events").schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+        out = (
+            stream.select(
+                F.col("user_id").cast("string").alias("user_id"),
+                "ts",
+                "event_id",
+                "value",
+            )
+            .groupBy("user_id")
+            .transformWithState(
+                RowEwma(),
+                outputStructType=output_schema(),
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        _run_stream(out, "row_ewma")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    stream2 = spark.readStream.schema(schema).parquet(event_stream_dir)
+    _run_stream(running_ewma_stream(stream2, alpha=0.1), "pandas_ewma_row_twin")
+    final = """
+        WITH mx AS (SELECT user_id AS u, max(n_events) AS m FROM {t} GROUP BY user_id)
+        SELECT t.user_id, t.ewma, t.n_events FROM {t} t
+        JOIN mx ON t.user_id = mx.u AND t.n_events = mx.m
+        ORDER BY t.user_id"""
+    got = spark.sql(final.format(t="row_ewma")).collect()
+    twin = spark.sql(final.format(t="pandas_ewma_row_twin")).collect()
+    assert got == twin and got
+
+
+def test_streaming_lsh_index_matches_batch_banding(spark):
+    """stream_tws_lsh_index_candidates three-way parity: the tws ListState
+    bucket emissions (deduped) must equal the batch band self-join over
+    the identical md5 banding — and every emitted pair must respect
+    arrival order (dup_of < new_id)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.dedup_stream import (
+        md5_band_columns,
+        running_lsh_index_tws,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_documents_stream_ordered,
+        run_to_table,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream, _d = replay_documents_stream_ordered(spark, SF)
+        sink = run_to_table(running_lsh_index_tws(stream), mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = {(r.dup_of, r.new_id) for r in sink.collect()}
+    assert all(a < b for a, b in got)
+    b = md5_band_columns(load_table(spark, SF, "documents"))
+    x, y = b.alias("a"), b.alias("b")
+    exp = {
+        (r.i, r.j)
+        for r in x.join(
+            y,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+        .distinct()
+        .collect()
+    }
+    assert got == exp and got
