@@ -64,6 +64,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_tws_topk_list_state",
     "stream_tws_session_timers",
     "stream_tws_lsh_index_candidates",
+    "stream_tws_warm_start_ewma",
     # (2) oracle- or plan-changed in r11, values pinned identical
     "stream_tws_ewma_user_value",
     "q1_pricing_summary",

@@ -1379,6 +1379,74 @@ ORDER BY s.user_id, s.session_start_us
 """
 
 
+_WARM_START_CUT = "2024-01-16"
+
+
+def q_stream_tws_warm_start_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARM-STARTED tws EWMA (r11) — certifies ``handleInitialState`` and
+    the ``initialState`` GroupedData parameter, the remaining tws entry
+    point: the history prefix (ts < 2024-01-16) is folded BATCH-side into
+    one (acc, n) row per user with the exact IEEE chain (F.aggregate over
+    the (ts, event_id)-sorted list), handed to the processor as initial
+    state, and the stream replays only the suffix. Warm-start + suffix is
+    the same left fold as full history, so the oracle is the full-data
+    list_reduce — identical to ``stream_ewma_user_value``'s. Users with no
+    suffix events (none in the fixtures, but contract-handled) surface
+    straight from the warm table via an anti-join union.
+
+    This is the production bootstrap pattern: a streaming job taking over
+    from a batch backfill without replaying the backfill through the
+    stream. Probe-gated fallback: the full-stream applyInPandasWithState
+    key (value-identical by the fold algebra)."""
+    from rocana_impala_udfs_spark.streaming.ewma_stream import (
+        running_ewma_tws_warm_start,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        return q_stream_ewma_user_value(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    prefix = ev.filter(F.col("ts") < F.lit(_WARM_START_CUT))
+    warm = prefix.groupBy(F.col("user_id").cast("string").alias("user_id")).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            F.lit(None).cast("double"),
+            lambda acc, s: F.when(acc.isNull(), s["value"]).otherwise(
+                F.lit(0.1) * s["value"] + F.lit(0.9) * acc
+            ),
+        ).alias("acc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+    suffix = stream.filter(F.col("ts") >= F.lit(_WARM_START_CUT))
+    sink = _with_rocksdb_state_store(
+        spark,
+        lambda: run_to_table(
+            running_ewma_tws_warm_start(suffix, warm, alpha=0.1),
+            mode="update",
+            capture_plan=TWS_EXECUTED_PLANS,
+        ),
+    )
+    streamed = _ewma_final_answer(sink)
+    warm_only = (
+        warm.join(
+            streamed.select(F.col("user_id").alias("u2")),
+            warm["user_id"] == F.col("u2"),
+            "left_anti",
+        )
+        .select(
+            "user_id",
+            F.col("acc").alias("ewma"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+    )
+    return streamed.unionByName(warm_only).orderBy("user_id")
+
+
 def q_stream_tws_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING LSH INDEX MAINTENANCE (r11) — the ingest-time half of
     incremental near-dup detection: documents arrive in doc_id order, each
@@ -5189,6 +5257,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_topk_list_state": q_stream_tws_topk_list_state,
     "stream_tws_session_timers": q_stream_tws_session_timers,
     "stream_tws_lsh_index_candidates": q_stream_tws_lsh_index_candidates,
+    "stream_tws_warm_start_ewma": q_stream_tws_warm_start_ewma,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
@@ -5280,6 +5349,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_topk_list_state": ORACLE_STREAM_TOPK,
     "stream_tws_session_timers": ORACLE_STREAM_SESSION_TIMERS,
     "stream_tws_lsh_index_candidates": ORACLE_STREAM_LSH_INDEX,
+    "stream_tws_warm_start_ewma": ORACLE_STREAM_EWMA,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,

@@ -137,3 +137,69 @@ def running_ewma_tws(
             timeMode="None",
         )
     )
+
+
+def running_ewma_tws_warm_start(
+    events: DataFrame,
+    initial_state: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """The tws EWMA WARM-STARTED from a batch backfill — certifies
+    ``handleInitialState`` / the ``initialState`` GroupedData parameter,
+    the one tws entry point the other keys don't touch. ``initial_state``
+    carries one (key, acc, n) row per key (the batch fold of the history
+    prefix); the stream then continues the identical IEEE chain, so
+    warm-start + suffix must equal the full-history fold bit-for-bit."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WarmEwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma", STATE_SCHEMA)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._state.update(
+                (float(initialState["acc"].iloc[0]), int(initialState["n"].iloc[0]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            acc: float | None = None
+            n = 0
+            if self._state.exists():
+                acc, n = self._state.get()
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values([ts_col, order_tiebreak], kind="mergesort")
+            for x in pdf[value_col].astype(float):
+                acc = x if acc is None else alpha * x + (1 - alpha) * acc
+                n += 1
+            self._state.update((float(acc) if acc is not None else None, n))
+            yield pd.DataFrame([{key_col: key[0], "ewma": acc, "n_events": n}])
+
+        def close(self) -> None:
+            pass
+
+    init_grouped = initial_state.select(
+        F.col(key_col).cast("string").alias(key_col), "acc", "n"
+    ).groupBy(key_col)
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.col(value_col),
+        )
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            WarmEwmaProcessor(),
+            outputStructType=output_schema(key_col),
+            outputMode="Update",
+            timeMode="None",
+            initialState=init_grouped,
+        )
+    )

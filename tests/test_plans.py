@@ -1123,3 +1123,19 @@ def test_tws_lsh_index_key_executes_tws_operator(spark):
         "TransformWithStateInPySpark" in executed
         or "TransformWithStateInPandas" in executed
     ), executed
+
+
+def test_tws_warm_start_key_executes_tws_operator(spark):
+    """stream_tws_warm_start_ewma must run the genuine tws operator with
+    initial state (the handleInitialState certification), not the
+    full-stream fallback."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PLANS)
+    _plan(spark, "stream_tws_warm_start_ewma")
+    assert len(temporal.TWS_EXECUTED_PLANS) > before, "fell back"
+    executed = temporal.TWS_EXECUTED_PLANS[-1]
+    assert (
+        "TransformWithStateInPySpark" in executed
+        or "TransformWithStateInPandas" in executed
+    ), executed

@@ -1363,3 +1363,24 @@ def test_streaming_lsh_index_matches_batch_banding(spark):
         .collect()
     }
     assert got == exp and got
+
+
+def test_warm_start_ewma_equals_full_stream(spark):
+    """Warm-start (batch prefix fold -> initialState) + suffix stream must
+    equal the full-history stream fold bit-for-bit — the algebra behind
+    stream_tws_warm_start_ewma."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.plans.temporal import (
+        q_stream_ewma_user_value,
+        q_stream_tws_warm_start_ewma,
+    )
+
+    warm = {
+        (r.user_id, r.ewma, r.n_events)
+        for r in q_stream_tws_warm_start_ewma(spark, SF).collect()
+    }
+    full = {
+        (r.user_id, r.ewma, r.n_events)
+        for r in q_stream_ewma_user_value(spark, SF).collect()
+    }
+    assert warm == full and warm
