@@ -1411,18 +1411,31 @@ def q_stream_tws_warm_start_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         return q_stream_ewma_user_value(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     prefix = ev.filter(F.col("ts") < F.lit(_WARM_START_CUT))
+    # NaN-coalesce matches the stream twins' pandas float cast (NULL value
+    # → NaN poisons the rest of the chain); a bare s["value"] would go
+    # NULL then RESTART at acc.isNull() — a third behavior neither twin
+    # nor oracle has (self-review r11 #2; fixtures carry no NULL values).
+    _v = lambda st: F.coalesce(st["value"], F.lit(float("nan")))  # noqa: E731
     warm = prefix.groupBy(F.col("user_id").cast("string").alias("user_id")).agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
             F.lit(None).cast("double"),
-            lambda acc, s: F.when(acc.isNull(), s["value"]).otherwise(
-                F.lit(0.1) * s["value"] + F.lit(0.9) * acc
+            lambda acc, st: F.when(acc.isNull(), _v(st)).otherwise(
+                F.lit(0.1) * _v(st) + F.lit(0.9) * acc
             ),
         ).alias("acc"),
         F.count(F.lit(1)).alias("n"),
     )
+    # the interpreted per-element fold is the expensive part and warm is
+    # consumed twice (initialState + the anti-join) — materialize once
+    warm = warm.localCheckpoint(eager=True)
     stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
-    suffix = stream.filter(F.col("ts") >= F.lit(_WARM_START_CUT))
+    # NULL-ts rows ride the SUFFIX (isNull | >=): both cut predicates are
+    # NULL-false, so a bare >= would silently drop them from the fold while
+    # the full-history twin and oracle count them (self-review r11 #4)
+    suffix = stream.filter(
+        F.col("ts").isNull() | (F.col("ts") >= F.lit(_WARM_START_CUT))
+    )
     sink = _with_rocksdb_state_store(
         spark,
         lambda: run_to_table(
@@ -1435,7 +1448,7 @@ def q_stream_tws_warm_start_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm_only = (
         warm.join(
             streamed.select(F.col("user_id").alias("u2")),
-            warm["user_id"] == F.col("u2"),
+            warm["user_id"].eqNullSafe(F.col("u2")),  # NULL key must match too
             "left_anti",
         )
         .select(

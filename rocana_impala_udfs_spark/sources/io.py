@@ -174,8 +174,13 @@ def ensure_minhash_band_index(
     also asserted to live INSIDE the session warehouse before anything is
     removed. And because the name-only content stamp can silently serve a
     stale index when the corpus changes under the same tag, the build
-    stores a corpus fingerprint (row count + max id) as table properties
-    and every read re-checks it, dropping and rebuilding on mismatch."""
+    stores a corpus fingerprint (row count + max id) as table properties,
+    re-checked on read once per (session, table, corpus-plan semanticHash)
+    — a DIFFERENT corpus plan under the same tag re-scans and rebuilds,
+    while repeated reads of the same plan skip the scan. In-session
+    mutation of the files UNDER an unchanged plan is outside the contract
+    (Spark's own InMemoryFileIndex caches listings per plan the same way);
+    cross-session staleness always re-checks."""
     import shutil
     import uuid
     from urllib.parse import urlparse

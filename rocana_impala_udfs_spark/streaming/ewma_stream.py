@@ -23,6 +23,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = "acc double, n bigint"
 
 
+def _fold_batch(
+    acc: float | None,
+    n: int,
+    pdf: pd.DataFrame,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    alpha: float,
+) -> tuple[float | None, int]:
+    """THE EWMA chain — one definition shared by the applyInPandasWithState
+    path, both tws processors, and the warm-start processor, so the pinned
+    bit-for-bit parities cannot desynchronize. NULL values become NaN
+    (pandas float cast) and poison the rest of the chain, matching the
+    stream twins; the batch/SQL oracles NULL-poison instead — the
+    documented NULL-value twin divergence (fixtures carry none)."""
+    pdf = pdf.sort_values([ts_col, order_tiebreak], kind="mergesort")
+    for x in pdf[value_col].astype(float):
+        acc = x if acc is None else alpha * x + (1 - alpha) * acc
+        n += 1
+    return acc, n
+
+
 def output_schema(key_col: str = "user_id") -> str:
     """Output schema follows the grouping key so non-default keys don't
     silently emit a mislabeled 'user_id' column."""
@@ -51,10 +73,7 @@ def running_ewma_stream(
         if state.exists:
             acc, n = state.get
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values([ts_col, order_tiebreak], kind="mergesort")
-        for x in rows[value_col].astype(float):
-            acc = x if acc is None else alpha * x + (1 - alpha) * acc
-            n += 1
+        acc, n = _fold_batch(acc, n, rows, ts_col, order_tiebreak, value_col, alpha)
         state.update((float(acc) if acc is not None else None, n))
         yield pd.DataFrame([{key_col: key[0], "ewma": acc, "n_events": n}])
 
@@ -112,10 +131,9 @@ def running_ewma_tws(
             if self._state.exists():
                 acc, n = self._state.get()
             pdf = pd.concat(list(rows), ignore_index=True)
-            pdf = pdf.sort_values([ts_col, order_tiebreak], kind="mergesort")
-            for x in pdf[value_col].astype(float):
-                acc = x if acc is None else alpha * x + (1 - alpha) * acc
-                n += 1
+            acc, n = _fold_batch(
+                acc, n, pdf, ts_col, order_tiebreak, value_col, alpha
+            )
             self._state.update((float(acc) if acc is not None else None, n))
             yield pd.DataFrame([{key_col: key[0], "ewma": acc, "n_events": n}])
 
@@ -174,10 +192,9 @@ def running_ewma_tws_warm_start(
             if self._state.exists():
                 acc, n = self._state.get()
             pdf = pd.concat(list(rows), ignore_index=True)
-            pdf = pdf.sort_values([ts_col, order_tiebreak], kind="mergesort")
-            for x in pdf[value_col].astype(float):
-                acc = x if acc is None else alpha * x + (1 - alpha) * acc
-                n += 1
+            acc, n = _fold_batch(
+                acc, n, pdf, ts_col, order_tiebreak, value_col, alpha
+            )
             self._state.update((float(acc) if acc is not None else None, n))
             yield pd.DataFrame([{key_col: key[0], "ewma": acc, "n_events": n}])
 

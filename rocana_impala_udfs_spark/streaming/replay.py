@@ -79,47 +79,18 @@ def replay_events_stream_ordered(
     Memoized like :func:`replay_events_stream`.
     """
     ev = load_table(spark, sf_dir, "events")
-    key = (sf_dir, "ordered", files)
-    d = _REPLAY_DIRS.get(key)
-    if d is None or not os.path.isdir(d):
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        d = tempfile.mkdtemp(prefix="replay_events_ord_")
-        us = ev.withColumn("_us", F.unix_micros("ts"))
-        qs = [i / files for i in range(1, files)]
-        # exact quantiles at test scale; a real feed replayer would accept
-        # approxQuantile's bounded error — ranges only shape batch sizes
-        cuts = us.approxQuantile("_us", qs, 0.0) if files > 1 else []
-        bounds = [None, *cuts, None]
-        seen: set = set()
-        t0 = None
-        for i in range(files):
-            part = us
-            if bounds[i] is not None:
-                part = part.filter(F.col("_us") > bounds[i])
-            if bounds[i + 1] is not None:
-                part = part.filter(F.col("_us") <= bounds[i + 1])
-            part.drop("_us").coalesce(1).write.mode(
-                "append" if i else "overwrite"
-            ).parquet(d)
-            # stamp this write's new files to base + i seconds: the file
-            # source picks oldest-mtime first, so strictly ascending
-            # stamps make replay order == range order deterministically
-            for f in sorted(os.listdir(d)):
-                p = os.path.join(d, f)
-                if f.endswith(".parquet") and f not in seen:
-                    seen.add(f)
-                    if t0 is None:
-                        t0 = os.path.getmtime(p)
-                    os.utime(p, (t0 + i, t0 + i))
-        _REPLAY_DIRS[key] = d
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(d)
+    return _ordered_replay(
+        spark,
+        ev.withColumn("_us", F.unix_micros("ts")),
+        order_col="_us",
+        drop_order_col=True,
+        memo_key=(sf_dir, "ordered", files),
+        files=files,
+        prefix="replay_events_ord_",
+        schema=ev.schema,
     )
-    return stream, d
 
 
 def run_to_table(
@@ -219,6 +190,59 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
         # deleting a checkpoint another in-flight query name could reference
 
 
+def _ordered_replay(
+    spark: SparkSession,
+    src: DataFrame,
+    order_col: str,
+    drop_order_col: bool,
+    memo_key: tuple,
+    files: int,
+    prefix: str,
+    schema,
+) -> tuple[DataFrame, str]:
+    """Shared ordered-replay writer: split ``src`` into ``files`` contiguous
+    ``order_col`` ranges (exact quantiles at test scale), write them with
+    strictly ascending mtimes (the file source picks oldest-mtime first, so
+    replay order == range order deterministically), memoized per
+    ``memo_key``. Degenerate inputs (empty table / all-NULL order column)
+    collapse to however many ranges the quantiles support — never an
+    index error, at worst a single-file replay."""
+    from pyspark.sql import functions as F
+
+    d = _REPLAY_DIRS.get(memo_key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=prefix)
+        qs = [i / files for i in range(1, files)]
+        cuts = src.approxQuantile(order_col, qs, 0.0) if files > 1 else []
+        bounds = [None, *cuts, None]
+        seen: set = set()
+        t0 = None
+        for i in range(len(bounds) - 1):
+            part = src
+            if bounds[i] is not None:
+                part = part.filter(F.col(order_col) > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.col(order_col) <= bounds[i + 1])
+            if drop_order_col:
+                part = part.drop(order_col)
+            part.coalesce(1).write.mode("append" if i else "overwrite").parquet(d)
+            for f in sorted(os.listdir(d)):
+                fp = os.path.join(d, f)
+                if f.endswith(".parquet") and f not in seen:
+                    seen.add(f)
+                    if t0 is None:
+                        t0 = os.path.getmtime(fp)
+                    os.utime(fp, (t0 + i, t0 + i))
+        _REPLAY_DIRS[memo_key] = d
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    return stream, d
+
+
 def replay_documents_stream_ordered(
     spark: SparkSession, sf_dir: str, files: int = 3
 ) -> tuple[DataFrame, str]:
@@ -227,36 +251,13 @@ def replay_documents_stream_ordered(
     doc_id order, one contiguous id range per micro-batch file, ascending
     mtimes like :func:`replay_events_stream_ordered`). Memoized."""
     docs = load_table(spark, sf_dir, "documents")
-    key = (sf_dir, "docs_ordered", files)
-    d = _REPLAY_DIRS.get(key)
-    if d is None or not os.path.isdir(d):
-        from pyspark.sql import functions as F
-
-        d = tempfile.mkdtemp(prefix="replay_docs_ord_")
-        qs = [i / files for i in range(1, files)]
-        cuts = docs.approxQuantile("doc_id", qs, 0.0) if files > 1 else []
-        bounds = [None, *cuts, None]
-        seen: set = set()
-        t0 = None
-        for i in range(files):
-            part = docs
-            if bounds[i] is not None:
-                part = part.filter(F.col("doc_id") > bounds[i])
-            if bounds[i + 1] is not None:
-                part = part.filter(F.col("doc_id") <= bounds[i + 1])
-            part.coalesce(1).write.mode("append" if i else "overwrite").parquet(d)
-            for f in sorted(os.listdir(d)):
-                p = os.path.join(d, f)
-                if f.endswith(".parquet") and f not in seen:
-                    seen.add(f)
-                    if t0 is None:
-                        t0 = os.path.getmtime(p)
-                    os.utime(p, (t0 + i, t0 + i))
-        _REPLAY_DIRS[key] = d
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(d)
+    return _ordered_replay(
+        spark,
+        docs,
+        order_col="doc_id",
+        drop_order_col=False,
+        memo_key=(sf_dir, "docs_ordered", files),
+        files=files,
+        prefix="replay_docs_ord_",
+        schema=docs.schema,
     )
-    return stream, d
