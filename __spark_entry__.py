@@ -65,6 +65,7 @@ _NEVER_DRIVER_CHECKED = [
     "stream_tws_session_timers",
     "stream_tws_lsh_index_candidates",
     "stream_tws_warm_start_ewma",
+    "stream_tws_median_value",
     # (2) oracle- or plan-changed in r11, values pinned identical
     "stream_tws_ewma_user_value",
     "q1_pricing_summary",

@@ -1379,6 +1379,81 @@ ORDER BY s.user_id, s.session_start_us
 """
 
 
+def q_stream_tws_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S OWN AGGREGATE, STREAMING, DRIVER-CHECKED (r11) —
+    the bounded reservoir median (``median.cc``'s five-phase UDA) carried
+    across micro-batches in a tws ``ValueState``: init on first batch
+    (median.cc:117), update per batch (median.cc:128), the persisted state
+    IS the serialized reservoir (median.cc:165-194), finalize emitted per
+    trigger (median.cc:284-304). Closes the one gap in the streaming
+    surface: every OTHER stateful shape was driver-checked but the
+    flagship UDA itself was only pytest-pinned on the stream.
+
+    Exact regime: max_samples=30000 exceeds every per-type count at the
+    test SFs (≤ ~20.3k at sf0.1), so the reservoir never saturates and the
+    emitted value is the exact upper median — the same deterministic
+    contract the batch ``appx_median_*`` keys certify, with bounded state
+    still structurally enforced (the reference's design property).
+    Final answer per group = its max-``source_size`` emission (monotone).
+
+    Probe-gated fallback: the applyInPandasWithState twin
+    (``running_median_stream``), pinned value-identical in
+    tests/test_streaming.py::test_running_median_transform_with_state."""
+    from rocana_impala_udfs_spark.streaming.median_stream import (
+        running_median_stream,
+        running_median_tws,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        sink = run_to_table(
+            running_median_stream(stream, max_samples=30000), mode="update"
+        )
+    else:
+        sink = _with_rocksdb_state_store(
+            spark,
+            lambda: run_to_table(
+                running_median_tws(stream, max_samples=30000),
+                mode="update",
+                capture_plan=TWS_EXECUTED_PLANS,
+            ),
+        )
+    mx = sink.groupBy(F.col("group").alias("g")).agg(
+        F.max("source_size").alias("mx")
+    )
+    return (
+        sink.join(
+            F.broadcast(mx),
+            (sink["group"] == mx["g"]) & (sink["source_size"] == mx["mx"]),
+        )
+        .select(
+            F.col("group").alias("event_type"),
+            "median",
+            F.col("source_size").cast("bigint").alias("source_size"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_MEDIAN = """
+WITH ranked AS (
+    SELECT event_type, value AS x,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(event_type AS VARCHAR) AS event_type, x AS median,
+       CAST(n AS BIGINT) AS source_size
+FROM ranked WHERE rn = n // 2 + 1
+ORDER BY event_type
+"""
+
+
 _WARM_START_CUT = "2024-01-16"
 
 
@@ -5271,6 +5346,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_session_timers": q_stream_tws_session_timers,
     "stream_tws_lsh_index_candidates": q_stream_tws_lsh_index_candidates,
     "stream_tws_warm_start_ewma": q_stream_tws_warm_start_ewma,
+    "stream_tws_median_value": q_stream_tws_median_value,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
@@ -5363,6 +5439,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_session_timers": ORACLE_STREAM_SESSION_TIMERS,
     "stream_tws_lsh_index_candidates": ORACLE_STREAM_LSH_INDEX,
     "stream_tws_warm_start_ewma": ORACLE_STREAM_EWMA,
+    "stream_tws_median_value": ORACLE_STREAM_MEDIAN,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,

@@ -1139,3 +1139,19 @@ def test_tws_warm_start_key_executes_tws_operator(spark):
         "TransformWithStateInPySpark" in executed
         or "TransformWithStateInPandas" in executed
     ), executed
+
+
+def test_tws_median_key_executes_tws_operator(spark):
+    """stream_tws_median_value must run the genuine tws operator — the
+    reference's reservoir UDA streaming on the successor API, not the
+    applyInPandasWithState fallback."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PLANS)
+    _plan(spark, "stream_tws_median_value")
+    assert len(temporal.TWS_EXECUTED_PLANS) > before, "fell back"
+    executed = temporal.TWS_EXECUTED_PLANS[-1]
+    assert (
+        "TransformWithStateInPySpark" in executed
+        or "TransformWithStateInPandas" in executed
+    ), executed
