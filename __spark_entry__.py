@@ -44,43 +44,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-11 order:
-# (1) the two NEW r11 keys (PII scrub report, quality keep-threshold
-# sweep — no driver row yet); (2) keys whose ORACLE TEXT or EXECUTED PLAN
-# changed in r11 with values pinned identical: the tws streaming key (now
-# runs the genuine TransformWithStateInPySpark operator instead of the
-# fallback twin), q1 + join_broadcast (DECIMAL aggregate buffers → exact
-# split-word BIGINT sums; oracles rewritten to match), and the dedup
-# family (five cache() sites → eager localCheckpoint; plan-only, oracles
-# untouched); then (3) the nine weak-by-design keys (rows-only is their
-# best evidence; they absorb any over-budget truncation harmlessly).
-# Everything else enters r11 driver-confirmed hash-green on its latest
-# row (VERDICT r10: 314/314 oracle keys green across the r1-r10 union).
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-12 order
+# (every key entered r12 with a hash-green latest driver row — VERDICT
+# r11: 322/322 oracle keys green across the r1-r11 union — so the front
+# is just r12's changes per the standing contract): (1) the two NEW r12
+# keys — the bounded-bucket streaming LSH index (cap + overflow markers;
+# VERDICT r11 #1a) and the index-compaction probe-equality key (VERDICT
+# r11 #1b); (2) keys whose EXECUTED CODE changed in r12 with values
+# pinned identical on the ordered replay: the unbounded streaming LSH key
+# (pair orientation now normalized to (min,max) inside the processor —
+# ADVICE r11) and the tws EWMA key (progress capture added for the
+# RocksDB-provider pin); then (3) the nine weak-by-design keys
+# (rows-only is their best evidence; they absorb any over-budget
+# truncation harmlessly).
 _NEVER_DRIVER_CHECKED = [
-    # (1) new r11 keys
-    "quality_pii_report",
-    "quality_keep_threshold_sweep",
-    "stream_tws_bitmap_map_state",
-    "stream_tws_topk_list_state",
-    "stream_tws_session_timers",
+    # (1) new r12 keys
+    "stream_tws_lsh_bounded_bucket",
+    "dedup_index_compaction_probe",
+    # (2) executed code changed in r12, values pinned identical
     "stream_tws_lsh_index_candidates",
-    "stream_tws_warm_start_ewma",
-    "stream_tws_median_value",
-    # (2) oracle- or plan-changed in r11, values pinned identical
     "stream_tws_ewma_user_value",
-    "q1_pricing_summary",
-    "join_broadcast_brand_prices",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_pairs",
-    "dedup_containment_pairs",
-    "dedup_jaccard_threshold_sweep",
-    "dedup_survivors_best_quality",
-    "dedup_incremental_new_docs",
-    "dedup_incremental_minhash",
-    "dedup_prefix_filter_pairs",
-    "dedup_survivors",
-    "dedup_cluster_sizes",
-    "llm_corpus_pipeline",
     # (3) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",

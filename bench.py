@@ -208,6 +208,15 @@ HEADLINE = [
     # benched: same fixed replay machinery, and the tws operator cost is
     # already represented by the EWMA key (the r9 promotion discipline).
     "stream_tws_ewma_user_value",
+    # stream_tws_lsh_index_candidates / stream_tws_lsh_bounded_bucket are
+    # NOT benched: same fixed replay machinery as the other tws keys, and
+    # their batch-side cost (md5 banding) is benched through the
+    # compaction key below.
+    # r12: the index-lifecycle key — first in-process run builds the
+    # standing md5-band table and compacts the delta in; warm runs measure
+    # the RECOGNIZED path (fingerprint match -> probe only), which is the
+    # per-cycle steady state a production service pays.
+    "dedup_index_compaction_probe",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_checkpoint_restart_counts is NOT benched — it measures restart

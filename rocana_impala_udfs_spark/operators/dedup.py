@@ -913,7 +913,7 @@ def incremental_candidates(delta_bands: DataFrame, corpus_bands: DataFrame) -> D
     standing corpus band index on ``(band_idx, band_hash)``. Cost is
     O(|delta| · bands) probe rows — the corpus side is a plain (ideally
     bucketed) table read with NO shingle/signature stage, which
-    ``tests/test_dedup.py::test_incremental_probe_plan_never_signatures_corpus``
+    ``tests/test_pipeline.py::test_incremental_probe_plan_never_signatures_corpus``
     pins on the explain output."""
     d, c = delta_bands.alias("d"), corpus_bands.alias("c")
     return (
@@ -951,7 +951,7 @@ def incremental_minhash_pairs(
     computation for the delta, a bucket probe of the index, and exact
     Jaccard on the candidates. When omitted, the index is derived inline
     from ``corpus`` (one-shot usage; same results, full-corpus signature
-    cost — ``tests/test_dedup.py`` pins index-probe == recompute-probe).
+    cost — ``tests/test_pipeline.py`` pins index-probe == recompute-probe).
 
     Returns (new_id, dup_of, jaccard ≥ threshold).
 

@@ -1024,8 +1024,16 @@ def _workers_can_import_protobuf(spark: SparkSession) -> bool:
             .map(lambda _: __import__("google.protobuf.descriptor") is not None)
             .first()
         )
-    except Exception:
-        ok = False
+    except Exception as exc:  # worker raised — import failure or transient
+        # Only a GENUINE worker-side import failure is a durable verdict
+        # (ADVICE r11): a transient probe failure (executor startup
+        # hiccup, task retry exhaustion) must not pin the session onto
+        # the fallback twins forever, so it returns False UNCACHED and
+        # the next key re-probes.
+        msg = str(exc)
+        if "ImportError" in msg or "ModuleNotFoundError" in msg:
+            _PB_WORKER_PROBE[memo_key] = False
+        return False
     _PB_WORKER_PROBE[memo_key] = ok
     return ok
 
@@ -1036,6 +1044,12 @@ _PB_WORKER_PROBE: dict = {}
 # tests/test_plans.py pins that the key really ran
 # TransformWithStateInPandasExec, not the fallback twin.
 TWS_EXECUTED_PLANS: list = []
+
+# last StreamingQueryProgress of tws driver-key runs (newest last);
+# tests/test_plans.py pins the rocksdb* customMetrics — proof the state
+# really lived in the RocksDB provider (the only provider tws can run on
+# in Spark 4.1; tests/test_streaming.py pins the default-store refusal).
+TWS_EXECUTED_PROGRESS: list = []
 
 
 def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,6 +1091,7 @@ def q_stream_tws_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             running_ewma_tws(stream, alpha=0.1),
             mode="update",
             capture_plan=TWS_EXECUTED_PLANS,
+            capture_progress=TWS_EXECUTED_PROGRESS,
         ),
     )
     return _ewma_final_answer(sink)
@@ -1612,6 +1627,110 @@ bands AS (
 SELECT DISTINCT a.doc_id AS dup_of, b.doc_id AS new_id
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+ORDER BY dup_of, new_id
+"""
+
+
+def q_stream_tws_lsh_bounded_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming LSH index (r12, VERDICT r11 #1) — the same
+    tws bucket processor as ``stream_tws_lsh_index_candidates`` but with
+    ``bucket_cap=2``: a bucket keeps only its first 2 member ids, and any
+    later arrival into that bucket emits ONE overflow-marker row
+    ``(dup_of=-1, new_id)`` instead of O(|bucket|) pairs and is not
+    appended — per-arrival emission and per-bucket state are both O(cap)
+    no matter how boilerplate-heavy the corpus. The markers are the
+    hand-off contract: they name exactly the documents whose dup check
+    must fall back to the standing batch index
+    (``dedup_index_compaction_probe`` proves that half). This is the
+    reference's bounded-aggregation-state doctrine (``median.h:27-29``)
+    applied to the one streaming component that previously grew without
+    bound.
+
+    Deterministic on the doc-id-ordered replay, so fully oracle-checked:
+    "first cap members" = the cap lowest doc_ids = rank ≤ cap within the
+    bucket; pairs are all (lo, hi) with rank ≤ cap, markers everything
+    above. cap=2 is chosen to EXERCISE overflow at every test SF (max
+    bucket size is 3-4 here). TTL-evicted variants are wall-clock-
+    dependent and stay pytest-only (``tests/test_streaming.py``).
+
+    Probe-gated fallback (no worker protobuf): the identical rank
+    semantics as a batch window over the banded frame — bounded per
+    bucket, never a fact-row sort."""
+    from rocana_impala_udfs_spark.streaming.dedup_stream import (
+        md5_band_columns,
+        running_lsh_index_tws,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_documents_stream_ordered,
+        run_to_table,
+    )
+    from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
+
+    cap = 2
+    if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        b = md5_band_columns(docs)
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+        r = b.withColumn("rn", F.row_number().over(w))
+        a, c = r.alias("a"), r.alias("b")
+        pairs = a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.rn") < F.col("b.rn"))
+            & (F.col("b.rn") <= cap),
+        ).select(F.col("a.id").alias("dup_of"), F.col("b.id").alias("new_id"))
+        markers = r.filter(F.col("rn") > cap).select(
+            F.lit(-1).cast("bigint").alias("dup_of"), F.col("id").alias("new_id")
+        )
+        out = pairs.unionByName(markers)
+    else:
+        stream, _d = replay_documents_stream_ordered(spark, sf_dir)  # memoized
+        sink = _with_rocksdb_state_store(
+            spark,
+            lambda: run_to_table(
+                running_lsh_index_tws(stream, bucket_cap=cap),
+                mode="update",
+                capture_plan=TWS_EXECUTED_PLANS,
+            ),
+        )
+        out = sink.select("dup_of", "new_id")
+    return out.distinct().orderBy("dup_of", "new_id")
+
+
+ORACLE_STREAM_LSH_BOUNDED = """
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3),
+shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s FROM sh),
+seeds AS (SELECT unnest(range(16)) AS seed),
+mins AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+    FROM shingles, seeds GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 4 AS band_idx, md5(string_agg(h, '' ORDER BY seed)) AS bh
+    FROM mins GROUP BY doc_id, seed // 4
+),
+ranked AS (
+    SELECT doc_id, band_idx, bh,
+           row_number() OVER (PARTITION BY band_idx, bh ORDER BY doc_id) AS rn
+    FROM bands
+)
+SELECT DISTINCT dup_of, new_id FROM (
+    SELECT a.doc_id AS dup_of, b.doc_id AS new_id
+    FROM ranked a JOIN ranked b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh
+     AND a.rn < b.rn AND b.rn <= 2
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS dup_of, doc_id AS new_id
+    FROM ranked WHERE rn > 2
+)
 ORDER BY dup_of, new_id
 """
 
@@ -5345,6 +5464,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_topk_list_state": q_stream_tws_topk_list_state,
     "stream_tws_session_timers": q_stream_tws_session_timers,
     "stream_tws_lsh_index_candidates": q_stream_tws_lsh_index_candidates,
+    "stream_tws_lsh_bounded_bucket": q_stream_tws_lsh_bounded_bucket,
     "stream_tws_warm_start_ewma": q_stream_tws_warm_start_ewma,
     "stream_tws_median_value": q_stream_tws_median_value,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
@@ -5438,6 +5558,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_topk_list_state": ORACLE_STREAM_TOPK,
     "stream_tws_session_timers": ORACLE_STREAM_SESSION_TIMERS,
     "stream_tws_lsh_index_candidates": ORACLE_STREAM_LSH_INDEX,
+    "stream_tws_lsh_bounded_bucket": ORACLE_STREAM_LSH_BOUNDED,
     "stream_tws_warm_start_ewma": ORACLE_STREAM_EWMA,
     "stream_tws_median_value": ORACLE_STREAM_MEDIAN,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,

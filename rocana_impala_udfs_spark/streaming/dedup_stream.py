@@ -118,6 +118,14 @@ def md5_band_columns(
     ).select("id", "bh.band_idx", "bh.band_hash")
 
 
+#: ``dup_of`` value of an overflow marker row: the arriving document hit a
+#: bucket already at ``bucket_cap`` members, so instead of candidate pairs
+#: it emits ONE row flagging "this doc landed in a saturated bucket" —
+#: downstream routes it to the batch index probe. doc_ids are nonnegative,
+#: so the sentinel can never collide with a real pair.
+OVERFLOW_MARKER = -1
+
+
 def running_lsh_index_tws(
     docs: DataFrame,
     text_col: str = "text",
@@ -125,6 +133,8 @@ def running_lsh_index_tws(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    bucket_cap: int | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """STREAMING LSH INDEX MAINTENANCE on ``transformWithStateInPandas``:
     documents are banded statelessly (:func:`md5_band_columns`), the stream
@@ -135,14 +145,33 @@ def running_lsh_index_tws(
     probe (`dedup.incremental_minhash_pairs`) answers "dups of today's
     delta"; this answers "dups the moment each document lands".
 
-    Emitted pairs are (dup_of < new_id) by doc-id arrival order; the same
-    pair can surface from several bands — consumers (and the driver key)
-    de-duplicate downstream, keeping the processor append-only.
+    Emitted pairs are orientation-normalized to ``dup_of = min(id)``,
+    ``new_id = max(id)`` INSIDE the processor (ADVICE r11) — on an
+    out-of-order stream the same logical pair can otherwise surface in
+    both orientations across batches and survive a downstream
+    ``distinct`` as two rows. The same pair can still surface from
+    several bands; consumers (and the driver key) de-duplicate
+    downstream, keeping the processor append-only.
 
-    State grows with the indexed corpus (it IS the index). At 100 TB,
-    bound each bucket (near-dup buckets saturate fast — cap + overflow
-    marker) and TTL cold buckets; the full-history index belongs in the
-    batch bucketed table."""
+    BOUNDED-STATE MODE (the reference's doctrine, ``median.h:27-29``,
+    applied to the index — VERDICT r11 #1): with ``bucket_cap=N`` a
+    bucket keeps only its FIRST N member ids; an arrival that finds the
+    bucket saturated emits one OVERFLOW MARKER row
+    ``(new_id=id, dup_of=OVERFLOW_MARKER)`` instead of pairs and is NOT
+    appended — per-arrival work and per-bucket state are both O(N)
+    however boilerplate-heavy the corpus, and the marker tells the
+    consumer exactly which docs must fall back to the standing batch
+    index (``sources.io.ensure_minhash_band_index`` +
+    ``compact_band_delta_into_index`` — the bulk half of the lifecycle).
+    Deterministic, so the driver key carries a full DuckDB oracle
+    (rank-by-id within bucket: pairs for ranks ≤ N, markers above).
+
+    With ``ttl_ms`` the ListState carries a native TTL: buckets idle
+    longer than the horizon are evicted by the state store, so COLD
+    buckets don't accumulate forever either — the streaming index then
+    covers the hot ingest horizon and the compacted batch table is the
+    full history (eviction semantics pinned in pytest; TTL keys are
+    wall-clock-dependent, hence never oracle-checked)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -153,21 +182,29 @@ def running_lsh_index_tws(
 
     class BucketProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._ids = handle.getListState("ids", "id bigint")
+            self._ids = handle.getListState("ids", "id bigint", ttlDurationMs=ttl_ms)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            # bounded read: |prior| ≤ bucket_cap in bounded mode
             prior = [int(i) for (i,) in self._ids.get()]
             incoming: list[int] = []
             for pdf in rows:
                 incoming.extend(int(x) for x in pdf["id"])
             incoming.sort()
             out_new, out_old = [], []
+            appended: list[int] = []
             for nid in incoming:
-                for old in prior:
+                if bucket_cap is not None and len(prior) >= bucket_cap:
                     out_new.append(nid)
-                    out_old.append(old)
+                    out_old.append(OVERFLOW_MARKER)
+                    continue
+                for old in prior:
+                    out_new.append(max(nid, old))
+                    out_old.append(min(nid, old))
                 prior.append(nid)
-            self._ids.appendList([(i,) for i in incoming])
+                appended.append(nid)
+            if appended:
+                self._ids.appendList([(i,) for i in appended])
             if out_new:
                 yield pd.DataFrame({"new_id": out_new, "dup_of": out_old})
 
@@ -182,5 +219,9 @@ def running_lsh_index_tws(
         BucketProcessor(),
         outputStructType="new_id bigint, dup_of bigint",
         outputMode="Update",
-        timeMode="None",
+        # state TTL is wall-clock, so the engine requires ProcessingTime
+        # mode the moment a TTL is configured (and the TTL cleanup batches
+        # it schedules mean callers must POLL the sink, not
+        # processAllAvailable — the r11 lesson, pinned in pytest)
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )

@@ -94,7 +94,10 @@ def replay_events_stream_ordered(
 
 
 def run_to_table(
-    out: DataFrame, mode: str = "complete", capture_plan: list | None = None
+    out: DataFrame,
+    mode: str = "complete",
+    capture_plan: list | None = None,
+    capture_progress: list | None = None,
 ) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
     return the final result table (batch DataFrame).
@@ -103,6 +106,12 @@ def run_to_table(
     plan string (``explainInternal`` of the last micro-batch) is appended to
     it before the query stops — tests pin operator choices (e.g.
     ``TransformWithStateInPandasExec``) through the exact driver-key path.
+
+    ``capture_progress``: when a list is passed, the last non-empty
+    ``StreamingQueryProgress`` dict is appended — tests pin the STATE
+    STORE the query really ran on (the RocksDB provider reports
+    ``rocksdb*`` customMetrics per stateful operator; the HDFS-backed
+    default reports none) through the exact driver-key path.
     """
     name = "replay_" + uuid.uuid4().hex[:12]
     q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -110,6 +119,10 @@ def run_to_table(
         q.processAllAvailable()
         if capture_plan is not None:
             capture_plan.append(q._jsq.explainInternal(False))
+        if capture_progress is not None:
+            with_state = [p for p in q.recentProgress if p.get("stateOperators")]
+            if with_state:
+                capture_progress.append(with_state[-1])
     finally:
         q.stop()
     return out.sparkSession.table(name)

@@ -151,3 +151,17 @@ def test_copyfrom_and_clear():
     assert b == a
     b.Clear()
     assert b.SerializeToString() == b""
+
+
+def test_vivified_child_repeated_field_append_survives_serialize():
+    """ADVICE r11: appending to a repeated field of an auto-vivified child
+    must attach the child to its parent — before the fix the appended
+    data silently vanished on serialize. (Trade-off, documented in
+    _runtime.py: the child gains presence on first repeated-field ACCESS,
+    the safe superset of real protobuf's attach-on-append.)"""
+    call = sm.ListStateCall(stateName="s")
+    call.appendList.value.append(b"payload")
+    m2 = sm.ListStateCall()
+    m2.ParseFromString(call.SerializeToString())
+    assert m2.HasField("appendList")
+    assert list(m2.appendList.value) == [b"payload"]

@@ -2275,3 +2275,74 @@ def test_band_index_fingerprint_rebuilds_on_corpus_change(spark):
         assert ids_b2 == ids_b
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compaction_union_probe_equals_compacted_and_skips_rebuild(spark):
+    """VERDICT r11 #1(b): the index lifecycle — probe(standing table ⊎
+    accumulated stream band rows) before compaction, probe(compacted
+    table) after, and recompute-from-scratch must all agree; and the
+    ensure() call AFTER compaction must recognize the advanced corpus
+    fingerprint and not rebuild (no files touched)."""
+    import os
+    from urllib.parse import urlparse
+
+    from rocana_impala_udfs_spark.sources.io import (
+        compact_band_delta_into_index,
+        ensure_minhash_band_index,
+    )
+    from rocana_impala_udfs_spark.streaming.dedup_stream import md5_band_columns
+
+    def pairs(bands):
+        a, b = bands.alias("a"), bands.alias("b")
+        return {
+            (r.i, r.j)
+            for r in a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+            .distinct()
+            .collect()
+        }
+
+    docs = load_table(spark, SF, "documents")
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    tbl = "lsh_md5_band_index_pytest_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        idx0 = ensure_minhash_band_index(
+            spark, standing, table=tbl, buckets=4, banding=md5_band_columns
+        )
+        delta_bands = md5_band_columns(delta)
+        serving = pairs(idx0.unionByName(delta_bands))  # pre-compaction path
+        compacted = compact_band_delta_into_index(
+            spark, tbl, delta_bands, corpus_after=docs
+        )
+        after = pairs(compacted)
+        recompute = pairs(md5_band_columns(docs))
+        assert serving == after == recompute and recompute
+        # compacted table content is exactly the full-corpus banding
+        got_rows = {
+            (r.id, r.band_idx, r.band_hash)
+            for r in spark.table(tbl).collect()
+        }
+        exp_rows = {
+            (r.id, r.band_idx, r.band_hash)
+            for r in md5_band_columns(docs).collect()
+        }
+        assert got_rows == exp_rows
+        # recognition: ensure() with the full corpus must not rebuild
+        wh = os.path.realpath(
+            urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        )
+        loc = os.path.join(wh, tbl.lower())
+        files_before = sorted(os.listdir(loc))
+        ensure_minhash_band_index(
+            spark, docs, table=tbl, buckets=4, banding=md5_band_columns
+        )
+        assert sorted(os.listdir(loc)) == files_before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -1125,6 +1125,41 @@ def test_tws_lsh_index_key_executes_tws_operator(spark):
     ), executed
 
 
+def test_tws_driver_key_state_lives_in_rocksdb(spark):
+    """VERDICT r11 missing #3: the tws driver keys must run their state in
+    the RocksDB provider — pinned from the EXECUTED query progress (the
+    RocksDB provider reports rocksdb* customMetrics per stateful
+    operator; the HDFS-backed default reports none and, in Spark 4.1,
+    cannot run tws at all — see
+    test_streaming.py::test_tws_requires_rocksdb_state_store)."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PROGRESS)
+    _plan(spark, "stream_tws_ewma_user_value")  # runs the stream
+    assert len(temporal.TWS_EXECUTED_PROGRESS) > before, "no progress captured"
+    progress = temporal.TWS_EXECUTED_PROGRESS[-1]
+    ops = progress["stateOperators"]
+    assert ops, progress
+    metrics = ops[0]["customMetrics"]
+    assert any(str(k).startswith("rocksdb") for k in metrics), metrics
+
+
+def test_tws_lsh_bounded_key_executes_tws_operator(spark):
+    """stream_tws_lsh_bounded_bucket must run the genuine tws operator —
+    the bounded-bucket (cap + overflow marker) variant, not the batch
+    rank-window fallback."""
+    from rocana_impala_udfs_spark.plans import temporal
+
+    before = len(temporal.TWS_EXECUTED_PLANS)
+    _plan(spark, "stream_tws_lsh_bounded_bucket")
+    assert len(temporal.TWS_EXECUTED_PLANS) > before, "fell back to batch plan"
+    executed = temporal.TWS_EXECUTED_PLANS[-1]
+    assert (
+        "TransformWithStateInPySpark" in executed
+        or "TransformWithStateInPandas" in executed
+    ), executed
+
+
 def test_tws_warm_start_key_executes_tws_operator(spark):
     """stream_tws_warm_start_ewma must run the genuine tws operator with
     initial state (the handleInitialState certification), not the

@@ -1384,3 +1384,237 @@ def test_warm_start_ewma_equals_full_stream(spark):
         for r in q_stream_ewma_user_value(spark, SF).collect()
     }
     assert warm == full and warm
+
+
+@pytest.fixture()
+def ooo_docs_dir(spark):
+    """Out-of-order 4-doc ingest: arrival order 2,3 | 1 | 4 (one file per
+    micro-batch, ascending mtimes), all sharing one text so every band
+    bucket contains every arrived doc."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="docstream_ooo_")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    for ids in ([2, 3], [1], [4]):
+        spark.createDataFrame(
+            [(i, text) for i in ids], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.2)  # distinct mtimes -> deterministic file order
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs_stream(spark, d):
+    return (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _under_rocksdb(spark, run):
+    """tws state REQUIRES the RocksDB provider in Spark 4.1 — the HDFS-
+    backed default store cannot create the per-state column families
+    (StateStoreMultipleColumnFamiliesNotSupportedException; pinned in
+    test_tws_requires_rocksdb_state_store). Same conf discipline as
+    plans.temporal._with_rocksdb_state_store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_lsh_pairs_normalized_on_out_of_order_stream(spark, ooo_docs_dir):
+    """ADVICE r11: pair orientation is normalized to (min, max) INSIDE the
+    processor — doc 1 arrives AFTER docs 2,3, so without normalization the
+    same logical pairs would emit as (dup_of=2, new_id=1) etc. and survive
+    a downstream distinct in both orientations."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.dedup_stream import running_lsh_index_tws
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    sink = _under_rocksdb(
+        spark,
+        lambda: run_to_table(
+            running_lsh_index_tws(_docs_stream(spark, ooo_docs_dir)), mode="update"
+        ),
+    )
+    got = {(r.dup_of, r.new_id) for r in sink.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert all(a < b for a, b in got)
+
+
+def test_lsh_bounded_bucket_caps_state_and_emits_markers(spark, ooo_docs_dir):
+    """VERDICT r11 #1(a): with bucket_cap=2 the bucket keeps only its first
+    two ARRIVALS (docs 2,3); docs 1 and 4 each emit one overflow marker
+    and are NOT appended — doc 4 pairing with nothing (not even the
+    marker-rejected doc 1) proves the cap really freezes state, and the
+    marker rows name exactly the docs that must fall back to the batch
+    index."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from rocana_impala_udfs_spark.streaming.dedup_stream import (
+        OVERFLOW_MARKER,
+        running_lsh_index_tws,
+    )
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    sink = _under_rocksdb(
+        spark,
+        lambda: run_to_table(
+            running_lsh_index_tws(_docs_stream(spark, ooo_docs_dir), bucket_cap=2),
+            mode="update",
+        ),
+    )
+    got = {(r.dup_of, r.new_id) for r in sink.collect()}
+    assert got == {(2, 3), (OVERFLOW_MARKER, 1), (OVERFLOW_MARKER, 4)}
+
+
+def test_lsh_bucket_ttl_evicts_cold_buckets(spark):
+    """VERDICT r11 #1(a): a ttl_ms-configured bucket ListState is evicted
+    by the state store once idle past the horizon — a duplicate arriving
+    after the TTL emits NO pair (the cold index entry is gone; the batch
+    table is the full history), while a not-yet-expired TTL still pairs."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import time
+
+    from rocana_impala_udfs_spark.streaming.dedup_stream import running_lsh_index_tws
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run(ttl_ms: int, sleep_s: float, name: str) -> set:
+        d = tempfile.mkdtemp(prefix="docstream_ttl_")
+        try:
+            spark.createDataFrame(
+                [(1, text)], "doc_id bigint, text string"
+            ).coalesce(1).write.mode("append").parquet(d)
+            out = running_lsh_index_tws(_docs_stream(spark, d), ttl_ms=ttl_ms)
+            # TTL => ProcessingTime mode => cleanup batches keep scheduling,
+            # so processAllAvailable never returns: poll numInputRows.
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                def _seen():
+                    # numInputRows counts SOURCE rows (docs), not band rows
+                    return sum(p["numInputRows"] for p in q.recentProgress)
+
+                deadline = time.time() + 120
+                while _seen() < 1 and time.time() < deadline:
+                    time.sleep(0.25)
+                assert _seen() >= 1, "first doc never processed"
+                time.sleep(sleep_s)
+                spark.createDataFrame(
+                    [(2, text)], "doc_id bigint, text string"
+                ).coalesce(1).write.mode("append").parquet(d)
+                deadline = time.time() + 120
+                while _seen() < 2 and time.time() < deadline:
+                    time.sleep(0.25)
+                assert _seen() >= 2, "second doc never processed"
+                # let doc 2's emissions (if any) land in the sink
+                time.sleep(1.0)
+            finally:
+                q.stop()
+            return {(r.dup_of, r.new_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # TTL far beyond the run: the index entry survives, the dup pairs
+    assert _under_rocksdb(spark, lambda: run(86_400_000, 0.0, "ttl_lsh_long")) == {
+        (1, 2)
+    }
+    # TTL 1.5 s, 4 s idle: the bucket is evicted before doc 2 arrives
+    assert _under_rocksdb(spark, lambda: run(1_500, 4.0, "ttl_lsh_short")) == set()
+
+
+def test_tws_requires_rocksdb_state_store(spark, ooo_docs_dir):
+    """VERDICT r11 missing #3, resolved with evidence: tws × RocksDB is
+    not an optional pairing to certify — in Spark 4.1 the tws operator
+    CANNOT run on the default HDFS-backed store at all (per-state column
+    families are a RocksDB-only feature), which is why every tws driver
+    key routes through _with_rocksdb_state_store. Pin the failure class
+    so a future Spark that lifts the restriction surfaces loudly."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from rocana_impala_udfs_spark.streaming.dedup_stream import running_lsh_index_tws
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    # ensure the DEFAULT provider is in effect
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    if old is not None:
+        spark.conf.unset(key)
+    try:
+        with pytest.raises(StreamingQueryException) as exc:
+            run_to_table(
+                running_lsh_index_tws(_docs_stream(spark, ooo_docs_dir)),
+                mode="update",
+            )
+        assert "STATE_STORE_MULTIPLE_COLUMN_FAMILIES" in str(exc.value)
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+
+
+def test_session_timer_fires_on_exact_watermark_equality(spark):
+    """ADVICE r11: the oracle comparator emits a user's final session when
+    floor(last_us/1000) + gap_ms <= floor(max_us/1000) - delay_ms — pin
+    the EQUALITY boundary (timer expiry exactly equals the final
+    watermark) with a constructed fixture, since the sf fixtures carry
+    microsecond timestamps and never land on it. If Spark's expired-timer
+    selection were strict (<), user A's session below would not emit and
+    this test would catch the comparator divergence."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import time
+
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+    from rocana_impala_udfs_spark.streaming.session_tws import (
+        running_session_gap_tws,
+    )
+
+    gap_ms, delay_ms = 60_000, 60_000  # 1 minute each
+    t0 = 1_000_000_000  # us; A's single event
+    # equality by construction: t0/1000 + gap == T/1000 - delay
+    T = (t0 // 1000 + gap_ms + delay_ms) * 1000  # us; B's single event
+    assert t0 // 1000 + gap_ms == T // 1000 - delay_ms
+
+    d = tempfile.mkdtemp(prefix="sess_boundary_")
+    try:
+        for uid, us in (("A", t0), ("B", T)):
+            spark.createDataFrame([(uid, us)], "user_id string, us bigint").select(
+                "user_id", F.timestamp_micros("us").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(d)
+            time.sleep(0.2)
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        sink = _under_rocksdb(
+            spark,
+            lambda: run_to_table(
+                running_session_gap_tws(stream, gap_minutes=1, delay="1 minutes"),
+                mode="append",
+            ),
+        )
+        got = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in sink.collect()
+        }
+        # A's timer expiry == final watermark -> fires (<= semantics);
+        # B's own session is the open tail and must never emit.
+        assert got == {("A", t0, t0, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Derive a MULT× scaled dataset from a driver-generated SF directory
+(VERDICT r11 #4: "run the full oracle harness at sf1, or the largest SF
+the sandbox fits" — the sandbox ships sf0.1 as its largest, so the
+headroom sweep derives sf≈1 from it).
+
+The derivation replicates the driver's own parquet tables MULT times with
+key shifting chosen so every query remains SEMANTICALLY well-posed while
+the NUMERIC LOAD scales — the point is to stress the documented exactness
+headroom bounds (2^53 casts, DECIMAL(38,0) moments, |value|<4.5e9 grids)
+that sf0.1 cannot reach, with Spark and DuckDB reading the identical
+derived files so every hash comparison stays a true parity test:
+
+- region/nation: fixed dimensions, copied verbatim.
+- customer/supplier/part/orders/lineitem: all *key* columns shifted by
+  replica*STRIDE (referential integrity preserved within each replica);
+  attributes untouched, so per-group sums/moments grow ~MULT×.
+- events: event_id shifted; user_id KEPT (per-user histories grow MULT×,
+  stressing fold-replay oracles); ts shifted by replica*31 days so
+  replica time-ranges are disjoint — no (user_id, ts) ties exist to make
+  order-sensitive folds ambiguous.
+- documents: doc_id shifted; for replica>0 every word is prefixed with a
+  replica tag, so shingle sets NEVER overlap across replicas — dedup
+  keys scale by corpus size without a quadratic cross-replica pair
+  explosion (each replica reproduces the original near-dup structure).
+- embeddings: vec_id shifted; a small per-replica constant is added to
+  every component so no exact cosine ties with the originals exist
+  (top-k selections stay deterministic).
+
+Usage: python tools/make_scaled_sf.py [SRC_SF_DIR] [OUT_DIR] [MULT]
+Defaults: /root/testdata/sf0.1  ./testdata_scaled/sf1x  10
+The output dir is gitignored — it is a derived artifact, rebuilt on
+demand, never committed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+STRIDE = 10_000_000  # > every key in the source tables
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "testdata_scaled/sf1x"
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def emit(table: str, select_for_replica) -> None:
+        parts = [select_for_replica(i) for i in range(mult)]
+        union = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    def copy(table: str) -> None:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet'))"
+            f" TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{table}: copied")
+
+    copy("region")
+    copy("nation")
+
+    emit(
+        "customer",
+        lambda i: (
+            f"SELECT c_custkey + {i * STRIDE} AS c_custkey,"
+            " c_name, c_nationkey, c_acctbal, c_mktsegment"
+            f" FROM read_parquet('{src}/customer.parquet')"
+        ),
+    )
+    emit(
+        "supplier",
+        lambda i: (
+            f"SELECT s_suppkey + {i * STRIDE} AS s_suppkey,"
+            " s_name, s_nationkey, s_acctbal"
+            f" FROM read_parquet('{src}/supplier.parquet')"
+        ),
+    )
+    emit(
+        "part",
+        lambda i: (
+            f"SELECT p_partkey + {i * STRIDE} AS p_partkey,"
+            " p_name, p_brand, p_type, p_size, p_retailprice"
+            f" FROM read_parquet('{src}/part.parquet')"
+        ),
+    )
+    emit(
+        "orders",
+        lambda i: (
+            f"SELECT o_orderkey + {i * STRIDE} AS o_orderkey,"
+            f" o_custkey + {i * STRIDE} AS o_custkey,"
+            " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+            f" FROM read_parquet('{src}/orders.parquet')"
+        ),
+    )
+    emit(
+        "lineitem",
+        lambda i: (
+            f"SELECT l_orderkey + {i * STRIDE} AS l_orderkey,"
+            f" l_partkey + {i * STRIDE} AS l_partkey,"
+            f" l_suppkey + {i * STRIDE} AS l_suppkey,"
+            " l_linenumber, l_quantity, l_extendedprice, l_discount,"
+            " l_tax, l_returnflag, l_linestatus, l_shipdate"
+            f" FROM read_parquet('{src}/lineitem.parquet')"
+        ),
+    )
+    emit(
+        "events",
+        lambda i: (
+            f"SELECT event_id + {i * STRIDE} AS event_id,"
+            f" ts + INTERVAL {i * 31} DAY AS ts,"
+            " user_id, event_type, value, props"
+            f" FROM read_parquet('{src}/events.parquet')"
+        ),
+    )
+    emit(
+        "documents",
+        lambda i: (
+            f"SELECT doc_id + {i * STRIDE} AS doc_id, "
+            + (
+                "text"
+                if i == 0
+                else f"regexp_replace(text, '(\\S+)', 'r{i}\\1', 'g') AS text"
+            )
+            + ", lang, source, n_chars"
+            f" FROM read_parquet('{src}/documents.parquet')"
+        ),
+    )
+    emit(
+        "embeddings",
+        lambda i: (
+            f"SELECT vec_id + {i * STRIDE} AS vec_id,"
+            f" list_transform(embedding, x -> CAST(x + {i} * 1e-3 AS FLOAT))"
+            " AS embedding, label"
+            f" FROM read_parquet('{src}/embeddings.parquet')"
+        ),
+    )
+    print(f"done -> {out} (mult={mult})")
+
+
+if __name__ == "__main__":
+    main()
