@@ -61,6 +61,7 @@ _NEVER_DRIVER_CHECKED = [
     # (1) new r12 keys
     "stream_tws_lsh_bounded_bucket",
     "dedup_index_compaction_probe",
+    "dedup_bounded_handoff_union",
     # (2) executed code changed in r12, values pinned identical
     "stream_tws_lsh_index_candidates",
     "stream_tws_ewma_user_value",

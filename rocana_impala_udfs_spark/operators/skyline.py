@@ -69,7 +69,15 @@ def skyline(df: DataFrame, criteria: list[tuple[str, str]]) -> DataFrame:
     # doubly-thinned remainder. Each level applies the same distributive
     # identity skyline(P) = skyline(∪ skyline(Pᵢ)); coalesce moves no data
     # between executors beyond task grouping (no shuffle exchange).
-    parts = df.sparkSession.sparkContext.defaultParallelism
+    #
+    # The mid level only pays when it REDUCES fan-in: with P local-skyline
+    # partitions the final task merges P streams without it and `mid`
+    # streams with it, so unless P meaningfully exceeds mid the extra
+    # Arrow/Python stage is pure fixed cost (~0.3 s measured at sf0.1,
+    # where a small scan yields P ≤ 2 — the r11 `skyline_parts` drift).
+    # getNumPartitions is plan-side only, no job.
+    parts = thinned.rdd.getNumPartitions()
     mid = max(int(parts**0.5), 2)
-    thinned = thinned.coalesce(mid).mapInPandas(local, schema=out_schema)
+    if parts > 2 * mid:
+        thinned = thinned.coalesce(mid).mapInPandas(local, schema=out_schema)
     return thinned.coalesce(1).mapInPandas(local, schema=out_schema)

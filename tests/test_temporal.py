@@ -135,6 +135,24 @@ def test_skyline_distributive_invariance(spark):
     assert one == many and len(one) > 0
 
 
+def test_skyline_tree_level_is_conditional_on_fan_in(spark):
+    """VERDICT r11 #3 (skyline_parts 1.36x drift): the mid tree-reduce
+    level only pays when it reduces the final task's fan-in, so a
+    low-partition input (the sf0.1 part scan is 1-2 partitions) must plan
+    exactly TWO MapInPandas stages (the r1 shape), while a high-partition
+    input keeps the three-level tree."""
+    from rocana_impala_udfs_spark.operators.skyline import skyline
+
+    p = load_table(spark, SF, "part").select("p_partkey", "p_retailprice", "p_size")
+    crit = [("p_retailprice", "min"), ("p_size", "max")]
+
+    def n_stages(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("MapInPandas")
+
+    assert n_stages(skyline(p.coalesce(1), crit)) == 2
+    assert n_stages(skyline(p.repartition(32), crit)) == 3
+
+
 def test_bucketed_range_join_boundaries(spark):
     from rocana_impala_udfs_spark.operators.temporal import bucketed_range_join
 
