@@ -143,6 +143,38 @@ def random_hyperplanes(dim: int, num_tables: int, bits_per_table: int, seed: int
     return rng.standard_normal((num_tables, bits_per_table, dim))
 
 
+def _hyperplane_bucket_udf(planes, dim: int, num_tables: int, bits_per_table: int):
+    """Arrow-batched sign-bucket kernel over broadcast hyperplane constants,
+    shared by the LSH top-k and embedding near-dup operators. Each dot
+    product accumulates with an explicit per-dimension sequential loop
+    (``s += X[:,d]·w[d]``, vectorized across rows) — the identical IEEE
+    operation order as a left-to-right fold, so every sign bit matches
+    both the SQL-literal oracles and the earlier per-row HOF formulation
+    bit-for-bit; BLAS dots would reorder the sum and risk sign flips near
+    zero (the r6 lesson)."""
+    n_planes = num_tables * bits_per_table
+    P = planes.reshape(n_planes, dim).T.copy()  # (dim, n_planes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        if X.ndim != 2 or X.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        s = np.zeros((X.shape[0], n_planes), dtype=np.float64)
+        for d in range(dim):  # sequential in d => fold-order-exact sums
+            s += X[:, d : d + 1] * P[d][None, :]
+        bits = s >= 0
+        out = np.zeros((X.shape[0], num_tables), dtype=np.int32)
+        for t in range(num_tables):
+            for b in range(bits_per_table):
+                out[:, t] |= bits[:, t * bits_per_table + b].astype(np.int32) << b
+        return pd.Series(out.tolist())
+
+    return bucket_ids
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -169,25 +201,7 @@ def lsh_bucket_topk(
     Shuffle is the bucket equality join — no cross join anywhere.
     """
     planes = random_hyperplanes(dim, num_tables, bits_per_table, seed)
-    n_planes = num_tables * bits_per_table
-    P = planes.reshape(n_planes, dim).T.copy()  # (dim, n_planes)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def bucket_ids(vecs: pd.Series) -> pd.Series:
-        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
-        if X.ndim != 2 or X.shape[0] == 0:
-            return pd.Series([], dtype=object)
-        s = np.zeros((X.shape[0], n_planes), dtype=np.float64)
-        for d in range(dim):  # sequential in d => fold-order-exact sums
-            s += X[:, d : d + 1] * P[d][None, :]
-        bits = s >= 0
-        out = np.zeros((X.shape[0], num_tables), dtype=np.int32)
-        for t in range(num_tables):
-            for b in range(bits_per_table):
-                out[:, t] |= bits[:, t * bits_per_table + b].astype(np.int32) << b
-        return pd.Series(out.tolist())
+    bucket_ids = _hyperplane_bucket_udf(planes, dim, num_tables, bits_per_table)
 
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -334,34 +348,53 @@ def embedding_neardup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
-    hyperplane-bucket candidate generation, verified with exact cosine."""
+    hyperplane-bucket candidate generation as :func:`lsh_bucket_topk`,
+    verified with exact cosine.
+
+    r12 rewrite (found by the derived-sf1x sweep): the original per-row
+    HOF bucket expressions and vector-carrying ``distinct`` let Catalyst
+    push the interpreted cosine INTO the bucket join condition — every
+    candidate pair paid an interpreted 64-dim fold once per co-occurring
+    table (up to 16×), ~50 billion lambda evals at sf≈1 on two
+    partitions. Now: buckets come from the shared Arrow kernel
+    (bit-identical signs — same sequential IEEE fold order as the HOF
+    chain), candidates dedup on IDS ONLY, vectors re-attach by keyed
+    join, and the exact cosine (the same left-associative HOF chain, for
+    oracle parity) runs exactly ONCE per distinct pair."""
     planes = random_hyperplanes(dim, num_tables, bits_per_table, seed)
+    bucket_ids = _hyperplane_bucket_udf(planes, dim, num_tables, bits_per_table)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    dvec = F.transform(F.col("vec"), lambda x: x.cast("double"))
-    stack_structs = []
-    for t in range(num_tables):
-        bit_exprs = []
-        for b in range(bits_per_table):
-            plane = F.array(*[F.lit(float(w)) for w in planes[t, b]])
-            dot = F.aggregate(F.zip_with(dvec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-            bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        bucket = bit_exprs[0]
-        for e in bit_exprs[1:]:
-            bucket = bucket + e
-        stack_structs.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
-    stacked = v.select("id", "vec", F.explode(F.array(*stack_structs)).alias("tb")).select(
-        "id", "vec", "tb.tbl", "tb.bkt"
+    stacked = (
+        v.select("id", bucket_ids(F.col("vec")).alias("bks"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("tbl"), F.col("bks")[t].alias("bkt"))
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select("id", "tb.tbl", "tb.bkt")
     )
     x, y = stacked.alias("x"), stacked.alias("y")
-    return (
+    cand = (
         x.join(
             y,
             (F.col("x.tbl") == F.col("y.tbl"))
             & (F.col("x.bkt") == F.col("y.bkt"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"), F.col("x.vec").alias("vi"), F.col("y.vec").alias("vj"))
+        .select(F.col("x.id").alias("i"), F.col("y.id").alias("j"))
         .distinct()
+    )
+    vi = v.select(F.col("id").alias("i"), F.col("vec").alias("vi"))
+    vj = v.select(F.col("id").alias("j"), F.col("vec").alias("vj"))
+    return (
+        cand.join(vi, "i")
+        .join(vj, "j")
         .select("i", "j", F.round(cosine_sim(F.col("vi"), F.col("vj")), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
