@@ -62,9 +62,16 @@ _NEVER_DRIVER_CHECKED = [
     "stream_tws_lsh_bounded_bucket",
     "dedup_index_compaction_probe",
     "dedup_bounded_handoff_union",
-    # (2) executed code changed in r12, values pinned identical
+    # (2) executed code or oracle text changed in r12, values pinned
+    # identical: the LSH keys (pair normalization / progress capture),
+    # emb_neardup_pairs (Arrow bucket kernel + ids-only dedup,
+    # bit-identical results), and ab_sequential_peeks (oracle variance
+    # numerator VARCHAR-routed after the sf0.001 sweep caught a low-bit
+    # z flip — the r10 HUGEINT->DOUBLE class)
     "stream_tws_lsh_index_candidates",
     "stream_tws_ewma_user_value",
+    "emb_neardup_pairs",
+    "ab_sequential_peeks",
     # (3) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",

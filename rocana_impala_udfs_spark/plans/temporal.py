@@ -2938,6 +2938,12 @@ def q_ab_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_us")
 
 
+# r12: the cumulative variance numerator cn*css - cs*cs reaches ~5e23 —
+# far past 2^53 — so its HUGEINT->DOUBLE cast takes DuckDB's 1-2 ulp
+# double-rounding path (the r10 probe class); the sf0.001 multi-SF sweep
+# caught one low-bit z flip. VARCHAR-routed per the standing recipe
+# (string parse is correctly rounded; Spark's DECIMAL(38,0)->double
+# already is). Values elsewhere stay < 2^53 at every test SF.
 ORACLE_AB_SEQUENTIAL = """
 WITH ev AS (
     SELECT epoch_us(date_trunc('day', ts)) AS day_us,
@@ -2972,18 +2978,18 @@ cum AS (
 SELECT day_us, CAST(k AS INT) AS peek,
        CAST(cn_a AS BIGINT) AS n_a, CAST(cn_b AS BIGINT) AS n_b,
        (CAST(cs_a AS DOUBLE) / cn_a / 1000000.0 - CAST(cs_b AS DOUBLE) / cn_b / 1000000.0)
-         / sqrt((CAST(CAST(cn_a AS HUGEINT) * css_a - cs_a * cs_a AS DOUBLE)
+         / sqrt((CAST(CAST(CAST(cn_a AS HUGEINT) * css_a - cs_a * cs_a AS VARCHAR) AS DOUBLE)
                  / CAST(CAST(cn_a AS HUGEINT) * (cn_a - 1) AS DOUBLE) / 1000000000000.0)
                 / CAST(cn_a AS DOUBLE)
-                + (CAST(CAST(cn_b AS HUGEINT) * css_b - cs_b * cs_b AS DOUBLE)
+                + (CAST(CAST(CAST(cn_b AS HUGEINT) * css_b - cs_b * cs_b AS VARCHAR) AS DOUBLE)
                    / CAST(CAST(cn_b AS HUGEINT) * (cn_b - 1) AS DOUBLE) / 1000000000000.0)
                 / CAST(cn_b AS DOUBLE)) AS z,
        1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS boundary,
        abs((CAST(cs_a AS DOUBLE) / cn_a / 1000000.0 - CAST(cs_b AS DOUBLE) / cn_b / 1000000.0)
-         / sqrt((CAST(CAST(cn_a AS HUGEINT) * css_a - cs_a * cs_a AS DOUBLE)
+         / sqrt((CAST(CAST(CAST(cn_a AS HUGEINT) * css_a - cs_a * cs_a AS VARCHAR) AS DOUBLE)
                  / CAST(CAST(cn_a AS HUGEINT) * (cn_a - 1) AS DOUBLE) / 1000000000000.0)
                 / CAST(cn_a AS DOUBLE)
-                + (CAST(CAST(cn_b AS HUGEINT) * css_b - cs_b * cs_b AS DOUBLE)
+                + (CAST(CAST(CAST(cn_b AS HUGEINT) * css_b - cs_b * cs_b AS VARCHAR) AS DOUBLE)
                    / CAST(CAST(cn_b AS HUGEINT) * (cn_b - 1) AS DOUBLE) / 1000000000000.0)
                 / CAST(cn_b AS DOUBLE)))
          > 1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS crossed
