@@ -1404,9 +1404,10 @@ def q_stream_tws_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface: every OTHER stateful shape was driver-checked but the
     flagship UDA itself was only pytest-pinned on the stream.
 
-    Exact regime: max_samples=30000 exceeds every per-type count at the
-    test SFs (≤ ~20.3k at sf0.1), so the reservoir never saturates and the
-    emitted value is the exact upper median — the same deterministic
+    Exact regime: max_samples=1,000,000 exceeds every per-type count at
+    every harness SF (≤ ~20.3k at sf0.1; ~200k at the derived sf1x sweep),
+    so the reservoir never saturates and the emitted value is the exact
+    upper median — the same deterministic
     contract the batch ``appx_median_*`` keys certify, with bounded state
     still structurally enforced (the reference's design property).
     Final answer per group = its max-``source_size`` emission (monotone).
@@ -1427,13 +1428,13 @@ def q_stream_tws_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, _d = replay_events_stream(spark, sf_dir)  # memoized
     if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
         sink = run_to_table(
-            running_median_stream(stream, max_samples=30000), mode="update"
+            running_median_stream(stream, max_samples=1_000_000), mode="update"
         )
     else:
         sink = _with_rocksdb_state_store(
             spark,
             lambda: run_to_table(
-                running_median_tws(stream, max_samples=30000),
+                running_median_tws(stream, max_samples=1_000_000),
                 mode="update",
                 capture_plan=TWS_EXECUTED_PLANS,
             ),
@@ -3141,7 +3142,13 @@ def q_ab_cuped_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2_raw = vr_a / dbl(n_a) + vr_b / dbl(n_b)
     se2_adj = va_a / dbl(n_a) + va_b / dbl(n_b)
     z_raw = (mr_a - mr_b) / F.sqrt(se2_raw)
-    z_cuped = (ma_a - ma_b) / F.sqrt(se2_adj)
+    # Degenerate-covariate guard (found by the r12 derived-sf1x sweep,
+    # where exact replication makes the cumulative metric PERFECTLY
+    # proportional to the covariate at replica boundaries): when CUPED
+    # removes ALL residual variance, z is 0/0 — undefined, not zero — so
+    # emit NULL (and crossed inherits NULL). ANSI mode otherwise raises
+    # DIVIDE_BY_ZERO on exactly the peeks a perfect covariate produces.
+    z_cuped = F.when(se2_adj > F.lit(0.0), (ma_a - ma_b) / F.sqrt(se2_adj))
     boundary = F.lit(1.959963984540054) * F.sqrt(
         F.col("k_total").cast("double") / F.col("k").cast("double")
     )
@@ -3154,7 +3161,9 @@ def q_ab_cuped_sequential_peeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_raw.alias("z_raw"),
         z_cuped.alias("z_cuped"),
         boundary.alias("boundary"),
-        (F.abs(z_cuped) > boundary).alias("crossed"),
+        # undefined z (degenerate covariate) => no crossing signal: FALSE,
+        # not NULL — nullable booleans hash engine-differently (None/NaN)
+        F.coalesce(F.abs(z_cuped) > boundary, F.lit(False)).alias("crossed"),
         (F.lit(1.0) - se2_adj / se2_raw).alias("var_reduction"),
     ).orderBy("day_us")
 
@@ -3306,10 +3315,14 @@ s AS (
 )
 SELECT day_us, CAST(k AS INT) AS peek, n_a, n_b, theta_d AS theta,
        (mr_a - mr_b) / sqrt(vr_a / CAST(n_a AS DOUBLE) + vr_b / CAST(n_b AS DOUBLE)) AS z_raw,
-       (ma_a - ma_b) / sqrt(va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE)) AS z_cuped,
+       CASE WHEN va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE) > 0
+            THEN (ma_a - ma_b) / sqrt(va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE))
+       END AS z_cuped,
        1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS boundary,
-       abs((ma_a - ma_b) / sqrt(va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE)))
-         > 1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)) AS crossed,
+       coalesce(abs(CASE WHEN va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE) > 0
+                THEN (ma_a - ma_b) / sqrt(va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE))
+           END)
+         > 1.959963984540054 * sqrt(CAST(k_total AS DOUBLE) / CAST(k AS DOUBLE)), false) AS crossed,
        1.0 - (va_a / CAST(n_a AS DOUBLE) + va_b / CAST(n_b AS DOUBLE))
            / (vr_a / CAST(n_a AS DOUBLE) + vr_b / CAST(n_b AS DOUBLE)) AS var_reduction
 FROM s ORDER BY day_us

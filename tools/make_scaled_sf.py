@@ -71,11 +71,16 @@ def main() -> None:
     copy("region")
     copy("nation")
 
+    # c_name / s_name get a replica suffix: several queries use entity
+    # names as ORDER BY tie-breaks under a LIMIT (q21's (numwait, s_name)),
+    # and duplicated names across replicas would make the cut non-total —
+    # both engines would return valid but different top-k rows.
     emit(
         "customer",
         lambda i: (
             f"SELECT c_custkey + {i * STRIDE} AS c_custkey,"
-            " c_name, c_nationkey, c_acctbal, c_mktsegment"
+            + ("c_name" if i == 0 else f"c_name || '_r{i}' AS c_name")
+            + ", c_nationkey, c_acctbal, c_mktsegment"
             f" FROM read_parquet('{src}/customer.parquet')"
         ),
     )
@@ -83,7 +88,8 @@ def main() -> None:
         "supplier",
         lambda i: (
             f"SELECT s_suppkey + {i * STRIDE} AS s_suppkey,"
-            " s_name, s_nationkey, s_acctbal"
+            + ("s_name" if i == 0 else f"s_name || '_r{i}' AS s_name")
+            + ", s_nationkey, s_acctbal"
             f" FROM read_parquet('{src}/supplier.parquet')"
         ),
     )
