@@ -72,6 +72,25 @@ _NEVER_DRIVER_CHECKED = [
     "stream_tws_ewma_user_value",
     "emb_neardup_pairs",
     "ab_sequential_peeks",
+    # ... and the sf1x-sweep hardening commits: BIG_K 1M->10M (every
+    # BIG_K-parameterized median/percentile/reservoir key — unsaturated
+    # regime unchanged at sf0.01, values pinned identical), the tws
+    # median cap 30k->1M, and the CUPED degenerate-covariate NULL guard
+    # (spark + oracle changed together)
+    "appx_median_price_global",
+    "appx_median_price_by_returnflag",
+    "appx_median_totalprice_by_status",
+    "appx_median_value_by_event_type",
+    "appx_median_value_by_day",
+    "appx_median_sql_udaf",
+    "appx_median_sql_onecall",
+    "appx_median_sql_twophase",
+    "appx_p90_value_by_event_type",
+    "appx_percentile_sql_udaf",
+    "window_median_quantity",
+    "reservoir_sample_quantity",
+    "stream_tws_median_value",
+    "ab_cuped_sequential_peeks",
     # (3) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",
