@@ -62,6 +62,13 @@ _NEVER_DRIVER_CHECKED = [
     "stream_tws_lsh_bounded_bucket",
     "dedup_index_compaction_probe",
     "dedup_bounded_handoff_union",
+    "io_orc_roundtrip_stats",
+    "ab_anova_value_by_type",
+    # (1b) executed code changed in the r12 second-pass review (values
+    # pinned identical): skyline's fan-in estimate is now plan-side (no
+    # job on shuffle-fed inputs), and the handoff-union ranks the
+    # COMPACTED table instead of re-banding the corpus
+    "skyline_parts",
     # (2) executed code or oracle text changed in r12, values pinned
     # identical: the LSH keys (pair normalization / progress capture),
     # emb_neardup_pairs (Arrow bucket kernel + ids-only dedup,

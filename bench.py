@@ -217,6 +217,10 @@ HEADLINE = [
     # the RECOGNIZED path (fingerprint match -> probe only), which is the
     # per-cycle steady state a production service pays.
     "dedup_index_compaction_probe",
+    # r12: ORC sink+source — distributed zstd columnar encode of lineitem
+    # plus the vectorized read-back and exact agg; the only benched key
+    # that measures a WRITE path end to end.
+    "io_orc_roundtrip_stats",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_checkpoint_restart_counts is NOT benched — it measures restart

@@ -45,6 +45,36 @@ def _skyline_mask(M: np.ndarray) -> np.ndarray:
     return keep
 
 
+def _estimate_fan_in(df: DataFrame) -> int:
+    """Partition count feeding ``df``'s final stage, WITHOUT running a job.
+
+    Shuffle-fed: the largest explicit partition count among the plan's
+    Exchange nodes (``RoundRobinPartitioning(32)``, ``hashpartitioning(x,
+    200)`` — the trailing integer), read from the unexecuted plan string.
+    Exchange-free: ``rdd.getNumPartitions()``, which creates no query
+    stages and submits no job when there is nothing to shuffle.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = []
+    for line in plan.splitlines():
+        if "Exchange" not in line or "BroadcastExchange" in line:
+            continue
+        if "SinglePartition" in line:
+            counts.append(1)
+        elif "artitioning(" in line:
+            # partition count is the LAST integer argument of the
+            # partitioning: RoundRobinPartitioning(32),
+            # hashpartitioning(coalesce(x#1, 0), 32), rangepartitioning(...)
+            nums = re.findall(r"[(,] ?(\d+)\)", line)
+            if nums:
+                counts.append(int(nums[-1]))
+    if counts:
+        return max(counts)
+    return df.rdd.getNumPartitions()
+
+
 def skyline(df: DataFrame, criteria: list[tuple[str, str]]) -> DataFrame:
     """Pareto-optimal rows of ``df`` under ``criteria`` =
     [(column, 'min'|'max'), ...]. Returns the full input rows that survive.
@@ -75,8 +105,17 @@ def skyline(df: DataFrame, criteria: list[tuple[str, str]]) -> DataFrame:
     # streams with it, so unless P meaningfully exceeds mid the extra
     # Arrow/Python stage is pure fixed cost (~0.3 s measured at sf0.1,
     # where a small scan yields P ≤ 2 — the r11 `skyline_parts` drift).
-    # getNumPartitions is plan-side only, no job.
-    parts = thinned.rdd.getNumPartitions()
+    #
+    # Estimating P must not run a job (r12 review: `.rdd` on a SHUFFLE-FED
+    # frame materializes the upstream map stages under AQE — the subplan
+    # would execute twice per call). Exchange-fed plans carry their target
+    # partition count in the unexecuted plan text (AQE may coalesce lower
+    # at runtime — an overestimate only risks one cheap extra tree level,
+    # and at real scale shuffle fan-in genuinely is the configured count);
+    # exchange-free plans (file scans, parallelized/local relations) have
+    # no query stages, so getNumPartitions there is plan-side, measured
+    # job-free.
+    parts = _estimate_fan_in(thinned)
     mid = max(int(parts**0.5), 2)
     if parts > 2 * mid:
         thinned = thinned.coalesce(mid).mapInPandas(local, schema=out_schema)

@@ -3608,6 +3608,60 @@ def q_zorder_part_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", morton_key(x, y, bits=6).alias("zkey"))
 
 
+def q_io_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip fidelity (sources/sinks category — the reference
+    delegates scan/sink formats to the host engine, `SURVEY.md §2.2`):
+    lineitem is written as a managed zstd ORC table and read back through
+    Spark's built-in vectorized ORC scan, then aggregated with EXACT
+    per-group statistics — BIGINT sums, bit-exact DOUBLE extrema, a
+    cent-quantized quantity sum, TIMESTAMP extrema.  The oracle computes
+    the same statistics from the ORIGINAL parquet, so hash-equality
+    proves the encode→decode cycle is lossless for every column class
+    the TPC-H schema carries.
+
+    Scale: the write is a distributed columnar encode (no single-point
+    collect), the read prunes columns into the OrcScan, and predicate
+    pushdown into ORC is pinned in tests/test_io.py — at 100 TB this is
+    the interchange path to Hive-era warehouses, parquet's peer."""
+    import os as _os
+
+    from rocana_impala_udfs_spark.sources.io import orc_roundtrip_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    back = orc_roundtrip_table(spark, li, f"orc_roundtrip_lineitem_{tag}")
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_okey"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# exact integer/extrema statistics over the SOURCE parquet: any bit the
+# ORC cycle perturbed in a key, measure, or timestamp flips the hash
+ORACLE_IO_ORC_ROUNDTRIP = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def _oracle_zorder() -> str:
     from rocana_impala_udfs_spark.operators.zorder import morton_sql_expr
 
@@ -5001,6 +5055,7 @@ QUERIES = {
     "scd2_user_type_history": q_scd2_user_type_history,
     "quality_benford_prices": q_benford_prices,
     "zorder_part_keys": q_zorder_part_keys,
+    "io_orc_roundtrip_stats": q_io_orc_roundtrip_stats,
 }
 
 ORACLE = {
@@ -5110,4 +5165,5 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
     "scd2_user_type_history": ORACLE_SCD2,
     "quality_benford_prices": ORACLE_BENFORD,
     "zorder_part_keys": ORACLE_ZORDER,
+    "io_orc_roundtrip_stats": ORACLE_IO_ORC_ROUNDTRIP,
 }

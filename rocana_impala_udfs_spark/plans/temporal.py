@@ -1029,9 +1029,15 @@ def _workers_can_import_protobuf(spark: SparkSession) -> bool:
         # (ADVICE r11): a transient probe failure (executor startup
         # hiccup, task retry exhaustion) must not pin the session onto
         # the fallback twins forever, so it returns False UNCACHED and
-        # the next key re-probes.
+        # the next key re-probes.  r12 review tightening: an unrelated
+        # crash traceback can embed the substring "ImportError" (e.g. a
+        # flaky native lib imported during worker startup), so the durable
+        # verdict additionally requires the failing module to be the one
+        # this probe imports — google.protobuf itself.
         msg = str(exc)
-        if "ImportError" in msg or "ModuleNotFoundError" in msg:
+        import_failed = "ImportError" in msg or "ModuleNotFoundError" in msg
+        about_protobuf = "'google'" in msg or "google.protobuf" in msg
+        if import_failed and about_protobuf:
             _PB_WORKER_PROBE[memo_key] = False
         return False
     _PB_WORKER_PROBE[memo_key] = ok
@@ -1669,24 +1675,18 @@ def q_stream_tws_lsh_bounded_bucket(spark: SparkSession, sf_dir: str) -> DataFra
 
     cap = 2
     if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
-        from pyspark.sql import Window
+        from rocana_impala_udfs_spark.streaming.dedup_stream import (
+            bounded_bucket_frames,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
-        b = md5_band_columns(docs)
-        w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
-        r = b.withColumn("rn", F.row_number().over(w))
-        a, c = r.alias("a"), r.alias("b")
-        pairs = a.join(
-            c,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.rn") < F.col("b.rn"))
-            & (F.col("b.rn") <= cap),
-        ).select(F.col("a.id").alias("dup_of"), F.col("b.id").alias("new_id"))
-        markers = r.filter(F.col("rn") > cap).select(
-            F.lit(-1).cast("bigint").alias("dup_of"), F.col("id").alias("new_id")
+        pairs, markers = bounded_bucket_frames(md5_band_columns(docs), cap)
+        out = pairs.unionByName(
+            markers.select(
+                F.lit(-1).cast("bigint").alias("dup_of"),
+                F.col("id").alias("new_id"),
+            )
         )
-        out = pairs.unionByName(markers)
     else:
         stream, _d = replay_documents_stream_ordered(spark, sf_dir)  # memoized
         sink = _with_rocksdb_state_store(
@@ -3537,6 +3537,101 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_stat.alias("t_stat"),
         df_welch.alias("df_welch"),
     )
+
+
+def q_ab_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of the event value across the event-type groups —
+    the k-group generalization completing the difference-test family
+    (Welch t for 2 variants, Kruskal–Wallis for ranks, chi-square for
+    counts; this is THE parametric k-group test).
+
+    Exactness (the r9 exact-moment recipe + the fixed-order-fold rule):
+    values carry 2 decimals, so cent-quantized moments (n, Σc, Σc²)
+    accumulate per group in BIGINT/DECIMAL(38,0) — exact in any combine
+    order.  The only cross-group float reduction, A = Σ_g s_g²/n_g, runs
+    as a LEFT FOLD over the event-type-sorted struct list on both
+    engines (Spark ``F.aggregate`` with init 0.0 ≡ DuckDB ``list_reduce``
+    without init, since 0.0 + x == x in IEEE), so F and η² are one
+    identical double chain over exact integers — hash-exact, NO rounding.
+    Headroom: per-group Σc < 2^53 and Σc² < 10^38 at any SF this repo
+    sweeps (same documented bounds as the Welch/CUPED keys).
+
+    Scale: one partial+final agg over the fact table into k rows, then a
+    k-row collect_list on ONE reducer — nothing downstream of the first
+    shuffle grows with the data."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    c = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    g = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("int").alias("k_groups"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("event_type").alias("g"), "s", "n"))
+        ).alias("gs"),
+    )
+    a = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["s"].cast("double") * x["s"].cast("double") / x["n"],
+    )
+    t = F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / F.col("n_total")
+    sstp = F.col("ss_tot").cast("double")
+    f_stat = ((a - t) / (F.col("k_groups") - F.lit(1))) / (
+        (sstp - a) / (F.col("n_total") - F.col("k_groups"))
+    )
+    return one.select(
+        "k_groups",
+        "n_total",
+        F.round(F.col("s_tot").cast("double") / F.col("n_total") / 100.0, 4).alias(
+            "grand_mean"
+        ),
+        f_stat.alias("f_stat"),
+        ((a - t) / (sstp - t)).alias("eta_sq"),
+    )
+
+
+ORACLE_AB_ANOVA = """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS c FROM events
+),
+g AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(c) AS s, sum(c * c) AS ss
+    FROM c GROUP BY event_type
+),
+one AS (
+    SELECT CAST(count(*) AS INT) AS k_groups,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           sum(s) AS s_tot,
+           sum(ss) AS ss_tot,
+           list(struct_pack(g := event_type, s := s, n := n) ORDER BY event_type) AS gs
+    FROM g
+),
+f AS (
+    SELECT one.*,
+           list_reduce(
+               list_transform(gs, x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / x.n),
+               (acc, x) -> acc + x
+           ) AS a,
+           CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_total AS t,
+           CAST(ss_tot AS DOUBLE) AS sstp
+    FROM one
+)
+SELECT k_groups, n_total,
+       round(CAST(s_tot AS DOUBLE) / n_total / 100.0, 4) AS grand_mean,
+       ((a - t) / (k_groups - 1)) / ((sstp - a) / (n_total - k_groups)) AS f_stat,
+       (a - t) / (sstp - t) AS eta_sq
+FROM f
+"""
 
 
 ORACLE_AB_WELCH = """
@@ -5506,6 +5601,7 @@ TEMPORAL_QUERIES = {
     "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
     "stream_static_enrich_join": q_stream_static_enrich_join,
     "ab_welch_ttest": q_ab_welch_ttest,
+    "ab_anova_value_by_type": q_ab_anova_value_by_type,
     "ab_ratio_delta_ci": q_ab_ratio_delta_ci,
     "markov_predict_eval": q_markov_predict_eval,
     "ab_cuped_adjusted": q_ab_cuped_adjusted,
@@ -5600,6 +5696,7 @@ TEMPORAL_ORACLE = {
     "stream_dedup_within_watermark": ORACLE_STREAM_DEDUP_WM,
     "stream_static_enrich_join": ORACLE_STREAM_STATIC_JOIN,
     "ab_welch_ttest": ORACLE_AB_WELCH,
+    "ab_anova_value_by_type": ORACLE_AB_ANOVA,
     "ab_ratio_delta_ci": ORACLE_AB_RATIO_DELTA,
     "markov_predict_eval": ORACLE_MARKOV_EVAL,
     "ab_cuped_adjusted": ORACLE_AB_CUPED,

@@ -127,6 +127,58 @@ def write_bloom_parquet(
     w.parquet(path)
 
 
+def retire_orphan_location(spark: SparkSession, table: str) -> None:
+    """Retire a CATALOG-UNKNOWN warehouse directory left by a dead session
+    so ``saveAsTable`` doesn't die with LOCATION_ALREADY_EXISTS (the
+    in-memory catalog forgets tables whose managed directories survive on
+    disk).  ATOMIC RENAME to a unique ``.stale-*`` sibling before deletion
+    (ADVICE r10 #2): two sessions sharing one warehouse can race here, and
+    rename-then-delete means the loser gets a clean miss instead of
+    reading a half-deleted directory; the target is also asserted to live
+    INSIDE the session warehouse before anything is removed."""
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = os.path.realpath(urlparse(warehouse).path)
+    loc = os.path.realpath(os.path.join(wh_path, table.lower()))
+    if not os.path.isdir(loc):
+        return
+    # never delete outside the warehouse, whatever the table name
+    # decodes to (ValueError, not assert: asserts vanish under -O)
+    if not loc.startswith(wh_path + os.sep):
+        raise ValueError(f"refusing to retire {loc}: outside warehouse {wh_path}")
+    retired = f"{loc}.stale-{uuid.uuid4().hex[:12]}"
+    try:
+        os.rename(loc, retired)  # atomic: concurrent readers keep their dir
+    except OSError:
+        return  # another session already retired it
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def orc_roundtrip_table(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
+    """Write ``df`` as a managed ORC table and return the read-back frame.
+
+    ORC is Spark's second built-in columnar format (JVM-native vectorized
+    reader, predicate pushdown and column pruning into the scan, zstd
+    compression) — the interchange surface for Hive-era warehouses the
+    way parquet is for lakehouses.  Overwrite-per-call: the write is a
+    distributed columnar encode, the read a fresh scan, so a caller that
+    aggregates the result exercises the full encode→decode fidelity of
+    every column type it selects.  The orphaned-location retirement is the
+    same safety discipline as :func:`ensure_minhash_band_index`."""
+    if not spark.catalog.tableExists(table):
+        retire_orphan_location(spark, table)
+    (
+        df.write.mode("overwrite")
+        .format("orc")
+        .option("compression", "zstd")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def ensure_minhash_band_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -182,10 +234,6 @@ def ensure_minhash_band_index(
     mutation of the files UNDER an unchanged plan is outside the contract
     (Spark's own InMemoryFileIndex caches listings per plan the same way);
     cross-session staleness always re-checks."""
-    import shutil
-    import uuid
-    from urllib.parse import urlparse
-
     # one id-column scan per (session, table, corpus-plan) — the
     # fingerprint guards CROSS-session staleness; within a session the
     # same corpus plan under a given table tag is stable, so repeated
@@ -216,21 +264,7 @@ def ensure_minhash_band_index(
         # drop (which also removes the managed location) and rebuild
         spark.sql(f"DROP TABLE {table}")
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    wh_path = os.path.realpath(urlparse(warehouse).path)
-    loc = os.path.realpath(os.path.join(wh_path, table.lower()))
-    if os.path.isdir(loc):
-        # never delete outside the warehouse, whatever the table name
-        # decodes to (ValueError, not assert: asserts vanish under -O)
-        if not loc.startswith(wh_path + os.sep):
-            raise ValueError(f"refusing to retire {loc}: outside warehouse {wh_path}")
-        retired = f"{loc}.stale-{uuid.uuid4().hex[:12]}"
-        try:
-            os.rename(loc, retired)  # atomic: concurrent readers keep their dir
-        except OSError:
-            retired = None  # another session already retired it
-        if retired is not None:
-            shutil.rmtree(retired, ignore_errors=True)
+    retire_orphan_location(spark, table)
     if banding is not None:
         # alternate banding scheme (e.g. the engine-portable md5-string
         # minhash of streaming/dedup_stream.py, so the stream's

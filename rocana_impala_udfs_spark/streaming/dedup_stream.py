@@ -126,6 +126,36 @@ def md5_band_columns(
 OVERFLOW_MARKER = -1
 
 
+def bounded_bucket_frames(bands: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
+    """Batch-equal semantics of the bounded tws bucket processor, in ONE
+    place (r12 review: the rank-within-bucket construction was hand-copied
+    between the bounded-stream fallback and the handoff-union proof —
+    a cap or ordering change applied to one site would silently diverge
+    the certified contract).
+
+    Input: a banded frame ``(id, band_idx, band_hash)``.  Returns
+    ``(pairs, markers)`` where ``pairs`` are all ``(dup_of, new_id)``
+    with both ranks ≤ ``cap`` inside a bucket ("first cap members" ==
+    the cap lowest ids == rank ≤ cap on the doc-id-ordered replay), and
+    ``markers`` are the over-cap rows with their bucket coordinates
+    ``(id, band_idx, band_hash)`` — callers shape them into overflow
+    sentinel rows or batch-index probes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+    r = bands.withColumn("rn", F.row_number().over(w))
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("b.rn") <= cap),
+    ).select(F.col("a.id").alias("dup_of"), F.col("b.id").alias("new_id"))
+    markers = r.filter(F.col("rn") > cap).select("id", "band_idx", "band_hash")
+    return pairs, markers
+
+
 def running_lsh_index_tws(
     docs: DataFrame,
     text_col: str = "text",

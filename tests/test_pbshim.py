@@ -156,12 +156,56 @@ def test_copyfrom_and_clear():
 def test_vivified_child_repeated_field_append_survives_serialize():
     """ADVICE r11: appending to a repeated field of an auto-vivified child
     must attach the child to its parent — before the fix the appended
-    data silently vanished on serialize. (Trade-off, documented in
-    _runtime.py: the child gains presence on first repeated-field ACCESS,
-    the safe superset of real protobuf's attach-on-append.)"""
+    data silently vanished on serialize.  As of the r12 review fix the
+    attach happens on first MUTATION (real protobuf semantics), not on
+    first access."""
     call = sm.ListStateCall(stateName="s")
     call.appendList.value.append(b"payload")
     m2 = sm.ListStateCall()
     m2.ParseFromString(call.SerializeToString())
     assert m2.HasField("appendList")
     assert list(m2.appendList.value) == [b"payload"]
+
+
+def test_reading_repeated_field_of_unset_oneof_member_is_side_effect_free():
+    """r12 review: reading the repeated field of an UNSET oneof alternative
+    must not register presence — the eager attach-on-access clobbered the
+    currently-set oneof sibling on a pure read (reproduced before the fix:
+    WhichOneof flipped from listStateGet to appendList and the request
+    data vanished on serialize)."""
+    call = sm.ListStateCall(stateName="s")
+    call.listStateGet.iteratorId = "it1"
+    # inspection-only reads of the other oneof alternative
+    assert len(call.appendList.value) == 0
+    assert list(call.appendList.value) == []
+    assert call.WhichOneof("method") == "listStateGet"
+    m2 = sm.ListStateCall()
+    m2.ParseFromString(call.SerializeToString())
+    assert m2.HasField("listStateGet")
+    assert m2.listStateGet.iteratorId == "it1"
+    assert not m2.HasField("appendList")
+
+
+def test_lazy_repeated_container_aliases_until_mutation():
+    """The not-yet-present repeated container is cached per field: two
+    reads return the same object, a mutation promotes exactly that object
+    to the canonical field value, and explicit assignment invalidates any
+    stale unattached container."""
+    call = sm.ListStateCall(stateName="s")
+    a = call.appendList.value
+    # NOTE: call.appendList vivifies a FRESH child each read until the
+    # child gains presence, so alias identity is checked through one
+    # held child reference (matching how the state client holds messages).
+    child = call.appendList
+    assert child.value is child.value
+    assert not call.HasField("appendList")
+    lst = child.value
+    lst.append(b"x")
+    assert call.HasField("appendList")
+    assert call.appendList.value is lst
+    del a  # the earlier unattached container from a different child is moot
+    # extend on an empty iterable must NOT create presence
+    other = sm.ListStateCall(stateName="t")
+    other.listStateGet.iteratorId = "it"
+    other.appendList.value.extend([])
+    assert other.WhichOneof("method") == "listStateGet"

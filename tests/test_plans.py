@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry
 
 SF = "/root/testdata/sf0.001"
@@ -1190,3 +1192,40 @@ def test_tws_median_key_executes_tws_operator(spark):
         "TransformWithStateInPySpark" in executed
         or "TransformWithStateInPandas" in executed
     ), executed
+
+
+def test_aqe_skew_join_splits_skewed_partition(spark):
+    """session.py enables spark.sql.adaptive.skewJoin for the unsalted
+    skew path of the 100 TB story, but nothing certified it ENGAGES — pin
+    that a synthetic hot key makes AQE mark the executed sort-merge join
+    ``skew=true`` (runtime partition split).  Thresholds are lowered to
+    make the 60k-row fixture skewed by AQE's definition and restored in
+    a finally (the r10 conf-discipline lesson)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32768",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id") % 7 + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 8).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        assert j.count() == 60_000  # every key matches the dim side
+        j.collect()  # materialize THIS QueryExecution's final adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

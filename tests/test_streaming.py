@@ -1478,6 +1478,45 @@ def test_lsh_bounded_bucket_caps_state_and_emits_markers(spark, ooo_docs_dir):
     assert got == {(2, 3), (OVERFLOW_MARKER, 1), (OVERFLOW_MARKER, 4)}
 
 
+def test_lsh_bounded_bucket_emission_is_linear_not_quadratic(spark):
+    """The 100 TB contract of the cap, measured: a 50-duplicate hot bucket
+    (the boilerplate-corpus shape from VERDICT r11 #1) emits 4 + (N-2)x4
+    rows capped (one pair batch + one marker per band per later arrival —
+    LINEAR in N) versus sum(i)x4 = 4900 unbounded (QUADRATIC).  NOTE
+    RocksDB's numRowsTotal counts bucket KEYS (4 either way — list
+    elements share one key under the merge operator), so the emission
+    count is the observable that carries the bound."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import tempfile
+
+    from rocana_impala_udfs_spark.streaming.dedup_stream import running_lsh_index_tws
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run(cap):
+        d = tempfile.mkdtemp(prefix="hotbucket_")
+        try:
+            spark.createDataFrame(
+                [(i, text) for i in range(50)], "doc_id bigint, text string"
+            ).coalesce(1).write.mode("append").parquet(d)
+            sink = _under_rocksdb(
+                spark,
+                lambda: run_to_table(
+                    running_lsh_index_tws(_docs_stream(spark, d), bucket_cap=cap),
+                    mode="update",
+                ),
+            )
+            return sink.count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # identical docs band into 4 buckets: docs 0,1 fill each bucket (4
+    # pairs), docs 2..49 emit exactly one marker per bucket
+    assert run(2) == 4 + 48 * 4
+    assert run(None) == 4 * (49 * 50) // 2
+
+
 def test_lsh_bucket_ttl_evicts_cold_buckets(spark):
     """VERDICT r11 #1(a): a ttl_ms-configured bucket ListState is evicted
     by the state store once idle past the horizon — a duplicate arriving
@@ -1506,9 +1545,19 @@ def test_lsh_bucket_ttl_evicts_cold_buckets(spark):
                 .start()
             )
             try:
+                # numInputRows counts SOURCE rows (docs), not band rows.
+                # recentProgress is a RING capped at numRecentProgressUpdates
+                # (default 100): ProcessingTime cleanup batches keep pushing
+                # entries, so on a slow machine the batch that carried doc 1
+                # can be EVICTED from the window and a plain sum would drop
+                # back below the target (r12 review) — accumulate rows per
+                # batchId instead, which is monotonic and eviction-immune.
+                rows_by_batch: dict = {}
+
                 def _seen():
-                    # numInputRows counts SOURCE rows (docs), not band rows
-                    return sum(p["numInputRows"] for p in q.recentProgress)
+                    for p in q.recentProgress:
+                        rows_by_batch[p["batchId"]] = p["numInputRows"]
+                    return sum(rows_by_batch.values())
 
                 deadline = time.time() + 120
                 while _seen() < 1 and time.time() < deadline:

@@ -150,7 +150,16 @@ def test_skyline_tree_level_is_conditional_on_fan_in(spark):
         return df._jdf.queryExecution().executedPlan().toString().count("MapInPandas")
 
     assert n_stages(skyline(p.coalesce(1), crit)) == 2
-    assert n_stages(skyline(p.repartition(32), crit)) == 3
+
+    # r12 review: building the skyline plan over a SHUFFLE-FED input must
+    # not submit a job (the old `.rdd.getNumPartitions()` materialized the
+    # upstream AQE map stages, executing the subplan twice per call).
+    jsc_tracker = spark.sparkContext._jsc.sc().statusTracker()
+    before = set(jsc_tracker.getJobIdsForGroup(None))
+    built = skyline(p.repartition(32), crit)
+    after = set(jsc_tracker.getJobIdsForGroup(None))
+    assert after == before, "skyline plan construction submitted a Spark job"
+    assert n_stages(built) == 3
 
 
 def test_bucketed_range_join_boundaries(spark):
@@ -714,6 +723,34 @@ def test_welch_ttest_matches_numpy_formula(spark):
     assert out.mean_b == pytest.approx(yb.mean(), abs=1e-4)
     assert out.t_stat == pytest.approx(t, rel=1e-9)
     assert out.df_welch == pytest.approx(df, rel=1e-9)
+
+
+def test_anova_matches_numpy_formula(spark):
+    """ab_anova_value_by_type vs the textbook one-way ANOVA computed in
+    numpy from the same cent-quantized values — F, eta-squared, and the
+    grand mean must agree to float precision (validates the FORMULA
+    independently of the engine-parity oracle, which shares the fold)."""
+    import numpy as np
+
+    from rocana_impala_udfs_spark.plans.temporal import q_ab_anova_value_by_type
+
+    out = q_ab_anova_value_by_type(spark, SF).collect()[0]
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(round(r.value * 100))
+    arrs = [np.array(v, dtype=np.float64) for v in groups.values()]
+    allv = np.concatenate(arrs)
+    k, n = len(arrs), len(allv)
+    ssb = sum(len(a) * (a.mean() - allv.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.k_groups == k and out.n_total == n
+    assert out.grand_mean == pytest.approx(allv.mean() / 100.0, abs=1e-4)
+    assert out.f_stat == pytest.approx(f, rel=1e-9)
+    assert out.eta_sq == pytest.approx(ssb / (ssb + ssw), rel=1e-9)
 
 
 def test_stream_static_join_matches_batch(spark):
