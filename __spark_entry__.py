@@ -64,6 +64,7 @@ _NEVER_DRIVER_CHECKED = [
     "dedup_bounded_handoff_union",
     "io_orc_roundtrip_stats",
     "ab_anova_value_by_type",
+    "semantic_dedup_fixed_pairs",
     # (1b) executed code changed in the r12 second-pass review (values
     # pinned identical): skyline's fan-in estimate is now plan-side (no
     # job on shuffle-fed inputs), and the handoff-union ranks the

@@ -432,6 +432,108 @@ def semantic_dedup_pairs(
     )
 
 
+def _pair_cosine_udf():
+    """Vectorized exact cosine over PAIR rows (va, vb) — accumulates dot
+    and the two squared norms with the per-dimension SEQUENTIAL loop, so
+    every output double is bit-identical to the left-associative HOF
+    chain in :func:`cosine_sim` (and to DuckDB ``list_cosine_similarity``
+    — the parity `ORACLE_EMB_NEARDUP` certifies), at numpy speed instead
+    of one interpreted lambda per element.  For candidate sets the HOF
+    cost is quadratic in cluster/bucket size — the sf1x blowup class —
+    while this kernel is the same arithmetic at C speed."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pcos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.asarray(va.tolist(), dtype=np.float64)
+        B = np.asarray(vb.tolist(), dtype=np.float64)
+        if A.ndim != 2 or A.shape[0] == 0:
+            return pd.Series([], dtype=np.float64)
+        dot = np.zeros(A.shape[0])
+        na = np.zeros(A.shape[0])
+        nb = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):  # sequential: oracle-order-exact
+            dot += A[:, d] * B[:, d]
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return pcos
+
+
+def semantic_dedup_fixed_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with a FROZEN codebook — the oracle-EXACT twin of
+    :func:`semantic_dedup_pairs`, completing the trained/frozen pairing
+    the IVF family established (``ann_ivf_top5`` keeps the
+    corpus-trained, recall-tested path; ``ann_ivf_fixed_top5`` carries
+    the cross-engine hash gate).  Production SemDeDup loads pretrained
+    centroids exactly like this and only runs ASSIGN + within-cluster
+    compare in the data path.
+
+    Cluster assignment uses the shared sequential-IEEE kernel
+    (:func:`_fixed_assign_udf`), bit-reproducible as SQL literal sum
+    chains; pair generation is one cluster-equality self-join (O(Σ
+    cluster²), never O(n²)); the exact cosine runs once per pair through
+    the Arrow pair kernel (:func:`_pair_cosine_udf` — HOF-chain
+    bit-parity at numpy speed; per-pair interpreted folds are the sf1x
+    blowup class) and the threshold compares the ROUNDED value on both
+    engines."""
+    C = fixed_ivf_centroids(nlist, dim)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "cluster", F.element_at(_fixed_assign_udf(C.T.copy(), 1)(F.col("vec")), 1)
+    )
+    x, y = v.alias("x"), v.alias("y")
+    return (
+        x.join(y, (F.col("x.cluster") == F.col("y.cluster")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("i"),
+            F.col("y.id").alias("j"),
+            F.round(_pair_cosine_udf()(F.col("x.vec"), F.col("y.vec")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup_fixed_oracle_sql(
+    threshold: float = 0.95, nlist: int = 16, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_fixed_pairs`: centroid
+    similarities as the same left-associative literal sum chains as the
+    IVF-fixed oracle, nearest-centroid assignment with the identical
+    (sim DESC, centroid id) tiebreak, within-cluster pairs, rounded-cos
+    threshold."""
+    C = fixed_ivf_centroids(nlist, dim)
+    sims = ",\n        ".join(
+        " + ".join(f"v[{d + 1}]*{C[c, d]!r}" for d in range(dim)) for c in range(nlist)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+    SELECT vec_id, v, [
+        {sims}
+    ] AS s FROM emb
+),
+assigned AS (
+    SELECT vec_id, v, CAST(ci - 1 AS INT) AS cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s[CAST(ci AS INT)] DESC, ci) AS prb
+    FROM sims, unnest(generate_series(1, {nlist})) AS t(ci)
+),
+vv AS (SELECT vec_id, v, cluster FROM assigned WHERE prb = 1)
+SELECT i, j, cos FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM vv a JOIN vv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE cos >= {threshold}
+"""
+
+
 def euclidean_dist(a: Column, b: Column) -> Column:
     """Euclidean distance of two ARRAY<numeric> columns, double precision,
     summed in index order (matches DuckDB ``list_distance`` exactly)."""
@@ -662,6 +764,30 @@ def fixed_ivf_centroids(nlist: int = 16, dim: int = 64, seed: int = 7) -> np.nda
     return np.round(C, 6)
 
 
+def _fixed_assign_udf(CT: np.ndarray, np_probe: int):
+    """pandas UDF assigning each vector its top-``np_probe`` frozen
+    centroids (indices into the codebook), accumulating similarities with
+    the explicit per-dimension SEQUENTIAL loop — the same IEEE order as
+    the oracle's literal sum chains, which is what makes assignment
+    bit-reproducible in SQL.  Shared by :func:`ivf_fixed_topk` and
+    :func:`semantic_dedup_fixed_pairs` (one kernel, one certified
+    semantics — the r12 no-copy rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        if X.ndim != 2 or X.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        s = np.zeros((X.shape[0], CT.shape[1]), dtype=np.float64)
+        for d in range(CT.shape[0]):  # sequential: oracle-order-exact
+            s += X[:, d : d + 1] * CT[d][None, :]
+        order = np.argsort(-s, axis=1, kind="stable")  # ties -> lower id
+        return pd.Series(order[:, :np_probe].astype(np.int32).tolist())
+
+    return assign
+
+
 def ivf_fixed_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -682,26 +808,14 @@ def ivf_fixed_topk(
     C = fixed_ivf_centroids(nlist, dim)
     CT = C.T.copy()  # (dim, nlist)
 
-    from pyspark.sql.functions import pandas_udf
-
-    def make_assign(np_probe: int):
-        @pandas_udf("array<int>")
-        def assign(vecs: pd.Series) -> pd.Series:
-            X = np.asarray(vecs.tolist(), dtype=np.float64)
-            if X.ndim != 2 or X.shape[0] == 0:
-                return pd.Series([], dtype=object)
-            s = np.zeros((X.shape[0], CT.shape[1]), dtype=np.float64)
-            for d in range(CT.shape[0]):  # sequential: oracle-order-exact
-                s += X[:, d : d + 1] * CT[d][None, :]
-            order = np.argsort(-s, axis=1, kind="stable")  # ties -> lower id
-            return pd.Series(order[:, :np_probe].astype(np.int32).tolist())
-
-        return assign
-
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    v_assigned = v.withColumn("cluster", F.element_at(make_assign(1)(F.col("n_vec")), 1))
-    q_assigned = q.withColumn("cluster", F.explode(make_assign(nprobe)(F.col("q_vec"))))
+    v_assigned = v.withColumn(
+        "cluster", F.element_at(_fixed_assign_udf(CT, 1)(F.col("n_vec")), 1)
+    )
+    q_assigned = q.withColumn(
+        "cluster", F.explode(_fixed_assign_udf(CT, nprobe)(F.col("q_vec")))
+    )
     candidates = (
         v_assigned.join(F.broadcast(q_assigned), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))

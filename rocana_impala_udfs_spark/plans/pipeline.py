@@ -951,15 +951,36 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_pairs(emb, threshold=0.95)
 
 
+def q_semantic_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the frozen codebook — the hash-gated twin of
+    `semantic_dedup_pairs` (the trained path keeps its recall pytest).
+    Threshold 0.35, not the production-style 0.95: the synthetic
+    embeddings have no true near-dups at base SFs (0 pairs ≥ 0.5 even at
+    sf0.1), while label-cluster relatives sit at cos ≈ 0.35–0.5 (the
+    emb_decontaminate_hits calibration) — 0.35 makes the key emit real
+    rows (45 at sf0.01) so the hash gate checks arithmetic, not an empty
+    set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_fixed_pairs(emb, threshold=0.35).orderBy("i", "j")
+
+
+ORACLE_SEMANTIC_DEDUP_FIXED = similarity.semantic_dedup_fixed_oracle_sql(threshold=0.35)
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
+# the threshold filter compares the ROUNDED cosine on BOTH engines (the
+# Spark path filters its round-4 output column; a raw-side oracle filter
+# would drop a raw cos in [0.94995, 0.95) that Spark keeps — the
+# mixed-comparison class ADVICE r11 closed)
 ORACLE_EMB_NEARDUP = """
-SELECT a.vec_id AS i, b.vec_id AS j,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+SELECT i, j, cos FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.95
 """
 
 
@@ -5670,6 +5691,7 @@ PIPELINE_QUERIES = {
     "emb_neardup_pairs": q_emb_neardup,
     "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
+    "semantic_dedup_fixed_pairs": q_semantic_dedup_fixed,
     "text_quality_scores": q_text_quality,
     "quality_model_scores": q_quality_model_scores,
     "mix_sources_budget": q_mix_sources_budget,
@@ -5780,6 +5802,7 @@ PIPELINE_ORACLE = {
     "dedup_survivors_best_quality": ORACLE_DEDUP_SURVIVORS_BEST,
     "ann_cosine_top5": ORACLE_ANN_TOP5,
     "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
+    "semantic_dedup_fixed_pairs": ORACLE_SEMANTIC_DEDUP_FIXED,
     "emb_decontaminate_hits": ORACLE_EMB_DECONTAMINATE,
     "text_quality_scores": ORACLE_TEXT_QUALITY,
     "quality_model_scores": ORACLE_QUALITY_MODEL,

@@ -359,6 +359,44 @@ def test_semantic_dedup_finds_planted_pairs(spark):
     assert got == {(i, 100 + i) for i in range(5)}
 
 
+def test_semantic_dedup_fixed_finds_planted_pairs_and_kernel_parity(spark):
+    """Frozen-codebook SemDeDup twin: (a) planted near-identical vectors
+    share their nearest frozen centroid and are emitted; (b) the Arrow
+    pair-cosine kernel is BIT-IDENTICAL to the HOF chain (the property
+    that lets the key keep the HOF-certified oracle while escaping the
+    interpreted per-element fold — the sf1x blowup class)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.standard_normal(64) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.i, r.j)
+        for r in similarity.semantic_dedup_fixed_pairs(df, threshold=0.95).collect()
+    }
+    assert got == {(i, 100 + i) for i in range(5)}
+
+    # kernel parity: raw (unrounded) doubles equal bit-for-bit
+    pairs = spark.createDataFrame(
+        [(base[i].tolist(), base[j].tolist()) for i in range(10) for j in range(10)],
+        "a array<double>, b array<double>",
+    )
+    hof = [
+        r.c
+        for r in pairs.select(
+            similarity.cosine_sim(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    arrow = [
+        r.c
+        for r in pairs.select(
+            similarity._pair_cosine_udf()(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    assert hof == arrow  # exact equality, not approx
+
+
 def test_fuzzy_pairs_edit_distance_semantics(spark):
     """Substitution, insertion, deletion at distance 1 all match over the
     DISTINCT value domain; duplicates collapse; distance-2 strings don't

@@ -1229,3 +1229,38 @@ def test_aqe_skew_join_splits_skewed_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_switches_smj_to_broadcast_at_runtime(spark):
+    """The other AQE lever the 100 TB story leans on (session.py enables
+    adaptive join planning): when the STATIC planner cannot broadcast
+    (threshold -1 — unknown stats), a runtime-small build side must make
+    AQE re-plan the sort-merge join into a broadcast hash join in the
+    final adaptive plan.  Companion to the skew-split pin above."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = big.join(small.filter(F.col("k") < 500), "k")
+        pre = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in pre and "BroadcastHashJoin" not in pre
+        assert len(j.collect()) == 100_000
+        post = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in post
+        assert "BroadcastHashJoin" in post, post
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
