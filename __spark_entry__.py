@@ -65,6 +65,7 @@ _NEVER_DRIVER_CHECKED = [
     "io_orc_roundtrip_stats",
     "ab_anova_value_by_type",
     "semantic_dedup_fixed_pairs",
+    "stream_append_sink_exactly_once",
     # (1b) executed code changed in the r12 second-pass review (values
     # pinned identical): skyline's fan-in estimate is now plan-side (no
     # job on shuffle-fed inputs), and the handoff-union ranks the

@@ -478,6 +478,67 @@ FROM ranked
 """
 
 
+def q_stream_append_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE FILE SINK, driver-checked (r12): the ``foreachBatch``
+    append path every production streaming job uses to feed a batch table
+    — each micro-batch lands in its own ``batch_id=N`` partition with
+    DYNAMIC partition overwrite, so the checkpoint-tracked batchId is the
+    idempotence key.  The key runs the multi-batch replay through
+    :func:`append_idempotent_parquet_sink`, then REDELIVERS batch 0
+    verbatim (the crash-between-sink-write-and-offset-commit scenario)
+    before aggregating the landed table: if redelivery duplicated or
+    dropped a single row, ``n_rows``/``n_ids``/``sum_value_c`` flip and
+    the oracle hash fails — the exactly-once property IS the gate.
+
+    Scale: sink writes are distributed columnar appends partitioned by
+    batchId (no global dedup, no driver data path); the redelivered frame
+    is one batch, eagerly localCheckpointed so the partition rewrite never
+    reads the directory it overwrites.  The per-run temp sink dir is a few
+    MB and process-scoped, like the replay dirs."""
+    import tempfile
+
+    from rocana_impala_udfs_spark.streaming.replay import replay_events_stream
+    from rocana_impala_udfs_spark.streaming.sink_stream import (
+        append_idempotent_parquet_sink,
+        batch_id_partition_writer,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized 4-file replay
+    out_dir = tempfile.mkdtemp(prefix="appsink_out_")
+    ckpt = tempfile.mkdtemp(prefix="appsink_ck_")
+    q = append_idempotent_parquet_sink(
+        stream.select("event_id", "event_type", "value"), out_dir, ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    landed = spark.read.parquet(out_dir)
+    replay0 = (
+        landed.filter(F.col("batch_id") == 0).drop("batch_id").localCheckpoint(eager=True)
+    )
+    batch_id_partition_writer(out_dir)(replay0, 0)
+    final = spark.read.parquet(out_dir)
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_c"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# the landed table must equal the SOURCE exactly once per row — redelivery
+# inside the key makes the equality prove idempotence, not just delivery
+ORACLE_STREAM_APPEND_SINK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING, driver-checked: daily windowed aggregation run
     as a real multi-micro-batch stream (one file per trigger, state carried
@@ -5567,6 +5628,7 @@ TEMPORAL_QUERIES = {
     "asof_click_attribution": q_asof_click_attribution,
     "attribution_multitouch": q_attribution_multitouch,
     "stream_daily_event_stats": q_stream_daily_event_stats,
+    "stream_append_sink_exactly_once": q_stream_append_sink_exactly_once,
     "stream_dedup_event_counts": q_stream_dedup_event_counts,
     "stream_session_windows": q_stream_session_windows,
     "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
@@ -5662,6 +5724,7 @@ TEMPORAL_ORACLE = {
     "asof_click_attribution": ORACLE_ASOF_CLICK,
     "attribution_multitouch": ORACLE_ATTRIBUTION_MULTITOUCH,
     "stream_daily_event_stats": ORACLE_STREAM_DAILY,
+    "stream_append_sink_exactly_once": ORACLE_STREAM_APPEND_SINK,
     "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,

@@ -11,6 +11,7 @@ after restart converges to the same state instead of duplicating rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def snapshot_parquet_sink(agg: DataFrame, path: str, checkpoint: str):
@@ -29,5 +30,44 @@ def snapshot_parquet_sink(agg: DataFrame, path: str, checkpoint: str):
         agg.writeStream.outputMode("complete")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(write_batch)
+        .start()
+    )
+
+
+def batch_id_partition_writer(path: str):
+    """The per-batch writer behind :func:`append_idempotent_parquet_sink`,
+    exposed so a redelivery (same batch_id, same rows) can be replayed
+    directly in tests and ops tooling."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
+def append_idempotent_parquet_sink(out: DataFrame, path: str, checkpoint: str):
+    """Exactly-once APPEND-mode parquet via foreachBatch — the harder case
+    than the complete-mode snapshot above (an append stream can't just
+    rewrite one location; naive append duplicates rows when a batch is
+    REPLAYED after a crash between the sink write and the offset commit).
+
+    The production recipe: route every micro-batch into its own
+    ``batch_id=N`` partition directory with DYNAMIC partition overwrite,
+    so a replayed batch rewrites exactly its own directory — the
+    (checkpoint-tracked) batchId is the idempotence key, and readers see
+    each input row exactly once regardless of how many times a batch
+    delivers.  At 100 TB this is how Structured Streaming feeds any
+    batch-format table (parquet/ORC/Delta-style MERGE targets) with
+    exactly-once semantics.  Returns the started query."""
+    return (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_id_partition_writer(path))
         .start()
     )

@@ -1264,3 +1264,26 @@ def test_aqe_switches_smj_to_broadcast_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Star-join scan pruning at runtime — the third AQE-era lever of the
+    100 TB scan story (with the skew split and the runtime broadcast
+    switch above): a dim-side filter the static planner can't fold into
+    the fact scan must show up as a ``dynamicpruning`` subquery in the
+    fact table's PartitionFilters, so only the matching fact partitions
+    are read."""
+    d = str(tmp_path / "dpp_fact")
+    src = spark.range(0, 100_000).select(
+        (F.col("id") % 10).alias("etype_id"), F.col("id").alias("v")
+    )
+    src.write.mode("overwrite").partitionBy("etype_id").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("etype_id"),
+        F.when(F.col("id") < 2, "hot").otherwise("cold").alias("klass"),
+    )
+    j = fact.join(dim, "etype_id").filter(F.col("klass") == "hot")
+    assert len(j.collect()) == 20_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan

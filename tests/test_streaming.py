@@ -191,6 +191,64 @@ def test_foreachbatch_snapshot_sink(spark, event_stream_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_foreachbatch_append_sink_is_idempotent_on_redelivery(spark):
+    """append_idempotent_parquet_sink: (a) the landed table equals the
+    source exactly once per row; (b) REDELIVERING a batch (same batchId,
+    same rows — the crash-between-sink-write-and-offset-commit scenario)
+    leaves the table bit-identical, because the batchId-keyed dynamic
+    partition overwrite rewrites that batch's directory instead of
+    appending dupes."""
+    import tempfile
+
+    from rocana_impala_udfs_spark.streaming.sink_stream import (
+        append_idempotent_parquet_sink,
+        batch_id_partition_writer,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="appsink_out_")
+    ckpt = tempfile.mkdtemp(prefix="appsink_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="appsink_src_")
+    try:
+        # the shared fixture coalesces a 1-partition source (one file -> one
+        # batch); this test needs MULTIPLE batches, so repartition to 3 files
+        load_table(spark, SF, "events").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        schema = load_table(spark, SF, "events").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = stream.select("event_id", "event_type", "value")
+        q = append_idempotent_parquet_sink(out, out_dir, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        landed = spark.read.parquet(out_dir)
+        n_batches = landed.select("batch_id").distinct().count()
+        assert n_batches > 1  # maxFilesPerTrigger=1 -> one batch per file
+        src = load_table(spark, SF, "events")
+        assert landed.count() == src.count()
+        assert landed.select("event_id").distinct().count() == src.count()
+
+        # redeliver the LAST batch verbatim: content must not change
+        last_id = landed.agg(F.max("batch_id")).collect()[0][0]
+        replay_rows = landed.filter(F.col("batch_id") == last_id).drop("batch_id")
+        before = sorted(
+            (r.event_id, r.batch_id) for r in landed.select("event_id", "batch_id").collect()
+        )
+        batch_id_partition_writer(out_dir)(replay_rows, last_id)
+        after_df = spark.read.parquet(out_dir)
+        after = sorted(
+            (r.event_id, r.batch_id) for r in after_df.select("event_id", "batch_id").collect()
+        )
+        assert after == before
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def test_running_median_transform_with_state(spark, event_stream_dir):
     """transformWithStateInPandas path must equal the applyInPandasWithState
     path (same reservoir state, same medians)."""
@@ -1665,5 +1723,78 @@ def test_session_timer_fires_on_exact_watermark_equality(spark):
         # A's timer expiry == final watermark -> fires (<= semantics);
         # B's own session is the open tail and must never emit.
         assert got == {("A", t0, t0, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tws_processing_time_timer_fires(spark):
+    """The remaining tws timer mode: timeMode='ProcessingTime'.  Event-time
+    timers are certified by the session driver key; this pins the
+    wall-clock variant through the same registerTimer/handleExpiredTimer
+    protocol and the vendored runtime — a timer registered at now+800ms
+    must fire on a later micro-batch and emit the accumulated count
+    exactly once (state cleared on expiry)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import tempfile
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class FireOnce(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._s = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(p) for p in rows)
+            prev = int(self._s.get()[0]) if self._s.exists() else 0
+            self._s.update((prev + n,))
+            self._h.registerTimer(timerValues.getCurrentProcessingTimeInMs() + 800)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._s.exists():
+                n = int(self._s.get()[0])
+                self._s.clear()
+                yield pd.DataFrame([{"k": key[0], "fired": n}])
+
+        def close(self):
+            pass
+
+    d = tempfile.mkdtemp(prefix="ptt_src_")
+    try:
+        spark.createDataFrame(
+            [("a", 1), ("a", 2)], "k string, v long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        stream = spark.readStream.schema("k string, v long").parquet(d)
+        out = stream.groupBy("k").transformWithStateInPandas(
+            FireOnce(),
+            outputStructType="k string, fired bigint",
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+        q = _under_rocksdb(
+            spark,
+            lambda: out.writeStream.format("memory")
+            .queryName("ptt_sink")
+            .outputMode("append")
+            .start(),
+        )
+        try:
+            deadline = time.time() + 90
+            rows = []
+            while time.time() < deadline:
+                rows = spark.sql("SELECT * FROM ptt_sink").collect()
+                if rows:
+                    break
+                time.sleep(0.25)
+            assert [(r.k, r.fired) for r in rows] == [("a", 2)]
+            # give a grace period: the cleared state must NOT re-fire
+            time.sleep(2.0)
+            rows2 = spark.sql("SELECT * FROM ptt_sink").collect()
+            assert len(rows2) == 1
+        finally:
+            q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
