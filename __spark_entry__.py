@@ -47,10 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget (~50 keys/round), so the UNPROVEN set goes first. Round-12 order
 # (every key entered r12 with a hash-green latest driver row — VERDICT
 # r11: 322/322 oracle keys green across the r1-r11 union — so the front
-# is just r12's changes per the standing contract): (1) the two NEW r12
-# keys — the bounded-bucket streaming LSH index (cap + overflow markers;
-# VERDICT r11 #1a) and the index-compaction probe-equality key (VERDICT
-# r11 #1b); (2) keys whose EXECUTED CODE changed in r12 with values
+# is just r12's changes per the standing contract): (1) the SEVEN new
+# r12 keys — the bounded-bucket streaming LSH index (cap + overflow
+# markers; VERDICT r11 #1a), the index-compaction probe-equality key
+# (VERDICT r11 #1b), the bounded-handoff recall-union, the ORC
+# round-trip, one-way ANOVA, the frozen-codebook SemDeDup twin, and the
+# exactly-once append file sink; (2) keys whose EXECUTED CODE changed in r12 with values
 # pinned identical on the ordered replay: the unbounded streaming LSH key
 # (pair orientation now normalized to (min,max) inside the processor —
 # ADVICE r11) and the tws EWMA key (progress capture added for the

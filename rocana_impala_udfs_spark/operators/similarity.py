@@ -504,27 +504,12 @@ def semantic_dedup_fixed_pairs(
 def semantic_dedup_fixed_oracle_sql(
     threshold: float = 0.95, nlist: int = 16, dim: int = 64
 ) -> str:
-    """DuckDB twin of :func:`semantic_dedup_fixed_pairs`: centroid
-    similarities as the same left-associative literal sum chains as the
-    IVF-fixed oracle, nearest-centroid assignment with the identical
-    (sim DESC, centroid id) tiebreak, within-cluster pairs, rounded-cos
-    threshold."""
-    C = fixed_ivf_centroids(nlist, dim)
-    sims = ",\n        ".join(
-        " + ".join(f"v[{d + 1}]*{C[c, d]!r}" for d in range(dim)) for c in range(nlist)
-    )
+    """DuckDB twin of :func:`semantic_dedup_fixed_pairs`: the shared
+    frozen-assignment CTE prefix (one generator with the IVF-fixed
+    oracle — identical chains and tiebreak by construction),
+    within-cluster pairs, rounded-cos threshold."""
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sims AS (
-    SELECT vec_id, v, [
-        {sims}
-    ] AS s FROM emb
-),
-assigned AS (
-    SELECT vec_id, v, CAST(ci - 1 AS INT) AS cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY s[CAST(ci AS INT)] DESC, ci) AS prb
-    FROM sims, unnest(generate_series(1, {nlist})) AS t(ci)
-),
+WITH {_fixed_assign_cte_sql(nlist, dim)},
 vv AS (SELECT vec_id, v, cluster FROM assigned WHERE prb = 1)
 SELECT i, j, cos FROM (
     SELECT a.vec_id AS i, b.vec_id AS j,
@@ -831,6 +816,30 @@ def ivf_fixed_topk(
     )
 
 
+def _fixed_assign_cte_sql(nlist: int, dim: int) -> str:
+    """Shared WITH-clause prefix (``emb``/``sims``/``assigned``) for every
+    frozen-codebook oracle: centroid similarities as explicit
+    left-associative literal sum chains (IEEE-order-identical to
+    :func:`_fixed_assign_udf`'s sequential accumulation) ranked by
+    (sim DESC, centroid id).  ONE generator so the oracles that share the
+    one Python kernel cannot desync from it (r12 review)."""
+    C = fixed_ivf_centroids(nlist, dim)
+    sims = ",\n        ".join(
+        " + ".join(f"v[{d + 1}]*{C[c, d]!r}" for d in range(dim)) for c in range(nlist)
+    )
+    return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+    SELECT vec_id, v, [
+        {sims}
+    ] AS s FROM emb
+),
+assigned AS (
+    SELECT vec_id, v, CAST(ci - 1 AS INT) AS cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s[CAST(ci AS INT)] DESC, ci) AS prb
+    FROM sims, unnest(generate_series(1, {nlist})) AS t(ci)
+)"""
+
+
 def ivf_fixed_oracle_sql(
     k: int = 5,
     nlist: int = 16,
@@ -838,28 +847,12 @@ def ivf_fixed_oracle_sql(
     dim: int = 64,
     query_pred: str = "vec_id < 20",
 ) -> str:
-    """DuckDB twin of :func:`ivf_fixed_topk`: centroid similarities as
-    explicit left-associative literal sum chains (IEEE-order-identical to
-    the kernel's sequential accumulation), probe ranking by
-    (sim DESC, centroid id), bucket equi-join, exact-cosine re-rank."""
-    C = fixed_ivf_centroids(nlist, dim)
-    sims = ",\n        ".join(
-        " + ".join(f"v[{d + 1}]*{C[c, d]!r}" for d in range(dim)) for c in range(nlist)
-    )
+    """DuckDB twin of :func:`ivf_fixed_topk`: the shared frozen-assignment
+    CTE prefix, bucket equi-join, exact-cosine re-rank."""
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-sims AS (
-    SELECT vec_id, v, [
-        {sims}
-    ] AS s FROM emb
-),
-ranked AS (
-    SELECT vec_id, v, CAST(ci - 1 AS INT) AS cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY s[CAST(ci AS INT)] DESC, ci) AS prb
-    FROM sims, unnest(generate_series(1, {nlist})) AS t(ci)
-),
-vv AS (SELECT vec_id AS neighbor_id, v AS nv, cluster FROM ranked WHERE prb = 1),
-qq AS (SELECT vec_id AS query_id, v AS qv, cluster FROM ranked
+WITH {_fixed_assign_cte_sql(nlist, dim)},
+vv AS (SELECT vec_id AS neighbor_id, v AS nv, cluster FROM assigned WHERE prb = 1),
+qq AS (SELECT vec_id AS query_id, v AS qv, cluster FROM assigned
        WHERE prb <= {nprobe} AND {query_pred}),
 scored AS (
     SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS c

@@ -205,21 +205,14 @@ def test_foreachbatch_append_sink_is_idempotent_on_redelivery(spark):
         batch_id_partition_writer,
     )
 
+    from rocana_impala_udfs_spark.streaming.replay import replay_events_stream
+
     out_dir = tempfile.mkdtemp(prefix="appsink_out_")
     ckpt = tempfile.mkdtemp(prefix="appsink_ckpt_")
-    src_dir = tempfile.mkdtemp(prefix="appsink_src_")
     try:
-        # the shared fixture coalesces a 1-partition source (one file -> one
-        # batch); this test needs MULTIPLE batches, so repartition to 3 files
-        load_table(spark, SF, "events").repartition(3).write.mode(
-            "overwrite"
-        ).parquet(src_dir)
-        schema = load_table(spark, SF, "events").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir)
-        )
+        # the driver key's own multi-file replay (memoized; one file per
+        # micro-batch — the r12 review flagged a hand-rolled copy of this)
+        stream, _src = replay_events_stream(spark, SF)
         out = stream.select("event_id", "event_type", "value")
         q = append_idempotent_parquet_sink(out, out_dir, ckpt)
         q.processAllAvailable()
@@ -246,7 +239,6 @@ def test_foreachbatch_append_sink_is_idempotent_on_redelivery(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(src_dir, ignore_errors=True)
 
 
 def test_running_median_transform_with_state(spark, event_stream_dir):
