@@ -47,12 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget (~50 keys/round), so the UNPROVEN set goes first. Round-12 order
 # (every key entered r12 with a hash-green latest driver row — VERDICT
 # r11: 322/322 oracle keys green across the r1-r11 union — so the front
-# is just r12's changes per the standing contract): (1) the SEVEN new
+# is just r12's changes per the standing contract): (1) the NINE new
 # r12 keys — the bounded-bucket streaming LSH index (cap + overflow
 # markers; VERDICT r11 #1a), the index-compaction probe-equality key
 # (VERDICT r11 #1b), the bounded-handoff recall-union, the ORC
-# round-trip, one-way ANOVA, the frozen-codebook SemDeDup twin, and the
-# exactly-once append file sink; (2) keys whose EXECUTED CODE changed in r12 with values
+# round-trip, one-way ANOVA, the frozen-codebook SemDeDup twin, the
+# exactly-once append file sink, and the two IO-hardening keys (schema
+# evolution on append, corrupt-record tolerance); (2) keys whose EXECUTED CODE changed in r12 with values
 # pinned identical on the ordered replay: the unbounded streaming LSH key
 # (pair orientation now normalized to (min,max) inside the processor —
 # ADVICE r11) and the tws EWMA key (progress capture added for the
@@ -68,6 +69,8 @@ _NEVER_DRIVER_CHECKED = [
     "ab_anova_value_by_type",
     "semantic_dedup_fixed_pairs",
     "stream_append_sink_exactly_once",
+    "io_schema_evolution_stats",
+    "io_corrupt_records_stats",
     # (1b) executed code changed in the r12 second-pass review (values
     # pinned identical): skyline's fan-in estimate is now plan-side (no
     # job on shuffle-fed inputs), and the handoff-union ranks the

@@ -3645,6 +3645,125 @@ def q_io_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on append (sources/sinks category): two parquet
+    batches land in one directory with DIFFERENT schemas — the second
+    adds ``o_orderpriority`` — and the read-back uses ``mergeSchema`` so
+    early rows surface the added column as NULL.  This is the schema-drift
+    reality of any long-lived 100 TB table (producers add fields; history
+    doesn't rewrite).  The aggregate groups by the evolved column
+    (NULL group = pre-evolution rows) with exact cent sums; the oracle
+    reconstructs the same NULL-fill from the source table, so the hash
+    proves Spark's merged-footer semantics match the declared contract.
+
+    Scale: mergeSchema pays one footer read per FILE (not per row) at
+    planning time; the scan itself stays columnar with pruning."""
+    import os as _os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    d = _os.path.join(
+        tempfile.gettempdir(),
+        "schema_evo_"
+        + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_"),
+    )
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    evolved = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    base.write.mode("overwrite").parquet(d)
+    evolved.write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "sum_price_c"
+            ),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# pre-evolution rows (even orderkeys) carry NULL for the added column —
+# the exact NULL-fill mergeSchema must produce
+ORACLE_IO_SCHEMA_EVOLUTION = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM orders
+GROUP BY 1 ORDER BY 1 NULLS FIRST
+"""
+
+
+def q_io_corrupt_records_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-RECORD TOLERANCE (sources/sinks category): a mixed feed —
+    the events ``props`` strings (valid JSON objects) unioned with the
+    documents ``text`` strings (prose, never JSON) — parsed PERMISSIVEly
+    with ``from_json`` and an explicit ``columnNameOfCorruptRecord``: a
+    malformed row lands with its raw text in the corrupt column and NULL
+    data fields instead of failing the job — the contract that keeps a
+    100 TB ingest running when a producer ships garbage.  (PERMISSIVE
+    from_json never returns a NULL struct — malformed input yields
+    all-null FIELDS — so the corrupt column is the only honest parse
+    verdict.)  Per source kind: rows, parse-successes, and the exact sum
+    of the extracted ``k`` field.  The oracle defines validity
+    identically (valid JSON AND an object — bare numbers/strings parse
+    as JSON but not into a struct)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events_props").alias("source_kind"), F.col("props").alias(
+            "raw"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("documents_text").alias("source_kind"), F.col("text").alias("raw")
+    )
+    parsed = ev.unionByName(docs).withColumn(
+        "j",
+        F.from_json(
+            F.col("raw"),
+            "k INT, _corrupt STRING",
+            {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
+        ),
+    )
+    return (
+        parsed.groupBy("source_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("j._corrupt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_parsed"),
+            F.coalesce(F.sum(F.col("j.k")), F.lit(0)).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("source_kind")
+    )
+
+
+ORACLE_IO_CORRUPT_RECORDS = """
+WITH feed AS (
+    SELECT 'events_props' AS source_kind, props AS raw FROM events
+    UNION ALL
+    SELECT 'documents_text' AS source_kind, text AS raw FROM documents
+),
+parsed AS (
+    SELECT source_kind,
+           CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
+                THEN 1 ELSE 0 END AS ok,
+           CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
+                THEN CAST(json_extract(raw, '$.k') AS INT) END AS k
+    FROM feed
+)
+SELECT source_kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(ok) AS BIGINT) AS n_parsed,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+FROM parsed GROUP BY source_kind ORDER BY source_kind
+"""
+
+
 # exact integer/extrema statistics over the SOURCE parquet: any bit the
 # ORC cycle perturbed in a key, measure, or timestamp flips the hash
 ORACLE_IO_ORC_ROUNDTRIP = """
@@ -5056,6 +5175,8 @@ QUERIES = {
     "quality_benford_prices": q_benford_prices,
     "zorder_part_keys": q_zorder_part_keys,
     "io_orc_roundtrip_stats": q_io_orc_roundtrip_stats,
+    "io_schema_evolution_stats": q_io_schema_evolution_stats,
+    "io_corrupt_records_stats": q_io_corrupt_records_stats,
 }
 
 ORACLE = {
@@ -5166,4 +5287,6 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
     "quality_benford_prices": ORACLE_BENFORD,
     "zorder_part_keys": ORACLE_ZORDER,
     "io_orc_roundtrip_stats": ORACLE_IO_ORC_ROUNDTRIP,
+    "io_schema_evolution_stats": ORACLE_IO_SCHEMA_EVOLUTION,
+    "io_corrupt_records_stats": ORACLE_IO_CORRUPT_RECORDS,
 }
