@@ -3657,16 +3657,15 @@ def q_io_schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves Spark's merged-footer semantics match the declared contract.
 
     Scale: mergeSchema pays one footer read per FILE (not per row) at
-    planning time; the scan itself stays columnar with pruning."""
-    import os as _os
+    planning time; the scan itself stays columnar with pruning.  The
+    two-batch directory is a fresh per-run temp dir (a fixed path would
+    race across concurrent sessions: one session's overwrite under
+    another's merged read) — a few MB, process-scoped, like the replay
+    dirs and the append-sink key."""
     import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    d = _os.path.join(
-        tempfile.gettempdir(),
-        "schema_evo_"
-        + _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_"),
-    )
+    d = tempfile.mkdtemp(prefix="schema_evo_")
     base = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
