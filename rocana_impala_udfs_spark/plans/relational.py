@@ -3660,31 +3660,38 @@ def q_io_schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning time; the scan itself stays columnar with pruning.  The
     two-batch directory is a fresh per-run temp dir (a fixed path would
     race across concurrent sessions: one session's overwrite under
-    another's merged read) — a few MB, process-scoped, like the replay
-    dirs and the append-sink key."""
+    another's merged read), DELETED before return — the k-row result is
+    eagerly localCheckpointed first so the returned frame never re-reads
+    the dir (r12 review: mkdtemp dirs outlive the process, so leaving
+    them accumulates a full orders copy per harness/bench invocation)."""
+    import shutil
     import tempfile
 
     o = load_table(spark, sf_dir, "orders")
     d = tempfile.mkdtemp(prefix="schema_evo_")
-    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    evolved = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
-    )
-    base.write.mode("overwrite").parquet(d)
-    evolved.write.mode("append").parquet(d)
-    back = spark.read.option("mergeSchema", "true").parquet(d)
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-                "sum_price_c"
-            ),
+    try:
+        base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
         )
-        .orderBy(F.col("o_orderpriority").asc_nulls_first())
-    )
+        evolved = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        base.write.mode("overwrite").parquet(d)
+        evolved.write.mode("append").parquet(d)
+        back = spark.read.option("mergeSchema", "true").parquet(d)
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "sum_price_c"
+                ),
+            )
+            .orderBy(F.col("o_orderpriority").asc_nulls_first())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # pre-evolution rows (even orderkeys) carry NULL for the added column —
@@ -3709,9 +3716,14 @@ def q_io_corrupt_records_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_json never returns a NULL struct — malformed input yields
     all-null FIELDS — so the corrupt column is the only honest parse
     verdict.)  Per source kind: rows, parse-successes, and the exact sum
-    of the extracted ``k`` field.  The oracle defines validity
-    identically (valid JSON AND an object — bare numbers/strings parse
-    as JSON but not into a struct)."""
+    of the extracted ``k`` field.  Parse success is pinned to ``raw IS
+    NOT NULL AND corrupt-column IS NULL`` on the Spark side and ``raw IS
+    NOT NULL AND valid JSON AND an object`` on the oracle — identical on
+    every row class the fixtures contain (NULL raws counted as failures
+    on BOTH engines; bare numbers/strings parse as JSON but not into a
+    struct).  Known out-of-domain edge, documented not closed: an object
+    with a non-integer ``k`` would be corrupt to Spark but ok=1 to the
+    oracle — no fixture produces one."""
     ev = load_table(spark, sf_dir, "events").select(
         F.lit("events_props").alias("source_kind"), F.col("props").alias(
             "raw"
@@ -3732,7 +3744,11 @@ def q_io_corrupt_records_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy("source_kind")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("j._corrupt").isNull(), 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("raw").isNotNull() & F.col("j._corrupt").isNull(), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_parsed"),
             F.coalesce(F.sum(F.col("j.k")), F.lit(0)).cast("bigint").alias("sum_k"),
@@ -3749,10 +3765,10 @@ WITH feed AS (
 ),
 parsed AS (
     SELECT source_kind,
-           CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
+           CASE WHEN raw IS NOT NULL AND json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
                 THEN 1 ELSE 0 END AS ok,
-           CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
-                THEN CAST(json_extract(raw, '$.k') AS INT) END AS k
+           CASE WHEN raw IS NOT NULL AND json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
+                THEN TRY_CAST(json_extract(raw, '$.k') AS INT) END AS k
     FROM feed
 )
 SELECT source_kind,

@@ -493,8 +493,11 @@ def q_stream_append_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataF
     Scale: sink writes are distributed columnar appends partitioned by
     batchId (no global dedup, no driver data path); the redelivered frame
     is one batch, eagerly localCheckpointed so the partition rewrite never
-    reads the directory it overwrites.  The per-run temp sink dir is a few
-    MB and process-scoped, like the replay dirs."""
+    reads the directory it overwrites.  The sink and checkpoint dirs are
+    fresh per run and DELETED before return (the k-row result is eagerly
+    localCheckpointed first, so the returned frame never re-reads them —
+    the same leak-closure as the schema-evolution key)."""
+    import shutil
     import tempfile
 
     from rocana_impala_udfs_spark.streaming.replay import replay_events_stream
@@ -506,26 +509,35 @@ def q_stream_append_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataF
     stream, _d = replay_events_stream(spark, sf_dir)  # memoized 4-file replay
     out_dir = tempfile.mkdtemp(prefix="appsink_out_")
     ckpt = tempfile.mkdtemp(prefix="appsink_ck_")
-    q = append_idempotent_parquet_sink(
-        stream.select("event_id", "event_type", "value"), out_dir, ckpt
-    )
-    q.processAllAvailable()
-    q.stop()
-    landed = spark.read.parquet(out_dir)
-    replay0 = (
-        landed.filter(F.col("batch_id") == 0).drop("batch_id").localCheckpoint(eager=True)
-    )
-    batch_id_partition_writer(out_dir)(replay0, 0)
-    final = spark.read.parquet(out_dir)
-    return (
-        final.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_c"),
+    try:
+        q = append_idempotent_parquet_sink(
+            stream.select("event_id", "event_type", "value"), out_dir, ckpt
         )
-        .orderBy("event_type")
-    )
+        q.processAllAvailable()
+        q.stop()
+        landed = spark.read.parquet(out_dir)
+        replay0 = (
+            landed.filter(F.col("batch_id") == 0)
+            .drop("batch_id")
+            .localCheckpoint(eager=True)
+        )
+        batch_id_partition_writer(out_dir)(replay0, 0)
+        final = spark.read.parquet(out_dir)
+        return (
+            final.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "sum_value_c"
+                ),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # the landed table must equal the SOURCE exactly once per row — redelivery
