@@ -48,30 +48,32 @@ def _skyline_mask(M: np.ndarray) -> np.ndarray:
 def _estimate_fan_in(df: DataFrame) -> int:
     """Partition count feeding ``df``'s final stage, WITHOUT running a job.
 
-    Shuffle-fed: the largest explicit partition count among the plan's
-    Exchange nodes (``RoundRobinPartitioning(32)``, ``hashpartitioning(x,
+    Shuffle-fed: the TOPMOST (first-listed) Exchange node's explicit
+    partition count (``RoundRobinPartitioning(32)``, ``hashpartitioning(x,
     200)`` — the trailing integer), read from the unexecuted plan string.
-    Exchange-free: ``rdd.getNumPartitions()``, which creates no query
-    stages and submits no job when there is nothing to shuffle.
+    Topmost, not max: the plan string prints the final stage first, so the
+    first Exchange is the one actually feeding this operator — taking the
+    max over ALL Exchanges would let an upstream 200-partition shuffle
+    under a later ``coalesce(2)`` report parts=200 and force a needless
+    extra tree level (ADVICE r12 #4).  Exchange-free:
+    ``rdd.getNumPartitions()``, which creates no query stages and submits
+    no job when there is nothing to shuffle.
     """
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    counts = []
     for line in plan.splitlines():
         if "Exchange" not in line or "BroadcastExchange" in line:
             continue
         if "SinglePartition" in line:
-            counts.append(1)
-        elif "artitioning(" in line:
+            return 1
+        if "artitioning(" in line:
             # partition count is the LAST integer argument of the
             # partitioning: RoundRobinPartitioning(32),
             # hashpartitioning(coalesce(x#1, 0), 32), rangepartitioning(...)
             nums = re.findall(r"[(,] ?(\d+)\)", line)
             if nums:
-                counts.append(int(nums[-1]))
-    if counts:
-        return max(counts)
+                return int(nums[-1])
     return df.rdd.getNumPartitions()
 
 

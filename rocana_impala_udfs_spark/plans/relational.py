@@ -3622,27 +3622,42 @@ def q_io_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the write is a distributed columnar encode (no single-point
     collect), the read prunes columns into the OrcScan, and predicate
     pushdown into ORC is pinned in tests/test_io.py — at 100 TB this is
-    the interchange path to Hive-era warehouses, parquet's peer."""
+    the interchange path to Hive-era warehouses, parquet's peer.
+
+    Lifecycle (ADVICE r12 #3): the table name carries the SESSION's
+    applicationId, so two live sessions sharing one warehouse can never
+    retire each other's freshly written directory out from under a read;
+    and the k-row aggregate is eagerly localCheckpointed so the managed
+    table — a full lineitem copy — can be DROPPED before return instead
+    of accumulating one copy per (sf tag × session) in the warehouse."""
     import os as _os
 
     from rocana_impala_udfs_spark.sources.io import orc_roundtrip_table
 
     li = load_table(spark, sf_dir, "lineitem")
     tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    back = orc_roundtrip_table(spark, li, f"orc_roundtrip_lineitem_{tag}")
-    return (
-        back.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("l_orderkey").alias("sum_okey"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_c"),
-            F.min("l_shipdate").alias("min_ship"),
-            F.max("l_shipdate").alias("max_ship"),
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    table = f"orc_roundtrip_lineitem_{tag}_{app}"
+    back = orc_roundtrip_table(spark, li, table)
+    try:
+        return (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_orderkey").alias("sum_okey"),
+                F.min("l_extendedprice").alias("min_price"),
+                F.max("l_extendedprice").alias("max_price"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias(
+                    "sum_qty_c"
+                ),
+                F.min("l_shipdate").alias("min_ship"),
+                F.max("l_shipdate").alias("max_ship"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def q_io_schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3713,11 +3728,15 @@ def q_io_corrupt_records_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed row lands with its raw text in the corrupt column and NULL
     data fields instead of failing the job — the contract that keeps a
     100 TB ingest running when a producer ships garbage.  (PERMISSIVE
-    from_json never returns a NULL struct — malformed input yields
-    all-null FIELDS — so the corrupt column is the only honest parse
-    verdict.)  Per source kind: rows, parse-successes, and the exact sum
-    of the extracted ``k`` field.  Parse success is pinned to ``raw IS
-    NOT NULL AND corrupt-column IS NULL`` on the Spark side and ``raw IS
+    from_json yields all-null FIELDS for malformed non-empty input, so
+    the corrupt column is the honest parse verdict there — but the
+    EMPTY STRING is the one input where from_json returns a NULL struct
+    outright, corrupt column and all; the success predicate therefore
+    also requires the struct itself to be non-null, matching DuckDB's
+    ``json_valid('') = false``.)  Per source kind: rows,
+    parse-successes, and the exact sum of the extracted ``k`` field.
+    Parse success is pinned to ``raw IS NOT NULL AND struct IS NOT NULL
+    AND corrupt-column IS NULL`` on the Spark side and ``raw IS
     NOT NULL AND valid JSON AND an object`` on the oracle — identical on
     every row class the fixtures contain (NULL raws counted as failures
     on BOTH engines; bare numbers/strings parse as JSON but not into a
@@ -3746,7 +3765,10 @@ def q_io_corrupt_records_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(
                 F.when(
-                    F.col("raw").isNotNull() & F.col("j._corrupt").isNull(), 1
+                    F.col("raw").isNotNull()
+                    & F.col("j").isNotNull()
+                    & F.col("j._corrupt").isNull(),
+                    1,
                 ).otherwise(0)
             )
             .cast("bigint")

@@ -209,3 +209,22 @@ def test_lazy_repeated_container_aliases_until_mutation():
     other.listStateGet.iteratorId = "it"
     other.appendList.value.extend([])
     assert other.WhichOneof("method") == "listStateGet"
+
+
+def test_empty_slice_assignment_does_not_create_presence():
+    """ADVICE r12 #2: a no-op slice assignment (lst[0:0] = []) on the
+    repeated field of an UNSET oneof alternative is non-additive and must
+    not clobber the currently-set sibling; a slice assignment that DOES
+    add elements is additive and must."""
+    call = sm.ListStateCall(stateName="s")
+    call.listStateGet.iteratorId = "it1"
+    call.appendList.value[0:0] = []
+    assert call.WhichOneof("method") == "listStateGet"
+    m2 = sm.ListStateCall()
+    m2.ParseFromString(call.SerializeToString())
+    assert m2.HasField("listStateGet")
+    # the additive slice-assignment still registers presence
+    other = sm.ListStateCall(stateName="t")
+    other.appendList.value[0:0] = [b"x"]
+    assert other.WhichOneof("method") == "appendList"
+    assert list(other.appendList.value) == [b"x"]

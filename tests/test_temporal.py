@@ -161,6 +161,13 @@ def test_skyline_tree_level_is_conditional_on_fan_in(spark):
     assert after == before, "skyline plan construction submitted a Spark job"
     assert n_stages(built) == 3
 
+    # ADVICE r12 #4: the fan-in estimate reads the TOPMOST Exchange, not
+    # the max over all of them — an upstream wide shuffle followed by a
+    # narrow repartition(2) feeds the local phase with 2 partitions, so
+    # the mid tree level must NOT be planned.
+    narrow = skyline(p.repartition(200, "p_partkey").repartition(2), crit)
+    assert n_stages(narrow) == 2
+
 
 def test_bucketed_range_join_boundaries(spark):
     from rocana_impala_udfs_spark.operators.temporal import bucketed_range_join
