@@ -87,6 +87,16 @@ def main() -> int:
     results["mini-bench"] = f"rc={rc} {'ok' if 'MINIBENCH_OK' in out else 'FAILED'} ({time.time() - t0:.0f}s)"
     ok &= rc == 0 and "MINIBENCH_OK" in out
 
+    t0 = time.time()
+    # packaging stage (VERDICT r12 #3): build the wheel, pip-install it to
+    # a temp --target, and run the SQL UDAF surface from the INSTALLED
+    # package (subprocess cwd outside the repo so imports can't fall
+    # through to the checkout)
+    rc, out = run([sys.executable, "tools/verify_install.py"])
+    inst_ok = "INSTALLED-PACKAGE CHECK OK" in out
+    results["install"] = f"rc={rc} {'ok' if inst_ok else 'FAILED'} ({time.time() - t0:.0f}s)"
+    ok &= rc == 0 and inst_ok
+
     print(json.dumps({"gate": "quick" if quick else "full", **results}, indent=2))
     print("GATE PASS" if ok else "GATE FAIL")
     return 0 if ok else 1
