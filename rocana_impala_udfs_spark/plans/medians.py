@@ -307,6 +307,57 @@ FROM lineitem l JOIN med USING (l_returnflag)
 """
 
 
+def q_window_sliding_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-median UDA as a SLIDING analytic — the Impala
+    analytic-function shape (``... OVER (PARTITION BY ... ORDER BY ...
+    ROWS BETWEEN n PRECEDING AND CURRENT ROW)``) that VERDICT r12 #5
+    flagged as the family's one missing frame: per customer, the rolling
+    upper median of the trailing 10 order totals in (orderdate, orderkey)
+    order, through the JVM Aggregator directly (Spark's WindowExec
+    re-evaluates the typed Aggregator per frame — no extra code needed
+    beyond registration, exactly the 'falls out of registration' claim).
+
+    Exact regime by construction: every frame holds ≤ 10 samples ≪ k, so
+    no random path is taken and the DuckDB windowed-list oracle matches
+    bit-for-bit. ``o_orderkey`` is unique (the fixture's one strictly
+    unique key — lineitem's (orderkey, linenumber) carries driver-made
+    duplicates), so the ORDER BY is total and frame contents are fully
+    deterministic.
+
+    Scale: WindowExec partitions by o_custkey (one shuffle), sorts within
+    partitions, and streams frames with O(frame) state — no
+    whole-partition materialization beyond the sort, same bound as the
+    reference UDA run under Impala's analytic executor."""
+    register_all(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ord_sliding")
+    return spark.sql(
+        """SELECT o_custkey, o_orderkey,
+                  CAST(appx_median_bounded_1call(o_totalprice, 100) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                  ) AS DOUBLE) AS sliding_median_price
+           FROM _ord_sliding"""
+    )
+
+
+# upper median of each ≤10-row sliding frame: sort the frame's values and
+# take the 1-based index n//2 + 1 (the reference's median.cc:299-301 rule)
+ORACLE_WINDOW_SLIDING_MEDIAN = """
+SELECT o_custkey, o_orderkey,
+       lst[len(lst) // 2 + 1] AS sliding_median_price
+FROM (
+    SELECT o_custkey, o_orderkey,
+           list_sort(list(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           )) AS lst
+    FROM orders
+)
+"""
+
+
 def q_reservoir_sample_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exposed sampling primitive (SURVEY §7 M2): bounded reservoir per
     group as ARRAY<DOUBLE>, exploded to rows. Unsaturated here, so the
@@ -416,6 +467,7 @@ MEDIAN_QUERIES = {
     "exact_weighted_p90_quantity": q_weighted_p90_quantity,
     "reservoir_sample_quantity": q_reservoir_sample_quantity,
     "window_median_quantity": q_window_median_quantity,
+    "window_sliding_median_price": q_window_sliding_median_price,
 }
 
 MEDIAN_ORACLE = {
@@ -463,4 +515,5 @@ MEDIAN_ORACLE = {
     "exact_weighted_p90_quantity": ORACLE_WEIGHTED_P90,
     "reservoir_sample_quantity": ORACLE_RESERVOIR_SAMPLE,
     "window_median_quantity": ORACLE_WINDOW_MEDIAN,
+    "window_sliding_median_price": ORACLE_WINDOW_SLIDING_MEDIAN,
 }
