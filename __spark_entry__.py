@@ -44,67 +44,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-12 order
-# (every key entered r12 with a hash-green latest driver row — VERDICT
-# r11: 322/322 oracle keys green across the r1-r11 union — so the front
-# is just r12's changes per the standing contract): (1) the NINE new
-# r12 keys — the bounded-bucket streaming LSH index (cap + overflow
-# markers; VERDICT r11 #1a), the index-compaction probe-equality key
-# (VERDICT r11 #1b), the bounded-handoff recall-union, the ORC
-# round-trip, one-way ANOVA, the frozen-codebook SemDeDup twin, the
-# exactly-once append file sink, and the two IO-hardening keys (schema
-# evolution on append, corrupt-record tolerance); (2) keys whose EXECUTED CODE changed in r12 with values
-# pinned identical on the ordered replay: the unbounded streaming LSH key
-# (pair orientation now normalized to (min,max) inside the processor —
-# ADVICE r11) and the tws EWMA key (progress capture added for the
-# RocksDB-provider pin); then (3) the nine weak-by-design keys
-# (rows-only is their best evidence; they absorb any over-budget
-# truncation harmlessly).
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-13 order
+# (every key entered r13 with a hash-green latest driver row — VERDICT
+# r12: 331/331 oracle keys green across the r1-r12 union — so the front
+# is just r13's changes per the standing contract): (1) the ONE new r13
+# key — the sliding-frame bounded median (the JVM Aggregator as a ROWS
+# BETWEEN analytic, VERDICT r12 #5); (2) keys whose EXECUTED CODE changed
+# in r13 with values locally re-verified oracle-green (ADVICE r12 fixes):
+# the ORC round-trip (per-session table name + drop-after-materialize),
+# the corrupt-record key (parse-success predicate also requires the
+# struct non-null — empty-string edge), and skyline (topmost-Exchange
+# fan-in estimate); then (3) the nine weak-by-design keys (rows-only is
+# their best evidence; they absorb any over-budget truncation
+# harmlessly).
 _NEVER_DRIVER_CHECKED = [
-    # (1) new r12 keys
-    "stream_tws_lsh_bounded_bucket",
-    "dedup_index_compaction_probe",
-    "dedup_bounded_handoff_union",
+    # (1) new r13 key
+    "window_sliding_median_price",
+    # (2) executed code changed in r13 (ADVICE r12 closures), values
+    # re-verified oracle-green locally before commit
     "io_orc_roundtrip_stats",
-    "ab_anova_value_by_type",
-    "semantic_dedup_fixed_pairs",
-    "stream_append_sink_exactly_once",
-    "io_schema_evolution_stats",
     "io_corrupt_records_stats",
-    # (1b) executed code changed in the r12 second-pass review (values
-    # pinned identical): skyline's fan-in estimate is now plan-side (no
-    # job on shuffle-fed inputs), and the handoff-union ranks the
-    # COMPACTED table instead of re-banding the corpus
     "skyline_parts",
-    # (2) executed code or oracle text changed in r12, values pinned
-    # identical: the LSH keys (pair normalization / progress capture),
-    # emb_neardup_pairs (Arrow bucket kernel + ids-only dedup,
-    # bit-identical results), and ab_sequential_peeks (oracle variance
-    # numerator VARCHAR-routed after the sf0.001 sweep caught a low-bit
-    # z flip — the r10 HUGEINT->DOUBLE class)
-    "stream_tws_lsh_index_candidates",
-    "stream_tws_ewma_user_value",
-    "emb_neardup_pairs",
-    "ab_sequential_peeks",
-    # ... and the sf1x-sweep hardening commits: BIG_K 1M->10M (every
-    # BIG_K-parameterized median/percentile/reservoir key — unsaturated
-    # regime unchanged at sf0.01, values pinned identical), the tws
-    # median cap 30k->1M, and the CUPED degenerate-covariate NULL guard
-    # (spark + oracle changed together)
-    "appx_median_price_global",
-    "appx_median_price_by_returnflag",
-    "appx_median_totalprice_by_status",
-    "appx_median_value_by_event_type",
-    "appx_median_value_by_day",
-    "appx_median_sql_udaf",
-    "appx_median_sql_onecall",
-    "appx_median_sql_twophase",
-    "appx_p90_value_by_event_type",
-    "appx_percentile_sql_udaf",
-    "window_median_quantity",
-    "reservoir_sample_quantity",
-    "stream_tws_median_value",
-    "ab_cuped_sequential_peeks",
     # (3) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",
