@@ -673,6 +673,18 @@ def prefix_filter_jaccard_pairs(
     Scale: one shuffle to rank shingles per doc (window by id), one
     rare-shingle prefix self-join, one (id, shingle)-keyed verify join. The
     verify join is proportional to candidate pairs × set size, not corpus².
+
+    Every join operand here — the per-shingle frequency table, the prefix
+    rows, the candidate pairs, both verify sides — GROWS WITH THE CORPUS,
+    so none may ever be broadcast: Catalyst's static size estimates for
+    these windowed/aggregated intermediates undercount badly enough that
+    the 64 MB auto-broadcast threshold picked broadcast-hash for all five
+    joins, which worked up to ~10× sf0.1 and then died building a
+    multi-GB driver-side hash relation at 100× (the r13 scaling sweep's
+    first finding). The ``merge`` hints pin spill-safe sort-merge joins —
+    the only strategy whose memory is bounded at any corpus size; a
+    broadcast would only ever be safe on a frame bounded by construction,
+    and nothing here is.
     """
     t = threshold
     # Reused by ranking, candidate prefixes, and both verify sides —
@@ -686,14 +698,14 @@ def prefix_filter_jaccard_pairs(
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     w_id = Window.partitionBy("id").orderBy("tf", "tok")
     ranked = (
-        toks.join(freq, "tok")
+        toks.join(freq.hint("merge"), "tok")
         .withColumn("rnk", F.row_number().over(w_id))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
     prefix = ranked.filter(
         F.col("rnk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     ).select("id", "tok", "n")
-    a, b = prefix.alias("a"), prefix.alias("b")
+    a, b = prefix.alias("a"), prefix.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -712,13 +724,28 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    ti = toks.select(F.col("id").alias("i"), "tok")
-    tj = toks.select(F.col("id").alias("j"), "tok")
+    # Verification via per-doc shingle ARRAYS, not an exploded
+    # (pair × shingle) join: the old shape — cand ⋈ (i,tok) ⋈ (j,tok) →
+    # groupBy — materialized |pairs| × |set| rows plus a re-shuffle to
+    # count them, which spilled ~77 GB at the r13 sweep's 100× point and
+    # filled the disk. Collapsing each doc's distinct shingles into one
+    # array row makes the verify two joins on ≤1-row-per-doc inputs whose
+    # intersection is computed IN THE PROJECTION (JVM array_intersect,
+    # exact on distinct sets) and dropped before anything shuffles again —
+    # the intermediate is |pairs| rows, never |pairs| × |set|.
+    sets = toks.groupBy("id").agg(F.collect_list("tok").alias("s"))
+    si = sets.select(F.col("id").alias("i"), F.col("s").alias("s_i"))
+    sj = sets.select(F.col("id").alias("j"), F.col("s").alias("s_j"))
     inter = (
-        cand.join(ti, "i")
-        .join(tj, ["j", "tok"])
-        .groupBy("i", "j", "ni", "nj")
-        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        cand.join(si.hint("merge"), "i")
+        .join(sj.hint("merge"), "j")
+        .select(
+            "i",
+            "j",
+            "ni",
+            "nj",
+            F.size(F.array_intersect("s_i", "s_j")).alias("both_cnt"),
+        )
     )
     return (
         inter.withColumn(
