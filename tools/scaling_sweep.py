@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Scale-curve evidence for the expensive keys (VERDICT r12 #1): time the
+heavy hitters at 1x / 10x / 100x of sf0.1 and fit the cost exponent.
+
+The correctness story already covers 4 SFs; this artifact answers the
+remaining 100 TB question — HOW does cost grow? For each key and each SF
+point the sweep records warm wall time (min of 2 runs after one unmeasured
+warmup) and the cumulative shuffle-write bytes attributed to the runs
+(AppStatusStore stage deltas — no Spark UI needed), then fits
+log(time) ~ a + b*log(rows): ``b`` is the empirical exponent. b ≈ 1 is
+linear, b ≈ 1.2 at these sizes is consistent with n log n + fixed costs;
+anything clearly super-linear (b > 1.5 with a clean fit) is a scale bug.
+
+Fixed costs bias b DOWNWARD at small SFs (a key with 2 s of machinery and
+1 s of work looks sub-linear), so the exponent is also fitted on the last
+two points alone (10x -> 100x), which is the number quoted in
+SCALING_r13.md.
+
+Usage:
+  python tools/scaling_sweep.py [--keys k1,k2,...] [--out SCALING_r13.json]
+SF points (row multipliers vs sf0.1): sf0.1=1x, testdata_scaled/sf1x=10x,
+testdata_scaled/sf10x=100x (build with tools/make_scaled_sf.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# (label, dir, row multiplier vs sf0.1)
+SF_POINTS = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("10x", os.path.join(REPO, "testdata_scaled", "sf1x"), 10),
+    ("100x", os.path.join(REPO, "testdata_scaled", "sf10x"), 100),
+]
+
+# The VERDICT r12 #1 list: the most expensive operator families, each the
+# head of a scale-critical class (banded LSH, prefix-filter join, standing
+# index probe, full pipeline, brute/LSH/IVF/PQ ANN, pair-cosine semantic
+# dedup, resampling stats, iterative graph), plus two cheap relational
+# controls whose known-linear scans anchor the fit.
+DEFAULT_KEYS = [
+    "dedup_minhash_pairs",
+    "dedup_jaccard_threshold_sweep",
+    "dedup_incremental_minhash",
+    "dedup_simhash_pairs",
+    "dedup_exact_docs",
+    "llm_corpus_pipeline",
+    "ann_cosine_top5",
+    "ann_lsh_top5",
+    "ann_ivf_fixed_top5",
+    "ann_pq_top5",
+    "semantic_dedup_fixed_pairs",
+    "stats_bootstrap_ci_price",
+    "stats_stratified_bootstrap_ci",
+    "graph_pagerank_parts",
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+]
+
+
+def _shuffle_bytes(sc) -> int:
+    """Cumulative shuffle-write bytes across all stages so far
+    (AppStatusStore; works with spark.ui.enabled=false)."""
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    stages = store.stageList(
+        gw.jvm.java.util.ArrayList(),
+        False,
+        False,
+        gw.new_array(gw.jvm.double, 0),
+        gw.jvm.java.util.ArrayList(),
+    )
+    total = 0
+    it = stages.iterator()
+    while it.hasNext():
+        total += it.next().shuffleWriteBytes()
+    return total
+
+
+def _fit_exponent(xs: list[float], ys: list[float]) -> float | None:
+    """Least-squares slope of log(y) ~ log(x); None if degenerate."""
+    pts = [(math.log(x), math.log(y)) for x, y in zip(xs, ys) if y > 0]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    sxx = sum((p[0] - mx) ** 2 for p in pts)
+    if sxx == 0:
+        return None
+    return sum((p[0] - mx) * (p[1] - my) for p in pts) / sxx
+
+
+def main() -> int:
+    keys = DEFAULT_KEYS
+    out_path = os.path.join(REPO, "SCALING_r13.json")
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--keys":
+            keys = args.pop(0).split(",")
+        elif a == "--out":
+            out_path = args.pop(0)
+    from rocana_impala_udfs_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scaling-sweep")
+    sc = spark.sparkContext
+    qs = entrymod.queries()
+    missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
+    if missing:
+        print(f"missing SF dirs {missing}: run tools/make_scaled_sf.py first")
+        return 1
+
+    results: dict[str, dict] = {}
+    for key in keys:
+        if key not in qs:
+            print(f"skip {key}: not in queries()")
+            continue
+        row: dict = {"points": {}}
+        for label, d, mult in SF_POINTS:
+            try:
+                qs[key](spark, d).collect()  # unmeasured warmup (codegen, caches)
+                best, sh = None, 0
+                for _ in range(2):
+                    s0 = _shuffle_bytes(sc)
+                    t0 = time.perf_counter()
+                    n_rows = len(qs[key](spark, d).collect())
+                    dt = time.perf_counter() - t0
+                    s1 = _shuffle_bytes(sc)
+                    if best is None or dt < best:
+                        best, sh = dt, s1 - s0
+            except Exception as exc:  # a key failing at scale IS a finding
+                row["points"][label] = {"error": f"{type(exc).__name__}: {exc}"[:300],
+                                        "mult": mult}
+                print(f"{key} @{label}: FAILED {type(exc).__name__}", flush=True)
+                break  # larger points would fail the same way
+            row["points"][label] = {
+                "sec": round(best, 3),
+                "shuffle_mb": round(sh / 1e6, 2),
+                "rows_out": n_rows,
+                "mult": mult,
+            }
+            print(f"{key} @{label}: {best:.2f}s shuffle={sh/1e6:.1f}MB rows={n_rows}",
+                  flush=True)
+        ok_pts = [p for p in row["points"].values() if "sec" in p]
+        mults = [p["mult"] for p in ok_pts]
+        secs = [p["sec"] for p in ok_pts]
+        row["exponent_all"] = (
+            round(_fit_exponent(mults, secs), 3)
+            if _fit_exponent(mults, secs) is not None else None
+        )
+        row["exponent_tail"] = (
+            round(_fit_exponent(mults[-2:], secs[-2:]), 3)
+            if _fit_exponent(mults[-2:], secs[-2:]) is not None else None
+        )
+        results[key] = row
+
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print("wrote", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
