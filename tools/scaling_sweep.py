@@ -65,6 +65,26 @@ DEFAULT_KEYS = [
 ]
 
 
+# Keys whose OUTPUT is super-linear by declared semantics, with the largest
+# multiplier worth running: semantic dedup against the FIXED frozen
+# codebook (8 clusters — the oracle contract) has within-cluster pair
+# output that grows quadratically with cluster size, so the 100× point is
+# hours of correct-but-uninformative pair emission. At real scale the
+# codebook grows with the corpus (the trained `semantic_dedup_pairs` twin
+# does exactly that), which bounds cluster sizes and restores linearity —
+# the exponent of the FIXED-codebook twin measures the oracle harness, not
+# the production design. Recorded in the JSON as `capped_reason`.
+MAX_MULT = {"semantic_dedup_fixed_pairs": 10}
+CAP_REASON = {
+    "semantic_dedup_fixed_pairs": (
+        "output quadratic by declared semantics with the FIXED 8-centroid "
+        "oracle codebook (pairs within clusters whose size grows with the "
+        "corpus); production scales the codebook with the corpus, which "
+        "bounds cluster sizes — see the trained twin semantic_dedup_pairs"
+    )
+}
+
+
 def _shuffle_bytes(sc) -> int:
     """Cumulative shuffle-write bytes across all stages so far
     (AppStatusStore; works with spark.ui.enabled=false)."""
@@ -125,7 +145,12 @@ def main() -> int:
             print(f"skip {key}: not in queries()")
             continue
         row: dict = {"points": {}}
+        if key in MAX_MULT:
+            row["capped_at_mult"] = MAX_MULT[key]
+            row["capped_reason"] = CAP_REASON[key]
         for label, d, mult in SF_POINTS:
+            if mult > MAX_MULT.get(key, 10**9):
+                break
             try:
                 qs[key](spark, d).collect()  # unmeasured warmup (codegen, caches)
                 best, sh = None, 0
@@ -162,9 +187,10 @@ def main() -> int:
             if _fit_exponent(mults[-2:], secs[-2:]) is not None else None
         )
         results[key] = row
+        # flush after every key: a crash/kill mid-sweep keeps the evidence
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
 
-    with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=1)
     print("wrote", out_path)
     return 0
 
