@@ -229,6 +229,10 @@ HEADLINE = [
     # plus the vectorized read-back and exact agg; the only benched key
     # that measures a WRITE path end to end.
     "io_orc_roundtrip_stats",
+    # r13: the JVM reservoir UDAF as a SLIDING analytic (ROWS BETWEEN 9
+    # PRECEDING) — a new operator class: WindowExec re-evaluating a typed
+    # Aggregator per frame (~1.7 s warm at sf0.1).
+    "window_sliding_median_price",
     # stream_join_left_outer_nulls is NOT benched — two-sided join state
     # across triggers, same fixed-cost rationale as the inner interval join.
     # stream_checkpoint_restart_counts is NOT benched — it measures restart
