@@ -40,6 +40,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Initial (pre-coalesce) shuffle partition count: AQE can only
+        # coalesce DOWN — it never splits an un-skewed oversized partition
+        # — so the INITIAL map granularity is what bounds per-block size
+        # at scale. With it at the core count, the r13 100× sweep produced
+        # multi-GB shuffle blocks whose single-buffer fetch OOM'd the heap
+        # (self-join keys); 8× finer fixed that but cost +30-40% on
+        # shuffle-heavy keys at sf0.1 (measured), so the DEFAULT targets
+        # the sandbox's bench SF and scale runs raise it — the standard
+        # Spark deployment rule (size initial partitions to data volume;
+        # AQE adapts down). tools/scaling_sweep.py sets 8× at runtime;
+        # production sets thousands.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(shuffle_partitions or cpus),
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -132,6 +132,15 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark = get_spark("scaling-sweep")
+    # Scale runs need finer INITIAL shuffle maps than the sf0.1-tuned
+    # session default: AQE only coalesces down, and at 100× the
+    # core-count-sized maps produce multi-GB blocks whose single-buffer
+    # fetch OOMs the heap (measured: dedup_containment_pairs). 8× is the
+    # sandbox's scale setting; AQE coalesces the small-SF points back.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(8 * int(spark.conf.get("spark.sql.shuffle.partitions"))),
+    )
     sc = spark.sparkContext
     qs = entrymod.queries()
     missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
