@@ -74,14 +74,22 @@ DEFAULT_KEYS = [
 # does exactly that), which bounds cluster sizes and restores linearity —
 # the exponent of the FIXED-codebook twin measures the oracle harness, not
 # the production design. Recorded in the JSON as `capped_reason`.
-MAX_MULT = {"semantic_dedup_fixed_pairs": 10}
+MAX_MULT = {"semantic_dedup_fixed_pairs": 10, "emb_neardup_pairs": 10}
 CAP_REASON = {
     "semantic_dedup_fixed_pairs": (
         "output quadratic by declared semantics with the FIXED 8-centroid "
         "oracle codebook (pairs within clusters whose size grows with the "
         "corpus); production scales the codebook with the corpus, which "
         "bounds cluster sizes — see the trained twin semantic_dedup_pairs"
-    )
+    ),
+    "emb_neardup_pairs": (
+        "derived-DATA artifact, not operator design: make_scaled_sf "
+        "replicates every base vector with a per-replica epsilon, planting "
+        "C(mult, 2) cross-replica near-dup twins per base vector (0 pairs "
+        "at 1x, 45x2000 at 10x) — output quadratic in the multiplier by "
+        "fixture construction; the operator's bucketed-join cost is linear "
+        "in candidate pairs, which this fixture makes quadratic"
+    ),
 }
 
 
@@ -184,6 +192,18 @@ def main() -> int:
             }
             print(f"{key} @{label}: {best:.2f}s shuffle={sh/1e6:.1f}MB rows={n_rows}",
                   flush=True)
+        # release this key's localCheckpoint blocks before the next key:
+        # the ContextCleaner frees them only after the Python frames are
+        # GC'd, and 100×-sized checkpoints from one key otherwise crowd
+        # the heap under the next key's shuffle (observed: a poisoned JVM
+        # failing every later key at 1×)
+        import gc
+
+        gc.collect()
+        try:
+            sc._jvm.System.gc()
+        except Exception:
+            pass
         ok_pts = [p for p in row["points"].values() if "sec" in p]
         mults = [p["mult"] for p in ok_pts]
         secs = [p["sec"] for p in ok_pts]
