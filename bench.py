@@ -377,6 +377,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # The r1 pin subset must stay fully benched: a key renamed or dropped
+    # from HEADLINE would silently shrink r1_subset_total and read as a
+    # round-over-round speedup (ADVICE r13 #1). Fail loudly instead.
+    missing_pin = sorted(set(R1_STABLE_SUBSET) - set(HEADLINE))
+    if missing_pin:
+        raise SystemExit(
+            f"bench: r1 pin subset keys missing from HEADLINE: {missing_pin} — "
+            "r1_subset_total would silently shrink; restore them"
+        )
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
@@ -393,6 +402,15 @@ def main() -> None:
             qs[name](spark, sf_dir).collect()
             runs.append(time.perf_counter() - start)
         warm[name] = round(min(runs), 3)
+    # second half of the pin-subset guard: a pin key present in HEADLINE but
+    # absent from queries() is skipped by the loop above and would shrink
+    # the subset total just as silently
+    missing_warm = sorted(set(R1_STABLE_SUBSET) - set(warm))
+    if missing_warm:
+        raise SystemExit(
+            f"bench: r1 pin subset keys not benched (absent from queries()): "
+            f"{missing_warm}"
+        )
     # streaming fixed/marginal decomposition (see STREAMING_KEYS comment)
     streaming_cost: dict[str, dict[str, float]] = {}
     if os.path.isdir(FIXED_COST_SF_DIR):

@@ -733,7 +733,12 @@ def prefix_filter_jaccard_pairs(
     # intersection is computed IN THE PROJECTION (JVM array_intersect,
     # exact on distinct sets) and dropped before anything shuffles again —
     # the intermediate is |pairs| rows, never |pairs| × |set|.
-    sets = toks.groupBy("id").agg(F.collect_list("tok").alias("s"))
+    # collect_set, not collect_list: array_intersect is exact only on
+    # distinct sets. toks IS distinct per (id, tok) today (shingle_sets
+    # dedups), but that invariant lives far upstream — collect_set costs
+    # the same on already-distinct input and keeps the verify correct by
+    # construction if the upstream distinct ever changes (ADVICE r13 #3).
+    sets = toks.groupBy("id").agg(F.collect_set("tok").alias("s"))
     si = sets.select(F.col("id").alias("i"), F.col("s").alias("s_i"))
     sj = sets.select(F.col("id").alias("j"), F.col("s").alias("s_j"))
     inter = (

@@ -74,6 +74,16 @@ def _estimate_fan_in(df: DataFrame) -> int:
             nums = re.findall(r"[(,] ?(\d+)\)", line)
             if nums:
                 return int(nums[-1])
+        # The TOPMOST non-broadcast Exchange is the one feeding this
+        # operator; if its count cannot be parsed, do NOT keep scanning —
+        # a later match would be an UPSTREAM exchange whose count silently
+        # reintroduces the over-count the topmost-only rule exists to
+        # prevent (ADVICE r13 #2). Return the session's configured shuffle
+        # partition count instead: it is what an un-annotated Exchange
+        # defaults to, it is read job-free (``.rdd`` on a SHUFFLE-FED frame
+        # would materialize the upstream map stages — the r12 review trap),
+        # and an overestimate only risks one cheap extra tree level.
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.rdd.getNumPartitions()
 
 

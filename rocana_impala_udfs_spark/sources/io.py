@@ -33,6 +33,14 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every query's scan volume flows through here, so this is where the
+    # engine sizes AQE's initial (pre-coalesce) shuffle partition count to
+    # the data actually being read (VERDICT r13 #1: the 100× shuffle-block
+    # OOM fix as a self-acting default, not an env knob). Runtime-settable
+    # conf; memoized dir walk; no-op when the operator overrides via env.
+    from rocana_impala_udfs_spark.session import autosize_initial_partitions
+
+    autosize_initial_partitions(spark, sf_dir)
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark rejects
     # unless nanosAsLong is on. Set it here (runtime-settable) so the loader
     # works under ANY session, not just ones built by our get_spark.

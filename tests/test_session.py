@@ -1,0 +1,100 @@
+"""Tests for the data-volume-driven initial shuffle partitioning
+(VERDICT r13 #1: the 100× shuffle-block OOM fix must be the shipped
+default, not an env knob).
+
+The calibration anchor is empirical — the r13 sweep's 100× point (2.51 GB
+scan input) OOM'd under core-count initial maps and ran clean at 256 —
+so the tests pin the FORMULA's fixed points rather than re-running the
+100× workload: floor at the core count for bench-SF dirs, ceil(bytes/8MiB)
+for scale dirs, the 32768 practical ceiling, the env-override no-op, and
+the fact that load_table actually applies it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from rocana_impala_udfs_spark.session import (
+    _DIR_BYTES_MEMO,
+    _MAX_INITIAL_PARTITIONS,
+    _TARGET_SCAN_BYTES_PER_PARTITION,
+    autosize_initial_partitions,
+)
+from rocana_impala_udfs_spark.sources.io import load_table
+
+CONF = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _fake_dir(tmp_path, name: str, nbytes: int) -> str:
+    """A directory whose apparent size is ``nbytes`` without writing the
+    bytes (sparse truncate) — os.path.getsize reports st_size."""
+    d = tmp_path / name
+    d.mkdir()
+    f = d / "table.parquet"
+    with open(f, "wb") as fh:
+        fh.truncate(nbytes)
+    return str(d)
+
+
+def test_small_dir_floors_at_core_count(spark, tmp_path):
+    d = _fake_dir(tmp_path, "small", 1 << 20)  # 1 MiB ≪ 8 MiB target
+    n = autosize_initial_partitions(spark, d)
+    assert n == spark.sparkContext.defaultParallelism
+    assert spark.conf.get(CONF) == str(n)
+
+
+def test_scale_dir_sizes_from_bytes(spark, tmp_path):
+    # the r13 100× fixed point: 2.51 GB -> ceil(2.51e9 / 8 MiB) = 300,
+    # comfortably past the empirically-required 256
+    d = _fake_dir(tmp_path, "big", 2_510_068_075)
+    n = autosize_initial_partitions(spark, d)
+    assert n == -(-2_510_068_075 // _TARGET_SCAN_BYTES_PER_PARTITION) == 300
+    assert spark.conf.get(CONF) == "300"
+
+
+def test_returns_to_floor_not_ratchet(spark, tmp_path):
+    # finer-than-needed initial maps cost +30-40% on shuffle-heavy keys at
+    # sf0.1 (r13 measurement) — a session must drop back down after a
+    # scale dir, not keep the high-water mark
+    big = _fake_dir(tmp_path, "big2", 5 << 30)
+    small = _fake_dir(tmp_path, "small2", 1 << 20)
+    assert autosize_initial_partitions(spark, big) > spark.sparkContext.defaultParallelism
+    n = autosize_initial_partitions(spark, small)
+    assert n == spark.sparkContext.defaultParallelism
+    assert spark.conf.get(CONF) == str(n)
+
+
+def test_cap_at_practical_ceiling(spark, tmp_path):
+    d = _fake_dir(tmp_path, "huge", 1 << 40)  # 1 TiB apparent
+    assert autosize_initial_partitions(spark, d) == _MAX_INITIAL_PARTITIONS
+    autosize_initial_partitions(spark, SF_SMOKE)  # restore the floor
+
+
+def test_env_override_disables_autosize(spark, tmp_path, monkeypatch):
+    before = spark.conf.get(CONF)
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "7")
+    d = _fake_dir(tmp_path, "big3", 5 << 30)
+    n = autosize_initial_partitions(spark, d)
+    assert spark.conf.get(CONF) == before  # untouched — operator override wins
+    assert n == int(before)
+
+
+def test_load_table_applies_autosize(spark):
+    load_table(spark, SF_SMOKE, "region")
+    assert SF_SMOKE in {k for k in _DIR_BYTES_MEMO}
+    assert spark.conf.get(CONF) == str(spark.sparkContext.defaultParallelism)
+
+
+def test_metadata_files_excluded(spark, tmp_path):
+    d = tmp_path / "withmeta"
+    d.mkdir()
+    with open(d / "_SUCCESS", "wb") as fh:
+        fh.truncate(1 << 30)
+    with open(d / ".hidden.crc", "wb") as fh:
+        fh.truncate(1 << 30)
+    with open(d / "part-0.parquet", "wb") as fh:
+        fh.truncate(1 << 20)
+    assert autosize_initial_partitions(spark, str(d)) == (
+        spark.sparkContext.defaultParallelism
+    )

@@ -140,15 +140,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark = get_spark("scaling-sweep")
-    # Scale runs need finer INITIAL shuffle maps than the sf0.1-tuned
-    # session default: AQE only coalesces down, and at 100× the
-    # core-count-sized maps produce multi-GB blocks whose single-buffer
-    # fetch OOMs the heap (measured: dedup_containment_pairs). 8× is the
-    # sandbox's scale setting; AQE coalesces the small-SF points back.
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        str(8 * int(spark.conf.get("spark.sql.shuffle.partitions"))),
-    )
+    # No initial-partition override here (r13 set 8× manually): the engine
+    # now autosizes initialPartitionNum from the scanned directory's bytes
+    # inside load_table (VERDICT r13 #1) — the sweep deliberately runs the
+    # SHIPPED defaults so a 100× pass proves the self-acting fix, and the
+    # per-dir sizing (32 at 1×, ~300 at 100×) stops the old global 8×
+    # from inflating the small-SF points' times.
     sc = spark.sparkContext
     qs = entrymod.queries()
     missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
@@ -207,14 +204,10 @@ def main() -> int:
         ok_pts = [p for p in row["points"].values() if "sec" in p]
         mults = [p["mult"] for p in ok_pts]
         secs = [p["sec"] for p in ok_pts]
-        row["exponent_all"] = (
-            round(_fit_exponent(mults, secs), 3)
-            if _fit_exponent(mults, secs) is not None else None
-        )
-        row["exponent_tail"] = (
-            round(_fit_exponent(mults[-2:], secs[-2:]), 3)
-            if _fit_exponent(mults[-2:], secs[-2:]) is not None else None
-        )
+        e_all = _fit_exponent(mults, secs)
+        e_tail = _fit_exponent(mults[-2:], secs[-2:])
+        row["exponent_all"] = round(e_all, 3) if e_all is not None else None
+        row["exponent_tail"] = round(e_tail, 3) if e_tail is not None else None
         results[key] = row
         # flush after every key: a crash/kill mid-sweep keeps the evidence
         with open(out_path, "w") as fh:
