@@ -3,16 +3,20 @@ versioned wheel, mirroring the reference's release artifact
 (reference ``pom.xml:27`` 1.1.0-SNAPSHOT, ``rocana-release.sh``,
 install docs ``README.md:22-27``).
 
-These tests pin the artifact itself — payload, metadata, reproducibility.
-The heavier end-to-end proof (pip-install to a temp target, then run the
-SQL UDAF surface from the INSTALLED package in a subprocess) lives in
-``tools/verify_install.py`` and runs in the session gate, not per-pytest.
+These tests pin the artifact itself — payload, metadata, reproducibility —
+against the CURRENT pyproject version (not a literal), so a release cut by
+``tools/release.py`` (which bumps pyproject + ``__version__`` in lockstep,
+r14) keeps them green. The heavier end-to-end proof (pip-install to a temp
+target, then run the SQL UDAF surface from the INSTALLED package in a
+subprocess) lives in ``tools/verify_install.py`` and runs in the session
+gate, not per-pytest.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import tomllib
 import zipfile
 
 import pytest
@@ -22,16 +26,28 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import build_wheel  # noqa: E402
 
+with open(os.path.join(REPO, "pyproject.toml"), "rb") as _fh:
+    VERSION = tomllib.load(_fh)["project"]["version"]
+DIST_INFO = f"rocana_impala_udfs_spark-{VERSION}.dist-info"
+
 
 @pytest.fixture(scope="module")
 def wheel_path(tmp_path_factory):
     return build_wheel.build(str(tmp_path_factory.mktemp("dist")))
 
 
-def test_wheel_name_carries_reference_version(wheel_path):
+def test_wheel_name_carries_project_version(wheel_path):
     assert os.path.basename(wheel_path) == (
-        "rocana_impala_udfs_spark-1.1.0-py3-none-any.whl"
+        f"rocana_impala_udfs_spark-{VERSION}-py3-none-any.whl"
     )
+
+
+def test_package_version_in_lockstep_with_pyproject():
+    """tools/release.py rewrites both; drift between them means a release
+    was cut by hand around the tool."""
+    import rocana_impala_udfs_spark as pkg
+
+    assert pkg.__version__ == VERSION
 
 
 def test_wheel_payload_complete(wheel_path):
@@ -45,9 +61,9 @@ def test_wheel_payload_complete(wheel_path):
         "rocana_impala_udfs_spark/jvm/rocana-udaf.jar",
         "rocana_impala_udfs_spark/jvm/src/rocana/spark/udaf/AppxMedianBounded.java",
         "rocana_impala_udfs_spark/vendor/pbshim/google/protobuf/_runtime.py",
-        "rocana_impala_udfs_spark-1.1.0.dist-info/METADATA",
-        "rocana_impala_udfs_spark-1.1.0.dist-info/WHEEL",
-        "rocana_impala_udfs_spark-1.1.0.dist-info/RECORD",
+        f"{DIST_INFO}/METADATA",
+        f"{DIST_INFO}/WHEEL",
+        f"{DIST_INFO}/RECORD",
     ]:
         assert required in names, f"missing from wheel: {required}"
     assert not any("__pycache__" in n for n in names)
@@ -59,9 +75,7 @@ def test_wheel_record_hashes_verify(wheel_path):
     """pip verifies RECORD sha256 at install time; verify the same way so
     a broken builder fails here instead of at install."""
     with zipfile.ZipFile(wheel_path) as zf:
-        record = zf.read(
-            "rocana_impala_udfs_spark-1.1.0.dist-info/RECORD"
-        ).decode()
+        record = zf.read(f"{DIST_INFO}/RECORD").decode()
         for line in record.strip().splitlines():
             name, digest, size = line.rsplit(",", 2)
             if not digest:  # the RECORD row itself
@@ -79,10 +93,33 @@ def test_wheel_build_is_reproducible(wheel_path, tmp_path):
 
 def test_metadata_fields(wheel_path):
     with zipfile.ZipFile(wheel_path) as zf:
-        meta = zf.read(
-            "rocana_impala_udfs_spark-1.1.0.dist-info/METADATA"
-        ).decode()
+        meta = zf.read(f"{DIST_INFO}/METADATA").decode()
     assert "Name: rocana-impala-udfs-spark" in meta
-    assert "Version: 1.1.0" in meta
+    assert f"Version: {VERSION}" in meta
     assert "Requires-Dist: pyspark>=4.0" in meta
     assert "Requires-Python: >=3.10" in meta
+
+
+def test_release_tool_dry_run(tmp_path):
+    """The release cut itself (version validation + step plan) must not
+    crash — the real cut runs in the session gate, this pins the CLI."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "release.py"),
+         "9.9.9", "9.9.10.dev0", "--dry-run"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "set version -> 9.9.9" in r.stdout
+    assert "git tag release-9.9.9" in r.stdout
+    # dry-run must leave the tree untouched
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as fh:
+        assert tomllib.load(fh)["project"]["version"] == VERSION
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "release.py"),
+         "not-a-version", "2.0.0", "--dry-run"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r2.returncode != 0
