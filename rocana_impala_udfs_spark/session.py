@@ -67,6 +67,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Shuffle/spill block codec (VERDICT r13 #5): the SMJ-heavy 100×
+        # keys are bottlenecked on single-disk spill bandwidth under
+        # local[32] (time exponent 1.3+ while shuffle BYTES are linear);
+        # a stronger codec trades spare CPU for disk bytes. Static conf —
+        # set before the JVM exists — hence env-tunable for A/B measurement
+        # (SCALING_r14.md records the lz4-vs-zstd comparison).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

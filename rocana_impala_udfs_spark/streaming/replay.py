@@ -31,6 +31,14 @@ from rocana_impala_udfs_spark.sources.io import load_table
 
 _REPLAY_DIRS: dict = {}
 
+# Most-recent streaming run's final stateful-operator progress, refreshed by
+# every run_to_table call (None when the query had no stateful operator).
+# The streaming scale sweep (tools/scaling_stream_sweep.py, VERDICT r13 #2)
+# reads state-store growth — numRowsTotal / memoryUsedBytes per operator —
+# through the EXACT driver-key path without threading a capture list into
+# every plan function.
+LAST_PROGRESS: dict = {"progress": None}
+
 
 def replay_events_stream(
     spark: SparkSession, sf_dir: str, copies: int = 1, files: int = 4
@@ -119,10 +127,10 @@ def run_to_table(
         q.processAllAvailable()
         if capture_plan is not None:
             capture_plan.append(q._jsq.explainInternal(False))
-        if capture_progress is not None:
-            with_state = [p for p in q.recentProgress if p.get("stateOperators")]
-            if with_state:
-                capture_progress.append(with_state[-1])
+        with_state = [p for p in q.recentProgress if p.get("stateOperators")]
+        LAST_PROGRESS["progress"] = with_state[-1] if with_state else None
+        if capture_progress is not None and with_state:
+            capture_progress.append(with_state[-1])
     finally:
         q.stop()
     return out.sparkSession.table(name)

@@ -23,9 +23,19 @@ derived files so every hash comparison stays a true parity test:
   replica tag, so shingle sets NEVER overlap across replicas — dedup
   keys scale by corpus size without a quadratic cross-replica pair
   explosion (each replica reproduces the original near-dup structure).
-- embeddings: vec_id shifted; a small per-replica constant is added to
-  every component so no exact cosine ties with the originals exist
-  (top-k selections stay deterministic).
+- embeddings: vec_id shifted; each replica i>0 is mapped through its own
+  ORTHOGONAL transform (per-replica coordinate permutation + sign flips —
+  SCALING_r13.md finding 5 / VERDICT r13 #3): orthogonality preserves every
+  within-replica inner product and norm EXACTLY (each replica reproduces
+  the base corpus's cosine geometry bit-for-bit up to component order),
+  while cross-replica cosines of the same base vector decorrelate to
+  ~N(0, 1/dim) — nothing survives a 0.95 threshold, so the old epsilon-twin
+  scheme's C(mult, 2) cross-replica pair explosion is gone and near-dup
+  pair output scales LINEARLY in the multiplier. To keep the rate nonzero
+  (the base table has no 0.95-pairs), each replica i>0 plants ~2% near-twins
+  WITHIN itself before the transform: vec_id % 50 == 7 copies the previous
+  vector with a 0.1% scale + tiny offset (cos ≈ 1), giving mult-1 linear
+  growth with deterministic content.
 
 Usage: python tools/make_scaled_sf.py [SRC_SF_DIR] [OUT_DIR] [MULT]
 Defaults: /root/testdata/sf0.1  ./testdata_scaled/sf1x  10
@@ -143,15 +153,39 @@ def main() -> None:
             f" FROM read_parquet('{src}/documents.parquet')"
         ),
     )
-    emit(
-        "embeddings",
-        lambda i: (
-            f"SELECT vec_id + {i * STRIDE} AS vec_id,"
-            f" list_transform(embedding, x -> CAST(x + {i} * 1e-3 AS FLOAT))"
-            " AS embedding, label"
-            f" FROM read_parquet('{src}/embeddings.parquet')"
-        ),
+    dim = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+
+    def emb_replica(i: int) -> str:
+        if i == 0:
+            return (
+                "SELECT vec_id, embedding, label"
+                f" FROM read_parquet('{src}/embeddings.parquet')"
+            )
+        # per-replica orthogonal transform: signs from a hash, permutation
+        # k -> (a*k + b) mod dim with a odd (bijective for dim a power of 2)
+        a, b = 2 * i + 3, (i * 17) % dim
+        return f"""
+SELECT vec_id + {i * STRIDE} AS vec_id,
+       [CAST((CASE WHEN hash(k * 97 + {i}) % 2 = 0 THEN 1 ELSE -1 END)
+             * v[1 + (({a} * k + {b}) % {dim})] AS FLOAT)
+        for k in range({dim})] AS embedding,
+       label
+FROM (
+    SELECT vec_id, label,
+           CASE WHEN vec_id % 50 = 7 AND prev IS NOT NULL
+                THEN list_transform(prev, x -> x * 1.001 + 0.0001)
+                ELSE embedding END AS v
+    FROM (
+        SELECT vec_id, embedding, label,
+               lag(embedding) OVER (ORDER BY vec_id) AS prev
+        FROM read_parquet('{src}/embeddings.parquet')
     )
+)
+"""
+
+    emit("embeddings", emb_replica)
     print(f"done -> {out} (mult={mult})")
 
 

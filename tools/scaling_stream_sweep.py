@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Streaming scale curves (VERDICT r13 #2): SCALING_r13 measured batch only;
+this sweep replays the stateful streaming keys at 1×/10×/100× and records,
+per SF point:
+
+- ``sec``: wall time of the full key (build → run-to-completion → count;
+  for streaming keys the pipeline executes inside the query FUNCTION call,
+  so the build is timed, and ``count()`` replaces ``collect()`` — the 100×
+  dedup key's sink is the 10M-row events table and a driver collect would
+  measure Arrow transfer, not the operator).
+- ``marginal``: sec minus the same key's time on the 100×-smaller sf0.001
+  replay (the machinery cost — query startup, state-store open, micro-batch
+  scheduling — measured once per key, the bench.py decomposition).
+- ``state_rows`` / ``state_mem_mb``: the final micro-batch's
+  ``stateOperators`` totals (``numRowsTotal``, ``memoryUsedBytes``) from
+  ``StreamingQueryProgress``, read through ``streaming.replay.LAST_PROGRESS``
+  — i.e. through the exact driver-key path.
+
+Exponents are fitted on MARGINAL time and on state rows: the design claims
+under test are "state is O(groups×k) / O(distinct ids in horizon)" and
+"marginal time is linear in rows replayed".
+
+Usage:
+  python tools/scaling_stream_sweep.py [--keys k1,k2] [--out FILE] [--runs N]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_POINTS = [
+    ("1x", "/root/testdata/sf0.1", 1),
+    ("10x", os.path.join(REPO, "testdata_scaled", "sf1x"), 10),
+    ("100x", os.path.join(REPO, "testdata_scaled", "sf10x"), 100),
+]
+FIXED_DIR = "/root/testdata/sf0.001"
+
+# One representative per stateful-operator class (the VERDICT r13 #2 list):
+# bounded k-row grouped state (top-k), one-row-per-key complete-mode state
+# (CDC latest-wins), transformWithState typed ValueState (tws EWMA), and
+# horizon-bounded dedup state (dropDuplicatesWithinWatermark — state is
+# O(distinct ids in horizon) BY CONTRACT, so its state curve is expected
+# linear and the disclosure is the point).
+DEFAULT_KEYS = [
+    "stream_topk_events_per_type",
+    "stream_cdc_latest_state",
+    "stream_tws_ewma_user_value",
+    "stream_dedup_within_watermark",
+]
+
+
+def _fit(xs, ys):
+    pts = [(math.log(x), math.log(y)) for x, y in zip(xs, ys) if y and y > 0]
+    if len(pts) < 2:
+        return None
+    n = len(pts)
+    mx = sum(p[0] for p in pts) / n
+    my = sum(p[1] for p in pts) / n
+    sxx = sum((p[0] - mx) ** 2 for p in pts)
+    if sxx == 0:
+        return None
+    return sum((p[0] - mx) * (p[1] - my) for p in pts) / sxx
+
+
+def _state_totals() -> tuple[int | None, float | None, int | None]:
+    from rocana_impala_udfs_spark.streaming import replay
+
+    prog = replay.LAST_PROGRESS.get("progress")
+    if not prog:
+        return None, None, None
+    ops = prog.get("stateOperators") or []
+    rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
+    mem = sum(int(o.get("memoryUsedBytes") or 0) for o in ops)
+    return rows, round(mem / 1e6, 3), len(ops)
+
+
+def _timed_run(fn, spark, d) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn(spark, d).count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> int:
+    keys = DEFAULT_KEYS
+    out_path = os.path.join(REPO, "SCALING_STREAM_r14.json")
+    runs = 2
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--keys":
+            keys = args.pop(0).split(",")
+        elif a == "--out":
+            out_path = args.pop(0)
+        elif a == "--runs":
+            runs = int(args.pop(0))
+    from rocana_impala_udfs_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scaling-stream-sweep")
+    qs = entrymod.queries()
+    missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
+    if missing:
+        print(f"missing SF dirs {missing}: run tools/make_scaled_sf.py first")
+        return 1
+
+    results: dict[str, dict] = {}
+    for key in keys:
+        if key not in qs:
+            print(f"skip {key}: not in queries()")
+            continue
+        row: dict = {"points": {}}
+        # machinery cost: the same pipeline on the 100×-smaller replay
+        # (warmup pays the one-time replay write + codegen)
+        _timed_run(qs[key], spark, FIXED_DIR)
+        fixed, _ = _timed_run(qs[key], spark, FIXED_DIR)
+        row["fixed_sec"] = round(fixed, 3)
+        for label, d, mult in SF_POINTS:
+            try:
+                _timed_run(qs[key], spark, d)  # warmup: replay write, codegen
+                best, n_rows, st = None, 0, (None, None, None)
+                for _ in range(runs):
+                    dt, n_rows = _timed_run(qs[key], spark, d)
+                    if best is None or dt < best:
+                        best = dt
+                        st = _state_totals()
+            except Exception as exc:
+                row["points"][label] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:300], "mult": mult
+                }
+                print(f"{key} @{label}: FAILED {type(exc).__name__}", flush=True)
+                break
+            rows_state, mem_mb, n_ops = st
+            row["points"][label] = {
+                "sec": round(best, 3),
+                "marginal_sec": round(max(best - fixed, 0.0), 3),
+                "state_rows": rows_state,
+                "state_mem_mb": mem_mb,
+                "state_operators": n_ops,
+                "rows_out": n_rows,
+                "mult": mult,
+            }
+            print(
+                f"{key} @{label}: {best:.2f}s marginal={max(best - fixed, 0):.2f}s "
+                f"state_rows={rows_state} state_mem={mem_mb}MB rows_out={n_rows}",
+                flush=True,
+            )
+        ok = [p for p in row["points"].values() if "sec" in p]
+        mults = [p["mult"] for p in ok]
+        row["exponent_marginal_tail"] = (
+            round(e, 3)
+            if (e := _fit(mults[-2:], [p["marginal_sec"] for p in ok][-2:])) is not None
+            else None
+        )
+        row["exponent_state_rows"] = (
+            round(e, 3)
+            if (e := _fit(mults, [p["state_rows"] or 0 for p in ok])) is not None
+            else None
+        )
+        results[key] = row
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+    print("wrote", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

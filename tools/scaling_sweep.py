@@ -17,7 +17,7 @@ two points alone (10x -> 100x), which is the number quoted in
 SCALING_r13.md.
 
 Usage:
-  python tools/scaling_sweep.py [--keys k1,k2,...] [--out SCALING_r13.json]
+  python tools/scaling_sweep.py [--keys k1,k2,...] [--out SCALING_r14.json]
 SF points (row multipliers vs sf0.1): sf0.1=1x, testdata_scaled/sf1x=10x,
 testdata_scaled/sf10x=100x (build with tools/make_scaled_sf.py).
 """
@@ -57,12 +57,46 @@ DEFAULT_KEYS = [
     "ann_ivf_fixed_top5",
     "ann_pq_top5",
     "semantic_dedup_fixed_pairs",
+    "semantic_dedup_trained_kscaled",
     "stats_bootstrap_ci_price",
     "stats_stratified_bootstrap_ci",
     "graph_pagerank_parts",
     "q1_pricing_summary",
     "join_revenue_by_nation",
+    # the r13 batch-2 extension: every remaining pair-generating /
+    # self-join key (run via --keys in r13, default since r14)
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "emb_neardup_pairs",
+    "dedup_duplicated_spans",
+    "entity_resolution_parts",
+    "fuzzy_join_part_names_d2",
+    "interval_overlap_pairs",
+    "graph_triangle_parts",
+    "linkage_best_match",
 ]
+
+
+def _extra_builders():
+    """Sweep-only measurement harnesses that are not registry keys.
+
+    ``semantic_dedup_trained_kscaled`` (VERDICT r13 #4): the TRAINED
+    SemDeDup twin with the codebook grown ∝ corpus — k = n/125 (16 at 1×,
+    160 at 10×, 1600 at 100×), the production rule SCALING_r13.md finding 3
+    argued bounds within-cluster pair output; this row MEASURES it. The
+    registry key ``semantic_dedup_pairs`` keeps its fixed k=16 default
+    (its recall pytest contract); scaling k is a deployment parameter, so
+    it lives here rather than as a second registry key.
+    """
+    from rocana_impala_udfs_spark.operators.similarity import semantic_dedup_pairs
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    def semantic_trained_kscaled(spark, d):
+        emb = load_table(spark, d, "embeddings")
+        nlist = max(16, emb.count() // 125)
+        return semantic_dedup_pairs(emb, threshold=0.95, nlist=nlist)
+
+    return {"semantic_dedup_trained_kscaled": semantic_trained_kscaled}
 
 
 # Keys whose OUTPUT is super-linear by declared semantics, with the largest
@@ -74,22 +108,20 @@ DEFAULT_KEYS = [
 # does exactly that), which bounds cluster sizes and restores linearity —
 # the exponent of the FIXED-codebook twin measures the oracle harness, not
 # the production design. Recorded in the JSON as `capped_reason`.
-MAX_MULT = {"semantic_dedup_fixed_pairs": 10, "emb_neardup_pairs": 10}
+MAX_MULT = {"semantic_dedup_fixed_pairs": 10}
 CAP_REASON = {
     "semantic_dedup_fixed_pairs": (
         "output quadratic by declared semantics with the FIXED 8-centroid "
         "oracle codebook (pairs within clusters whose size grows with the "
         "corpus); production scales the codebook with the corpus, which "
-        "bounds cluster sizes — see the trained twin semantic_dedup_pairs"
+        "bounds cluster sizes — MEASURED by the "
+        "semantic_dedup_trained_kscaled row (k ∝ corpus, VERDICT r13 #4)"
     ),
-    "emb_neardup_pairs": (
-        "derived-DATA artifact, not operator design: make_scaled_sf "
-        "replicates every base vector with a per-replica epsilon, planting "
-        "C(mult, 2) cross-replica near-dup twins per base vector (0 pairs "
-        "at 1x, 45x2000 at 10x) — output quadratic in the multiplier by "
-        "fixture construction; the operator's bucketed-join cost is linear "
-        "in candidate pairs, which this fixture makes quadratic"
-    ),
+    # emb_neardup_pairs is no longer capped (r14): make_scaled_sf now maps
+    # each replica through its own orthogonal transform, which removed the
+    # fixture's C(mult,2) cross-replica epsilon twins — pair output is
+    # linear in the multiplier by construction (verified: 360 pairs at
+    # 10x, 3960 at 100x, zero cross-replica).
 }
 
 
@@ -128,7 +160,9 @@ def _fit_exponent(xs: list[float], ys: list[float]) -> float | None:
 
 def main() -> int:
     keys = DEFAULT_KEYS
-    out_path = os.path.join(REPO, "SCALING_r13.json")
+    out_path = os.path.join(REPO, "SCALING_r14.json")
+    runs = 2
+    mults_filter: set[int] | None = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -136,6 +170,10 @@ def main() -> int:
             keys = args.pop(0).split(",")
         elif a == "--out":
             out_path = args.pop(0)
+        elif a == "--runs":  # measured runs per point (after 1 warmup)
+            runs = int(args.pop(0))
+        elif a == "--mults":  # restrict SF points, e.g. --mults 100
+            mults_filter = {int(m) for m in args.pop(0).split(",")}
     from rocana_impala_udfs_spark import get_spark
     import __spark_entry__ as entrymod
 
@@ -147,7 +185,8 @@ def main() -> int:
     # per-dir sizing (32 at 1×, ~300 at 100×) stops the old global 8×
     # from inflating the small-SF points' times.
     sc = spark.sparkContext
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(_extra_builders())
     missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
     if missing:
         print(f"missing SF dirs {missing}: run tools/make_scaled_sf.py first")
@@ -165,10 +204,12 @@ def main() -> int:
         for label, d, mult in SF_POINTS:
             if mult > MAX_MULT.get(key, 10**9):
                 break
+            if mults_filter is not None and mult not in mults_filter:
+                continue
             try:
                 qs[key](spark, d).collect()  # unmeasured warmup (codegen, caches)
                 best, sh = None, 0
-                for _ in range(2):
+                for _ in range(runs):
                     s0 = _shuffle_bytes(sc)
                     t0 = time.perf_counter()
                     n_rows = len(qs[key](spark, d).collect())
