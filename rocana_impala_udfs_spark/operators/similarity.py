@@ -395,7 +395,16 @@ def embedding_neardup_pairs(
     return (
         cand.join(vi, "i")
         .join(vj, "j")
-        .select("i", "j", F.round(cosine_sim(F.col("vi"), F.col("vj")), 4).alias("cos"))
+        .select(
+            "i",
+            "j",
+            # Arrow pair kernel, not the HOF chain: bit-identical by
+            # construction (sequential per-dimension accumulation — see
+            # _pair_cosine_udf) but numpy-speed; candidate sets are
+            # |pairs|-sized and the per-pair interpreted fold was the
+            # sf1x blowup class (r14, same move as the fixed twin).
+            F.round(_pair_cosine_udf()(F.col("vi"), F.col("vj")), 4).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -426,7 +435,11 @@ def semantic_dedup_pairs(
         .select(
             F.col("x.id").alias("i"),
             F.col("y.id").alias("j"),
-            F.round(cosine_sim(F.col("x.vec"), F.col("y.vec")), 4).alias("cos"),
+            # Arrow pair kernel (bit-identical to the HOF chain, numpy
+            # speed): with k ∝ corpus the within-cluster pair count is
+            # ~125·n, and the interpreted per-pair fold dominated the
+            # trained path's 10× time before r14.
+            F.round(_pair_cosine_udf()(F.col("x.vec"), F.col("y.vec")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
