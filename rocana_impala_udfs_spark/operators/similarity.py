@@ -345,6 +345,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     num_tables: int = 16,
     bits_per_table: int = 4,
+    target_bucket_rows: int | None = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via the same
@@ -360,7 +361,33 @@ def embedding_neardup_pairs(
     (bit-identical signs — same sequential IEEE fold order as the HOF
     chain), candidates dedup on IDS ONLY, vectors re-attach by keyed
     join, and the exact cosine (the same left-associative HOF chain, for
-    oracle parity) runs exactly ONCE per distinct pair."""
+    oracle parity) runs exactly ONCE per distinct pair.
+
+    r14 (found by the first honest 100× sweep point): with FIXED bucket
+    geometry the candidate count is O(n² / 2^bits) — the 16-bucket tables
+    that are exact and instant at oracle SF produce ~200M candidates at
+    10× and ~20B at 100×. Like IVF's nlist, bucket granularity must grow
+    with the corpus: when ``target_bucket_rows`` is set (default 64), the
+    table bit-width becomes max(bits_per_table, ceil(log2(n /
+    target_bucket_rows))), capped at 20 — expected bucket occupancy stays
+    ~constant, so candidates are O(n·target·tables), linear. The recall
+    trade is quantified, not hand-waved: a pair EXACTLY at cos=t collides
+    per table with prob (1 − arccos(t)/π)^bits, so at t=0.95, bits=12,
+    16 tables the boundary-pair miss rate is (1−0.899^12)^16 ≈ 0.54%,
+    while true near-identical pairs (cos→1) miss with prob →0 — and at
+    the oracle SF (n=500 → ceil(log2(500/64)) = 3 ≤ 4) the formula keeps
+    the original floor geometry, so the driver's hash gate still runs the
+    EXACT regime. ``target_bucket_rows=None`` restores fixed geometry.
+    The one extra ``count()`` is a columnless scan — the standard
+    statistics pass any size-adaptive physical plan needs."""
+    if target_bucket_rows:
+        import math
+
+        n = vectors.count()
+        bits_per_table = max(
+            bits_per_table,
+            min(20, math.ceil(math.log2(max(n / target_bucket_rows, 1.0)))),
+        )
     planes = random_hyperplanes(dim, num_tables, bits_per_table, seed)
     bucket_ids = _hyperplane_bucket_udf(planes, dim, num_tables, bits_per_table)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))

@@ -242,6 +242,20 @@ def main() -> int:
             sc._jvm.System.gc()
         except Exception:
             pass
+        # ...and don't stop at GC: unpersist every still-registered block
+        # SYNCHRONOUSLY. The r14 full sweep saw a TaskResultLost at the
+        # 100× containment point ~24k tasks into the session — storage
+        # pressure from prior keys' checkpoint blocks evicting an
+        # in-flight IndirectTaskResult block before the driver fetched it
+        # (the same key passes at 100× in a fresher JVM). Prior keys'
+        # checkpoints are never reused across keys, so blocking unpersist
+        # here is safe and makes the storage floor per-key, not cumulative.
+        try:
+            it = sc._jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(True)
+        except Exception:
+            pass
         ok_pts = [p for p in row["points"].values() if "sec" in p]
         mults = [p["mult"] for p in ok_pts]
         secs = [p["sec"] for p in ok_pts]
