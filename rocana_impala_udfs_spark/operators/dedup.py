@@ -719,8 +719,6 @@ def prefix_filter_jaccard_pairs(
         .select(
             F.col("a.id").alias("i"),
             F.col("b.id").alias("j"),
-            F.col("a.n").alias("ni"),
-            F.col("b.n").alias("nj"),
         )
         .distinct()
     )
@@ -738,6 +736,15 @@ def prefix_filter_jaccard_pairs(
     # dedups), but that invariant lives far upstream — collect_set costs
     # the same on already-distinct input and keeps the verify correct by
     # construction if the upstream distinct ever changes (ADVICE r13 #3).
+    # ni/nj come from F.size of the SAME collected sets, not from the
+    # count window over toks rows (ADVICE r14 #4): with the denominator
+    # derived from the deduped arrays, every EMITTED value — intersection
+    # and both set sizes — is exact even if duplicate (id, tok) rows ever
+    # reached this stage. The count-window n still steers the candidate
+    # stage (prefix length and size-ratio pruning), so candidate
+    # COMPLETENESS retains the upstream-distinct dependency — but that
+    # invariant is shingle_sets' own contract, and a violation there can
+    # no longer deflate a reported jaccard value.
     sets = toks.groupBy("id").agg(F.collect_set("tok").alias("s"))
     si = sets.select(F.col("id").alias("i"), F.col("s").alias("s_i"))
     sj = sets.select(F.col("id").alias("j"), F.col("s").alias("s_j"))
@@ -747,8 +754,8 @@ def prefix_filter_jaccard_pairs(
         .select(
             "i",
             "j",
-            "ni",
-            "nj",
+            F.size("s_i").alias("ni"),
+            F.size("s_j").alias("nj"),
             F.size(F.array_intersect("s_i", "s_j")).alias("both_cnt"),
         )
     )

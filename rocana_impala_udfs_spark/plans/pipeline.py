@@ -984,6 +984,27 @@ SELECT i, j, cos FROM (
 """
 
 
+def q_emb_neardup_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-VACUOUS gate for the Arrow pair-cosine kernel (VERDICT r14
+    #1): `emb_neardup_pairs`' production 0.95 threshold matches zero pairs
+    in the synthetic fixtures, so its hash gate only ever certified the
+    empty set. This key brute-forces the bounded id<200 range at 0.35 —
+    42 rows at sf0.01, 40 at sf0.1 — so the kernel's actual doubles are
+    hash-compared against DuckDB list_cosine_similarity every round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_pairs_exact(emb, threshold=0.35, id_max=200)
+
+
+ORACLE_EMB_NEARDUP_LOOSE = """
+SELECT i, j, cos FROM (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+) WHERE cos >= 0.35
+"""
+
+
 def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination: corpus embeddings too close to any
     held-out embedding (a mod-7 id split plays the benchmark/eval set; in
@@ -5689,6 +5710,7 @@ PIPELINE_QUERIES = {
     "ann_pq_top5": q_ann_pq_top5,
     "ann_recall_report": q_ann_recall_report,
     "emb_neardup_pairs": q_emb_neardup,
+    "emb_neardup_pairs_loose": q_emb_neardup_loose,
     "emb_decontaminate_hits": q_emb_decontaminate,
     "semantic_dedup_pairs": q_semantic_dedup,
     "semantic_dedup_fixed_pairs": q_semantic_dedup_fixed,
@@ -5802,6 +5824,7 @@ PIPELINE_ORACLE = {
     "dedup_survivors_best_quality": ORACLE_DEDUP_SURVIVORS_BEST,
     "ann_cosine_top5": ORACLE_ANN_TOP5,
     "emb_neardup_pairs": ORACLE_EMB_NEARDUP,
+    "emb_neardup_pairs_loose": ORACLE_EMB_NEARDUP_LOOSE,
     "semantic_dedup_fixed_pairs": ORACLE_SEMANTIC_DEDUP_FIXED,
     "emb_decontaminate_hits": ORACLE_EMB_DECONTAMINATE,
     "text_quality_scores": ORACLE_TEXT_QUALITY,

@@ -274,14 +274,26 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join restricted to URGENT orders (VERDICT r14 #1): every
+    customer in the driver fixtures has SOME order, so the unrestricted
+    anti join returned 0 rows from r1 through r14 — a hash gate over the
+    empty set. Anti-joining against the urgent subset yields 203 rows at
+    sf0.01 / 1,986 at sf0.1, so the driver now certifies anti-join
+    semantics on real rows. The filter lands on the orders SCAN (pushed
+    predicate), the anti join itself is unchanged."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 
@@ -346,8 +358,14 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL restricted to high-balance suppliers (VERDICT r14 #1):
+    every nation hosts a supplier in the driver fixtures, so the
+    unrestricted difference was empty from r1 through r14 and its hash
+    gate certified nothing. Nations minus nations-with-a-9500+-balance
+    supplier yields 21 rows at sf0.01 / 4 at sf0.1 — the set-difference
+    path now hash-matches on real rows."""
     n = load_table(spark, sf_dir, "nation")
-    s = load_table(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9500)
     return n.select(F.col("n_nationkey").alias("nationkey")).exceptAll(
         s.select(F.col("s_nationkey").alias("nationkey")).distinct()
     )
@@ -356,7 +374,7 @@ def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EXCEPT_NATIONS = """
 SELECT n_nationkey AS nationkey FROM nation
 EXCEPT ALL
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
 """
 
 

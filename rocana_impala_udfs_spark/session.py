@@ -106,6 +106,15 @@ def get_spark(
 _TARGET_SCAN_BYTES_PER_PARTITION = 8 << 20
 _MAX_INITIAL_PARTITIONS = 32768
 _DIR_BYTES_MEMO: dict[str, int] = {}
+# Per-session high-water mark of scan bytes seen since the last
+# :func:`reset_autosize` — sizing is STICKY-MAX within an epoch
+# (ADVICE r14 #1): Spark reads the conf at EXECUTION time, not at
+# DataFrame build time, so a set-exact policy let "build a frame from a
+# big dir, then load_table a small dir, then execute the big frame" run
+# the big query under floor sizing — silently reintroducing the 100×
+# shuffle-block OOM. Max-wins also makes concurrent query building safe
+# (the race can only over-partition, never under-partition).
+_SESSION_MAX_BYTES: dict[str, int] = {}
 
 
 def _dir_bytes(data_dir: str) -> int:
@@ -138,20 +147,42 @@ def autosize_initial_partitions(spark: SparkSession, data_dir: str) -> int:
     SQL conf), and AQE coalesces small queries back down, so overshooting
     costs scheduling only. Returns the applied count.
 
+    Sizing is STICKY-MAX per session (ADVICE r14 #1): the applied count is
+    computed from the LARGEST directory seen since the last
+    :func:`reset_autosize`, not from this call's directory alone, because
+    the conf is read at execution time while frames are built lazily — a
+    deferred big-dir query must never execute under a later small-dir
+    setting. The cost of stickiness is the measured +30-40% of
+    finer-than-needed maps on shuffle-heavy sf0.1 keys (r13), so harnesses
+    that interleave scale regimes on purpose (the scaling sweeps) call
+    :func:`reset_autosize` at each regime boundary; steady-state sessions
+    process one data volume and never notice.
+
     ``SPARK_GRAFT_INITIAL_PARTITIONS`` set in the environment is an
-    explicit operator override: autosizing becomes a no-op so a deployment
-    that has measured its own sweet spot keeps it.
+    explicit operator override: autosizing becomes a no-op and the env
+    value itself is returned (ADVICE r14 #3 — no conf read, so foreign
+    sessions that never set the conf key don't raise).
     """
     conf_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    if os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS"):
-        return int(spark.conf.get(conf_key))
+    env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if env:
+        return int(env)
+    app = spark.sparkContext.applicationId
+    seen = max(_SESSION_MAX_BYTES.get(app, 0), _dir_bytes(data_dir))
+    _SESSION_MAX_BYTES[app] = seen
     cores = spark.sparkContext.defaultParallelism
-    n = -(-_dir_bytes(data_dir) // _TARGET_SCAN_BYTES_PER_PARTITION)  # ceil
+    n = -(-seen // _TARGET_SCAN_BYTES_PER_PARTITION)  # ceil
     n = max(cores, min(n, _MAX_INITIAL_PARTITIONS))
-    # Set exactly (not ratchet-up): a session that processed a 100× dir and
-    # then returns to a small one should drop back to the core-count floor —
-    # finer-than-needed initial maps cost +30-40% on shuffle-heavy keys at
-    # sf0.1 (measured, r13).
     if spark.conf.get(conf_key, None) != str(n):
         spark.conf.set(conf_key, str(n))
     return n
+
+
+def reset_autosize(spark: SparkSession) -> None:
+    """End the session's sizing epoch: forget the scan-bytes high-water
+    mark so the next :func:`autosize_initial_partitions` call sizes from
+    its own directory alone. Call this exactly where a workload KNOWS all
+    frames built so far have been fully executed and it is deliberately
+    dropping to a smaller data volume (the scaling sweeps do, at each SF
+    point boundary); anywhere else the sticky maximum is the safe default."""
+    _SESSION_MAX_BYTES.pop(spark.sparkContext.applicationId, None)

@@ -36,8 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Every query's scan volume flows through here, so this is where the
     # engine sizes AQE's initial (pre-coalesce) shuffle partition count to
     # the data actually being read (VERDICT r13 #1: the 100× shuffle-block
-    # OOM fix as a self-acting default, not an env knob). Runtime-settable
-    # conf; memoized dir walk; no-op when the operator overrides via env.
+    # OOM fix as a self-acting default, not an env knob). Sticky-max per
+    # session (ADVICE r14 #1): Spark reads the conf at EXECUTION time, so
+    # a lazily-built big-dir frame keeps its sizing even if a smaller dir
+    # is loaded before it executes; session.reset_autosize is the explicit
+    # epoch boundary. Runtime-settable conf; memoized dir walk; no-op when
+    # the operator overrides via env.
     from rocana_impala_udfs_spark.session import autosize_initial_partitions
 
     autosize_initial_partitions(spark, sf_dir)

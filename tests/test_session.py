@@ -8,22 +8,42 @@ so the tests pin the FORMULA's fixed points rather than re-running the
 100× workload: floor at the core count for bench-SF dirs, ceil(bytes/8MiB)
 for scale dirs, the 32768 practical ceiling, the env-override no-op, and
 the fact that load_table actually applies it.
+
+r15 (ADVICE r14 #1): sizing is STICKY-MAX per session — Spark reads the
+conf at execution time, so a lazily-built big-dir frame must keep its
+sizing even if a smaller dir is loaded before it executes. The old
+"returns to floor" pin is replaced by the sticky pin plus the explicit
+``reset_autosize`` epoch boundary.
 """
 
 from __future__ import annotations
 
 import os
 
+import pytest
+
 from rocana_impala_udfs_spark.session import (
     _DIR_BYTES_MEMO,
     _MAX_INITIAL_PARTITIONS,
     _TARGET_SCAN_BYTES_PER_PARTITION,
     autosize_initial_partitions,
+    reset_autosize,
 )
 from rocana_impala_udfs_spark.sources.io import load_table
 
 CONF = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_sizing_epoch(spark):
+    """Each test gets its own sizing epoch, and the (session-scoped) spark
+    fixture leaves this module back at the core-count floor so the fake
+    big dirs probed here never slow later test modules."""
+    reset_autosize(spark)
+    yield
+    reset_autosize(spark)
+    autosize_initial_partitions(spark, SF_SMOKE)
 
 
 def _fake_dir(tmp_path, name: str, nbytes: int) -> str:
@@ -53,13 +73,26 @@ def test_scale_dir_sizes_from_bytes(spark, tmp_path):
     assert spark.conf.get(CONF) == "300"
 
 
-def test_returns_to_floor_not_ratchet(spark, tmp_path):
-    # finer-than-needed initial maps cost +30-40% on shuffle-heavy keys at
-    # sf0.1 (r13 measurement) — a session must drop back down after a
-    # scale dir, not keep the high-water mark
+def test_sticky_max_within_epoch(spark, tmp_path):
+    # ADVICE r14 #1: the conf is read at EXECUTION time — a deferred
+    # big-dir frame must never execute under a later small-dir setting,
+    # so within an epoch the applied count only ratchets up
     big = _fake_dir(tmp_path, "big2", 5 << 30)
     small = _fake_dir(tmp_path, "small2", 1 << 20)
+    n_big = autosize_initial_partitions(spark, big)
+    assert n_big > spark.sparkContext.defaultParallelism
+    assert autosize_initial_partitions(spark, small) == n_big
+    assert spark.conf.get(CONF) == str(n_big)
+
+
+def test_reset_starts_new_epoch(spark, tmp_path):
+    # finer-than-needed initial maps cost +30-40% on shuffle-heavy keys at
+    # sf0.1 (r13 measurement) — reset_autosize is the deliberate way back
+    # down (the scaling sweeps call it at each SF point boundary)
+    big = _fake_dir(tmp_path, "big3", 5 << 30)
+    small = _fake_dir(tmp_path, "small3", 1 << 20)
     assert autosize_initial_partitions(spark, big) > spark.sparkContext.defaultParallelism
+    reset_autosize(spark)
     n = autosize_initial_partitions(spark, small)
     assert n == spark.sparkContext.defaultParallelism
     assert spark.conf.get(CONF) == str(n)
@@ -68,16 +101,18 @@ def test_returns_to_floor_not_ratchet(spark, tmp_path):
 def test_cap_at_practical_ceiling(spark, tmp_path):
     d = _fake_dir(tmp_path, "huge", 1 << 40)  # 1 TiB apparent
     assert autosize_initial_partitions(spark, d) == _MAX_INITIAL_PARTITIONS
-    autosize_initial_partitions(spark, SF_SMOKE)  # restore the floor
 
 
 def test_env_override_disables_autosize(spark, tmp_path, monkeypatch):
     before = spark.conf.get(CONF)
     monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "7")
-    d = _fake_dir(tmp_path, "big3", 5 << 30)
+    d = _fake_dir(tmp_path, "big4", 5 << 30)
     n = autosize_initial_partitions(spark, d)
     assert spark.conf.get(CONF) == before  # untouched — operator override wins
-    assert n == int(before)
+    # the env value itself is returned, never read back through the conf:
+    # a foreign session that never set the conf key must not raise
+    # (ADVICE r14 #3)
+    assert n == 7
 
 
 def test_load_table_applies_autosize(spark):

@@ -116,12 +116,17 @@ def main() -> int:
             print(f"skip {key}: not in queries()")
             continue
         row: dict = {"points": {}}
+        from rocana_impala_udfs_spark.session import reset_autosize
+
         # machinery cost: the same pipeline on the 100×-smaller replay
         # (warmup pays the one-time replay write + codegen)
+        reset_autosize(spark)
         _timed_run(qs[key], spark, FIXED_DIR)
         fixed, _ = _timed_run(qs[key], spark, FIXED_DIR)
         row["fixed_sec"] = round(fixed, 3)
         for label, d, mult in SF_POINTS:
+            # per-SF sizing epoch (ADVICE r14 #1: autosizing is sticky-max)
+            reset_autosize(spark)
             try:
                 _timed_run(qs[key], spark, d)  # warmup: replay write, codegen
                 best, n_rows, st = None, 0, (None, None, None)

@@ -125,9 +125,9 @@ CAP_REASON = {
 }
 
 
-def _shuffle_bytes(sc) -> int:
-    """Cumulative shuffle-write bytes across all stages so far
-    (AppStatusStore; works with spark.ui.enabled=false)."""
+def _stage_shuffle_writes(sc) -> dict[int, int]:
+    """Per-stage shuffle-write bytes keyed by stageId (AppStatusStore;
+    works with spark.ui.enabled=false)."""
     store = sc._jsc.sc().statusStore()
     gw = sc._gateway
     stages = store.stageList(
@@ -137,11 +137,24 @@ def _shuffle_bytes(sc) -> int:
         gw.new_array(gw.jvm.double, 0),
         gw.jvm.java.util.ArrayList(),
     )
-    total = 0
+    out: dict[int, int] = {}
     it = stages.iterator()
     while it.hasNext():
-        total += it.next().shuffleWriteBytes()
-    return total
+        s = it.next()
+        out[int(s.stageId())] = out.get(int(s.stageId()), 0) + int(s.shuffleWriteBytes())
+    return out
+
+
+def _run_shuffle_bytes(before: dict[int, int], after: dict[int, int]) -> int:
+    """Shuffle-write bytes attributable to the stages SUBMITTED between the
+    two snapshots (VERDICT r14 #4): the old cumulative-sum delta went
+    NEGATIVE whenever AppStatusStore's bounded stage retention evicted
+    pre-run stages mid-measurement. Stage IDs are monotone, so summing only
+    ids above the pre-run maximum is immune to eviction of older stages;
+    eviction of the run's OWN stages is prevented by the sweep session's
+    raised spark.ui.retainedStages."""
+    floor = max(before, default=-1)
+    return sum(b for sid, b in after.items() if sid > floor)
 
 
 def _fit_exponent(xs: list[float], ys: list[float]) -> float | None:
@@ -177,13 +190,20 @@ def main() -> int:
     from rocana_impala_udfs_spark import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("scaling-sweep")
+    # retainedStages raised so the per-stage shuffle snapshot never loses
+    # the measured run's own stages to AppStatusStore eviction (VERDICT
+    # r14 #4 — the 100× keys submit thousands of stages per point).
+    spark = get_spark(
+        "scaling-sweep", extra_conf={"spark.ui.retainedStages": "100000"}
+    )
     # No initial-partition override here (r13 set 8× manually): the engine
     # now autosizes initialPartitionNum from the scanned directory's bytes
     # inside load_table (VERDICT r13 #1) — the sweep deliberately runs the
     # SHIPPED defaults so a 100× pass proves the self-acting fix, and the
     # per-dir sizing (32 at 1×, ~300 at 100×) stops the old global 8×
     # from inflating the small-SF points' times.
+    from rocana_impala_udfs_spark.session import reset_autosize
+
     sc = spark.sparkContext
     qs = dict(entrymod.queries())
     qs.update(_extra_builders())
@@ -206,17 +226,21 @@ def main() -> int:
                 break
             if mults_filter is not None and mult not in mults_filter:
                 continue
+            # each SF point is its own sizing epoch: sticky-max autosizing
+            # (ADVICE r14 #1) would otherwise carry the 100× partition
+            # count into the NEXT key's 1× point and distort its exponent
+            reset_autosize(spark)
             try:
                 qs[key](spark, d).collect()  # unmeasured warmup (codegen, caches)
                 best, sh = None, 0
                 for _ in range(runs):
-                    s0 = _shuffle_bytes(sc)
+                    s0 = _stage_shuffle_writes(sc)
                     t0 = time.perf_counter()
                     n_rows = len(qs[key](spark, d).collect())
                     dt = time.perf_counter() - t0
-                    s1 = _shuffle_bytes(sc)
+                    s1 = _stage_shuffle_writes(sc)
                     if best is None or dt < best:
-                        best, sh = dt, s1 - s0
+                        best, sh = dt, _run_shuffle_bytes(s0, s1)
             except Exception as exc:  # a key failing at scale IS a finding
                 row["points"][label] = {"error": f"{type(exc).__name__}: {exc}"[:300],
                                         "mult": mult}
