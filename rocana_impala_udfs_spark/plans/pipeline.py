@@ -104,7 +104,12 @@ def q_dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFra
     one rare-shingle prefix join + one verify join (operator docstring)."""
     pairs = (
         dedup.prefix_filter_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=_SWEEP_THRESHOLDS[0]
+            # uniform_reduce_keys: same declaration and rationale as
+            # q_dedup_prefix_filter — every shuffle below keys on ids,
+            # rare-prefix shingles, or map-side-combined aggregates
+            # (VERDICT r14 #2)
+            load_table(spark, sf_dir, "documents", uniform_reduce_keys=True),
+            threshold=_SWEEP_THRESHOLDS[0],
         )
         .localCheckpoint(eager=True)
     )
@@ -183,9 +188,18 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard pairs via AllPairs/PPJoin prefix filtering
     — the no-recall-loss alternative to MinHash-LSH. The oracle computes
     the same pairs with a plain full self-join (the shared exact-Jaccard
-    CTEs), asserting the filter's zero-false-negative guarantee."""
+    CTEs), asserting the filter's zero-false-negative guarantee.
+
+    uniform_reduce_keys: every shuffle this operator emits keys on
+    (near-)uniform keys — (id, tok) distinct, map-side-combined tok
+    frequencies, per-id windows, RARE-prefix shingles, and id-keyed
+    verify joins — so the skew-aware coarse sizing tier applies
+    (VERDICT r14 #2; 275 s vs 415 s at the 100× point, SCALING_r14
+    finding 6: the verify join's clustered arrays lz4-compress only in
+    large shuffle segments)."""
     return dedup.prefix_filter_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+        load_table(spark, sf_dir, "documents", uniform_reduce_keys=True),
+        threshold=0.8,
     )
 
 

@@ -104,17 +104,33 @@ def get_spark(
 # per-partition scheduling overhead dominates and maxPartitionBytes /
 # bucketing take over as the sizing levers.
 _TARGET_SCAN_BYTES_PER_PARTITION = 8 << 20
+# Operator-declared skew-awareness (VERDICT r14 #2 / SCALING_r14 finding
+# 6): 8 MiB/partition is calibrated for the WORST case — a Zipfian reduce
+# key (containment's hot-shingle self-join) whose largest reduce block is
+# a large multiple of the mean, so only very fine maps bound it. When a
+# query builder can DECLARE that every shuffle it produces keys on
+# (near-)uniform keys — doc ids, candidate-pair ids, rare-prefix shingles,
+# map-side-combined aggregates — the largest reduce block ≈ the mean
+# block, and a 16× coarser target is safe by the same per-block
+# arithmetic. The win is measured, not stylistic: the prefix-filter
+# jaccard verify shuffles carry per-doc shingle arrays whose consecutive
+# repeats lz4 collapses only inside LARGE shuffle segments — 275 s /
+# 19 GB at coarse granularity vs 415 s / 37.5 GB fine at the 100× point
+# (SCALING_r14 finding 6, four-way differential).
+_UNIFORM_TARGET_SCAN_BYTES_PER_PARTITION = 128 << 20
 _MAX_INITIAL_PARTITIONS = 32768
 _DIR_BYTES_MEMO: dict[str, int] = {}
-# Per-session high-water mark of scan bytes seen since the last
-# :func:`reset_autosize` — sizing is STICKY-MAX within an epoch
+# Per-session high-water mark of the REQUIRED partition count since the
+# last :func:`reset_autosize` — sizing is STICKY-MAX within an epoch
 # (ADVICE r14 #1): Spark reads the conf at EXECUTION time, not at
 # DataFrame build time, so a set-exact policy let "build a frame from a
 # big dir, then load_table a small dir, then execute the big frame" run
 # the big query under floor sizing — silently reintroducing the 100×
 # shuffle-block OOM. Max-wins also makes concurrent query building safe
-# (the race can only over-partition, never under-partition).
-_SESSION_MAX_BYTES: dict[str, int] = {}
+# (the race can only over-partition, never under-partition), and tracking
+# the requirement (not raw bytes) lets loads with different declared
+# targets compose: the finest requirement seen wins the epoch.
+_SESSION_MAX_REQUIRED: dict[str, int] = {}
 
 
 def _dir_bytes(data_dir: str) -> int:
@@ -135,7 +151,9 @@ def _dir_bytes(data_dir: str) -> int:
     return n
 
 
-def autosize_initial_partitions(spark: SparkSession, data_dir: str) -> int:
+def autosize_initial_partitions(
+    spark: SparkSession, data_dir: str, uniform_reduce_keys: bool = False
+) -> int:
     """Size AQE's pre-coalesce shuffle partition count from the volume of
     the directory actually being scanned, and apply it to the session.
 
@@ -158,6 +176,14 @@ def autosize_initial_partitions(spark: SparkSession, data_dir: str) -> int:
     :func:`reset_autosize` at each regime boundary; steady-state sessions
     process one data volume and never notice.
 
+    ``uniform_reduce_keys=True`` is the skew-aware tier (VERDICT r14 #2):
+    a query builder that KNOWS every shuffle it emits keys on
+    (near-)uniform keys sizes from the largest-block-≈-mean-block
+    arithmetic (128 MiB of scan per partition) instead of the
+    Zipfian-safe 8 MiB. The declaration is per-LOAD because the conf is
+    global: within an epoch the finest requirement still wins, so a
+    skew-unknown load in the same epoch keeps its fine maps.
+
     ``SPARK_GRAFT_INITIAL_PARTITIONS`` set in the environment is an
     explicit operator override: autosizing becomes a no-op and the env
     value itself is returned (ADVICE r14 #3 — no conf read, so foreign
@@ -167,12 +193,17 @@ def autosize_initial_partitions(spark: SparkSession, data_dir: str) -> int:
     env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     if env:
         return int(env)
+    target = (
+        _UNIFORM_TARGET_SCAN_BYTES_PER_PARTITION
+        if uniform_reduce_keys
+        else _TARGET_SCAN_BYTES_PER_PARTITION
+    )
     app = spark.sparkContext.applicationId
-    seen = max(_SESSION_MAX_BYTES.get(app, 0), _dir_bytes(data_dir))
-    _SESSION_MAX_BYTES[app] = seen
     cores = spark.sparkContext.defaultParallelism
-    n = -(-seen // _TARGET_SCAN_BYTES_PER_PARTITION)  # ceil
+    n = -(-_dir_bytes(data_dir) // target)  # ceil
     n = max(cores, min(n, _MAX_INITIAL_PARTITIONS))
+    n = max(n, _SESSION_MAX_REQUIRED.get(app, 0))
+    _SESSION_MAX_REQUIRED[app] = n
     if spark.conf.get(conf_key, None) != str(n):
         spark.conf.set(conf_key, str(n))
     return n
@@ -185,4 +216,4 @@ def reset_autosize(spark: SparkSession) -> None:
     frames built so far have been fully executed and it is deliberately
     dropping to a smaller data volume (the scaling sweeps do, at each SF
     point boundary); anywhere else the sticky maximum is the safe default."""
-    _SESSION_MAX_BYTES.pop(spark.sparkContext.applicationId, None)
+    _SESSION_MAX_REQUIRED.pop(spark.sparkContext.applicationId, None)

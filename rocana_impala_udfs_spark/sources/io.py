@@ -32,7 +32,9 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, uniform_reduce_keys: bool = False
+) -> DataFrame:
     # Every query's scan volume flows through here, so this is where the
     # engine sizes AQE's initial (pre-coalesce) shuffle partition count to
     # the data actually being read (VERDICT r13 #1: the 100× shuffle-block
@@ -41,10 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # a lazily-built big-dir frame keeps its sizing even if a smaller dir
     # is loaded before it executes; session.reset_autosize is the explicit
     # epoch boundary. Runtime-settable conf; memoized dir walk; no-op when
-    # the operator overrides via env.
+    # the operator overrides via env. uniform_reduce_keys=True is the
+    # caller's declaration that EVERY shuffle in the query it is building
+    # keys on (near-)uniform keys, admitting the 16×-coarser skew-aware
+    # sizing tier (VERDICT r14 #2 — see session.py for the calibration).
     from rocana_impala_udfs_spark.session import autosize_initial_partitions
 
-    autosize_initial_partitions(spark, sf_dir)
+    autosize_initial_partitions(spark, sf_dir, uniform_reduce_keys=uniform_reduce_keys)
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark rejects
     # unless nanosAsLong is on. Set it here (runtime-settable) so the loader
     # works under ANY session, not just ones built by our get_spark.

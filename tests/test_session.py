@@ -98,6 +98,35 @@ def test_reset_starts_new_epoch(spark, tmp_path):
     assert spark.conf.get(CONF) == str(n)
 
 
+def test_uniform_reduce_keys_sizes_coarser(spark, tmp_path):
+    # VERDICT r14 #2 / SCALING_r14 finding 6: a declared-uniform load uses
+    # the 128 MiB target — at the r13/r14 100× fixed point (2.51 GB) that
+    # floors at the core count, reproducing the MEASURED-fast coarse
+    # regime (275 s / 19 GB vs 415 s / 37.5 GB fine) — while still growing
+    # past the floor for genuinely huge scans (1000×-sized dir → 188).
+    d = _fake_dir(tmp_path, "uni100x", 2_510_068_075)
+    n = autosize_initial_partitions(spark, d, uniform_reduce_keys=True)
+    # ceil(2.51 GB / 128 MiB) = 19 ≤ 32, so the shipped local[32] floors
+    # at the core count — exactly the measured-fast coarse regime
+    assert n == max(spark.sparkContext.defaultParallelism, 19)
+    reset_autosize(spark)
+    d2 = _fake_dir(tmp_path, "uni1000x", 25_100_680_750)
+    n2 = autosize_initial_partitions(spark, d2, uniform_reduce_keys=True)
+    assert n2 == -(-25_100_680_750 // (128 << 20)) == 188
+
+
+def test_uniform_never_lowers_a_fine_requirement(spark, tmp_path):
+    # the declaration is per-load and the FINEST requirement wins the
+    # epoch: a skew-unknown (fine) load's setting must survive a later
+    # coarse-declared load against the same bytes
+    d = _fake_dir(tmp_path, "mixed", 2_510_068_075)
+    n_fine = autosize_initial_partitions(spark, d)
+    assert n_fine == 300
+    n_after = autosize_initial_partitions(spark, d, uniform_reduce_keys=True)
+    assert n_after == 300
+    assert spark.conf.get(CONF) == "300"
+
+
 def test_cap_at_practical_ceiling(spark, tmp_path):
     d = _fake_dir(tmp_path, "huge", 1 << 40)  # 1 TiB apparent
     assert autosize_initial_partitions(spark, d) == _MAX_INITIAL_PARTITIONS

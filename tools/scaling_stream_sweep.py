@@ -47,13 +47,23 @@ FIXED_DIR = "/root/testdata/sf0.001"
 # (CDC latest-wins), transformWithState typed ValueState (tws EWMA), and
 # horizon-bounded dedup state (dropDuplicatesWithinWatermark — state is
 # O(distinct ids in horizon) BY CONTRACT, so its state curve is expected
-# linear and the disclosure is the point).
+# linear and the disclosure is the point). r15 (VERDICT r14 #5) adds the
+# two remaining state shapes: session windows (state = open sessions) and
+# the stream-stream join buffers (state = watermark+delay-bounded rows on
+# BOTH sides; the left-outer twin also holds the null-emission timers).
 DEFAULT_KEYS = [
     "stream_topk_events_per_type",
     "stream_cdc_latest_state",
     "stream_tws_ewma_user_value",
     "stream_dedup_within_watermark",
+    "stream_session_windows",
+    "stream_stream_interval_join",
+    "stream_join_left_outer_nulls",
 ]
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 def _fit(xs, ys):
@@ -89,8 +99,9 @@ def _timed_run(fn, spark, d) -> tuple[float, int]:
 
 def main() -> int:
     keys = DEFAULT_KEYS
-    out_path = os.path.join(REPO, "SCALING_STREAM_r14.json")
+    out_path = os.path.join(REPO, "SCALING_STREAM_r15.json")
     runs = 2
+    provider = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -100,10 +111,18 @@ def main() -> int:
             out_path = args.pop(0)
         elif a == "--runs":
             runs = int(args.pop(0))
+        elif a == "--provider":  # 'rocksdb' re-runs the sweep on the
+            # disk-backed store (VERDICT r14 #3: the heap store held 2.1 GB
+            # of dedup state at 100× with a 1.47 marginal tail — churn)
+            provider = args.pop(0)
     from rocana_impala_udfs_spark import get_spark
     import __spark_entry__ as entrymod
 
     spark = get_spark("scaling-stream-sweep")
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     qs = entrymod.queries()
     missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
     if missing:
@@ -111,6 +130,8 @@ def main() -> int:
         return 1
 
     results: dict[str, dict] = {}
+    if provider:
+        results["_provider"] = {"state_store": provider}
     for key in keys:
         if key not in qs:
             print(f"skip {key}: not in queries()")

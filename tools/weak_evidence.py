@@ -1,0 +1,376 @@
+#!/usr/bin/env python
+"""Quantified acceptance bands for the 9 weak (oracle-less) registry keys
+(VERDICT r14 #6): the driver's gate for these keys is rows-only, and the
+real evidence — recall floors, planted-pair recovery, statistical error
+bounds — lives in pytest assertions the judge has to go read. This tool
+RUNS each key's quantitative measurement (mirroring the registry key's own
+parameters where the measurement is corpus-based, or the pytest's synthetic
+construction where the property needs planted ground truth) and emits one
+committed JSON artifact next to CORRECTNESS_r{N}: per key, the metric, the
+measured value, the acceptance band, pass/fail, and the pytest anchor that
+pins the same property every round.
+
+Usage:
+  python tools/weak_evidence.py [--sf-dir /root/testdata/sf0.01] [--out WEAK_EVIDENCE_r15.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def measure_ann_ivf(spark, sf_dir):
+    """recall@5 of the corpus-trained IVF vs exact brute force, at the
+    registry key's own parameters (k=5, nlist=16, nprobe=4, queries
+    vec_id<20)."""
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.operators import similarity
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    return {
+        "metric": "recall@5 vs exact brute force (20 queries, registry params)",
+        "measured": round(recall, 4),
+        "band": ">= 0.6",
+        "pass": recall >= 0.6,
+        "pytest_anchor": "tests/test_pipeline.py::test_ivf_topk_recall",
+    }
+
+
+def measure_semantic_dedup(spark, sf_dir):
+    """Planted-pair recovery: 5 near-identical twins (cos > 0.999) planted
+    in 40 random vectors must be emitted EXACTLY (recall 1.0, precision
+    1.0) — the pytest construction, since the driver corpus has no true
+    near-dups at any SF."""
+    from rocana_impala_udfs_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.standard_normal(64) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.i, r.j)
+        for r in similarity.semantic_dedup_pairs(df, threshold=0.95, nlist=8).collect()
+    }
+    want = {(i, 100 + i) for i in range(5)}
+    recall = len(got & want) / len(want)
+    precision = len(got & want) / len(got) if got else 0.0
+    return {
+        "metric": "planted near-twin recovery (recall, precision)",
+        "measured": [round(recall, 4), round(precision, 4)],
+        "band": "== [1.0, 1.0]",
+        "pass": got == want,
+        "pytest_anchor": "tests/test_pipeline.py::test_semantic_dedup_finds_planted_pairs",
+    }
+
+
+def measure_stratified(spark, sf_dir):
+    """Per-stratum realized fraction vs requested, at the registry key's
+    own fractions over the real events table: exact strata must keep
+    everything; Bernoulli strata must sit within 4 binomial standard
+    errors of the request."""
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.operators.sampling import stratified_sample
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    fractions = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    ev = load_table(spark, sf_dir, "events")
+    base = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {
+        r["event_type"]: r["n"]
+        for r in stratified_sample(ev, "event_type", fractions)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    worst_z, realized = 0.0, {}
+    ok = True
+    for s, f in fractions.items():
+        n = base.get(s, 0)
+        if n == 0:
+            continue
+        r = got.get(s, 0) / n
+        realized[s] = round(r, 4)
+        if f == 1.0:
+            ok &= got.get(s, 0) == n
+        else:
+            z = abs(r - f) / math.sqrt(f * (1 - f) / n)
+            worst_z = max(worst_z, z)
+    ok &= worst_z <= 4.0
+    return {
+        "metric": "realized per-stratum fraction (exact strata exact; Bernoulli strata z-score)",
+        "measured": {"realized": realized, "worst_bernoulli_z": round(worst_z, 3)},
+        "band": "fraction-1.0 strata keep all rows; Bernoulli |z| <= 4",
+        "pass": bool(ok),
+        "pytest_anchor": "tests/test_pipeline.py::test_stratified_sample_fractions",
+    }
+
+
+def measure_weighted_sample(spark, sf_dir):
+    """A-Res weight adherence on planted 10:1 weights (200 rows, k=20,
+    30 seeds): heavy rows must win well over half the slots (E ≈ 0.87),
+    and every draw returns exactly k rows."""
+    from rocana_impala_udfs_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    df = df.cache()
+    df.count()
+    heavy = total = 0
+    exact_k = True
+    for seed in range(30):
+        got = weighted_sample(df, "w", 20, seed=seed).collect()
+        exact_k &= len(got) == 20
+        heavy += sum(1 for r in got if r.w == 10.0)
+        total += 20
+    df.unpersist()
+    frac = heavy / total
+    return {
+        "metric": "heavy-row inclusion fraction, 10:1 weights, k=20, 30 seeds (+ exact-k every draw)",
+        "measured": {"heavy_fraction": round(frac, 4), "exact_k_every_draw": exact_k},
+        "band": "> 0.75 (expectation ~0.87); exact_k true",
+        "pass": bool(frac > 0.75 and exact_k),
+        "pytest_anchor": "tests/test_pipeline.py::test_weighted_sample_respects_weights",
+    }
+
+
+def measure_packing(spark, sf_dir):
+    """FFD packing invariants at the registry key's max_tokens=512 over
+    the real documents table: every doc exactly once, no bin over budget
+    unless a single oversized doc owns it, mean fill efficiency."""
+    from rocana_impala_udfs_spark.operators.packing import pack_sequences
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, max_tokens=512).collect()
+    n_docs = docs.count()
+    once = len(out) == n_docs and len({r.doc_id for r in out}) == len(out)
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    overflow = sum(
+        1
+        for rows in by_bin.values()
+        if sum(r.n_tokens for r in rows) > 512 and len(rows) > 1
+    )
+    fills = [sum(r.n_tokens for r in rows) for rows in by_bin.values()]
+    eff = sum(fills) / (len(fills) * 512)
+    return {
+        "metric": "every-doc-once, multi-doc bins over budget, mean fill efficiency @512",
+        "measured": {
+            "every_doc_once": once,
+            "overfull_multi_doc_bins": overflow,
+            "mean_fill": round(eff, 4),
+        },
+        "band": "once=true; overfull=0; fill > 0.6",
+        "pass": bool(once and overflow == 0 and eff > 0.6),
+        "pytest_anchor": "tests/test_pipeline.py::test_pack_sequences_invariants",
+    }
+
+
+def measure_approx_distinct(spark, sf_dir):
+    """HLL++ relative error vs exact distinct counts at the registry key's
+    own rsd=0.02 over lineitem: worst group/column error within 4 standard
+    deviations."""
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["parts"], r["orders"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.count_distinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    worst = 0.0
+    for g, (ap, ao) in approx.items():
+        ep, eo = exact[g]
+        worst = max(worst, abs(ap - ep) / ep, abs(ao - eo) / eo)
+    return {
+        "metric": "worst relative error vs exact distinct (3 groups x 2 cols, rsd=0.02)",
+        "measured": round(worst, 5),
+        "band": "<= 0.08 (4 x rsd)",
+        "pass": worst <= 0.08,
+        "pytest_anchor": "tests/test_sketches.py::test_hll_error_bound_and_small_exact",
+    }
+
+
+def measure_approx_percentiles(spark, sf_dir):
+    """percentile_approx rank error vs exact: for each group and quartile,
+    the returned element's true rank must be within n/accuracy of the
+    target rank (accuracy=10000, the registry key's setting)."""
+    from pyspark.sql import functions as F
+
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_linestatus")
+        .agg(F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("q"))
+        .collect()
+    )
+    worst = 0.0
+    for r in rows:
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_linestatus") == r["l_linestatus"])
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, v in zip([0.25, 0.5, 0.75], r["q"]):
+            import bisect
+
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v) - 1
+            target = q * (n - 1)
+            err = min(abs(lo - target), abs(hi - target)) / n
+            worst = max(worst, err)
+    return {
+        "metric": "worst rank error of percentile_approx quartiles vs exact (accuracy=10000)",
+        "measured": round(worst, 6),
+        "band": "<= 1/10000 + 1/n rounding slack (0.0002 at sf0.01)",
+        "pass": worst <= 2e-4,
+        "pytest_anchor": "tests/test_temporal.py::test_percentile_approx_rank_error",
+    }
+
+
+def measure_kmeans(spark, sf_dir):
+    """Distributed Lloyd at the registry key's k=8/iters=5: per-iteration
+    inertia must be monotone non-increasing, and the 5-iteration run must
+    genuinely improve on the first assignment."""
+    from rocana_impala_udfs_spark.operators import similarity
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, hist = similarity.kmeans_lloyd(emb, k=8, iters=5)
+    monotone = all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
+    ratio = hist[-1] / hist[0]
+    return {
+        "metric": "inertia per Lloyd iteration (monotone; final/initial ratio)",
+        "measured": {"inertia": [round(h, 2) for h in hist], "final_over_initial": round(ratio, 4)},
+        "band": "monotone non-increasing; ratio < 1.0",
+        "pass": bool(monotone and ratio < 1.0),
+        "pytest_anchor": "tests/test_pipeline.py::test_kmeans_lloyd_deterministic_and_monotone",
+    }
+
+
+def measure_bpe(spark, sf_dir):
+    """Corpus-trained BPE: training is partitioning-invariant (same merges
+    under repartition(7)), the classic Sennrich example merges in the
+    hand-computed order, and every encoded word round-trips losslessly."""
+    from rocana_impala_udfs_spark.operators.tokenizer import (
+        END,
+        bpe_train,
+        encode_word,
+        train_merges,
+    )
+    from rocana_impala_udfs_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges_a = bpe_train(docs, num_merges=50, top_n=500)
+    merges_b = bpe_train(docs.repartition(7), num_merges=50, top_n=500)
+    deterministic = merges_a == merges_b
+    classic = train_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5)
+    classic_ok = classic[:3] == [("e", "s"), ("es", "t"), ("est", END)]
+    ranks = {p: i for i, p in enumerate(merges_a)}
+    sample_words = [
+        w
+        for r in docs.select("text").collect()
+        for w in r["text"].lower().split()[:3]
+    ][:200]
+    lossless = sum(
+        1 for w in sample_words if "".join(encode_word(w, ranks)).replace(END, "") == w
+    ) / max(len(sample_words), 1)
+    return {
+        "metric": "partitioning-invariant merges; classic-example order; lossless round-trip fraction",
+        "measured": {
+            "partition_invariant": deterministic,
+            "classic_example": classic_ok,
+            "lossless_fraction": round(lossless, 4),
+        },
+        "band": "invariant=true; classic=true; lossless == 1.0",
+        "pass": bool(deterministic and classic_ok and lossless == 1.0),
+        "pytest_anchor": "tests/test_pipeline.py::test_bpe_spark_path_deterministic",
+    }
+
+
+MEASURES = {
+    "ann_ivf_top5": measure_ann_ivf,
+    "semantic_dedup_pairs": measure_semantic_dedup,
+    "stratified_sample_counts": measure_stratified,
+    "weighted_sample_docs": measure_weighted_sample,
+    "pack_training_sequences": measure_packing,
+    "agg_approx_distinct": measure_approx_distinct,
+    "appx_percentiles_price": measure_approx_percentiles,
+    "emb_kmeans_clusters": measure_kmeans,
+    "bpe_tokenize_stats": measure_bpe,
+}
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.01"
+    out_path = os.path.join(REPO, "WEAK_EVIDENCE_r15.json")
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--sf-dir":
+            sf_dir = args.pop(0)
+        elif a == "--out":
+            out_path = args.pop(0)
+    from rocana_impala_udfs_spark import get_spark
+
+    spark = get_spark("weak-evidence")
+    results: dict = {"sf_dir": sf_dir, "keys": {}}
+    failed = 0
+    for key, fn in MEASURES.items():
+        try:
+            results["keys"][key] = fn(spark, sf_dir)
+        except Exception as exc:
+            results["keys"][key] = {"error": f"{type(exc).__name__}: {exc}"[:300], "pass": False}
+        if not results["keys"][key].get("pass"):
+            failed += 1
+        print(f"{key}: {json.dumps(results['keys'][key])}", flush=True)
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+    print(f"wrote {out_path}; {len(MEASURES) - failed}/{len(MEASURES)} in band")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
