@@ -57,6 +57,7 @@ DEFAULT_KEYS = [
     "stream_tws_ewma_user_value",
     "stream_dedup_within_watermark",
     "stream_session_windows",
+    "stream_session_windows_append_bounded",
     "stream_stream_interval_join",
     "stream_join_left_outer_nulls",
 ]
@@ -64,6 +65,53 @@ DEFAULT_KEYS = [
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+
+# Keys whose declared semantics cannot scale past a multiplier, with the
+# measured reason: complete-mode session windows re-emit the ENTIRE result
+# (state = all sessions ever) into the in-JVM memory sink every trigger —
+# at 100× that is ~9.5M session rows × re-emission and the r15 sweep
+# measured the failure (Java heap OOM in MemoryStreamingWrite, epoch 2).
+# The production shape is the append-mode watermark-evicted twin
+# (`stream_session_windows_append_bounded`), swept uncapped right next to
+# it — the pairing IS the disclosure.
+MAX_MULT = {"stream_session_windows": 10}
+CAP_REASON = {
+    "stream_session_windows": (
+        "complete-mode certification vehicle: every trigger re-emits the "
+        "full session table into the in-JVM memory sink, so driver memory "
+        "bounds the reachable SF (measured: heap OOM at 100x, r15); the "
+        "append-mode bounded twin stream_session_windows_append_bounded "
+        "is the production shape and runs uncapped"
+    ),
+}
+
+
+def _extra_builders():
+    """Sweep-only measurement harnesses that are not registry keys.
+
+    ``stream_session_windows_append_bounded``: the registry key runs
+    session windows in COMPLETE mode (the certification vehicle — its
+    state is the whole materialized result by definition); this twin runs
+    the PRODUCTION shape — time-ordered replay, 30-min watermark, APPEND
+    mode — where closed sessions evict and state is O(open sessions), the
+    declared bound VERDICT r14 #5 asked to see measured."""
+    from pyspark.sql import functions as F
+
+    def session_append(spark, d):
+        from rocana_impala_udfs_spark.streaming.replay import (
+            replay_events_stream_ordered,
+            run_to_table,
+        )
+
+        stream, _dir = replay_events_stream_ordered(spark, d)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return run_to_table(agg, mode="append")
+
+    return {"stream_session_windows_append_bounded": session_append}
 
 
 def _fit(xs, ys):
@@ -123,7 +171,8 @@ def main() -> int:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(_extra_builders())
     missing = [d for _, d, _ in SF_POINTS if not os.path.isdir(d)]
     if missing:
         print(f"missing SF dirs {missing}: run tools/make_scaled_sf.py first")
@@ -145,7 +194,12 @@ def main() -> int:
         _timed_run(qs[key], spark, FIXED_DIR)
         fixed, _ = _timed_run(qs[key], spark, FIXED_DIR)
         row["fixed_sec"] = round(fixed, 3)
+        if key in MAX_MULT:
+            row["capped_at_mult"] = MAX_MULT[key]
+            row["capped_reason"] = CAP_REASON[key]
         for label, d, mult in SF_POINTS:
+            if mult > MAX_MULT.get(key, 10**9):
+                break
             # per-SF sizing epoch (ADVICE r14 #1: autosizing is sticky-max)
             reset_autosize(spark)
             try:
