@@ -33,6 +33,6 @@ Register everything into a SparkSession with::
 from rocana_impala_udfs_spark.register import register_all
 from rocana_impala_udfs_spark.session import get_spark
 
-__version__ = "1.1.2"
+__version__ = "1.1.3.dev0"
 
 __all__ = ["register_all", "get_spark", "__version__"]
