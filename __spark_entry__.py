@@ -62,6 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # their best evidence; they absorb any over-budget truncation
 # harmlessly).
 _NEVER_DRIVER_CHECKED = [
+    # (0) brand-new in r15: append-mode (production-shape) session
+    # windows — merging-window finalization + eviction, oracle-exact on
+    # the ordered replay with the end<=watermark boundary pinned by a
+    # synthetic end==watermark experiment
+    "stream_session_windows_append",
     # (1) formerly-vacuous gates, now nonzero-row by construction
     "emb_neardup_pairs_loose",
     "join_anti_customers_without_orders",

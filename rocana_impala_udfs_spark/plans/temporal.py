@@ -688,6 +688,80 @@ FROM isl GROUP BY user_id, s
 """
 
 
+def q_stream_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-MODE session windows — the PRODUCTION shape of
+    `stream_session_windows`, driver-checked (r15). The complete-mode key
+    certifies cross-batch window MERGING but holds every session ever in
+    state and re-emits the whole table per trigger — the r15 100× sweep
+    measured that shape heap-OOMing the memory sink (SCALING_r15.md
+    finding 3), which is exactly why production runs sessions in append
+    mode with a watermark: closed sessions emit once and EVICT, so state
+    is O(open sessions) — measured EXACTLY FLAT at 121 rows across
+    1×/10×/100× replay volume (`stream_session_windows_append_bounded`
+    sweep row).
+
+    Oracle-exactness on the time-ordered replay: no row is late, and a
+    session emits exactly once, when the final watermark (global max ts −
+    30 min) passes its end. The boundary is CLOSED by direct experiment:
+    a session whose end EXACTLY equals the watermark IS emitted (probed
+    with a synthetic end==watermark replay, r15), so the oracle keeps
+    sessions with ``end <= wm`` — the same `<=` convention
+    `stream_hourly_append_watermark` pins for tumbling windows, here
+    certified for MERGING windows whose eviction additionally requires
+    the session-gap closure. Gap rule mirrors the complete key (>= 30 min
+    starts a new session); DECIMAL sums for order-independence."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_to_table,
+    )
+
+    stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+    agg = (
+        stream.withColumn("v", F.col("value").cast("decimal(18,6)"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    sink = run_to_table(agg, mode="append")
+    return sink.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv").cast("double"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_SESSIONS_APPEND = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+), flagged AS (
+    SELECT user_id, ts_us, v,
+           CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), isl AS (
+    SELECT user_id, ts_us, v,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS s
+    FROM flagged
+), cutoff AS (
+    SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM events
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(v) AS DOUBLE), 4) AS sum_value
+FROM isl, cutoff
+GROUP BY user_id, s, wm_us
+HAVING max(ts_us) + 1800000000 <= wm_us
+"""
+
+
 def q_stream_hourly_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode watermark finalization, driver-checked: hourly windowed
     counts per event type with a 30-minute watermark, replayed as a real
@@ -5643,6 +5717,7 @@ TEMPORAL_QUERIES = {
     "stream_append_sink_exactly_once": q_stream_append_sink_exactly_once,
     "stream_dedup_event_counts": q_stream_dedup_event_counts,
     "stream_session_windows": q_stream_session_windows,
+    "stream_session_windows_append": q_stream_session_windows_append,
     "stream_hourly_append_watermark": q_stream_hourly_append_watermark,
     "stream_stream_interval_join": q_stream_stream_interval_join,
     "stream_join_left_outer_nulls": q_stream_join_left_outer_nulls,
@@ -5739,6 +5814,7 @@ TEMPORAL_ORACLE = {
     "stream_append_sink_exactly_once": ORACLE_STREAM_APPEND_SINK,
     "stream_dedup_event_counts": ORACLE_STREAM_DEDUP,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
+    "stream_session_windows_append": ORACLE_STREAM_SESSIONS_APPEND,
     "stream_hourly_append_watermark": ORACLE_STREAM_APPEND_WM,
     "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_join_left_outer_nulls": ORACLE_STREAM_LEFT_OUTER,

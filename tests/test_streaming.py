@@ -635,6 +635,45 @@ def test_append_watermark_drops_late_rows(spark, tmp_path):
     assert rows == {0: 1}, rows
 
 
+def test_session_append_emits_on_exact_watermark_equality(spark, tmp_path):
+    """Boundary pin for `stream_session_windows_append`'s oracle (r15):
+    a session whose end EXACTLY equals the final watermark IS emitted —
+    Spark's append-mode eviction for merging windows is end <= watermark,
+    not strict <. Construction: user 1's session ends at t=1800s (single
+    event at t=0 + 30-min gap); a later file's event at t=3600s advances
+    the watermark to exactly 1800s."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from rocana_impala_udfs_spark.streaming.replay import run_to_table
+
+    d = str(tmp_path / "sessboundary")
+    for i, rows_b in enumerate([[(1, 0)], [(2, 3600)]]):
+        spark.createDataFrame(rows_b, "user_id int, sec long").select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes: batch order == write order
+    stream = (
+        spark.readStream.schema("user_id int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_table(agg, mode="append")
+    rows = {
+        r.user_id: r.e
+        for r in out.select("user_id", F.unix_micros("w.end").alias("e")).collect()
+    }
+    # user 1's session (end = 1800s = final watermark) emitted; user 2's
+    # trailing open session absent
+    assert rows == {1: 1800 * 1_000_000}, rows
+
+
 def test_ordered_replay_is_time_ordered_and_complete(spark):
     """replay_events_stream_ordered: files cover disjoint ascending ts
     ranges (mtime order == range order) and the union replays every
