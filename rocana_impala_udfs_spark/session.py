@@ -210,9 +210,9 @@ def autosize_initial_partitions(
 
 
 def reset_autosize(spark: SparkSession) -> None:
-    """End the session's sizing epoch: forget the scan-bytes high-water
-    mark so the next :func:`autosize_initial_partitions` call sizes from
-    its own directory alone. Call this exactly where a workload KNOWS all
+    """End the session's sizing epoch: forget the required-partition
+    high-water mark so the next :func:`autosize_initial_partitions` call
+    sizes from its own directory alone. Call this exactly where a workload KNOWS all
     frames built so far have been fully executed and it is deliberately
     dropping to a smaller data volume (the scaling sweeps do, at each SF
     point boundary); anywhere else the sticky maximum is the safe default."""
