@@ -21,6 +21,14 @@ rounds); ``contention_flags`` compares every warm value against the newest
 committed BENCH_IDLE_r*.json and lists keys >1.5× their idle counterpart,
 so a contended official run self-identifies its untrustworthy numbers
 (VERDICT r13 #6).
+
+Flags (VERDICT r15 #2/#5): the payload is also written to ``--out`` (default
+``BENCH_LOCAL.json`` beside this file, override ``$SPARK_GRAFT_BENCH_OUT``)
+BEFORE Spark teardown, and the stdout JSON line is printed AFTER full
+teardown (streaming queries stopped, StateStore maintenance pool joined,
+``spark.stop()``) so shutdown stderr noise can't truncate it out of a tail
+capture. ``--only k1,k2`` restricts the suite; ``--isolate`` runs one fresh
+JVM per key as the contention tiebreaker.
 """
 
 from __future__ import annotations
@@ -401,9 +409,131 @@ def _idle_reference() -> tuple[str | None, dict[str, float]]:
     }
 
 
+def _teardown(spark) -> None:
+    """Stop everything noisy BEFORE the payload prints (VERDICT r15 #2).
+
+    The driver's BENCH_r15.json lost its payload: state-store maintenance
+    threads racing ``sc.stop()`` dumped RpcEnvStoppedException stacktraces
+    over stderr at process exit, and the driver's tail capture truncated
+    the JSON line out. Fix: stop every active streaming query, stop the
+    StateStore maintenance pool explicitly, stop Spark — and only THEN
+    print the payload, so it is the final stdout line after all shutdown
+    noise has already been emitted."""
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+                q.awaitTermination(30)
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        # public Spark class; unloads providers and joins the maintenance
+        # thread pool whose shutdown race produced the r15 stderr wall
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def _run_isolated(keys: list[str], out_path: str) -> None:
+    """--isolate: one fresh JVM per key (VERDICT r15 #5), merged payload.
+
+    Same rationale as tools/scaling_sweep.py --isolate: a long shared JVM
+    accumulates storage pressure that can contaminate late keys' numbers;
+    when contention_flags fire on a warm-suite run, this mode is the
+    tiebreaker. Per-key protocol is unchanged (cold + min-of-2 warm), so
+    per-key numbers stay comparable to the warm-suite run; only the
+    shared-JVM warmth BETWEEN keys differs."""
+    import subprocess
+    import tempfile
+
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    streaming_cost: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    sf = None
+    for key in keys:
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            part = tf.name
+        cmd = [sys.executable, os.path.abspath(__file__), "--only", key,
+               "--out", part, "--no-idle-check"]
+        rc = subprocess.call(cmd, stdout=subprocess.DEVNULL)
+        try:
+            with open(part) as fh:
+                p = json.load(fh)
+            warm.update(p.get("queries", {}))
+            cold.update(p.get("cold_queries", {}))
+            streaming_cost.update(p.get("streaming_cost", {}))
+            sf = p.get("sf", sf)
+        except Exception:
+            errors[key] = f"isolated run exited {rc} with no payload"
+        finally:
+            try:
+                os.unlink(part)
+            except OSError:
+                pass
+    idle_ref_name, idle_q = _idle_reference()
+    contention_flags = {
+        k: {"warm": warm[k], "idle": idle_q[k], "ratio": round(warm[k] / idle_q[k], 2)}
+        for k in warm
+        if k in idle_q and idle_q[k] > 0 and warm[k] > 1.5 * idle_q[k]
+        and max(warm[k], idle_q[k]) >= 0.3
+    }
+    payload = {
+        "metric": "headline_suite_total",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "sf": sf,
+        "r1_subset_total": round(
+            sum(warm[k] for k in R1_STABLE_SUBSET if k in warm), 3
+        ),
+        "streaming_cost": streaming_cost,
+        "idle_ref": idle_ref_name,
+        "contention_flags": contention_flags,
+        "n_contention_flags": len(contention_flags),
+        "isolated": True,
+        "errors": errors,
+    }
+    with open(out_path, "w") as fh:
+        fh.write(json.dumps(payload) + "\n")
+    print(json.dumps(payload))
+    sys.stdout.flush()
+
+
 def main() -> None:
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    isolate = False
+    idle_check = True
+    while args:
+        a = args.pop(0)
+        if a == "--only":  # restrict to a comma-separated key subset
+            only = args.pop(0).split(",")
+        elif a == "--out":  # also write the payload here (survives any
+            out_path = args.pop(0)  # stdout truncation by the caller)
+        elif a == "--isolate":  # one fresh JVM per key (see _run_isolated)
+            isolate = True
+        elif a == "--no-idle-check":  # child runs: parent already sampled
+            idle_check = False
+        else:
+            raise SystemExit(f"bench: unknown arg {a!r}")
+    keys = [k for k in HEADLINE if only is None or k in only]
+    if isolate:
+        _run_isolated(keys, out_path)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    idle_before = _idle_evidence()
+    idle_before = _idle_evidence() if idle_check else {"idle": None}
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     except ValueError:
@@ -415,7 +545,7 @@ def main() -> None:
     # The r1 pin subset must stay fully benched: a key renamed or dropped
     # from HEADLINE would silently shrink r1_subset_total and read as a
     # round-over-round speedup (ADVICE r13 #1). Fail loudly instead.
-    missing_pin = sorted(set(R1_STABLE_SUBSET) - set(HEADLINE))
+    missing_pin = sorted(set(R1_STABLE_SUBSET) - set(HEADLINE)) if only is None else []
     if missing_pin:
         raise SystemExit(
             f"bench: r1 pin subset keys missing from HEADLINE: {missing_pin} — "
@@ -423,7 +553,7 @@ def main() -> None:
         )
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in keys:
         if name not in qs:
             continue
         start = time.perf_counter()
@@ -440,7 +570,7 @@ def main() -> None:
     # second half of the pin-subset guard: a pin key present in HEADLINE but
     # absent from queries() is skipped by the loop above and would shrink
     # the subset total just as silently
-    missing_warm = sorted(set(R1_STABLE_SUBSET) - set(warm))
+    missing_warm = sorted(set(R1_STABLE_SUBSET) - set(warm)) if only is None else []
     if missing_warm:
         raise SystemExit(
             f"bench: r1 pin subset keys not benched (absent from queries()): "
@@ -449,7 +579,7 @@ def main() -> None:
     # streaming fixed/marginal decomposition (see STREAMING_KEYS comment)
     streaming_cost: dict[str, dict[str, float]] = {}
     if os.path.isdir(FIXED_COST_SF_DIR):
-        for name in HEADLINE:
+        for name in keys:
             if name not in STREAMING_KEYS or name not in warm:
                 continue
             # unmeasured warmup first: the first run at this sf dir pays
@@ -475,31 +605,40 @@ def main() -> None:
         if k in idle_q and idle_q[k] > 0 and warm[k] > 1.5 * idle_q[k]
         and max(warm[k], idle_q[k]) >= 0.3
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "sf": sf,
-                # contention-robust summaries (VERDICT r12 #7): the r1 pin
-                # subset is stable across rounds, and warm values are
-                # already min-over-2-runs per key
-                "r1_subset_total": round(
-                    sum(warm[k] for k in R1_STABLE_SUBSET if k in warm), 3
-                ),
-                "streaming_cost": streaming_cost,
-                "idle_ref": idle_ref_name,
-                "contention_flags": contention_flags,
-                "n_contention_flags": len(contention_flags),
-                "idle_before": idle_before,
-                "idle_after": _idle_evidence(check_loadavg=False),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_total",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "sf": sf,
+        # contention-robust summaries (VERDICT r12 #7): the r1 pin
+        # subset is stable across rounds, and warm values are
+        # already min-over-2-runs per key
+        "r1_subset_total": round(
+            sum(warm[k] for k in R1_STABLE_SUBSET if k in warm), 3
+        ),
+        "streaming_cost": streaming_cost,
+        "idle_ref": idle_ref_name,
+        "contention_flags": contention_flags,
+        "n_contention_flags": len(contention_flags),
+        "idle_before": idle_before,
+        "idle_after": _idle_evidence(check_loadavg=False) if idle_check
+        else {"idle": None},
+    }
+    # Payload durability (VERDICT r15 #2): write the file FIRST, then tear
+    # Spark all the way down, then print the JSON as the process's final
+    # stdout line — shutdown noise lands on stderr before it, so a caller's
+    # tail capture can no longer truncate the payload away.
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(json.dumps(payload) + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    _teardown(spark)
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
