@@ -183,18 +183,23 @@ def test_bruteforce_np_matches_hof_path(spark):
 
 
 def test_ivf_topk_recall(spark):
+    # Registry params (nlist=16, nprobe=8, queries vec_id<20) — the same
+    # configuration ann_ivf_top5 and tools/weak_evidence.py measure, so
+    # this anchor certifies the shipped key, not a softer variant. The 0.7
+    # floor sits 0.14 under the measured 0.84 (see ivf_topk docstring for
+    # the nprobe recall curve; VERDICT r15 #3 re-tightened the band).
     emb = load_table(spark, SF, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < 20)
     brute = {
         (r.query_id, r.neighbor_id)
         for r in similarity.brute_force_topk(emb, queries, k=5).collect()
     }
     ivf = {
         (r.query_id, r.neighbor_id)
-        for r in similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=4).collect()
+        for r in similarity.ivf_topk(emb, queries, k=5).collect()
     }
     recall = len(brute & ivf) / len(brute)
-    assert recall >= 0.6, f"IVF recall {recall} too low"
+    assert recall >= 0.7, f"IVF recall {recall} too low"
 
 
 def test_cosine_sim_known_values(spark):

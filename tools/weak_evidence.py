@@ -29,8 +29,9 @@ sys.path.insert(0, REPO)
 
 def measure_ann_ivf(spark, sf_dir):
     """recall@5 of the corpus-trained IVF vs exact brute force, at the
-    registry key's own parameters (k=5, nlist=16, nprobe=4, queries
-    vec_id<20)."""
+    registry key's own parameters (k=5, nlist=16, nprobe=8, queries
+    vec_id<20). Band re-tightened to >=0.7 with nprobe=8 (measured 0.84;
+    VERDICT r15 #3 — the old nprobe=4 sat at 0.62 over a 0.6 floor)."""
     from pyspark.sql import functions as F
 
     from rocana_impala_udfs_spark.operators import similarity
@@ -50,8 +51,8 @@ def measure_ann_ivf(spark, sf_dir):
     return {
         "metric": "recall@5 vs exact brute force (20 queries, registry params)",
         "measured": round(recall, 4),
-        "band": ">= 0.6",
-        "pass": recall >= 0.6,
+        "band": ">= 0.7",
+        "pass": recall >= 0.7,
         "pytest_anchor": "tests/test_pipeline.py::test_ivf_topk_recall",
     }
 
