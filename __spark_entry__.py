@@ -44,37 +44,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Ordering is deliberate: the driver's correctness run truncates on a time
-# budget (~50 keys/round), so the UNPROVEN set goes first. Round-15 order
-# (every key entered r15 with a hash-green latest driver row — VERDICT
-# r14: 332/332 oracle keys green across the r1-r14 union): (1) the three
-# formerly-VACUOUS gates rebuilt per VERDICT r14 #1 so they hash-match on
-# NONZERO rows — emb_neardup_pairs_loose is NEW (bounded id<200
-# brute-force at threshold 0.35, 42 rows at sf0.01: the key that now
-# certifies the Arrow pair-cosine kernel's actual doubles against DuckDB
-# list_cosine_similarity; the production-threshold emb_neardup_pairs key
-# keeps its 0.95 semantics and its 0-row fixture reality), and the
-# anti-join/except keys now difference against restricted subsets
-# (URGENT orders; 9500+-balance suppliers) that provably leave rows.
-# (2) keys whose EXECUTED CODE changed in r15: the two prefix-filter
-# keys (verify ni/nj now derive from the collected sets themselves,
-# ADVICE r14 #4 — same values on distinct input, locally re-verified
-# oracle-green). Then (3) the nine weak-by-design keys (rows-only is
-# their best evidence; they absorb any over-budget truncation
-# harmlessly).
+# budget (~50 keys/round), so the front is scheduled, not arbitrary.
+# STANDING RULE (VERDICT r15 #6 — age-based rotation): each round the
+# front lists, in order, (1) keys NEW or with changed executed code this
+# round, then (2) the keys whose latest driver-checked row is OLDEST
+# across the CORRECTNESS_r* union, oldest first, enough to fill the ~50
+# budget — so no green row ages past ~10 rounds — then (3) the
+# weak-by-design keys (rows-only is their best evidence; they absorb any
+# over-budget truncation harmlessly). Recompute (2) each round from the
+# committed CORRECTNESS_r*.json artifacts (max round per key).
+#
+# Round-16 front (every key entered r16 hash-green on its latest row —
+# VERDICT r15: 334/334 oracle keys green across the r1–r15 union):
 _NEVER_DRIVER_CHECKED = [
-    # (0) brand-new in r15: append-mode (production-shape) session
-    # windows — merging-window finalization + eviction, oracle-exact on
-    # the ordered replay with the end<=watermark boundary pinned by a
-    # synthetic end==watermark experiment
-    "stream_session_windows_append",
-    # (1) formerly-vacuous gates, now nonzero-row by construction
-    "emb_neardup_pairs_loose",
-    "join_anti_customers_without_orders",
-    "setop_except_nations",
-    # (2) executed code changed in r15, re-verified oracle-green locally
-    "dedup_prefix_filter_pairs",
-    "dedup_jaccard_threshold_sweep",
-    # (3) weak-by-design tail
+    # (1) NEW in r16: the foreachBatch last-writer-wins merge twins of the
+    # two complete-mode certification keys (VERDICT r15 #4) — update-mode
+    # deltas upserted into a keyed target, same oracles as their twins
+    "stream_cdc_latest_merge",
+    "stream_topk_events_merge",
+    # (2) oldest driver rows first: the 26 keys last checked in r1, then
+    # the 18 last checked in r3 (alphabetical within a round)
+    "agg_argmax_orders",
+    "agg_exact_distinct",
+    "agg_order_sizes",
+    "array_vector_stats",
+    "cube_lineitem",
+    "distinct_segments",
+    "fuzzy_join_part_names",
+    "grouping_sets_orders",
+    "having_big_parts",
+    "join_left_customer_order_counts",
+    "join_q5_local_supplier_volume",
+    "join_semi_customers_with_orders",
+    "map_status_counts",
+    "merge_upsert_balances",
+    "q6_forecast_revenue",
+    "rollup_orders",
+    "scalar_date_functions",
+    "scalar_string_math",
+    "setop_intersect_nations",
+    "setop_union_names",
+    "subquery_above_avg_customers",
+    "topk_orders",
+    "unpivot_lineitem_measures",
+    "window_ntile_order_deciles",
+    "window_running_spend",
+    "window_top3_customers_per_nation",
+    "chunk_dedup_stats",
+    "decontaminate_docs",
+    "heavy_hitter_tokens",
+    "lang_id_counts",
+    "multimodal_frame_fingerprints",
+    "multimodal_media_catalog",
+    "multimodal_ppm_resize",
+    "multimodal_resize",
+    "repetition_scores",
+    "split_train_val_test",
+    "text_collocations_pmi",
+    "text_fingerprints",
+    "text_pii_flags",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_top_bigrams",
+    "tfidf_top_terms",
+    "udtf_lateral_shingles",
+    # (3) weak-by-design tail (ann_ivf_top5's executed code changed in
+    # r16 — nprobe 4→8 — but it stays in the weak tail: rows-only is
+    # still its strongest driver evidence; the recall band moved to
+    # >=0.7 in tools/weak_evidence.py with the pytest anchor re-run)
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",

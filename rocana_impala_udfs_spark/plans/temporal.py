@@ -1023,6 +1023,42 @@ def q_stream_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_topk_events_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-SINK twin of ``stream_topk_events_per_type``
+    (VERDICT r15 #4): the same bounded k-row top-k state, but the
+    update-mode delta emissions are foreachBatch-MERGEd (last-writer-wins
+    on (group, rk)) into a keyed target instead of being accumulated in a
+    memory sink and re-filtered by max n_seen. The certified property
+    moves from 'the final emission can be selected out of the full
+    emission history' to 'a keyed upsert target maintained from the
+    deltas equals the batch answer' — the shape a real serving table is
+    maintained in. Per-trigger sink traffic is O(groups × k), target size
+    is groups × k rows, and no historical emission is retained anywhere.
+    Oracle: identical to the complete-vehicle key (the merge target's
+    newest row per key carries the final state, n_seen included)."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_foreach_batch_merge,
+    )
+    from rocana_impala_udfs_spark.streaming.topk_stream import (
+        running_grouped_topk_stream,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    out = running_grouped_topk_stream(stream, k=5)
+    merged = run_foreach_batch_merge(out, ["group", "rk"])
+    return (
+        merged.select(
+            F.col("group").alias("event_type"),
+            "rk",
+            "event_id",
+            "value",
+            F.col("n_seen").cast("bigint").alias("n_seen"),
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
 ORACLE_STREAM_TOPK = """
 WITH ranked AS (
     SELECT event_type, event_id, value,
@@ -1074,6 +1110,47 @@ def q_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_to_table(latest, mode="complete")
     return (
         sink.select("user_id", "s.op", "s.value", "s.ts_us", "s.event_id")
+        .filter(F.col("op") != "D")
+        .orderBy("user_id")
+    )
+
+
+def q_stream_cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-SINK twin of ``stream_cdc_latest_state`` (VERDICT
+    r15 #4): the same one-row-per-user ``max_by`` latest-wins state, but
+    run in UPDATE output mode with the per-trigger changed-key deltas
+    foreachBatch-MERGEd into a keyed target — the CDC-to-serving-table
+    shape (MERGE INTO target USING updates), certified without
+    complete-mode re-emission. State is identical to the complete twin
+    (the view itself); what changes is sink traffic: O(users touched per
+    trigger) instead of O(all users) per trigger. A user's newest
+    emission carries the max_by over everything seen for that user, so
+    the compacted target equals the complete-mode table — same oracle."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream,
+        run_foreach_batch_merge,
+    )
+
+    stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    ops = stream.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    latest = ops.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("op", "value", "ts_us", "event_id"),
+            F.struct(F.col("ts_us"), F.col("event_id")),
+        ).alias("s")
+    )
+    merged = run_foreach_batch_merge(latest, ["user_id"])
+    return (
+        merged.select("user_id", "s.op", "s.value", "s.ts_us", "s.event_id")
         .filter(F.col("op") != "D")
         .orderBy("user_id")
     )
@@ -5722,6 +5799,7 @@ TEMPORAL_QUERIES = {
     "stream_stream_interval_join": q_stream_stream_interval_join,
     "stream_join_left_outer_nulls": q_stream_join_left_outer_nulls,
     "stream_topk_events_per_type": q_stream_topk_events_per_type,
+    "stream_topk_events_merge": q_stream_topk_events_merge,
     "stream_tws_ewma_user_value": q_stream_tws_ewma_user_value,
     "stream_tws_bitmap_map_state": q_stream_tws_bitmap_map_state,
     "stream_tws_topk_list_state": q_stream_tws_topk_list_state,
@@ -5731,6 +5809,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_warm_start_ewma": q_stream_tws_warm_start_ewma,
     "stream_tws_median_value": q_stream_tws_median_value,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
+    "stream_cdc_latest_merge": q_stream_cdc_latest_merge,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
     "ab_cuped_sequential_peeks": q_ab_cuped_sequential_peeks,
@@ -5819,6 +5898,7 @@ TEMPORAL_ORACLE = {
     "stream_stream_interval_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_join_left_outer_nulls": ORACLE_STREAM_LEFT_OUTER,
     "stream_topk_events_per_type": ORACLE_STREAM_TOPK,
+    "stream_topk_events_merge": ORACLE_STREAM_TOPK,
     "stream_tws_ewma_user_value": ORACLE_STREAM_EWMA,
     "stream_tws_bitmap_map_state": ORACLE_STREAM_BITMAP,
     "stream_tws_topk_list_state": ORACLE_STREAM_TOPK,
@@ -5828,6 +5908,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_warm_start_ewma": ORACLE_STREAM_EWMA,
     "stream_tws_median_value": ORACLE_STREAM_MEDIAN,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
+    "stream_cdc_latest_merge": ORACLE_STREAM_CDC_LATEST,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
     "ab_cuped_sequential_peeks": ORACLE_AB_CUPED_SEQUENTIAL,
