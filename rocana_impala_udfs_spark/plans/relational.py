@@ -273,8 +273,12 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join restricted to URGENT orders (VERDICT r14 #1): every
+    [key renamed join_anti_customers_without_orders ->
+    join_anti_customers_without_urgent_orders in r16, ADVICE r15 #4 — the
+    registry name now matches the computed relation; r15's hash-green
+    history belongs to the old name.]
     customer in the driver fixtures has SOME order, so the unrestricted
     anti join returned 0 rows from r1 through r14 — a hash gate over the
     empty set. Anti-joining against the urgent subset yields 203 rows at
@@ -5158,7 +5162,7 @@ QUERIES = {
     "join_broadcast_brand_prices": q_brand_prices,
     "join_left_customer_order_counts": q_customer_order_counts,
     "join_semi_customers_with_orders": q_customers_with_orders,
-    "join_anti_customers_without_orders": q_customers_without_orders,
+    "join_anti_customers_without_urgent_orders": q_customers_without_urgent_orders,
     "topk_orders": q_top10_orders,
     "distinct_segments": q_distinct_segments,
     "setop_union_names": q_union_names,
@@ -5265,7 +5269,7 @@ ORACLE = {
     "join_broadcast_brand_prices": ORACLE_BRAND_PRICES,
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
     "join_semi_customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
-    "join_anti_customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "join_anti_customers_without_urgent_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "topk_orders": ORACLE_TOP10_ORDERS,
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "setop_union_names": ORACLE_UNION_NAMES,

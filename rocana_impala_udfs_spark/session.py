@@ -14,6 +14,7 @@ Scale notes (100 TB design, tested on local[N]):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -126,11 +127,15 @@ _DIR_BYTES_MEMO: dict[str, int] = {}
 # DataFrame build time, so a set-exact policy let "build a frame from a
 # big dir, then load_table a small dir, then execute the big frame" run
 # the big query under floor sizing — silently reintroducing the 100×
-# shuffle-block OOM. Max-wins also makes concurrent query building safe
-# (the race can only over-partition, never under-partition), and tracking
-# the requirement (not raw bytes) lets loads with different declared
-# targets compose: the finest requirement seen wins the epoch.
+# shuffle-block OOM. Max-wins also makes concurrent query building safe —
+# guaranteed by _AUTOSIZE_LOCK around the read-modify-write + conf.set
+# (ADVICE r15 #1: an unguarded get/assign would let a thread holding a
+# stale high-water mark overwrite the dict and set the conf LOWER while a
+# bigger frame was still unexecuted) — and tracking the requirement (not
+# raw bytes) lets loads with different declared targets compose: the
+# finest requirement seen wins the epoch.
 _SESSION_MAX_REQUIRED: dict[str, int] = {}
+_AUTOSIZE_LOCK = threading.Lock()
 
 
 def _dir_bytes(data_dir: str) -> int:
@@ -202,10 +207,15 @@ def autosize_initial_partitions(
     cores = spark.sparkContext.defaultParallelism
     n = -(-_dir_bytes(data_dir) // target)  # ceil
     n = max(cores, min(n, _MAX_INITIAL_PARTITIONS))
-    n = max(n, _SESSION_MAX_REQUIRED.get(app, 0))
-    _SESSION_MAX_REQUIRED[app] = n
-    if spark.conf.get(conf_key, None) != str(n):
-        spark.conf.set(conf_key, str(n))
+    # the high-water read-modify-write and the conf.set must be one atomic
+    # step: without the lock, a thread that computed a smaller requirement
+    # from a stale high-water mark could set the conf LOWER while another
+    # thread's bigger frame was still unexecuted (ADVICE r15 #1)
+    with _AUTOSIZE_LOCK:
+        n = max(n, _SESSION_MAX_REQUIRED.get(app, 0))
+        _SESSION_MAX_REQUIRED[app] = n
+        if spark.conf.get(conf_key, None) != str(n):
+            spark.conf.set(conf_key, str(n))
     return n
 
 
@@ -216,4 +226,5 @@ def reset_autosize(spark: SparkSession) -> None:
     frames built so far have been fully executed and it is deliberately
     dropping to a smaller data volume (the scaling sweeps do, at each SF
     point boundary); anywhere else the sticky maximum is the safe default."""
-    _SESSION_MAX_REQUIRED.pop(spark.sparkContext.applicationId, None)
+    with _AUTOSIZE_LOCK:
+        _SESSION_MAX_REQUIRED.pop(spark.sparkContext.applicationId, None)

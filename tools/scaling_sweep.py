@@ -127,7 +127,11 @@ CAP_REASON = {
 
 def _stage_shuffle_writes(sc) -> dict[int, int]:
     """Per-stage shuffle-write bytes keyed by stageId (AppStatusStore;
-    works with spark.ui.enabled=false)."""
+    works with spark.ui.enabled=false). Only the LATEST attempt per stage
+    counts (ADVICE r15 #3): stageList returns one StageData per
+    (stageId, attemptId), and summing attempts would double-count a
+    retried stage's failed attempt — exactly the TaskResultLost retry
+    class --isolate exists for — inflating the reported shuffle metric."""
     store = sc._jsc.sc().statusStore()
     gw = sc._gateway
     stages = store.stageList(
@@ -138,10 +142,14 @@ def _stage_shuffle_writes(sc) -> dict[int, int]:
         gw.jvm.java.util.ArrayList(),
     )
     out: dict[int, int] = {}
+    attempt: dict[int, int] = {}
     it = stages.iterator()
     while it.hasNext():
         s = it.next()
-        out[int(s.stageId())] = out.get(int(s.stageId()), 0) + int(s.shuffleWriteBytes())
+        sid, att = int(s.stageId()), int(s.attemptId())
+        if sid not in out or att >= attempt[sid]:
+            out[sid] = int(s.shuffleWriteBytes())
+            attempt[sid] = att
     return out
 
 
