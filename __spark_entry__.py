@@ -62,6 +62,7 @@ _NEVER_DRIVER_CHECKED = [
     # deltas upserted into a keyed target, same oracles as their twins
     "stream_cdc_latest_merge",
     "stream_topk_events_merge",
+    "stream_cdc_user_day_merge",
     # renamed in r16 (ADVICE r15 #4): same plan as r15's hash-green
     # join_anti_customers_without_orders, key now matches the semantics
     "join_anti_customers_without_urgent_orders",

@@ -1156,6 +1156,70 @@ def q_stream_cdc_latest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_user_day_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-KEY-CARDINALITY CDC merge view (r16): latest event per
+    (user_id, day) maintained from update-mode deltas via the
+    foreachBatch merge sink. This is the shape where the merge sink's
+    O(touched keys per trigger) traffic actually SEPARATES from
+    complete-mode re-emission: on the TIME-ORDERED replay each (user,
+    day) key is touched in essentially one trigger (its day's file), so
+    the upsert log totals ~K delta rows while a complete-mode sink
+    re-emits all K keys every trigger — T×K over the query lifetime,
+    unbounded as a production stream keeps running. The per-user CDC
+    pair (stream_cdc_latest_state/merge) measures the other end — every
+    key touched every trigger, deltas == table — and the two pairs
+    bracket the regime (SCALING_STREAM_r16). State here is one row per
+    (user, day), the same unbounded-keyspace contract as the per-user
+    twin; eviction belongs to watermarked variants.
+
+    Oracle: last-writer-wins per (user, day) by (ts_us, event_id) — an
+    arrival-order-invariant mergeable aggregate, so the ordered replay's
+    batching cannot change the final target."""
+    from rocana_impala_udfs_spark.streaming.replay import (
+        replay_events_stream_ordered,
+        run_foreach_batch_merge,
+    )
+
+    stream, _d = replay_events_stream_ordered(spark, sf_dir)  # memoized
+    rows = stream.select(
+        "user_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    latest = rows.groupBy("user_id", "day").agg(
+        F.max_by(
+            F.struct("value", "ts_us", "event_id"),
+            F.struct(F.col("ts_us"), F.col("event_id")),
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    merged = run_foreach_batch_merge(latest, ["user_id", "day"])
+    return merged.select(
+        "user_id", "day", "s.value", "s.ts_us", "s.event_id", "n_events"
+    ).orderBy("user_id", "day")
+
+
+ORACLE_STREAM_CDC_USER_DAY = """
+WITH e AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
+           epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+latest AS (
+    SELECT user_id, day, value, ts_us, event_id,
+           count(*) OVER (PARTITION BY user_id, day) AS n_events
+    FROM e
+    QUALIFY row_number() OVER (PARTITION BY user_id, day
+                               ORDER BY ts_us DESC, event_id DESC) = 1
+)
+SELECT user_id, day, value, ts_us, event_id, CAST(n_events AS BIGINT) AS n_events
+FROM latest
+ORDER BY user_id, day
+"""
+
+
 ORACLE_STREAM_CDC_LATEST = """
 WITH ops AS (
     SELECT user_id,
@@ -5810,6 +5874,7 @@ TEMPORAL_QUERIES = {
     "stream_tws_median_value": q_stream_tws_median_value,
     "stream_cdc_latest_state": q_stream_cdc_latest_state,
     "stream_cdc_latest_merge": q_stream_cdc_latest_merge,
+    "stream_cdc_user_day_merge": q_stream_cdc_user_day_merge,
     "stream_ewma_user_value": q_stream_ewma_user_value,
     "ab_chi2_type_by_variant": q_ab_chi2_type_by_variant,
     "ab_cuped_sequential_peeks": q_ab_cuped_sequential_peeks,
@@ -5909,6 +5974,7 @@ TEMPORAL_ORACLE = {
     "stream_tws_median_value": ORACLE_STREAM_MEDIAN,
     "stream_cdc_latest_state": ORACLE_STREAM_CDC_LATEST,
     "stream_cdc_latest_merge": ORACLE_STREAM_CDC_LATEST,
+    "stream_cdc_user_day_merge": ORACLE_STREAM_CDC_USER_DAY,
     "stream_ewma_user_value": ORACLE_STREAM_EWMA,
     "ab_chi2_type_by_variant": ORACLE_AB_CHI2,
     "ab_cuped_sequential_peeks": ORACLE_AB_CUPED_SEQUENTIAL,

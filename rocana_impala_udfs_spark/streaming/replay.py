@@ -51,6 +51,11 @@ _REPLAY_DIRS: dict = {}
 # through the EXACT driver-key path without threading a capture list into
 # every plan function.
 LAST_PROGRESS: dict = {"progress": None}
+# ``sink_rows_total`` (r16): cumulative rows the query's SINK received
+# across ALL triggers — complete mode re-emits the whole result table per
+# trigger, so this is what quantifies the re-emission cost the
+# foreachBatch-merge twins avoid (their number is the upsert log's total
+# delta rows). Read by tools/scaling_stream_sweep.py.
 
 
 def replay_events_stream(
@@ -142,6 +147,12 @@ def run_to_table(
             capture_plan.append(q._jsq.explainInternal(False))
         with_state = [p for p in q.recentProgress if p.get("stateOperators")]
         LAST_PROGRESS["progress"] = with_state[-1] if with_state else None
+        LAST_PROGRESS["sink_rows_total"] = sum(
+            n
+            for p in q.recentProgress
+            for n in [int((p.get("sink") or {}).get("numOutputRows", -1))]
+            if n >= 0
+        )
         if capture_progress is not None and with_state:
             capture_progress.append(with_state[-1])
     finally:
@@ -201,6 +212,10 @@ def run_foreach_batch_merge(
 
     spark = out.sparkSession
     log = spark.read.parquet(log_dir)
+    # the log's total rows ARE the cumulative sink traffic: exactly the
+    # delta rows every trigger appended (foreachBatch progress reports
+    # numOutputRows=-1, so the log is the ground truth here)
+    LAST_PROGRESS["sink_rows_total"] = log.count()
     w = Window.partitionBy(*key_cols).orderBy(F.col("_merge_bid").desc())
     return (
         log.withColumn("_rn", F.row_number().over(w))

@@ -53,7 +53,11 @@ FIXED_DIR = "/root/testdata/sf0.001"
 # BOTH sides; the left-outer twin also holds the null-emission timers).
 DEFAULT_KEYS = [
     "stream_topk_events_per_type",
+    "stream_topk_events_merge",
     "stream_cdc_latest_state",
+    "stream_cdc_latest_merge",
+    "stream_cdc_user_day_merge",
+    "stream_cdc_user_day_complete",
     "stream_tws_ewma_user_value",
     "stream_dedup_within_watermark",
     "stream_session_windows",
@@ -111,7 +115,41 @@ def _extra_builders():
         )
         return run_to_table(agg, mode="append")
 
-    return {"stream_session_windows_append_bounded": session_append}
+    def cdc_user_day_complete(spark, d):
+        """Sweep-only complete-mode twin of stream_cdc_user_day_merge:
+        same per-(user, day) latest-wins aggregate, memory sink in
+        complete mode — re-emits ALL keys every trigger, so its
+        sink_rows_cumulative is T×K against the merge twin's ~K (each
+        key touched in ~one ordered-replay trigger). The pairing
+        quantifies what the foreachBatch merge sink saves at high key
+        cardinality; the per-user pair brackets the other end (every key
+        touched every trigger, deltas == table)."""
+        from rocana_impala_udfs_spark.streaming.replay import (
+            replay_events_stream_ordered,
+            run_to_table,
+        )
+
+        stream, _dir = replay_events_stream_ordered(spark, d)
+        rows = stream.select(
+            "user_id",
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        latest = rows.groupBy("user_id", "day").agg(
+            F.max_by(
+                F.struct("value", "ts_us", "event_id"),
+                F.struct(F.col("ts_us"), F.col("event_id")),
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        return run_to_table(latest, mode="complete")
+
+    return {
+        "stream_session_windows_append_bounded": session_append,
+        "stream_cdc_user_day_complete": cdc_user_day_complete,
+    }
 
 
 def _fit(xs, ys):
@@ -127,16 +165,21 @@ def _fit(xs, ys):
     return sum((p[0] - mx) * (p[1] - my) for p in pts) / sxx
 
 
-def _state_totals() -> tuple[int | None, float | None, int | None]:
+def _state_totals() -> tuple[int | None, float | None, int | None, int | None]:
     from rocana_impala_udfs_spark.streaming import replay
 
+    # cumulative rows the sink received across ALL triggers (r16): for the
+    # complete-mode keys this is the re-emission volume; for the
+    # foreachBatch-merge twins it is the upsert log's total delta rows —
+    # the pairing quantifies what the merge sink shape saves
+    sink_rows = replay.LAST_PROGRESS.get("sink_rows_total")
     prog = replay.LAST_PROGRESS.get("progress")
     if not prog:
-        return None, None, None
+        return None, None, None, sink_rows
     ops = prog.get("stateOperators") or []
     rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
     mem = sum(int(o.get("memoryUsedBytes") or 0) for o in ops)
-    return rows, round(mem / 1e6, 3), len(ops)
+    return rows, round(mem / 1e6, 3), len(ops), sink_rows
 
 
 def _timed_run(fn, spark, d) -> tuple[float, int]:
@@ -204,7 +247,7 @@ def main() -> int:
             reset_autosize(spark)
             try:
                 _timed_run(qs[key], spark, d)  # warmup: replay write, codegen
-                best, n_rows, st = None, 0, (None, None, None)
+                best, n_rows, st = None, 0, (None, None, None, None)
                 for _ in range(runs):
                     dt, n_rows = _timed_run(qs[key], spark, d)
                     if best is None or dt < best:
@@ -216,19 +259,21 @@ def main() -> int:
                 }
                 print(f"{key} @{label}: FAILED {type(exc).__name__}", flush=True)
                 break
-            rows_state, mem_mb, n_ops = st
+            rows_state, mem_mb, n_ops, sink_rows = st
             row["points"][label] = {
                 "sec": round(best, 3),
                 "marginal_sec": round(max(best - fixed, 0.0), 3),
                 "state_rows": rows_state,
                 "state_mem_mb": mem_mb,
                 "state_operators": n_ops,
+                "sink_rows_cumulative": sink_rows,
                 "rows_out": n_rows,
                 "mult": mult,
             }
             print(
                 f"{key} @{label}: {best:.2f}s marginal={max(best - fixed, 0):.2f}s "
-                f"state_rows={rows_state} state_mem={mem_mb}MB rows_out={n_rows}",
+                f"state_rows={rows_state} state_mem={mem_mb}MB "
+                f"sink_rows={sink_rows} rows_out={n_rows}",
                 flush=True,
             )
         ok = [p for p in row["points"].values() if "sec" in p]
