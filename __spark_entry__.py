@@ -63,6 +63,11 @@ _NEVER_DRIVER_CHECKED = [
     "stream_cdc_latest_merge",
     "stream_topk_events_merge",
     "stream_cdc_user_day_merge",
+    # NEW in r16: the governance family's DP + l-diversity members —
+    # deterministic content-addressed Laplace draw (oracle-replayable),
+    # and the k-anonymity companion over the same QI frame
+    "privacy_dp_histogram",
+    "privacy_l_diversity",
     # renamed in r16 (ADVICE r15 #4): same plan as r15's hash-green
     # join_anti_customers_without_orders, key now matches the semantics
     "join_anti_customers_without_urgent_orders",

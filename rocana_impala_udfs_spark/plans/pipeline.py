@@ -5700,8 +5700,122 @@ FROM g
 """
 
 
+def q_privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY noised release (r16) — the governance family's
+    missing member next to k-anonymity/l-diversity: per-event-type counts
+    released through the Laplace mechanism at epsilon=1 (sensitivity 1 for
+    a disjoint-count histogram, so scale b = 1/epsilon). The noise draw is
+    DETERMINISTIC and content-addressed — the same md5-bucket uniform the
+    sampling operators use as their RNG — mapped through the Laplace
+    inverse CDF ``-b·sign(v)·ln(1-2|v|)``, v = u-0.5; u uses the
+    (bucket+0.5)/P midpoint so 1-2|v| is never 0 and the draw is exactly
+    replayable in any engine. A production release would swap the hash
+    draw for calibrated secure randomness; the MECHANISM (sensitivity
+    analysis, inverse-CDF transform, per-group independence) is what this
+    certifies, and making the draw deterministic is what makes it
+    oracle-checkable at all. Scale: one partial+final count over a
+    domain-bounded group-by; the noise is a pure projection."""
+    ev = load_table(spark, sf_dir, "events")
+    eps, P = 1.0, 1_000_000
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("event_type")), 1, 12), 16, 10).cast(
+                "bigint"
+            )
+            % P
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(P))
+    v = u - 0.5
+    noise = (
+        F.lit(-1.0 / eps)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return g.select(
+        "event_type",
+        F.lit(eps).alias("epsilon"),
+        F.round(F.col("n") + noise, 4).alias("dp_count"),
+    ).orderBy("event_type")
+
+
+ORACLE_DP_HISTOGRAM = """
+WITH g AS (
+    SELECT event_type, count(*) AS n FROM events GROUP BY 1
+),
+draw AS (
+    SELECT event_type, n,
+           ((CAST(concat('0x', substring(md5(event_type), 1, 12)) AS BIGINT)
+             % 1000000) + 0.5) / 1000000.0 - 0.5 AS v
+    FROM g
+)
+SELECT event_type,
+       1.0 AS epsilon,
+       round(n + (-1.0) * sign(v) * ln(1 - 2 * abs(v)), 4) AS dp_count
+FROM draw
+ORDER BY event_type
+"""
+
+
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (l=3) — k-anonymity's companion check: a QI
+    group can be large (k-anonymous) yet still leak if everyone in it
+    shares one SENSITIVE value. Over the same QI tuple as the k-anonymity
+    key (customer nation, order year) with market segment as the
+    sensitive attribute: a group is l-diverse iff it contains >= l
+    distinct sensitive values. Reports the census plus the worst group's
+    diversity. Exact integers end to end — distinct counts per
+    domain-bounded QI grid, hash-stable by construction. Scale: same one
+    key join + grouped agg as the k-anonymity key; countDistinct over the
+    bounded segment domain adds a second partial agg, nothing more."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    qi = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_nationkey", F.year("o_orderdate").alias("order_year"), "c_mktsegment"
+    )
+    g = qi.groupBy("c_nationkey", "order_year").agg(
+        F.count(F.lit(1)).alias("gsize"),
+        F.countDistinct("c_mktsegment").alias("l_div"),
+    )
+    l_req = 3
+    return g.agg(
+        F.lit(l_req).cast("int").alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("l_div") < l_req, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_div") < l_req, F.col("gsize"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("l_div").cast("bigint").alias("min_diversity"),
+    )
+
+
+ORACLE_L_DIVERSITY = """
+WITH g AS (
+    SELECT c_nationkey, year(o_orderdate) AS order_year,
+           count(*) AS gsize, count(DISTINCT c_mktsegment) AS l_div
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+)
+SELECT CAST(3 AS INT) AS l,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(coalesce(sum(CASE WHEN l_div < 3 THEN gsize END), 0) AS BIGINT) AS rows_at_risk,
+       CAST(min(l_div) AS BIGINT) AS min_diversity
+FROM g
+"""
+
+
 PIPELINE_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
+    "privacy_dp_histogram": q_privacy_dp_histogram,
+    "privacy_l_diversity": q_privacy_l_diversity,
     "quality_pii_report": q_quality_pii_report,
     "quality_keep_threshold_sweep": q_quality_keep_threshold_sweep,
     "index_token_postings": q_index_token_postings,
@@ -5860,6 +5974,8 @@ PIPELINE_ORACLE = {
     "eval_matryoshka_recall": ORACLE_EVAL_MATRYOSHKA,
     "eval_brier_decomposition": ORACLE_EVAL_BRIER,
     "privacy_k_anonymity": ORACLE_K_ANONYMITY,
+    "privacy_dp_histogram": ORACLE_DP_HISTOGRAM,
+    "privacy_l_diversity": ORACLE_L_DIVERSITY,
     "eval_conformal_coverage": ORACLE_EVAL_CONFORMAL,
     "corpus_gini_doc_length": ORACLE_CORPUS_GINI,
     "eval_mrr_report": ORACLE_EVAL_MRR,
