@@ -219,6 +219,49 @@ def autosize_initial_partitions(
     return n
 
 
+# Streaming state partitioning (r16 optimization round, guide §2.2/§2.4):
+# a stateful streaming query's ``spark.sql.shuffle.partitions`` is ALSO its
+# state-store partition count — every micro-batch schedules that many reduce
+# tasks and opens/commits that many state-store files PER stateful operator,
+# and AQE cannot coalesce it (AQE is disabled for stateful workloads). At
+# bench scale (2 MB replayed events, 4 micro-batches) the core-count default
+# of 32 is pure fixed cost: measured warm min-of-3 at sf0.1 local[32],
+# stream_daily_event_stats 7.70 s @32 → 2.45 s @4, stream_cdc_latest_state
+# 5.63 → 2.55, stream_topk_events_per_type 6.06 → 3.33. The count is sized
+# from REPLAYED bytes with the same 8 MiB/partition target the batch
+# autosizer uses, so a 100× replay gets 26 partitions and a cluster-scale
+# feed grows to the 32768 cap — scale-adaptive, not a local[32] constant.
+# PYTHON-stateful queries (applyInPandasWithState / transformWithState-
+# InPandas) are the exception: their per-batch work is Python compute that
+# parallelizes across state partitions, and fewer partitions measurably
+# HURTS (stream_tws_ewma_user_value 10.8 s @32 → 13.0 s @4), so their floor
+# is the session's core count instead of the 4-partition machinery floor.
+_STREAM_TARGET_BYTES_PER_PARTITION = 8 << 20
+_STREAM_MIN_PARTITIONS = 4
+
+
+def autosize_stream_state_partitions(
+    spark: SparkSession, replayed_dir: str, python_stateful: bool = False
+) -> int:
+    """State-store partition count for a bounded-replay streaming query,
+    sized from the bytes actually replayed (see block comment above).
+    Pure computation — the caller (streaming/replay.py's query runners)
+    sets ``spark.sql.shuffle.partitions`` around the query's lifetime and
+    RESTORES it afterwards, because batch operators read that conf as a
+    parallelism target (`_ensure_parallelism` siblings).
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` is the explicit operator override."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return int(env)
+    n = -(-_dir_bytes(replayed_dir) // _STREAM_TARGET_BYTES_PER_PARTITION)  # ceil
+    floor = (
+        spark.sparkContext.defaultParallelism
+        if python_stateful
+        else _STREAM_MIN_PARTITIONS
+    )
+    return max(floor, min(n, _MAX_INITIAL_PARTITIONS))
+
+
 def reset_autosize(spark: SparkSession) -> None:
     """End the session's sizing epoch: forget the required-partition
     high-water mark so the next :func:`autosize_initial_partitions` call

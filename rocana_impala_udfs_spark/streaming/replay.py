@@ -28,6 +28,16 @@ Scale note: the replay writes the normalized table once to a temp dir and
 streams it back with maxFilesPerTrigger=1, so the query genuinely runs as
 multiple micro-batches with state carried between them — not one giant
 batch in disguise.
+
+Performance note (r16): the runners size the query's state-store partition
+count (``spark.sql.shuffle.partitions``, which AQE cannot coalesce for
+stateful workloads) from the bytes actually replayed via
+``session.autosize_stream_state_partitions`` and RESTORE the conf after the
+query stops. Results are partitioning-invariant (keyed aggregation state,
+watermark advancement and foreachBatch deltas do not depend on the reduce
+partition count); what changes is per-micro-batch task count and
+state-store file count — measured 2-3× of every JVM-stateful benched key's
+warm time at sf0.1.
 """
 
 from __future__ import annotations
@@ -43,6 +53,44 @@ from rocana_impala_udfs_spark.sources.io import load_table
 
 
 _REPLAY_DIRS: dict = {}
+
+# Most-recent replay source dir built in this process — the state-partition
+# autosizer's input (r16): every plan function builds its replay source(s)
+# and immediately runs the query through one of the runners below, so "the
+# last replay dir written" is the data the next query replays. Runners that
+# see no hint (direct writeStream users, tests) change nothing.
+_STATE_PARTITION_HINT: dict = {"dir": None}
+
+
+def _stream_conf_override(out: DataFrame, python_stateful: bool | None = None):
+    """(conf_key, new_value, old_value) for the state-partition override of
+    the query about to start, or None when no replay hint exists. The
+    Python-stateful floor is detected from the analyzed logical plan (the
+    *InPandas* stateful operators parallelize real Python compute across
+    state partitions — see session.autosize_stream_state_partitions); a
+    plan function that KNOWS its Python state is domain-bounded (a handful
+    of group keys, so core-count state partitions are mostly empty stores)
+    declares ``python_stateful=False`` explicitly to keep the machinery
+    floor instead."""
+    d = _STATE_PARTITION_HINT.get("dir")
+    if not d or not os.path.isdir(d):
+        return None
+    from rocana_impala_udfs_spark.session import autosize_stream_state_partitions
+
+    if python_stateful is None:
+        try:
+            plan = out._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            plan = ""
+        # applyInPandasWithState analyzes to FlatMapGroupsInPandasWithState;
+        # transformWithStateInPandas to TransformWithStateInPySpark — either
+        # way the stateful work is Python compute parallelized by partition
+        python_stateful = "InPandas" in plan or "InPySpark" in plan
+    n = autosize_stream_state_partitions(
+        out.sparkSession, d, python_stateful=python_stateful
+    )
+    key = "spark.sql.shuffle.partitions"
+    return key, str(n), out.sparkSession.conf.get(key, None)
 
 # Most-recent streaming run's final stateful-operator progress, refreshed by
 # every run_to_table call (None when the query had no stateful operator).
@@ -81,6 +129,7 @@ def replay_events_stream(
                 "append" if i else "overwrite"
             ).parquet(d)
         _REPLAY_DIRS[key] = d
+    _STATE_PARTITION_HINT["dir"] = d
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -124,6 +173,7 @@ def run_to_table(
     mode: str = "complete",
     capture_plan: list | None = None,
     capture_progress: list | None = None,
+    python_stateful: bool | None = None,
 ) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
     return the final result table (batch DataFrame).
@@ -140,23 +190,31 @@ def run_to_table(
     default reports none) through the exact driver-key path.
     """
     name = "replay_" + uuid.uuid4().hex[:12]
-    q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    ov = _stream_conf_override(out, python_stateful)
+    if ov is not None:
+        out.sparkSession.conf.set(ov[0], ov[1])
     try:
-        q.processAllAvailable()
-        if capture_plan is not None:
-            capture_plan.append(q._jsq.explainInternal(False))
-        with_state = [p for p in q.recentProgress if p.get("stateOperators")]
-        LAST_PROGRESS["progress"] = with_state[-1] if with_state else None
-        LAST_PROGRESS["sink_rows_total"] = sum(
-            n
-            for p in q.recentProgress
-            for n in [int((p.get("sink") or {}).get("numOutputRows", -1))]
-            if n >= 0
-        )
-        if capture_progress is not None and with_state:
-            capture_progress.append(with_state[-1])
+        q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+        try:
+            q.processAllAvailable()
+            if capture_plan is not None:
+                capture_plan.append(q._jsq.explainInternal(False))
+            with_state = [p for p in q.recentProgress if p.get("stateOperators")]
+            LAST_PROGRESS["progress"] = with_state[-1] if with_state else None
+            LAST_PROGRESS["sink_rows_total"] = sum(
+                n
+                for p in q.recentProgress
+                for n in [int((p.get("sink") or {}).get("numOutputRows", -1))]
+                if n >= 0
+            )
+            if capture_progress is not None and with_state:
+                capture_progress.append(with_state[-1])
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        # restore: batch operators read this conf as a parallelism target
+        if ov is not None and ov[2] is not None:
+            out.sparkSession.conf.set(ov[0], ov[2])
     return out.sparkSession.table(name)
 
 
@@ -164,6 +222,7 @@ def run_foreach_batch_merge(
     out: DataFrame,
     key_cols: list,
     capture_progress: list | None = None,
+    python_stateful: bool | None = None,
 ) -> DataFrame:
     """PRODUCTION SINK SHAPE for update-mode state (VERDICT r15 #4): run
     ``out`` with ``foreachBatch`` and MERGE each trigger's delta into a
@@ -198,15 +257,22 @@ def run_foreach_batch_merge(
             "append"
         ).parquet(log_dir)
 
-    q = out.writeStream.outputMode("update").foreachBatch(_append).start()
+    ov = _stream_conf_override(out, python_stateful)
+    if ov is not None:
+        out.sparkSession.conf.set(ov[0], ov[1])
     try:
-        q.processAllAvailable()
-        with_state = [p for p in q.recentProgress if p.get("stateOperators")]
-        LAST_PROGRESS["progress"] = with_state[-1] if with_state else None
-        if capture_progress is not None and with_state:
-            capture_progress.append(with_state[-1])
+        q = out.writeStream.outputMode("update").foreachBatch(_append).start()
+        try:
+            q.processAllAvailable()
+            with_state = [p for p in q.recentProgress if p.get("stateOperators")]
+            LAST_PROGRESS["progress"] = with_state[-1] if with_state else None
+            if capture_progress is not None and with_state:
+                capture_progress.append(with_state[-1])
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if ov is not None and ov[2] is not None:
+            out.sparkSession.conf.set(ov[0], ov[2])
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -270,18 +336,25 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
             .parquet(stage)
         )
         name = "restart_" + _uuid.uuid4().hex[:12]
-        q = (
-            build_agg(s)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", cp)
-            .start()
-        )
+        agg = build_agg(s)
+        ov = _stream_conf_override(agg)
+        if ov is not None:
+            spark.conf.set(ov[0], ov[1])
         try:
-            q.processAllAvailable()
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", cp)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            if ov is not None and ov[2] is not None:
+                spark.conf.set(ov[0], ov[2])
         return name
 
     try:
@@ -343,6 +416,7 @@ def _ordered_replay(
                         t0 = os.path.getmtime(fp)
                     os.utime(fp, (t0 + i, t0 + i))
         _REPLAY_DIRS[memo_key] = d
+    _STATE_PARTITION_HINT["dir"] = d
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

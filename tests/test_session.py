@@ -162,3 +162,70 @@ def test_metadata_files_excluded(spark, tmp_path):
     assert autosize_initial_partitions(spark, str(d)) == (
         spark.sparkContext.defaultParallelism
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: streaming state-partition autosizing (optimization round 1)
+# ---------------------------------------------------------------------------
+# A stateful streaming query's shuffle.partitions is its state-store
+# partition count and AQE cannot coalesce it; the replay runners size it
+# from the REPLAYED bytes (same 8 MiB target) with a 4-partition machinery
+# floor — except Python-stateful queries, whose per-batch work parallelizes
+# across state partitions, which keep the core-count floor.
+
+
+def test_stream_partitions_floor_and_bytes(spark, tmp_path):
+    from rocana_impala_udfs_spark.session import (
+        _STREAM_MIN_PARTITIONS,
+        _STREAM_TARGET_BYTES_PER_PARTITION,
+        autosize_stream_state_partitions,
+    )
+
+    small = _fake_dir(tmp_path, "s_small", 1 << 20)  # 1 MiB -> floor
+    assert autosize_stream_state_partitions(spark, small) == _STREAM_MIN_PARTITIONS
+    big = _fake_dir(tmp_path, "s_big", 2 << 30)  # 2 GiB -> bytes/8MiB
+    assert autosize_stream_state_partitions(spark, big) == (
+        (2 << 30) // _STREAM_TARGET_BYTES_PER_PARTITION
+    )
+
+
+def test_stream_partitions_python_stateful_floor_is_cores(spark, tmp_path):
+    from rocana_impala_udfs_spark.session import autosize_stream_state_partitions
+
+    small = _fake_dir(tmp_path, "s_py", 1 << 20)
+    assert autosize_stream_state_partitions(
+        spark, small, python_stateful=True
+    ) == spark.sparkContext.defaultParallelism
+
+
+def test_stream_partitions_env_override(spark, tmp_path, monkeypatch):
+    from rocana_impala_udfs_spark.session import autosize_stream_state_partitions
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "11")
+    d = _fake_dir(tmp_path, "s_env", 5 << 30)
+    assert autosize_stream_state_partitions(spark, d) == 11
+
+
+def test_run_to_table_applies_and_restores_state_partitions(spark):
+    """End to end through the exact driver-key path: the JVM-stateful
+    complete-mode key runs its state at the machinery floor (pinned via
+    the query's own StreamingQueryProgress), the Python-stateful tws key
+    keeps core-count state partitions, and in both cases the session conf
+    is RESTORED afterwards (batch operators read it as a parallelism
+    target)."""
+    from rocana_impala_udfs_spark.plans.temporal import TEMPORAL_QUERIES
+    from rocana_impala_udfs_spark.session import _STREAM_MIN_PARTITIONS
+    from rocana_impala_udfs_spark.streaming import replay
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    TEMPORAL_QUERIES["stream_daily_event_stats"](spark, SF_SMOKE).collect()
+    ops = (replay.LAST_PROGRESS["progress"] or {}).get("stateOperators") or []
+    assert [o.get("numShufflePartitions") for o in ops] == [_STREAM_MIN_PARTITIONS]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    TEMPORAL_QUERIES["stream_tws_ewma_user_value"](spark, SF_SMOKE).collect()
+    ops = (replay.LAST_PROGRESS["progress"] or {}).get("stateOperators") or []
+    assert [o.get("numShufflePartitions") for o in ops] == [
+        spark.sparkContext.defaultParallelism
+    ]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
