@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rocana_impala_udfs_spark.sources.io import load_table
+from rocana_impala_udfs_spark.sources.io import ensure_parallelism, load_table
 
 
 # --- scans / filters / projections / aggregation (TPC-H Q1 flavor) ---------
@@ -2795,9 +2795,15 @@ def q_stats_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented swap beyond."""
     B = 100
     ths = _poisson1_cdf_thresholds()
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    # ensure_parallelism (r16, guide §2.5): the single-file orders scan is
+    # ONE partition, which serialized the 20-md5s-per-row projection below
+    # into a single 4.5 s task at sf0.1; round-robin to the session target
+    # first (no-op on a wide production scan)
+    o = ensure_parallelism(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
     )
     seeded = o.select(
         "o_orderkey",
@@ -2959,10 +2965,14 @@ def q_stats_stratified_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFra
     B = 100
     ths = _poisson1_cdf_thresholds()
     hex_ths = [format(t, "06x") for t in ths]
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.substring("o_orderpriority", 1, 1).alias("p"),
+    # ensure_parallelism: same single-task-projection fix as the plain
+    # bootstrap key above (r16, guide §2.5)
+    o = ensure_parallelism(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.substring("o_orderpriority", 1, 1).alias("p"),
+        )
     )
     seeded = o.select(
         "o_orderkey",

@@ -73,6 +73,22 @@ def load_table(
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session parallelism target when the
+    scan arrived NARROW (r16 optimization round, guide §2.5 "input skew"):
+    the fixture tables are single-file/single-row-group parquet, so every
+    scan is ONE partition and any compute-heavy map-side chain on it
+    serializes (the Poisson-bootstrap keys' 3M-md5 projection measured
+    4.5 s in one task at sf0.1 — ~0.15 s spread over 32). At 100 TB the
+    scan is already wide and this is a no-op — same contract as the
+    private helpers in operators/{dedup,skyline,multimodal}.py and
+    functions/text.py."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
