@@ -241,6 +241,13 @@ def simhash_fingerprints(
     fingerprint 0 via the left join (explode drops them). One shuffle total,
     keyed on the document id — scale-safe at any corpus size.
     """
+    # widen a narrow (single-file) scan before the explode+hash: the
+    # fixture tables are one row group, so without this the whole
+    # fingerprint map side runs in ONE task (r16, guide §2.5; same idiom
+    # as repetition_profile above — no-op on a wide production scan)
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        df = df.repartition(target)
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.expr(_TOKENS_EXPR.format(col=text_col))).alias("pos", "tok"),
