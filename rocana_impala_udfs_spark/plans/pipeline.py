@@ -629,9 +629,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the methods themselves."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
+    # materialize the k·n_queries-row truth ONCE (r16, same rationale and
+    # idiom as eval_matryoshka_recall below): three per-method hit joins
+    # consume it, and without this each join re-executes the full
+    # brute-force corpus sweep — eager localCheckpoint, Context-
+    # Cleaner-released on GC
     brute = similarity.brute_force_topk_np(emb, queries, k=5).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=True)
     from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
 
     methods = [
@@ -793,10 +798,13 @@ def q_eval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
+    # rank-1 truth materialized once for the three method joins (r16 —
+    # matryoshka-recall idiom; each join otherwise re-runs the brute sweep)
     brute1 = (
         similarity.brute_force_topk_np(emb, queries, k=5)
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("neighbor_id").alias("rel_id"))
+        .localCheckpoint(eager=True)
     )
     methods = [
         ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
@@ -886,11 +894,13 @@ def q_eval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
+    # graded truth materialized once for the three method joins (r16 —
+    # matryoshka-recall idiom; each join otherwise re-runs the brute sweep)
     rel = similarity.brute_force_topk_np(emb, queries, k=5).select(
         "query_id",
         "neighbor_id",
         (F.lit(6) - F.col("rk")).cast("int").alias("rel"),
-    )
+    ).localCheckpoint(eager=True)
     methods = [
         ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
         ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
