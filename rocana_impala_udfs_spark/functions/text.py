@@ -243,11 +243,11 @@ def simhash_fingerprints(
     """
     # widen a narrow (single-file) scan before the explode+hash: the
     # fixture tables are one row group, so without this the whole
-    # fingerprint map side runs in ONE task (r16, guide §2.5; same idiom
-    # as repetition_profile above — no-op on a wide production scan)
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        df = df.repartition(target)
+    # fingerprint map side runs in ONE task (r16, guide §2.5; shared
+    # helper since r17 per ADVICE r16 — no-op on a wide production scan)
+    from rocana_impala_udfs_spark.sources.io import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.expr(_TOKENS_EXPR.format(col=text_col))).alias("pos", "tok"),

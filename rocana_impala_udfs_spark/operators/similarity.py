@@ -36,6 +36,32 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def cosine_sim_named(a_name: str, b_name: str) -> Column:
+    """:func:`cosine_sim` for plainly-named columns, built as ONE parsed SQL
+    expression (r17, VERDICT r16 #6 — driver-side plan-build cost): the
+    Column-API form issues ~30 py4j round trips per call site (each lambda
+    HOF is several), which adds up on the scorecard keys that embed three
+    re-rank chains per build. The expression tree is identical — same HOF
+    composition, same fold order, same ``0.0D`` double accumulator seed —
+    so every value is bit-for-bit the Column form's (pinned in
+    tests/test_pipeline.py)."""
+
+    def tf(col: str) -> str:
+        return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+    def sq(col: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({tf(col)}, x -> x * x), 0.0D,"
+            " (acc, x) -> acc + x))"
+        )
+
+    dot = (
+        f"aggregate(zip_with({tf(a_name)}, {tf(b_name)}, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    return F.expr(f"{dot} / ({sq(a_name)} * {sq(b_name)})")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -58,7 +84,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos"),
+            cosine_sim_named("q_vec", "n_vec").alias("_cos"),
         )
     )
     # Per-probe ranking goes through the two-phase salted top-k: a plain
@@ -130,11 +156,79 @@ def brute_force_topk_np(
             )
             yield out[out.neighbor_id != out.query_id]
 
+    # NOTE (r17): widening the narrow fixture scan here (ensure_parallelism)
+    # was tried and REVERTED — the corpus sweep is only ~0.3-0.7 s in one
+    # task at sf0.1, and the added round-robin exchange + 32-way Python
+    # dispatch on sub-1k-row batches measured a consistent net regression
+    # (ann_lsh_top5 1.9 → 3.5 s min-of-3). On a wide production scan the
+    # kernel already parallelizes via the scan splits.
     scored = vectors.select(id_col, vec_col).mapInPandas(
         score, schema="neighbor_id bigint, query_id bigint, _cos double"
     )
     # two-phase salted top-k: no single task ever sorts the whole corpus
     return _final_topk(scored.select("query_id", "neighbor_id", "_cos"), k)
+
+
+def brute_force_topk_np_multi(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims_list: tuple[int, ...] = (8, 16, 32, 64),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every prefix-truncation sweep of :func:`brute_force_topk_np` in ONE
+    corpus pass (r17, guide §2.4/§4.1): the matryoshka recall curve needs
+    the exact top-k at several truncated dimensionalities, and running the
+    per-``dims`` kernel separately re-scans and re-crosses the corpus once
+    per prefix. Each Arrow batch is loaded once and scored at every prefix
+    — per-prefix math is IDENTICAL to ``brute_force_topk_np(dims=d)``
+    (same ``V[:, :d]`` slice, same norm guard, same matmul), so every
+    (dim, query, neighbor, cos) is bit-for-bit the single-sweep value.
+    Output adds a leading ``dim`` column; the per-(dim, query) top-k goes
+    through the same two-phase salted rank."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q_full = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Qn = {}
+    for d in dims_list:
+        Qd = Q_full[:, :d]
+        Qn[d] = Qd / np.maximum(np.linalg.norm(Qd, axis=1, keepdims=True), 1e-12)
+
+    def score(batches):
+        for pdf in batches:
+            V_full = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n_ids = pdf[id_col].to_numpy()
+            n_pairs = len(n_ids) * len(q_ids)
+            rep_ids = np.repeat(n_ids, len(q_ids))
+            tile_ids = np.tile(q_ids, len(n_ids))
+            for d in dims_list:
+                V = V_full[:, :d]
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                sims = Vn @ Qn[d].T  # (batch, n_queries)
+                out = pd.DataFrame(
+                    {
+                        "dim": np.full(n_pairs, d, dtype=np.int32),
+                        "neighbor_id": rep_ids,
+                        "query_id": tile_ids,
+                        "_cos": sims.ravel(),
+                    }
+                )
+                yield out[out.neighbor_id != out.query_id]
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema="dim int, neighbor_id bigint, query_id bigint, _cos double"
+    )
+    topk = grouped_topk_two_phase(
+        scored.select("dim", "query_id", "neighbor_id", "_cos"),
+        ["dim", "query_id"],
+        [F.col("_cos").desc(), F.col("neighbor_id")],
+        k,
+        salt_col=F.xxhash64("neighbor_id"),
+    )
+    return topk.select(
+        "dim", "query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), "rk"
+    )
 
 
 def random_hyperplanes(dim: int, num_tables: int, bits_per_table: int, seed: int = 42) -> np.ndarray:
@@ -205,29 +299,33 @@ def lsh_bucket_topk(
 
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    vb = v.select(
-        "neighbor_id", "n_vec", bucket_ids(F.col("n_vec")).alias("bks")
-    ).select("neighbor_id", "n_vec", *[F.col("bks")[t].alias(f"t{t}") for t in range(num_tables)])
-    qb = q.select(
-        "query_id", "q_vec", bucket_ids(F.col("q_vec")).alias("bks")
-    ).select("query_id", "q_vec", *[F.col("bks")[t].alias(f"t{t}") for t in range(num_tables)])
+    vb = v.select("neighbor_id", "n_vec", bucket_ids(F.col("n_vec")).alias("bks"))
+    qb = q.select("query_id", "q_vec", bucket_ids(F.col("q_vec")).alias("bks"))
     # Candidate generation carries ONLY ids through the multi-table explode
     # and dedup: a distinct over rows holding two dim-sized float arrays
     # shuffles and compares the vectors themselves (measured 4× the whole
     # query at sf0.1). Ids dedup cheaply; vectors re-attach afterwards —
     # neighbors by keyed join, queries by broadcast.
-    v_stack = vb.select(
-        "neighbor_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"t{t}").alias("bkt")) for t in range(num_tables)])
-        ).alias("tb"),
-    ).select("neighbor_id", "tb.tbl", "tb.bkt")
-    q_stack = qb.select(
-        "query_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("tbl"), F.col(f"t{t}").alias("bkt")) for t in range(num_tables)])
-        ).alias("tb"),
-    ).select("query_id", "tb.tbl", "tb.bkt")
+    #
+    # The (tbl, bkt) stack is ONE parsed SQL expression instead of ~100
+    # per-table Column objects (r17, VERDICT r16 #6): each Column op is a
+    # py4j round trip, and the old per-table struct/array construction
+    # measured ~1 s of driver-side plan-build time per call. `bks[t]` is
+    # the same 0-based array subscript the Column form used; the analyzed
+    # plan is identical.
+    stack_expr = (
+        "explode(array("
+        + ", ".join(
+            f"named_struct('tbl', {t}, 'bkt', bks[{t}])" for t in range(num_tables)
+        )
+        + ")) AS tb"
+    )
+    v_stack = vb.selectExpr("neighbor_id", stack_expr).select(
+        "neighbor_id", "tb.tbl", "tb.bkt"
+    )
+    q_stack = qb.selectExpr("query_id", stack_expr).select(
+        "query_id", "tb.tbl", "tb.bkt"
+    )
     pairs = (
         v_stack.join(F.broadcast(q_stack), ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -238,7 +336,7 @@ def lsh_bucket_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     return (
         candidates.select(
-            "query_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos")
+            "query_id", "neighbor_id", cosine_sim_named("q_vec", "n_vec").alias("_cos")
         )
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= k)
@@ -343,7 +441,7 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     return (
         candidates.select(
-            "query_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos")
+            "query_id", "neighbor_id", cosine_sim_named("q_vec", "n_vec").alias("_cos")
         )
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= k)
@@ -906,7 +1004,7 @@ def ivf_fixed_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     return (
         candidates.select(
-            "query_id", "neighbor_id", cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("_cos")
+            "query_id", "neighbor_id", cosine_sim_named("q_vec", "n_vec").alias("_cos")
         )
         .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos"), F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= k)

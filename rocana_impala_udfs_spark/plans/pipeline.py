@@ -629,14 +629,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the methods themselves."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    # materialize the k·n_queries-row truth ONCE (r16, same rationale and
-    # idiom as eval_matryoshka_recall below): three per-method hit joins
-    # consume it, and without this each join re-executes the full
-    # brute-force corpus sweep — eager localCheckpoint, Context-
-    # Cleaner-released on GC
+    # r17: the truth frame is consumed by exactly ONE hit join since the
+    # method-union collapse below, so the r16 eager localCheckpoint (which
+    # guarded against 3 joins each re-running the corpus sweep) became
+    # pure overhead — a separate barrier job per build. Un-checkpointed,
+    # the sweep runs inside the same job and overlaps the method subtrees.
     brute = similarity.brute_force_topk_np(emb, queries, k=5).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
+    )
     from rocana_impala_udfs_spark.operators.pq import pq_adc_topk
 
     methods = [
@@ -644,25 +644,48 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
         ("pq_adc", pq_adc_topk(emb, n_probes=4, k=5), 4),
     ]
-    reports = []
-    for name, approx, n_queries in methods:
-        hits = approx.select("query_id", "neighbor_id").join(
-            brute, ["query_id", "neighbor_id"], "inner"
+    # r17 (guide §2.4, VERDICT r16 #1): ONE hit join + ONE aggregation over
+    # the method-tagged union instead of a (join, agg) pair per method —
+    # the per-method branches were ~12 extra exchanges/stages of pure
+    # machinery on k·n_queries-bounded frames. hits/recall per method are
+    # identical: same rows, same counts, same double division; the dims
+    # left join keeps the always-3-rows contract (a method with zero hits
+    # still reports hits=0, recall 0.0, exactly as the per-method agg did).
+    tagged = [
+        appr.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
-        reports.append(
-            hits.agg(
-                F.lit(name).alias("method"),
-                F.lit(n_queries).cast("bigint").alias("n_queries"),
-                F.count(F.lit(1)).cast("bigint").alias("hits"),
-                F.round(
-                    F.count(F.lit(1)).cast("double") / F.lit(float(n_queries * 5)), 4
-                ).alias("recall_at_5"),
-            )
+        for name, appr, _nq in methods
+    ]
+    appr_all = tagged[0]
+    for t in tagged[1:]:
+        appr_all = appr_all.unionByName(t)
+    counts = (
+        # k·n_queries-bounded truth: broadcast (no estimate without the
+        # checkpoint; SMJ otherwise)
+        appr_all.join(F.broadcast(brute), ["query_id", "neighbor_id"], "inner")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    dims = spark.createDataFrame(
+        [(name, nq) for name, _appr, nq in methods], "method string, n_queries bigint"
+    )
+    return (
+        # one row per method survives the agg: broadcast it (the planner
+        # has no estimate for an agg-over-union and falls back to SMJ)
+        dims.join(F.broadcast(counts), "method", "left")
+        .select(
+            "method",
+            "n_queries",
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / (F.col("n_queries") * 5).cast("double"),
+                4,
+            ).alias("recall_at_5"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method")
+        .orderBy("method")
+    )
 
 
 def _oracle_ann_recall() -> str:
@@ -713,32 +736,46 @@ def q_eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is k·n_queries-bounded, final agg is 4 rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    # materialize the k·n_queries-row truth ONCE (eager localCheckpoint,
-    # ContextCleaner-released) — four hit joins consume it, and without
-    # this each join would re-run the full-dimension corpus sweep; the
-    # d=64 arm below still re-runs the kernel live on purpose (the
-    # determinism sanity row is only meaningful as a fresh execution)
+    # r17: one hit join consumes the truth since the dim-union collapse
+    # below, so the r16 eager localCheckpoint became pure overhead (see
+    # ann_recall_report); the full-dim sweep now runs inside the same job.
+    # The d=64 arm below still re-runs the kernel live on purpose (the
+    # determinism sanity row is only meaningful as a fresh execution).
     brute = similarity.brute_force_topk_np(emb, queries, k=5).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
-    reports = []
-    for d in (8, 16, 32, 64):
-        appr = similarity.brute_force_topk_np(emb, queries, k=5, dims=d).select(
-            "query_id", "neighbor_id"
+    )
+    # r17 (guide §2.4/§4.1, VERDICT r16 #1): all four prefix sweeps in ONE
+    # corpus pass (brute_force_topk_np_multi — per-dim math bit-identical
+    # to the per-dims kernel), then ONE hit join + ONE aggregation over the
+    # dim-tagged frame instead of a (kernel, join, agg) trio per prefix.
+    # The d=64 arm is still a fresh live execution of the kernel inside the
+    # multi sweep (the determinism sanity row keeps its meaning); only the
+    # plan shape changes — 4 scans+4 joins+4 aggs become 1+1+1.
+    appr_all = similarity.brute_force_topk_np_multi(
+        emb, queries, k=5, dims_list=(8, 16, 32, 64)
+    ).select("dim", "query_id", "neighbor_id")
+    counts = (
+        # k·n_queries-bounded truth: broadcast (no estimate without the
+        # checkpoint; SMJ otherwise)
+        appr_all.join(F.broadcast(brute), ["query_id", "neighbor_id"], "inner")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    dims_df = spark.createDataFrame([(d,) for d in (8, 16, 32, 64)], "dim int")
+    return (
+        # one row per dim survives the agg: broadcast it (no estimate for
+        # an agg-over-mapInPandas; SMJ otherwise)
+        dims_df.join(F.broadcast(counts), "dim", "left")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.lit(20).cast("bigint").alias("n_queries"),
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(100.0)).alias(
+                "recall_at_5"
+            ),
         )
-        hits = appr.join(brute, ["query_id", "neighbor_id"], "inner")
-        reports.append(
-            hits.agg(
-                F.lit(d).cast("int").alias("dim"),
-                F.lit(20).cast("bigint").alias("n_queries"),
-                F.count(F.lit(1)).cast("bigint").alias("hits"),
-                (F.count(F.lit(1)).cast("double") / F.lit(100.0)).alias("recall_at_5"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("dim")
+        .orderBy("dim")
+    )
 
 
 def _oracle_matryoshka_recall() -> str:
@@ -798,46 +835,66 @@ def q_eval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    # rank-1 truth materialized once for the three method joins (r16 —
-    # matryoshka-recall idiom; each join otherwise re-runs the brute sweep)
+    # r17: one rank join consumes the truth since the method-union collapse
+    # below, so the r16 eager localCheckpoint became pure overhead (see
+    # ann_recall_report); the sweep runs inside the same job.
     brute1 = (
         similarity.brute_force_topk_np(emb, queries, k=5)
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("neighbor_id").alias("rel_id"))
-        .localCheckpoint(eager=True)
     )
     methods = [
         ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
         ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
         ("pq_adc", pq_adc_topk(emb, n_probes=4, k=5), 4),
     ]
-    reports = []
-    for name, appr, nq in methods:
-        t = brute1.filter(F.col("query_id") < nq)
-        j = t.join(
-            appr.select("query_id", F.col("neighbor_id").alias("rel_id"), "rk"),
-            ["query_id", "rel_id"],
-            "left",
+    # r17 (guide §2.4, VERDICT r16 #1): one rank join + one aggregation over
+    # the method-tagged union replaces the per-method (filter, join, agg)
+    # branches. The truth side is tagged by cross-joining the 3-row method
+    # dims onto the checkpointed rank-1 frame and applying each method's
+    # query_id bound — the same per-method truth rows as before, so
+    # n_queries (= truth row count), sum_rr6 (exact integer sum) and the
+    # mrr double chain are value-identical.
+    dims = spark.createDataFrame(
+        [(name, nq) for name, _appr, nq in methods], "method string, nq int"
+    )
+    truth = (
+        brute1.crossJoin(dims)
+        .filter(F.col("query_id") < F.col("nq"))
+        .select("method", "query_id", "rel_id")
+    )
+    tagged = [
+        appr.select(
+            F.lit(name).alias("method"),
+            "query_id",
+            F.col("neighbor_id").alias("rel_id"),
+            "rk",
         )
-        rr6 = F.coalesce(
-            F.round(F.lit(1000000.0) / F.col("rk"), 0).cast("bigint"), F.lit(0)
+        for name, appr, _nq in methods
+    ]
+    appr_all = tagged[0]
+    for t in tagged[1:]:
+        appr_all = appr_all.unionByName(t)
+    # both sides are k·n_queries-bounded; the union side has no size
+    # estimate, so without the hint the planner falls back to a
+    # sort-merge join (2 extra exchanges + sorts on ~200-row frames)
+    j = truth.join(F.broadcast(appr_all), ["method", "query_id", "rel_id"], "left")
+    rr6 = F.coalesce(
+        F.round(F.lit(1000000.0) / F.col("rk"), 0).cast("bigint"), F.lit(0)
+    )
+    return (
+        j.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(rr6).cast("bigint").alias("sum_rr6"),
+            (
+                F.sum(rr6).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("mrr"),
         )
-        reports.append(
-            j.agg(
-                F.lit(name).alias("method"),
-                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-                F.sum(rr6).cast("bigint").alias("sum_rr6"),
-                (
-                    F.sum(rr6).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                    / F.lit(1000000.0)
-                ).alias("mrr"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method")
+        .orderBy("method")
+    )
 
 
 def _oracle_eval_mrr() -> str:
@@ -894,13 +951,14 @@ def q_eval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    # graded truth materialized once for the three method joins (r16 —
-    # matryoshka-recall idiom; each join otherwise re-runs the brute sweep)
+    # r17: one graded-truth join consumes this since the method-union
+    # collapse below, so the r16 eager localCheckpoint became pure
+    # overhead (see ann_recall_report); the sweep runs inside the same job.
     rel = similarity.brute_force_topk_np(emb, queries, k=5).select(
         "query_id",
         "neighbor_id",
         (F.lit(6) - F.col("rk")).cast("int").alias("rel"),
-    ).localCheckpoint(eager=True)
+    )
     methods = [
         ("ivf_fixed", similarity.ivf_fixed_topk(emb, queries, k=5), 20),
         ("lsh", similarity.lsh_bucket_topk(emb, queries, k=5), 20),
@@ -912,27 +970,46 @@ def q_eval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.log2(F.col("rk").cast("double") + F.lit(1.0)),
         0,
     ).cast("bigint")
-    reports = []
-    for name, appr, nq in methods:
-        j = appr.select("query_id", "neighbor_id", "rk").join(
-            rel, ["query_id", "neighbor_id"], "left"
+    # r17 (guide §2.4, VERDICT r16 #1): one graded-truth join + one
+    # aggregation over the method-tagged union replaces the per-method
+    # (join, agg) branches; sum_dcg6 is an exact integer sum over the same
+    # rows and the mean chain divides by the same literals, so every value
+    # is identical. The dims left join keeps the always-3-rows contract.
+    tagged = [
+        appr.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id", "rk"
         )
-        reports.append(
-            j.agg(
-                F.lit(name).alias("method"),
-                F.lit(nq).cast("bigint").alias("n_queries"),
-                F.sum(term6).cast("bigint").alias("sum_dcg6"),
-                (
-                    F.sum(term6).cast("double")
-                    / F.lit(float(nq))
-                    / F.lit(float(_IDCG6_AT_5))
-                ).alias("mean_ndcg"),
-            )
+        for name, appr, _nq in methods
+    ]
+    appr_all = tagged[0]
+    for t in tagged[1:]:
+        appr_all = appr_all.unionByName(t)
+    grouped = (
+        # k·n_queries-bounded graded truth: broadcast (no estimate without
+        # the checkpoint; SMJ otherwise)
+        appr_all.join(F.broadcast(rel), ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(F.sum(term6).cast("bigint").alias("sum_dcg6"))
+    )
+    dims = spark.createDataFrame(
+        [(name, nq) for name, _appr, nq in methods], "method string, n_queries bigint"
+    )
+    return (
+        # one row per method survives the agg: broadcast it (no estimate
+        # for an agg-over-union; SMJ otherwise)
+        dims.join(F.broadcast(grouped), "method", "left")
+        .select(
+            "method",
+            "n_queries",
+            "sum_dcg6",
+            (
+                F.col("sum_dcg6").cast("double")
+                / F.col("n_queries").cast("double")
+                / F.lit(float(_IDCG6_AT_5))
+            ).alias("mean_ndcg"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method")
+        .orderBy("method")
+    )
 
 
 def _oracle_eval_ndcg() -> str:

@@ -1441,20 +1441,35 @@ def _with_rocksdb_state_store(spark: SparkSession, run):
     """Run a streaming build under the RocksDB state-store provider,
     restoring the previous provider afterwards (the
     q_stream_rocksdb_state_counts discipline — later streaming keys in the
-    same session must keep the backend they were validated under)."""
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    same session must keep the backend they were validated under).
+
+    r17 (guide §5, VERDICT r16 #2): changelog checkpointing is enabled for
+    the query's lifetime — each commit uploads only the batch's state DELTA
+    instead of zipping a full RocksDB snapshot, which is the production
+    recommendation for frequent commits and was the tws keys' largest
+    per-trigger line (``commitTimeMs`` ≈ 16–26 s summed per trigger at
+    sf0.1 before). Purely a checkpoint-format choice: computed results are
+    unchanged, and the checkpoint-restart key certifies recovery."""
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         return run()
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
 
 
 def q_stream_tws_bitmap_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,6 +208,24 @@ def test_cosine_sim_known_values(spark):
     assert out[0].c == pytest.approx(0.0) and out[1].c == pytest.approx(1.0)
 
 
+def test_cosine_sim_named_bit_identical(spark):
+    """The one-parsed-expression form (r17 build-time optimization) must be
+    bit-for-bit the Column-API composition on real embedding pairs — same
+    HOF tree, same fold order, same double accumulator seed."""
+    emb = load_table(spark, SF, "embeddings")
+    pairs = (
+        emb.selectExpr("vec_id AS qid", "embedding AS q_vec")
+        .crossJoin(emb.selectExpr("vec_id AS nid", "embedding AS n_vec"))
+        .filter("qid < 5 AND nid < 60")
+    )
+    both = pairs.select(
+        similarity.cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("a"),
+        similarity.cosine_sim_named("q_vec", "n_vec").alias("b"),
+    ).collect()
+    assert len(both) > 100
+    assert all(r.a == r.b for r in both), "expr form diverged from Column form"
+
+
 # --- text ------------------------------------------------------------------
 
 
