@@ -1497,10 +1497,15 @@ def q_stream_tws_bitmap_map_state(spark: SparkSession, sf_dir: str) -> DataFrame
     from rocana_impala_udfs_spark.vendor.pbshim import ensure_protobuf
 
     stream, _d = replay_events_stream(spark, sf_dir)  # memoized
+    # python_stateful=False (r17, VERDICT r16 #7): the group domain is the
+    # handful of event types, so core-count state partitions are mostly
+    # empty stores — the machinery floor wins (the same declaration the
+    # grouped top-k keys carry).
     if not ensure_protobuf() or not _workers_can_import_protobuf(spark):
         sink = run_to_table(
             running_bitmap_distinct_stream(stream, "user_id", "event_type"),
             mode="update",
+            python_stateful=False,
         )
     else:
         sink = _with_rocksdb_state_store(
@@ -1509,6 +1514,7 @@ def q_stream_tws_bitmap_map_state(spark: SparkSession, sf_dir: str) -> DataFrame
                 running_bitmap_distinct_tws(stream, "user_id", "event_type"),
                 mode="update",
                 capture_plan=TWS_EXECUTED_PLANS,
+                python_stateful=False,
             ),
         )
     return (

@@ -62,17 +62,24 @@ _REPLAY_DIRS: dict = {}
 _STATE_PARTITION_HINT: dict = {"dir": None}
 
 
-def _stream_conf_override(out: DataFrame, python_stateful: bool | None = None):
+def _stream_conf_override(
+    out: DataFrame,
+    python_stateful: bool | None = None,
+    replay_dir: str | None = None,
+):
     """(conf_key, new_value, old_value) for the state-partition override of
-    the query about to start, or None when no replay hint exists. The
-    Python-stateful floor is detected from the analyzed logical plan (the
-    *InPandas* stateful operators parallelize real Python compute across
-    state partitions — see session.autosize_stream_state_partitions); a
-    plan function that KNOWS its Python state is domain-bounded (a handful
-    of group keys, so core-count state partitions are mostly empty stores)
-    declares ``python_stateful=False`` explicitly to keep the machinery
-    floor instead."""
-    d = _STATE_PARTITION_HINT.get("dir")
+    the query about to start, or None when no replay dir is known. The
+    sizing input is ``replay_dir`` when the caller threads it explicitly
+    (ADVICE r16 #1); otherwise the module hint left by the last replay
+    builder in this process. The Python-stateful floor is detected from the
+    analyzed logical plan (the stateful *InPandas*/*InPySpark* operators
+    parallelize real Python compute across state partitions — see
+    session.autosize_stream_state_partitions); a plan function that KNOWS
+    its Python state is domain-bounded (a handful of group keys, so
+    core-count state partitions are mostly empty stores) declares
+    ``python_stateful=False`` explicitly to keep the machinery floor
+    instead."""
+    d = replay_dir or _STATE_PARTITION_HINT.get("dir")
     if not d or not os.path.isdir(d):
         return None
     from rocana_impala_udfs_spark.session import autosize_stream_state_partitions
@@ -82,10 +89,16 @@ def _stream_conf_override(out: DataFrame, python_stateful: bool | None = None):
             plan = out._jdf.queryExecution().analyzed().toString()
         except Exception:
             plan = ""
-        # applyInPandasWithState analyzes to FlatMapGroupsInPandasWithState;
-        # transformWithStateInPandas to TransformWithStateInPySpark — either
-        # way the stateful work is Python compute parallelized by partition
-        python_stateful = "InPandas" in plan or "InPySpark" in plan
+        # Match the specific STATEFUL operator nodes (ADVICE r16 #4): the
+        # generic "InPandas" substring also matches stateless mapInPandas
+        # kernels (e.g. a brute-force scoring stage) in a plan whose
+        # stateful operator is JVM-side, which kept core-count partitions
+        # where the machinery floor was intended.
+        python_stateful = (
+            "FlatMapGroupsInPandasWithState" in plan
+            or "TransformWithStateInPySpark" in plan
+            or "TransformWithStateInPandas" in plan
+        )
     n = autosize_stream_state_partitions(
         out.sparkSession, d, python_stateful=python_stateful
     )
@@ -174,6 +187,7 @@ def run_to_table(
     capture_plan: list | None = None,
     capture_progress: list | None = None,
     python_stateful: bool | None = None,
+    replay_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink and
     return the final result table (batch DataFrame).
@@ -190,7 +204,7 @@ def run_to_table(
     default reports none) through the exact driver-key path.
     """
     name = "replay_" + uuid.uuid4().hex[:12]
-    ov = _stream_conf_override(out, python_stateful)
+    ov = _stream_conf_override(out, python_stateful, replay_dir)
     if ov is not None:
         out.sparkSession.conf.set(ov[0], ov[1])
     try:
@@ -213,8 +227,13 @@ def run_to_table(
             q.stop()
     finally:
         # restore: batch operators read this conf as a parallelism target
-        if ov is not None and ov[2] is not None:
-            out.sparkSession.conf.set(ov[0], ov[2])
+        # (unset when there was no prior value — ADVICE r16 #3: skipping
+        # the restore would leak the override into later batch plans)
+        if ov is not None:
+            if ov[2] is None:
+                out.sparkSession.conf.unset(ov[0])
+            else:
+                out.sparkSession.conf.set(ov[0], ov[2])
     return out.sparkSession.table(name)
 
 
@@ -223,6 +242,7 @@ def run_foreach_batch_merge(
     key_cols: list,
     capture_progress: list | None = None,
     python_stateful: bool | None = None,
+    replay_dir: str | None = None,
 ) -> DataFrame:
     """PRODUCTION SINK SHAPE for update-mode state (VERDICT r15 #4): run
     ``out`` with ``foreachBatch`` and MERGE each trigger's delta into a
@@ -257,7 +277,7 @@ def run_foreach_batch_merge(
             "append"
         ).parquet(log_dir)
 
-    ov = _stream_conf_override(out, python_stateful)
+    ov = _stream_conf_override(out, python_stateful, replay_dir)
     if ov is not None:
         out.sparkSession.conf.set(ov[0], ov[1])
     try:
@@ -271,8 +291,11 @@ def run_foreach_batch_merge(
         finally:
             q.stop()
     finally:
-        if ov is not None and ov[2] is not None:
-            out.sparkSession.conf.set(ov[0], ov[2])
+        if ov is not None:
+            if ov[2] is None:
+                out.sparkSession.conf.unset(ov[0])
+            else:
+                out.sparkSession.conf.set(ov[0], ov[2])
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -337,7 +360,10 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
         )
         name = "restart_" + _uuid.uuid4().hex[:12]
         agg = build_agg(s)
-        ov = _stream_conf_override(agg)
+        # the staged dir is threaded explicitly (ADVICE r16 #1): this
+        # runner replays its own staged copy, and the module hint still
+        # points at the shared replay dir another query built
+        ov = _stream_conf_override(agg, replay_dir=stage)
         if ov is not None:
             spark.conf.set(ov[0], ov[1])
         try:
@@ -353,8 +379,11 @@ def run_with_restart(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
             finally:
                 q.stop()
         finally:
-            if ov is not None and ov[2] is not None:
-                spark.conf.set(ov[0], ov[2])
+            if ov is not None:
+                if ov[2] is None:
+                    spark.conf.unset(ov[0])
+                else:
+                    spark.conf.set(ov[0], ov[2])
         return name
 
     try:

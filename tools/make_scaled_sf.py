@@ -63,13 +63,25 @@ def main() -> None:
     def emit(table: str, select_for_replica) -> None:
         parts = [select_for_replica(i) for i in range(mult)]
         union = " UNION ALL ".join(parts)
+        # ≥16 row groups per table (r17, VERDICT r16 #4): the driver's own
+        # fixtures are single-row-group (unsplittable scans — the reason
+        # the widen-if-narrow guards exist), but the DERIVED sweep data
+        # should match a production layout so the 10×/100× scale curves
+        # measure the operators, not a layout artifact. DuckDB's default
+        # 122 880-row groups already split the big tables at 10×+; the
+        # explicit size also splits the small ones (documents, embeddings).
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+        rgs = max(2048, (n_src * mult) // 16)
         con.execute(
-            f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({union}) TO '{out}/{table}.parquet'"
+            f" (FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
         )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
         ).fetchone()[0]
-        print(f"{table}: {n} rows")
+        print(f"{table}: {n} rows (row_group_size {rgs})")
 
     def copy(table: str) -> None:
         con.execute(
