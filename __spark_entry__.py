@@ -57,70 +57,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-16 front (every key entered r16 hash-green on its latest row —
 # VERDICT r15: 334/334 oracle keys green across the r1–r15 union):
 _NEVER_DRIVER_CHECKED = [
-    # (1) NEW in r16: the foreachBatch last-writer-wins merge twins of the
-    # two complete-mode certification keys (VERDICT r15 #4) — update-mode
-    # deltas upserted into a keyed target, same oracles as their twins
-    "stream_cdc_latest_merge",
-    "stream_topk_events_merge",
-    "stream_cdc_user_day_merge",
-    # NEW in r16: the governance family's DP + l-diversity members —
-    # deterministic content-addressed Laplace draw (oracle-replayable),
-    # and the k-anonymity companion over the same QI frame
-    "privacy_dp_histogram",
-    "privacy_l_diversity",
-    # renamed in r16 (ADVICE r15 #4): same plan as r15's hash-green
-    # join_anti_customers_without_orders, key now matches the semantics
-    "join_anti_customers_without_urgent_orders",
-    # (2) oldest driver rows first: the 26 keys last checked in r1, then
-    # the 18 last checked in r3 (alphabetical within a round)
-    "agg_argmax_orders",
-    "agg_exact_distinct",
-    "agg_order_sizes",
-    "array_vector_stats",
-    "cube_lineitem",
-    "distinct_segments",
-    "fuzzy_join_part_names",
-    "grouping_sets_orders",
-    "having_big_parts",
-    "join_left_customer_order_counts",
-    "join_q5_local_supplier_volume",
-    "join_semi_customers_with_orders",
-    "map_status_counts",
-    "merge_upsert_balances",
-    "q6_forecast_revenue",
-    "rollup_orders",
-    "scalar_date_functions",
-    "scalar_string_math",
-    "setop_intersect_nations",
-    "setop_union_names",
-    "subquery_above_avg_customers",
-    "topk_orders",
-    "unpivot_lineitem_measures",
-    "window_ntile_order_deciles",
-    "window_running_spend",
-    "window_top3_customers_per_nation",
-    "chunk_dedup_stats",
-    "decontaminate_docs",
-    "heavy_hitter_tokens",
-    "lang_id_counts",
-    "multimodal_frame_fingerprints",
-    "multimodal_media_catalog",
-    "multimodal_ppm_resize",
-    "multimodal_resize",
-    "repetition_scores",
-    "split_train_val_test",
-    "text_collocations_pmi",
+    # (1) Changed executed code in r17 (optimization round 2): the four
+    # eval scorecards were collapsed to single-job method-union plans; the
+    # ANN method operators build their re-rank cosine and LSH stack as one
+    # parsed expression (bit-identical, pinned in pytest); the SimHash
+    # fingerprint family routes through the shared ensure_parallelism
+    # helper; the EWMA fold is the numpy form of the same IEEE chain; the
+    # tws keys run under RocksDB changelog checkpointing; the restart key
+    # threads its staged replay dir into the state-partition autosizer.
+    "eval_mrr_report",
+    "eval_ndcg_report",
+    "ann_recall_report",
+    "eval_matryoshka_recall",
+    "ann_lsh_top5",
+    "ann_ivf_fixed_top5",
+    "dedup_simhash_pairs",
     "text_fingerprints",
-    "text_pii_flags",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_top_bigrams",
-    "tfidf_top_terms",
-    "udtf_lateral_shingles",
-    # (3) weak-by-design tail (ann_ivf_top5's executed code changed in
-    # r16 — nprobe 4→8 — but it stays in the weak tail: rows-only is
-    # still its strongest driver evidence; the recall band moved to
-    # >=0.7 in tools/weak_evidence.py with the pytest anchor re-run)
+    "multimodal_frame_fingerprints",
+    "repetition_scores",
+    "stream_ewma_user_value",
+    "stream_tws_ewma_user_value",
+    "stream_tws_warm_start_ewma",
+    "stream_tws_bitmap_map_state",
+    "stream_tws_topk_list_state",
+    "stream_tws_session_timers",
+    "stream_tws_lsh_index_candidates",
+    "stream_tws_lsh_bounded_bucket",
+    "stream_tws_median_value",
+    "stream_rocksdb_state_counts",
+    "stream_checkpoint_restart_counts",
+    # (2) oldest driver rows first: 29 of the 39 keys whose latest
+    # driver-checked row is r4 (alphabetical; the remaining 10 rotate in
+    # next round — recompute from the CORRECTNESS_r* union each round)
+    "asof_click_attribution",
+    "asof_click_attribution_30m",
+    "chunk_documents_overlap",
+    "conditional_q14_promo_share",
+    "corrmin_q2_min_price_supplier",
+    "data_quality_report",
+    "disjunct_q19_discounted_revenue",
+    "distinct_q16_supplier_breadth",
+    "events_seasonal_anomalies",
+    "events_wow_seasonality",
+    "ewma_user_value",
+    "exists_q4_order_priority",
+    "funnel_view_click_purchase",
+    "gap_filled_minute_counts",
+    "histogram_price_bins",
+    "histogram_price_equidepth",
+    "in_q18_large_volume_customers",
+    "interpolated_minute_values",
+    "join_q10_returned_items",
+    "join_q7_nation_volume",
+    "join_q8_market_share",
+    "join_q9_profit_by_nation_year",
+    "json_event_props_stats",
+    "multi_resolution_rollup",
+    "multimodal_ppm_feature_histogram",
+    "nestedin_q20_promo_part_suppliers",
+    "notexists_q22_idle_customers",
+    "outeragg_q13_order_count_distribution",
+    "retention_weekly_cohorts",
+    # (3) weak-by-design tail (rows-only is their best evidence; they
+    # absorb any over-budget truncation harmlessly). ann_ivf_top5's
+    # executed code changed again in r17 (cosine re-rank expression form,
+    # value-identical) but rows-only remains its strongest driver
+    # evidence, so it stays here.
     "ann_ivf_top5",
     "semantic_dedup_pairs",
     "stratified_sample_counts",
