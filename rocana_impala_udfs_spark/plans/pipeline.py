@@ -684,7 +684,13 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("recall_at_5"),
         )
+        # ordered emit via TakeOrderedAndProject (limit == the exact row
+        # count by construction — one row per method): a bare orderBy would
+        # plan the Exchange rangepartitioning the plan guard forbids, and a
+        # coalesce(1) tail measured a consistent 2x regression (it folds
+        # the broadcast-probe stage into one task ahead of the sort)
         .orderBy("method")
+        .limit(3)
     )
 
 
@@ -774,7 +780,9 @@ def q_eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_5"
             ),
         )
+        # ordered emit via TakeOrderedAndProject (see ann_recall_report)
         .orderBy("dim")
+        .limit(4)
     )
 
 
@@ -893,7 +901,9 @@ def q_eval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1000000.0)
             ).alias("mrr"),
         )
+        # ordered emit via TakeOrderedAndProject (see ann_recall_report)
         .orderBy("method")
+        .limit(3)
     )
 
 
@@ -1008,7 +1018,9 @@ def q_eval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(float(_IDCG6_AT_5))
             ).alias("mean_ndcg"),
         )
+        # ordered emit via TakeOrderedAndProject (see ann_recall_report)
         .orderBy("method")
+        .limit(3)
     )
 
 
